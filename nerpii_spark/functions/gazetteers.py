@@ -1,0 +1,139 @@
+"""Frozen gazetteers.
+
+These lists back (a) the deterministic planted-page corpus, (b) the
+gazetteer detectors (the sandbox stand-in for the reference's
+spaCy/Presidio/BERT models — see ``named_entity_recognizer.py:331-341,
+398-405``), and (c) the keyed synthesizers (the stand-in for Faker
+providers, ``faker_generator.py:84-87``).
+
+DO NOT reorder or edit entries: golden fixtures, DuckDB oracles and the
+pytest goldens all derive from the exact contents + order.
+"""
+
+from __future__ import annotations
+
+FIRST_FEMALE = [
+    "Hillary", "Alice", "Clara", "Diana", "Elena", "Fiona", "Grace", "Helen",
+    "Irene", "Julia", "Karen", "Laura", "Maria", "Nina", "Olivia", "Paula",
+    "Rachel", "Sofia", "Teresa", "Ursula", "Vera", "Wendy", "Yvonne", "Zoe",
+]
+
+FIRST_MALE = [
+    "George", "John", "Frank", "Adam", "Bruno", "Carl", "David", "Edward",
+    "Felix", "Henry", "Isaac", "James", "Kevin", "Louis", "Martin", "Nathan",
+    "Oscar", "Peter", "Robert", "Samuel", "Thomas", "Victor", "Walter", "Simon",
+]
+
+FIRST_NAMES = FIRST_FEMALE + FIRST_MALE
+
+LAST_NAMES = [
+    "Bush", "Clinton", "Snow", "Baker", "Carter", "Dalton", "Evans", "Fisher",
+    "Garner", "Holt", "Ingram", "Jensen", "Keller", "Lambert", "Mason",
+    "Norris", "Osborne", "Parker", "Quinn", "Reyes", "Sawyer", "Turner",
+    "Underwood", "Vaughn", "Walsh", "Young", "Ziegler", "Bennett", "Coleman",
+    "Dawson", "Ellis", "Foster", "Griffin", "Hayes", "Irwin", "Jordan",
+    "Kemp", "Lawson", "Mercer", "Nolan",
+]
+
+CITIES = [
+    "New York", "Chicago", "Phoenix", "London", "Paris", "Berlin", "Madrid",
+    "Rome", "Lisbon", "Vienna", "Dublin", "Prague", "Oslo", "Helsinki",
+    "Athens", "Toronto", "Boston", "Seattle", "Denver", "Austin", "Portland",
+    "Atlanta", "Dallas", "Houston", "Miami", "Tucson", "Omaha", "Memphis",
+    "Los Angeles", "San Francisco", "New Orleans", "Salt Lake City",
+]
+
+STATES = [
+    "Alabama", "Alaska", "Arizona", "Arkansas", "California", "Colorado",
+    "Connecticut", "Delaware", "Florida", "Georgia", "Hawaii", "Idaho",
+    "Illinois", "Indiana", "Iowa", "Kansas", "Kentucky", "Louisiana", "Maine",
+    "Maryland", "Massachusetts", "Michigan", "Minnesota", "Mississippi",
+    "Missouri", "Montana", "Nebraska", "Nevada", "New Hampshire",
+    "New Jersey", "New Mexico", "North Carolina", "North Dakota", "Ohio",
+    "Oklahoma", "Oregon", "Pennsylvania", "Rhode Island", "South Carolina",
+    "South Dakota", "Tennessee", "Texas", "Utah", "Vermont", "Virginia",
+    "Washington", "West Virginia", "Wisconsin", "Wyoming", "New York State",
+]
+
+STATE_ABBR = [
+    "AL", "AK", "AZ", "AR", "CA", "CO", "CT", "DE", "FL", "GA", "HI", "ID",
+    "IL", "IN", "IA", "KS", "KY", "LA", "ME", "MD", "MA", "MI", "MN", "MS",
+    "MO", "MT", "NE", "NV", "NH", "NJ", "NM", "NC", "ND", "OH", "OK", "OR",
+    "PA", "RI", "SC", "SD", "TN", "TX", "UT", "VT", "VA", "WA", "WV", "WI",
+    "WY", "NY",
+]
+
+COUNTRIES = [
+    "France", "Germany", "Italy", "Spain", "Portugal", "Austria", "Belgium",
+    "Norway", "Sweden", "Finland", "Denmark", "Ireland", "Poland", "Greece",
+    "Canada", "Mexico", "Brazil", "Argentina", "Japan", "India", "Egypt",
+    "Kenya", "Chile", "Peru",
+]
+
+ORG_WORDS = [
+    "Acme", "Globex", "Initech", "Umbrella", "Stark", "Wayne", "Cyberdyne",
+    "Tyrell", "Aperture", "Vandelay", "Hooli", "Dunder", "Wonka", "Oscorp",
+    "Monarch", "Sterling", "Pied", "Massive", "Virtucon", "Zorg",
+    "Gringotts", "Prestige", "Vertex", "Quantum", "Apex", "Zenith", "Orion",
+    "Nimbus", "Cascade", "Summit", "Pinnacle", "Horizon",
+]
+
+ORG_SUFFIXES = ["Corp", "Inc", "LLC", "Ltd", "Group", "Labs", "Systems", "Industries"]
+
+STREET_WORDS = [
+    "Evergreen", "Maple", "Oak", "Cedar", "Elm", "Pine", "Birch", "Walnut",
+    "Chestnut", "Spruce", "Willow", "Aspen", "Magnolia", "Juniper", "Hickory",
+    "Sycamore", "Poplar", "Laurel", "Hazel", "Alder", "Linden", "Rowan",
+    "Cypress", "Redwood",
+]
+
+STREET_TYPES = ["Street", "Avenue", "Road", "Boulevard", "Lane", "Square"]
+
+EMAIL_DOMAINS = [
+    "example.com", "mail.test", "inbox.example", "webmail.example",
+    "post.example", "letter.example", "msg.example", "box.example",
+]
+
+# The reference's exact 25-term ADDRESS deny list
+# (named_entity_recognizer.py:115-141).
+ADDRESS_DENY_LIST = [
+    "Street", "Rue", "Via", "Square", "Avenue", "Place", "Strada", "St",
+    "Lane", "Road", "Boulevard", "Ln", "Rd", "HighwayDrive", "Av", "Hwy",
+    "Blvd", "Corso", "Piazza", "Calle", "Plaza", "Avenida", "Rambla",
+    "Vico", "C/",
+]
+
+# gender lookup (the deterministic stand-in for gender_guesser,
+# named_entity_recognizer.py:203-231); "andy" = androgynous, like the lib.
+GENDER_ANDY = ["Alex", "Robin", "Casey", "Jordan"]
+
+
+def gender_of(name: str) -> str:
+    n = (name or "").strip().lower()
+    if n in (x.lower() for x in FIRST_FEMALE):
+        return "female"
+    if n in (x.lower() for x in FIRST_MALE):
+        return "male"
+    if n in (x.lower() for x in GENDER_ANDY):
+        return "andy"
+    return "unknown"
+
+
+# small per-language stopword lists for the lang-id heuristic / quality
+# scoring over `documents` (training-data-pipeline extras).
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "auf", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pour", "dans", "une", "sur"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con", "para", "las"],
+    "zh": ["de", "shi", "zai", "le", "you", "wo", "ta", "men", "zhe", "na"],
+}
+
+EN_STOPWORDS = LANG_STOPWORDS["en"] + [
+    "a", "an", "it", "as", "at", "by", "be", "or", "are", "was", "this",
+]
+
+
+def sql_str_list(values: list[str]) -> str:
+    """Render a SQL string-array body, e.g. ``'a','b','c'`` (no quotes inside)."""
+    return ",".join("'" + v.replace("'", "''") + "'" for v in values)

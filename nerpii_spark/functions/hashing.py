@@ -1,0 +1,60 @@
+"""Portable keyed hashing (LCG) — identical in Spark SQL, DuckDB SQL, Python.
+
+Everything stochastic in this engine (planted corpus content, sampling,
+keyed synthetic substitution a la Faker — see reference
+``faker_generator.py:120-596``) is a pure function of a 64-bit row key
+through this hash chain, so that:
+
+  * every stage is deterministic and resumable (north_rule),
+  * DuckDB oracles can recompute the exact same values in plain SQL,
+  * pytest goldens can recompute them in pure Python.
+
+Arithmetic is kept inside int64 (operands < 2^31 before multiply) so it
+is safe under Spark 4's default ANSI mode and DuckDB's checked overflow.
+"""
+
+from __future__ import annotations
+
+M = 2_147_483_648  # 2**31 modulus
+PHI = 2_654_435_761  # Knuth multiplicative constant (fits the first multiply)
+A = 1_103_515_245  # glibc LCG multiplier for chained re-hash
+C = 12_345
+
+
+# ---------------------------------------------------------------- python
+def h1(key: int, salt: int) -> int:
+    """First-level hash of a non-negative int64 key (key < 2^32)."""
+    return (key * PHI + salt * 97 + C) % M
+
+
+def h2(prev: int, salt: int) -> int:
+    """Chained re-hash of a previous hash value (< 2^31)."""
+    return (prev * A + salt * 97 + C) % M
+
+
+def hn(key: int, *salts: int) -> int:
+    """h1 then h2-chain through the given salts."""
+    v = h1(key, salts[0] if salts else 0)
+    for s in salts[1:]:
+        v = h2(v, s)
+    return v
+
+
+# ------------------------------------------------------------ sql (both)
+# The same expressions are valid Spark SQL and DuckDB SQL: `%` on
+# non-negative int64, `*`, `+` only.
+def sql_h1(key_expr: str, salt: int) -> str:
+    return f"((({key_expr}) * {PHI} + {salt * 97 + C}) % {M})"
+
+
+def sql_h2(prev_expr: str, salt: int | str) -> str:
+    """`salt` may be an int or a SQL integer expression (e.g. ``"j + 1"``)."""
+    salt_term = salt * 97 + C if isinstance(salt, int) else f"(({salt}) * 97 + {C})"
+    return f"((({prev_expr}) * {A} + {salt_term}) % {M})"
+
+
+def sql_hn(key_expr: str, *salts: int) -> str:
+    v = sql_h1(key_expr, salts[0] if salts else 0)
+    for s in salts[1:]:
+        v = sql_h2(v, s)
+    return v

@@ -1,0 +1,410 @@
+"""Deterministic Common-Crawl-style `pages` corpus (BASELINE.json input_hint).
+
+Derives a pages table ``(doc_id, url, warc_ts, html, text, lang)`` from the
+driver's `documents` parquet by *planting* entity/PII sentences keyed by
+``doc_id`` through the portable LCG (functions/hashing.py). The exact same
+content is expressible three ways:
+
+  * Spark SQL   (``pages_sql(dialect='spark')``)  — corpus the pipeline reads
+  * DuckDB SQL  (``pages_sql(dialect='duck')`` + golden_* builders) — the
+    driver's oracle recomputes the planted mentions/triples ground truth
+  * pure Python (``plant_doc``) — pytest goldens incl. byte offsets
+
+so the driver's correctness gate genuinely measures extraction P/R.
+
+Reference semantics covered: the planted surface forms exercise every
+entity type of the reference taxonomy (nerpii/named_entity_recognizer.py:
+115-141 deny-list ADDRESS, Presidio types EMAIL/PHONE/URL/US_SSN/
+CREDIT_CARD, spaCy PERSON/LOCATION, BERT ORGANIZATION) plus the Zipf-hot
+``works_at`` predicate mandated by the north_rule skew requirement.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..functions import gazetteers as G
+from ..functions.hashing import M, h1, h2, sql_h1, sql_h2
+
+BASE_EPOCH = 1735689600  # 2025-01-01T00:00:00Z
+N_TEMPLATES = 4
+MAX_SENT = 5
+
+# ---------------------------------------------------------------------------
+# Luhn
+# ---------------------------------------------------------------------------
+
+
+def luhn_check_digit(digits15: list[int]) -> int:
+    """Check digit for a 15-digit prefix (16-digit card)."""
+    s = 0
+    for i, d in enumerate(digits15):  # i=0 is leftmost; double even i (pos 1,3,..15)
+        if i % 2 == 0:
+            e = d * 2
+            s += e - 9 if e > 9 else e
+        else:
+            s += d
+    return (10 - s % 10) % 10
+
+
+def luhn_valid(num: str) -> bool:
+    ds = [int(c) for c in num]
+    total = 0
+    for i, d in enumerate(reversed(ds)):
+        if i % 2 == 1:
+            e = d * 2
+            total += e - 9 if e > 9 else e
+        else:
+            total += d
+    return total % 10 == 0
+
+
+# ---------------------------------------------------------------------------
+# Python mirror of the planted content
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Sentence:
+    j: int
+    t: int
+    text: str
+    mentions: list[tuple[str, str]]  # (entity_type, surface)
+    triples: list[tuple[str, str, str]]  # (subj, pred, obj)
+
+
+@dataclass
+class PlantedDoc:
+    doc_id: int
+    n_sent: int
+    sentences: list[Sentence] = field(default_factory=list)
+
+
+def _vals(doc_id: int, j: int) -> dict:
+    hs = h2(h1(doc_id, 1), j + 1)
+
+    def hv(i: int) -> int:
+        return h2(hs, 10 + i)
+
+    g = hv(0) % 2
+    first = (G.FIRST_FEMALE if g == 0 else G.FIRST_MALE)[hv(1) % 24]
+    caps = hv(2) % 50 == 0
+    first_disp = first.upper() if caps else first
+    last = G.LAST_NAMES[hv(3) % 40]
+    org_u = hv(4) % 32
+    org = G.ORG_WORDS[(org_u * org_u) // 32] + " " + G.ORG_SUFFIXES[hv(5) % 8]
+    city = G.CITIES[hv(6) % 32]
+    domain = G.EMAIL_DOMAINS[hv(7) % 8]
+    phone = f"({200 + hv(8) % 800}) {hv(9) % 1000:03d}-{hv(10) % 10000:04d}"
+    streetnum = 1 + hv(11) % 999
+    stype = G.STREET_TYPES[hv(13) % 6]
+    street = G.STREET_WORDS[hv(12) % 24] + " " + stype
+    st = G.STATE_ABBR[hv(14) % 50]
+    zip5 = f"{hv(15) % 100000:05d}"
+    ssn = f"{100 + hv(16) % 800}-{10 + hv(17) % 90}-{hv(18) % 10000:04d}"
+    a, b = hv(19) % 10**7, hv(20) % 10**7
+    d15 = [4] + [int(c) for c in f"{a:07d}"] + [int(c) for c in f"{b:07d}"]
+    cc = f"4{a:07d}{b:07d}{luhn_check_digit(d15)}"
+    url_m = f"https://www.{G.ORG_WORDS[hv(21) % 32].lower()}.example/p/{hv(22) % 100000}"
+    email = f"{first.lower()}.{last.lower()}@{domain}"
+    person = f"{first_disp} {last}"
+    return dict(
+        t=hs % N_TEMPLATES, person=person, first_disp=first_disp, last=last,
+        gender=("female" if g == 0 else "male"),
+        org=org, city=city, email=email, phone=phone, streetnum=streetnum,
+        street=street, stype=stype, st=st, zip5=zip5, ssn=ssn, cc=cc, url_m=url_m,
+    )
+
+
+def _sentence(v: dict) -> Sentence:
+    t = v["t"]
+    p, org, city = v["person"], v["org"], v["city"]
+    if t == 0:
+        text = f"{p} works at {org} in {city}."
+        mentions = [("PERSON", p), ("ORGANIZATION", org), ("LOCATION", city)]
+        triples = [(p, "works_at", org), (org, "located_in", city)]
+    elif t == 1:
+        text = (
+            f"Contact {p} at {v['email']} or call {v['phone']}"
+            f" or visit {v['url_m']} today."
+        )
+        mentions = [
+            ("PERSON", p), ("EMAIL_ADDRESS", v["email"]),
+            ("PHONE_NUMBER", v["phone"]), ("URL", v["url_m"]),
+        ]
+        triples = [(p, "has_email", v["email"]), (p, "has_phone", v["phone"])]
+    elif t == 2:
+        text = (
+            f"{p} lives at {v['streetnum']} {v['street']} in {city},"
+            f" {v['st']} {v['zip5']}."
+        )
+        mentions = [
+            ("PERSON", p), ("ADDRESS", v["stype"]), ("LOCATION", city),
+            ("LOCATION", v["st"]), ("ZIPCODE", v["zip5"]),
+        ]
+        triples = [(p, "lives_in", city), (p, "lives_in", v["st"])]
+    else:
+        text = f"SSN {v['ssn']} and card {v['cc']} were filed by {org}."
+        mentions = [
+            ("US_SSN", v["ssn"]), ("CREDIT_CARD_NUMBER", v["cc"]),
+            ("ORGANIZATION", org),
+        ]
+        triples = []
+    return Sentence(j=-1, t=t, text=text, mentions=mentions, triples=triples)
+
+
+def plant_doc(doc_id: int) -> PlantedDoc:
+    n_sent = h1(doc_id, 0) % (MAX_SENT + 1)
+    doc = PlantedDoc(doc_id=doc_id, n_sent=n_sent)
+    for j in range(n_sent):
+        s = _sentence(_vals(doc_id, j))
+        s.j = j
+        doc.sentences.append(s)
+    return doc
+
+
+def page_text(base_text: str, doc_id: int) -> str:
+    planted = plant_doc(doc_id)
+    return base_text + "".join(" " + s.text for s in planted.sentences)
+
+
+HTML_PRE = (
+    "<html><head><title>page</title><script>var x=1;</script></head>"
+    "<body><nav>Home | About | Legal</nav><article>"
+)
+HTML_POST = "</article><footer>(c) example footer</footer></body></html>"
+
+
+def page_html(text: str) -> bytes:
+    return (HTML_PRE + text + HTML_POST).encode("utf-8")
+
+
+def page_url(doc_id: int, lang: str) -> str:
+    return f"https://site{h1(doc_id, 0) % 977}.example/{lang}/page/{doc_id}"
+
+
+# ---------------------------------------------------------------------------
+# Dual-dialect SQL builders
+# ---------------------------------------------------------------------------
+
+
+def _pick(dialect: str, values: list[str], idx_expr: str) -> str:
+    body = G.sql_str_list(values)
+    if dialect == "spark":
+        return f"element_at(array({body}), cast(({idx_expr}) + 1 as int))"
+    return f"list_extract([{body}], cast(({idx_expr}) + 1 as int))"
+
+
+def _intdiv(dialect: str, a: str, b: int) -> str:
+    return f"(({a}) div {b})" if dialect == "spark" else f"(({a}) // {b})"
+
+
+def _s(expr: str) -> str:
+    """CAST to string (valid in both dialects)."""
+    return f"cast({expr} as string)"
+
+
+def _lpad(expr: str, n: int) -> str:
+    return f"lpad({_s(expr)}, {n}, '0')"
+
+
+def _luhn_check_sql(dialect: str, a: str, b: str) -> str:
+    """Check digit of the 15-digit prefix 4 || pad7(a) || pad7(b)."""
+    terms = []
+    digits = [("4", None)]
+    for src in (a, b):
+        for m in range(7):
+            digits.append((src, 10 ** (6 - m)))
+    # position i (0-based, leftmost) doubled when i % 2 == 0
+    for i, (src, div) in enumerate(digits):
+        d = src if div is None else f"({_intdiv(dialect, src, div)} % 10)"
+        if i % 2 == 0:
+            terms.append(f"(2*{d} - (case when {d} >= 5 then 9 else 0 end))")
+        else:
+            terms.append(d)
+    total = " + ".join(terms)
+    return f"((10 - (({total}) % 10)) % 10)"
+
+
+def vals_cte_sql(dialect: str, doc_rel: str) -> str:
+    """WITH-clause producing relation `vals`: one row per planted sentence."""
+    hd = f"{sql_h1('doc_id', 0)} % {MAX_SENT + 1}"
+    hs = sql_h2(sql_h1("doc_id", 1), "j + 1")
+
+    def hv(i: int) -> str:
+        return sql_h2("hs", 10 + i)
+
+    if dialect == "spark":
+        js = "select explode(array(0,1,2,3,4)) as j"
+    else:
+        js = "select unnest([0,1,2,3,4]) as j"
+
+    first = (
+        f"case when {hv(0)} % 2 = 0 then {_pick(dialect, G.FIRST_FEMALE, f'{hv(1)} % 24')}"
+        f" else {_pick(dialect, G.FIRST_MALE, f'{hv(1)} % 24')} end"
+    )
+    org_u = f"({hv(4)} % 32)"
+    org_idx = _intdiv(dialect, f"{org_u} * {org_u}", 32)
+    a_, b_ = f"({hv(19)} % 10000000)", f"({hv(20)} % 10000000)"
+    return f"""
+with js as ({js}),
+sb as (
+  select doc_id, j, {hs} as hs
+  from {doc_rel} cross join js
+  where j < ({hd})
+),
+picks as (
+  select doc_id, j, hs,
+    (hs % {N_TEMPLATES}) as t,
+    {first} as first_raw,
+    ({hv(2)} % 50 = 0) as caps,
+    {_pick(dialect, G.LAST_NAMES, f'{hv(3)} % 40')} as last,
+    case when {hv(0)} % 2 = 0 then 'female' else 'male' end as gender,
+    ({_pick(dialect, G.ORG_WORDS, org_idx)} || ' ' || {_pick(dialect, G.ORG_SUFFIXES, f'{hv(5)} % 8')}) as org,
+    {_pick(dialect, G.CITIES, f'{hv(6)} % 32')} as city,
+    {_pick(dialect, G.EMAIL_DOMAINS, f'{hv(7)} % 8')} as domain,
+    ('(' || {_s(f'(200 + {hv(8)} % 800)')} || ') ' || {_lpad(f'({hv(9)} % 1000)', 3)} || '-' || {_lpad(f'({hv(10)} % 10000)', 4)}) as phone,
+    {_s(f'(1 + {hv(11)} % 999)')} as streetnum,
+    {_pick(dialect, G.STREET_WORDS, f'{hv(12)} % 24')} as sword,
+    {_pick(dialect, G.STREET_TYPES, f'{hv(13)} % 6')} as stype,
+    {_pick(dialect, G.STATE_ABBR, f'{hv(14)} % 50')} as st,
+    {_lpad(f'({hv(15)} % 100000)', 5)} as zip5,
+    ({_s(f'(100 + {hv(16)} % 800)')} || '-' || {_s(f'(10 + {hv(17)} % 90)')} || '-' || {_lpad(f'({hv(18)} % 10000)', 4)}) as ssn,
+    ('4' || {_lpad(a_, 7)} || {_lpad(b_, 7)} || {_s(_luhn_check_sql(dialect, a_, b_))}) as cc,
+    ('https://www.' || lower({_pick(dialect, G.ORG_WORDS, f'{hv(21)} % 32')}) || '.example/p/' || {_s(f'({hv(22)} % 100000)')}) as url_m
+  from sb
+),
+vals as (
+  select doc_id, j, t,
+    (case when caps then upper(first_raw) else first_raw end || ' ' || last) as person,
+    gender, org, city,
+    (lower(first_raw) || '.' || lower(last) || '@' || domain) as email,
+    phone, streetnum, (sword || ' ' || stype) as street, stype, st, zip5, ssn, cc, url_m
+  from picks
+)
+"""
+
+
+def sentence_expr() -> str:
+    """CASE expression over `vals` columns producing the sentence (both dialects)."""
+    t0 = "person || ' works at ' || org || ' in ' || city || '.'"
+    t1 = (
+        "'Contact ' || person || ' at ' || email || ' or call ' || phone"
+        " || ' or visit ' || url_m || ' today.'"
+    )
+    t2 = (
+        "person || ' lives at ' || streetnum || ' ' || street || ' in ' || city"
+        " || ', ' || st || ' ' || zip5 || '.'"
+    )
+    t3 = "'SSN ' || ssn || ' and card ' || cc || ' were filed by ' || org || '.'"
+    return (
+        f"case when t = 0 then {t0} when t = 1 then {t1}"
+        f" when t = 2 then {t2} else {t3} end"
+    )
+
+
+def pages_sql(dialect: str, doc_rel: str = "documents", with_html: bool = False) -> str:
+    """Full SELECT producing the pages table from `documents`."""
+    if dialect == "spark":
+        agg = (
+            "array_join(transform(array_sort(collect_list(struct(j, s))),"
+            " x -> x.s), ' ')"
+        )
+    else:
+        agg = "string_agg(s, ' ' order by j)"
+    url = f"'https://site' || {_s(sql_h1('d.doc_id', 0) + ' % 977')} || '.example/' || d.lang || '/page/' || {_s('d.doc_id')}"
+    text = "d.text || coalesce(' ' || a.planted, '')"
+    cols = [f"d.doc_id as doc_id", f"{url} as url"]
+    if dialect == "spark":
+        cols.append(f"timestamp_seconds({BASE_EPOCH} + d.doc_id) as warc_ts")
+        if with_html:
+            html_pre = HTML_PRE.replace("'", "''")
+            html_post = HTML_POST.replace("'", "''")
+            cols.append(
+                f"cast('{html_pre}' || {text} || '{html_post}' as binary) as html"
+            )
+    cols.append(f"{text} as text")
+    cols.append("d.lang as lang")
+    return f"""
+{vals_cte_sql(dialect, doc_rel)}
+, sent as (select doc_id, j, {sentence_expr()} as s from vals)
+, agg as (select doc_id, {agg} as planted from sent group by doc_id)
+select {', '.join(cols)}
+from {doc_rel} d left join agg a on d.doc_id = a.doc_id
+"""
+
+
+def _mention_struct(dialect: str, etype: str, m_expr: str) -> str:
+    if dialect == "spark":
+        return f"named_struct('e', '{etype}', 'm', {m_expr})"
+    return f"struct_pack(e := '{etype}', m := {m_expr})"
+
+
+def golden_mentions_sql(dialect: str, doc_rel: str = "documents") -> str:
+    """(doc_id, entity_type, mention) ground truth of the planted corpus."""
+    S = lambda e, m: _mention_struct(dialect, e, m)
+    lists = {
+        0: [S("PERSON", "person"), S("ORGANIZATION", "org"), S("LOCATION", "city")],
+        1: [S("PERSON", "person"), S("EMAIL_ADDRESS", "email"),
+            S("PHONE_NUMBER", "phone"), S("URL", "url_m")],
+        2: [S("PERSON", "person"), S("ADDRESS", "stype"), S("LOCATION", "city"),
+            S("LOCATION", "st"), S("ZIPCODE", "zip5")],
+        3: [S("US_SSN", "ssn"), S("CREDIT_CARD_NUMBER", "cc"),
+            S("ORGANIZATION", "org")],
+    }
+    if dialect == "spark":
+        arr = lambda xs: f"array({', '.join(xs)})"
+        case = (
+            f"case when t = 0 then {arr(lists[0])} when t = 1 then {arr(lists[1])}"
+            f" when t = 2 then {arr(lists[2])} else {arr(lists[3])} end"
+        )
+        return f"""
+{vals_cte_sql(dialect, doc_rel)}
+select doc_id, m.e as entity_type, m.m as mention
+from vals lateral view explode({case}) as m
+"""
+    arr = lambda xs: f"[{', '.join(xs)}]"
+    case = (
+        f"case when t = 0 then {arr(lists[0])} when t = 1 then {arr(lists[1])}"
+        f" when t = 2 then {arr(lists[2])} else {arr(lists[3])} end"
+    )
+    return f"""
+{vals_cte_sql(dialect, doc_rel)}
+select doc_id, m.e as entity_type, m.m as mention
+from (select doc_id, unnest({case}) as m from vals)
+"""
+
+
+def golden_triples_sql(dialect: str, doc_rel: str = "documents") -> str:
+    """(doc_id, subj, pred, obj) ground truth of the planted corpus."""
+    T = lambda s, p, o: (
+        f"named_struct('s', {s}, 'p', '{p}', 'o', {o})"
+        if dialect == "spark"
+        else f"struct_pack(s := {s}, p := '{p}', o := {o})"
+    )
+    lists = {
+        0: [T("person", "works_at", "org"), T("org", "located_in", "city")],
+        1: [T("person", "has_email", "email"), T("person", "has_phone", "phone")],
+        2: [T("person", "lives_in", "city"), T("person", "lives_in", "st")],
+    }
+    if dialect == "spark":
+        arr = lambda xs: f"array({', '.join(xs)})"
+        case = (
+            f"case when t = 0 then {arr(lists[0])} when t = 1 then {arr(lists[1])}"
+            f" else {arr(lists[2])} end"
+        )
+        return f"""
+{vals_cte_sql(dialect, doc_rel)}
+select doc_id, tr.s as subj, tr.p as pred, tr.o as obj
+from (select * from vals where t < 3) lateral view explode({case}) as tr
+"""
+    arr = lambda xs: f"[{', '.join(xs)}]"
+    case = (
+        f"case when t = 0 then {arr(lists[0])} when t = 1 then {arr(lists[1])}"
+        f" else {arr(lists[2])} end"
+    )
+    return f"""
+{vals_cte_sql(dialect, doc_rel)}
+select doc_id, tr.s as subj, tr.p as pred, tr.o as obj
+from (select doc_id, unnest({case}) as tr from vals where t < 3)
+"""
