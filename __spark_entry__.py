@@ -3,8 +3,12 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Pipeline queries run over the deterministic planted `pages` corpus
+derived from the `documents` table (nerpii_spark/sources/pages.py);
+their oracles recompute the *planted ground truth* in DuckDB SQL, so a
+match certifies extraction P/R = 1.0, not just plumbing.
 """
 
 from __future__ import annotations
@@ -12,27 +16,275 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from nerpii_spark.functions import gazetteers as G
+from nerpii_spark.functions.hashing import sql_h1
+from nerpii_spark.functions.text import (
+    address_pattern,
+    split_name,
+    with_gender,
+)
+from nerpii_spark.operators.clean import clean_pages
+from nerpii_spark.operators.detect import detect_mentions
+from nerpii_spark.operators.extract import extract_triples, triples_by_pred_salted
+from nerpii_spark.sources import pages as P
+
+_CACHE: dict = {}
+
+
+def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _pipeline(spark: SparkSession, sf_dir: str) -> dict:
+    """Build (once per session+sf) pages -> clean -> mentions -> triples."""
+    key = (id(spark), sf_dir)
+    if key in _CACHE:
+        return _CACHE[key]
+    docs = _load(spark, sf_dir, "documents")
+    view = "nerpii_documents"
+    docs.createOrReplaceTempView(view)
+    pages = (
+        spark.sql(P.pages_sql("spark", doc_rel=view, with_html=True))
+        .drop("text")  # force S1 to derive text from html bytes
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .withColumn("text", F.lit(None).cast("string"))
+    )
+    clean = clean_pages(pages).cache()
+    mentions = detect_mentions(clean).cache()
+    triples = extract_triples(mentions).cache()
+    out = {"pages": pages, "clean": clean, "mentions": mentions, "triples": triples}
+    _CACHE[key] = out
+    return out
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG pipeline (S1 clean -> S2 detect -> S3 extract)
+    over the planted corpus at sf0.001; returns the triples table."""
+    t = _pipeline(spark, "/root/testdata/sf0.001")["triples"]
+    return t.select("doc_id", "url", "subj", "pred", "obj")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_clean_text(spark, sf):
+    c = _pipeline(spark, sf)["clean"]
+    return c.select("doc_id", "text")
+
+
+def q_detect_mentions(spark, sf):
+    m = _pipeline(spark, sf)["mentions"]
+    return m.select("doc_id", "entity_type", F.col("mention"))
+
+
+def q_mentions_by_type(spark, sf):
+    m = _pipeline(spark, sf)["mentions"]
+    return m.groupBy("entity_type").agg(F.count("*").alias("n"))
+
+
+def q_triples(spark, sf):
+    t = _pipeline(spark, sf)["triples"]
+    return t.select("doc_id", "subj", "pred", "obj")
+
+
+def q_triples_by_pred(spark, sf):
+    t = _pipeline(spark, sf)["triples"]
+    return triples_by_pred_salted(t)
+
+
+def q_scan(spark, sf):
+    return _load(spark, sf, "customer")
+
+
+def q_sample(spark, sf):
+    c = _load(spark, sf, "customer")
+    return c.where(F.expr(f"{sql_h1('c_custkey', 7)} % 100 < 10"))
+
+
+def q_project_str(spark, sf):
+    return _load(spark, sf, "customer").select("c_name", "c_mktsegment")
+
+
+def q_nan_fill(spark, sf):
+    d = _load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.coalesce(F.nullif("source", F.lit("src0")), F.lit("?")).alias(
+            "source_filled"
+        ),
+    )
+
+
+def q_split_name(spark, sf):
+    t = _pipeline(spark, sf)["triples"]
+    persons = t.where(F.col("pred") == "works_at").select(
+        F.col("subj").alias("person")
+    ).distinct()
+    return split_name(persons, "person")
+
+
+def q_frequency(spark, sf):
+    d = _load(spark, sf, "documents")
+    total = d.count()
+    return d.groupBy("lang").agg(
+        (F.count("*") * F.lit(1.0) / F.lit(total)).alias("freq")
+    )
+
+
+def q_address_denylist(spark, sf):
+    c = _pipeline(spark, sf)["clean"]
+    return c.where(F.col("text").rlike(address_pattern())).select("doc_id")
+
+
+def q_gender(spark, sf):
+    t = _pipeline(spark, sf)["triples"]
+    firsts = (
+        t.where(F.col("pred") == "works_at")
+        .select(F.element_at(F.split("subj", " "), 1).alias("first_name"))
+        .distinct()
+    )
+    return with_gender(firsts, "first_name").select("first_name", "first_name_gender")
+
+
+def q_topk_objs_per_pred(spark, sf):
+    t = _pipeline(spark, sf)["triples"]
+    counts = t.groupBy("pred", "obj").agg(F.count("*").alias("n"))
+    w = W.partitionBy("pred").orderBy(F.desc("n"), F.asc("obj"))
+    return counts.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+
+
+def q_anti_join(spark, sf):
+    c = _load(spark, sf, "customer")
+    o = _load(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+def q_agg_lineitem(spark, sf):
+    li = _load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("sum_qty_c"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "sum_price_c"
+        ),
+    )
+
+
+def q_join_orders_customer(spark, sf):
+    o = _load(spark, sf, "orders")
+    c = _load(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "revenue_c"
+            ),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q_clean_text": q_clean_text,
+        "q_detect_mentions": q_detect_mentions,
+        "q_mentions_by_type": q_mentions_by_type,
+        "q_triples": q_triples,
+        "q_triples_by_pred": q_triples_by_pred,
+        "q_scan": q_scan,
+        "q_sample": q_sample,
+        "q_project_str": q_project_str,
+        "q_nan_fill": q_nan_fill,
+        "q_split_name": q_split_name,
+        "q_frequency": q_frequency,
+        "q_address_denylist": q_address_denylist,
+        "q_gender": q_gender,
+        "q_topk_objs_per_pred": q_topk_objs_per_pred,
+        "q_anti_join": q_anti_join,
+        "q_agg_lineitem": q_agg_lineitem,
+        "q_join_orders_customer": q_join_orders_customer,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL over the pre-registered parquet views)
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    gm = P.golden_mentions_sql("duck")
+    gt = P.golden_triples_sql("duck")
+    pages = P.pages_sql("duck")
+    female = G.sql_str_list([n.lower() for n in G.FIRST_FEMALE])
+    male = G.sql_str_list([n.lower() for n in G.FIRST_MALE])
+    return {
+        "q_clean_text": f"select doc_id, text from ({pages})",
+        "q_detect_mentions": gm,
+        "q_mentions_by_type": (
+            f"select entity_type, count(*) as n from ({gm}) group by entity_type"
+        ),
+        "q_triples": gt,
+        "q_triples_by_pred": (
+            f"select pred, count(*) as n_triples from ({gt}) group by pred"
+        ),
+        "q_scan": "select * from customer",
+        "q_sample": (
+            f"select * from customer where {sql_h1('c_custkey', 7)} % 100 < 10"
+        ),
+        "q_project_str": "select c_name, c_mktsegment from customer",
+        "q_nan_fill": (
+            "select doc_id, coalesce(nullif(source, 'src0'), '?')"
+            " as source_filled from documents"
+        ),
+        "q_split_name": f"""
+            select split_part(person, ' ', 1) as first_name,
+                   coalesce(nullif(split_part(person, ' ', 2), ''), '-') as last_name
+            from (select distinct subj as person from ({gt}) where pred = 'works_at')
+        """,
+        "q_frequency": (
+            "select lang, count(*) * 1.0 / (select count(*) from documents)"
+            " as freq from documents group by lang"
+        ),
+        "q_address_denylist": (
+            f"select doc_id from ({pages})"
+            f" where regexp_matches(text, '{address_pattern()}')"
+        ),
+        "q_gender": f"""
+            select first_name,
+                   case when lower(first_name) in ({female}) then 'female'
+                        when lower(first_name) in ({male}) then 'male'
+                        else 'unknown' end as first_name_gender
+            from (select distinct split_part(subj, ' ', 1) as first_name
+                  from ({gt}) where pred = 'works_at')
+        """,
+        "q_topk_objs_per_pred": f"""
+            select pred, obj, n, rk from (
+              select pred, obj, n,
+                     row_number() over (partition by pred
+                                        order by n desc, obj asc) as rk
+              from (select pred, obj, count(*) as n from ({gt}) group by 1, 2)
+            ) where rk <= 3
+        """,
+        "q_anti_join": (
+            "select c_custkey from customer c where not exists"
+            " (select 1 from orders o where o.o_custkey = c.c_custkey)"
+        ),
+        "q_agg_lineitem": """
+            select l_returnflag, l_linestatus, count(*) as n_rows,
+                   sum(cast(round(l_quantity * 100) as bigint)) as sum_qty_c,
+                   sum(cast(round(l_extendedprice * 100) as bigint)) as sum_price_c
+            from lineitem group by 1, 2
+        """,
+        "q_join_orders_customer": """
+            select c_mktsegment, count(*) as n_orders,
+                   sum(cast(round(o_totalprice * 100) as bigint)) as revenue_c
+            from orders join customer on o_custkey = c_custkey
+            group by 1
+        """,
+    }

@@ -1,0 +1,86 @@
+"""Scalar text operators re-expressed as pure Catalyst (SURVEY.md O4-O8).
+
+Each mirrors a reference function exactly but with no per-row Python:
+  * split_name      — named_entity_recognizer.py:30-75
+  * frequency_df    — named_entity_recognizer.py:78-94
+  * address_pattern — named_entity_recognizer.py:97-147 (25-term deny list)
+  * gender lookup   — named_entity_recognizer.py:203-231 (gender_guesser
+                      stand-in: deterministic broadcast-join lookup)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import gazetteers as G
+
+
+def split_name(df: DataFrame, name_of_column: str) -> DataFrame:
+    """Split a full-name column into first_name / last_name.
+
+    Reference quirks preserved (named_entity_recognizer.py:53-73):
+    nulls fill as "- -"; a single-token name pads last_name with "-";
+    the source column is dropped.
+    """
+    toks = F.split(F.coalesce(F.col(name_of_column), F.lit("- -")), r"\s+")
+    return (
+        df.withColumn("first_name", F.element_at(toks, 1))
+        .withColumn(
+            "last_name",
+            F.when(F.size(toks) >= 2, F.element_at(toks, 2)).otherwise(F.lit("-")),
+        )
+        .drop(name_of_column)
+    )
+
+
+def frequency_df(df: DataFrame, column: str) -> DataFrame:
+    """Relative frequency of every value of `column` (one groupBy pass —
+    the reference re-scans the list per element, O(n^2) at :485)."""
+    total = df.count()
+    if total == 0:
+        return df.groupBy(F.col(column)).agg(F.lit(0.0).alias("freq"))
+    return df.groupBy(F.col(column)).agg(
+        (F.count("*") * F.lit(1.0) / F.lit(total)).alias("freq")
+    )
+
+
+def address_pattern(additional: list[str] | None = None) -> str:
+    """Regex (valid for both Java regex and RE2) matching any term of the
+    reference's deny list as a whole word; 'C/' matched literally."""
+    words = [w for w in G.ADDRESS_DENY_LIST if w != "C/"] + list(additional or [])
+    alt = "|".join(re.escape(w) for w in sorted(words, key=len, reverse=True))
+    return rf"\b(?:{alt})\b|C/"
+
+
+def gender_lookup_df(spark: SparkSession) -> DataFrame:
+    """Broadcastable name -> gender dimension (the Spark treatment of the
+    per-row gender_guesser loop at :217-226)."""
+    rows = (
+        [(n.lower(), "female") for n in G.FIRST_FEMALE]
+        + [(n.lower(), "male") for n in G.FIRST_MALE]
+        + [(n.lower(), "andy") for n in G.GENDER_ANDY]
+    )
+    return spark.createDataFrame(rows, "name_key string, gender string")
+
+
+def with_gender(df: DataFrame, first_name_col: str) -> DataFrame:
+    """Append `first_name_gender` via broadcast join (reference appends the
+    same column at :228-229). Unknown names -> 'unknown'; null -> 'Nan value'
+    (the reference's literal sentinel at :226)."""
+    spark = df.sparkSession
+    lk = gender_lookup_df(spark)
+    key = F.lower(F.trim(F.col(first_name_col)))
+    return (
+        df.withColumn("__k", key)
+        .join(F.broadcast(lk), F.col("__k") == lk.name_key, "left")
+        .withColumn(
+            "first_name_gender",
+            F.when(F.col(first_name_col).isNull(), F.lit("Nan value")).otherwise(
+                F.coalesce(F.col("gender"), F.lit("unknown"))
+            ),
+        )
+        .drop("__k", "name_key", "gender")
+    )

@@ -1,0 +1,153 @@
+"""S2 — vectorized mention detection (the core op, SURVEY.md O10).
+
+Arrow-batched ``mapInPandas`` scan producing the long `mentions` table
+
+    (id cols..., sid, entity_type, mention, begin, end, score, detector,
+     m_works, m_lives, m_in)
+
+Detector suite = deterministic stand-ins for the reference's engines
+(models are unavailable in the sandbox; the `detector` column records
+provenance, SURVEY.md §7 hard-part (d)):
+
+  * structural regexes — Presidio built-ins (EMAIL/PHONE/URL/US_SSN/
+    CREDIT_CARD with Luhn validation/ZIPCODE)
+  * the reference's exact 25-term ADDRESS deny list
+    (named_entity_recognizer.py:115-141)
+  * gazetteer PERSON / LOCATION (stand-in for spaCy,
+    named_entity_recognizer.py:331-341)
+  * pattern ORGANIZATION with BIO tags (stand-in for dslim/bert-base-NER,
+    named_entity_recognizer.py:398-405)
+
+All regexes are compiled once per executor process at module import
+(per-executor singleton — never pickled through closures, SURVEY.md §4.5).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import gazetteers as G
+from ..sources.pages import luhn_valid
+
+SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+
+
+def _alt(words: list[str]) -> str:
+    return "|".join(re.escape(w) for w in sorted(words, key=len, reverse=True))
+
+
+# --- structural recognizers (Presidio-style) -------------------------------
+RE_EMAIL = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+RE_URL = re.compile(r"https?://[^\s<>\"']+")
+RE_PHONE = re.compile(r"\(\d{3}\) \d{3}-\d{4}|(?<![\d-])\d{3}-\d{3}-\d{4}(?![\d-])")
+RE_SSN = re.compile(r"(?<![\d-])\d{3}-\d{2}-\d{4}(?![\d-])")
+RE_CARD = re.compile(r"(?<![\d-])\d{13,16}(?![\d-])")
+RE_ZIP = re.compile(r"(?<![\d/.-])\d{5}(?![\d-])")
+
+# --- gazetteer recognizers (spaCy stand-ins) --------------------------------
+_FIRSTS = G.FIRST_NAMES + [n.upper() for n in G.FIRST_NAMES]
+RE_PERSON = re.compile(rf"\b(?:{_alt(_FIRSTS)}) [A-Z][a-z]+\b")
+_LOCS = G.CITIES + G.STATES + G.COUNTRIES
+RE_LOC = re.compile(rf"\b(?:{_alt(_LOCS)})\b|\b(?:{_alt(G.STATE_ABBR)})\b")
+
+# --- pattern ORGANIZATION (BERT stand-in) -----------------------------------
+RE_ORG = re.compile(
+    rf"\b[A-Z][a-z]+ (?:{_alt(G.ORG_SUFFIXES)})\b|\bUniversity of [A-Z][a-z]+\b"
+)
+
+# --- the reference's deny-list ADDRESS recognizer ---------------------------
+_DENY_WORDS = [w for w in G.ADDRESS_DENY_LIST if w != "C/"]
+RE_ADDRESS = re.compile(rf"\b(?:{_alt(_DENY_WORDS)})\b|C/")
+
+# (entity_type, regex, score, detector, needs_luhn)
+PAGE_DETECTORS = [
+    ("EMAIL_ADDRESS", RE_EMAIL, 1.0, "regex_email", False),
+    ("URL", RE_URL, 0.5, "regex_url", False),
+    ("PHONE_NUMBER", RE_PHONE, 0.75, "regex_phone", False),
+    ("US_SSN", RE_SSN, 0.85, "regex_ssn", False),
+    ("CREDIT_CARD_NUMBER", RE_CARD, 1.0, "regex_luhn", True),
+    ("ZIPCODE", RE_ZIP, 0.6, "regex_zip", False),
+    ("ADDRESS", RE_ADDRESS, 1.0, "denylist_address", False),
+    ("PERSON", RE_PERSON, 0.85, "gazetteer_person", False),
+    ("LOCATION", RE_LOC, 0.85, "gazetteer_location", False),
+    ("ORGANIZATION", RE_ORG, 0.8, "pattern_org", False),
+]
+
+# tabular mode stage split, mirroring the reference pipeline order
+# (presidio stage excludes ORG + ZIPCODE: ZIPCODE exists only as a
+# column-name rule, named_entity_recognizer.py:538-546; ORG only via the
+# model stage, :491-521)
+PRESIDIO_STAGE = [d for d in PAGE_DETECTORS if d[0] not in ("ORGANIZATION", "ZIPCODE")]
+MODEL_STAGE = [d for d in PAGE_DETECTORS if d[0] == "ORGANIZATION"]
+
+MENTION_FIELDS = (
+    "sid int, entity_type string, mention string, begin bigint, end bigint,"
+    " score double, detector string, m_works boolean, m_lives boolean,"
+    " m_in boolean"
+)
+
+
+def scan_text(text: str) -> list[tuple]:
+    """All mentions in one document text. Returns tuples matching
+    MENTION_FIELDS order."""
+    out = []
+    pos = 0
+    for sid, seg in enumerate(SENT_SPLIT.split(text)):
+        start = text.index(seg, pos)
+        pos = start + len(seg)
+        m_works = " works at " in seg
+        m_lives = " lives at " in seg
+        m_in = " in " in seg
+        for etype, rx, score, det, needs_luhn in PAGE_DETECTORS:
+            for m in rx.finditer(seg):
+                if needs_luhn and not luhn_valid(m.group(0)):
+                    continue
+                out.append(
+                    (sid, etype, m.group(0), start + m.start(), start + m.end(),
+                     score, det, m_works, m_lives, m_in)
+                )
+    return out
+
+
+def detect_mentions(
+    clean_pages: DataFrame,
+    id_cols: tuple[str, ...] = ("doc_id", "url", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """clean_pages -> mentions (long). One Arrow batch in, many mention
+    rows out; no state crosses batches."""
+    id_cols = [c for c in id_cols if c in clean_pages.columns]
+    schema = (
+        ", ".join(f"{c} {clean_pages.schema[c].dataType.simpleString()}" for c in id_cols)
+        + ", " + MENTION_FIELDS
+    )
+    cols = [*id_cols, text_col]
+
+    def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_cols = [
+            "sid", "entity_type", "mention", "begin", "end", "score",
+            "detector", "m_works", "m_lives", "m_in",
+        ]
+        for pdf in batches:
+            rows: list[tuple] = []
+            ids = pdf[id_cols].itertuples(index=False, name=None)
+            for id_vals, text in zip(ids, pdf[text_col].tolist()):
+                if not text:
+                    continue
+                for mt in scan_text(text):
+                    rows.append(id_vals + mt)
+            yield pd.DataFrame(rows, columns=id_cols + out_cols)
+
+    return clean_pages.select(*cols).mapInPandas(scan_batches, schema=schema)
+
+
+def mentions_with_buckets(mentions: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Attach the north_rule partitioning key: pmod(xxhash64(url), N)."""
+    return mentions.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
+    )

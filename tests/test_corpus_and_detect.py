@@ -1,0 +1,109 @@
+"""Planted-corpus goldens: offsets, determinism, detection P/R = 1.0.
+
+Mirrors the reference's golden-dict strategy
+(tests/test_named_entity_recognizer.py:203-265) but over the page corpus:
+the generator computes ground truth, the detector must reproduce it.
+"""
+
+import duckdb
+import pytest
+
+from nerpii_spark.operators.detect import scan_text
+from nerpii_spark.sources import pages as P
+
+BASE_WORDS = "key agg row scan slow fast table value part hash the a".split()
+
+
+def base_text(i: int) -> str:
+    return " ".join(BASE_WORDS[(i + j) % len(BASE_WORDS)] for j in range(20))
+
+
+def golden_mentions_with_offsets(doc_id: int, base: str):
+    """Expected (entity_type, mention, begin, end) from the planted spec."""
+    planted = P.plant_doc(doc_id)
+    text = base
+    out = []
+    for s in planted.sentences:
+        start = len(text) + 1  # joined with one space
+        text = text + " " + s.text
+        cursor = 0
+        for etype, m in s.mentions:
+            off = s.text.index(m, cursor)
+            out.append((etype, m, start + off, start + off + len(m)))
+            cursor = off + 1
+    return text, out
+
+
+@pytest.mark.parametrize("doc_id", list(range(0, 200, 7)))
+def test_scan_text_exact_offsets(doc_id):
+    base = base_text(doc_id)
+    text, golden = golden_mentions_with_offsets(doc_id, base)
+    got = [(m[1], m[2], m[3], m[4]) for m in scan_text(text)]
+    assert sorted(got) == sorted(golden)
+    # byte-identical reconstruction
+    assert text == P.page_text(base, doc_id)
+
+
+def test_corpus_deterministic():
+    a = P.plant_doc(12345)
+    b = P.plant_doc(12345)
+    assert [s.text for s in a.sentences] == [s.text for s in b.sentences]
+
+
+def test_luhn_planted_cards_valid():
+    for doc_id in range(300):
+        for s in P.plant_doc(doc_id).sentences:
+            for etype, m in s.mentions:
+                if etype == "CREDIT_CARD_NUMBER":
+                    assert P.luhn_valid(m), m
+                if etype == "US_SSN":
+                    assert len(m) == 11 and m[3] == m[6] == "-"
+
+
+def test_duckdb_python_page_parity():
+    con = duckdb.connect()
+    rows = [(i, base_text(i), "en") for i in range(64)]
+    con.sql("create table documents as select * from (values " +
+            ",".join(f"({i}, '{t}', '{l}')" for i, t, l in rows) +
+            ") t(doc_id, text, lang)")
+    duck = {r[0]: r[1] for r in
+            con.sql("select doc_id, text from (" + P.pages_sql("duck") + ")").fetchall()}
+    for i, t, _ in rows:
+        assert duck[i] == P.page_text(t, i)
+
+
+def test_spark_pipeline_pr_one(spark):
+    """Full S1->S2->S3 on html-wrapped pages == planted ground truth."""
+    from pyspark.sql import functions as F
+
+    from nerpii_spark.operators.clean import clean_pages
+    from nerpii_spark.operators.detect import detect_mentions
+    from nerpii_spark.operators.extract import extract_triples
+
+    rows = [(i, base_text(i), "en") for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    docs.createOrReplaceTempView("t_documents")
+    pg = (
+        spark.sql(P.pages_sql("spark", doc_rel="t_documents", with_html=True))
+        .drop("text")
+        .withColumn("text", F.lit(None).cast("string"))
+    )
+    mentions = detect_mentions(clean_pages(pg))
+    got_m = sorted(
+        (r["doc_id"], r["entity_type"], r["mention"], r["begin"], r["end"])
+        for r in mentions.collect()
+    )
+    exp_m = []
+    exp_t = []
+    for i, t, _ in rows:
+        _, golden = golden_mentions_with_offsets(i, t)
+        exp_m += [(i, *g) for g in golden]
+        for s in P.plant_doc(i).sentences:
+            exp_t += [(i, *tr) for tr in s.triples]
+    assert got_m == sorted(exp_m)
+
+    triples = extract_triples(mentions)
+    got_t = sorted(
+        (r["doc_id"], r["subj"], r["pred"], r["obj"]) for r in triples.collect()
+    )
+    assert got_t == sorted(exp_t)

@@ -1,0 +1,95 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry at a given sf and compares
+against oracle_sql() via DuckDB: row count, column names (sorted) and an
+order-insensitive multiset of stringified rows.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from collections import Counter
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from nerpii_spark.session import get_spark
+
+    spark = get_spark(cores=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"create view {t} as select * from '{sf_dir}/{t}.parquet'")
+
+    qs, os_ = E.queries(), E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sorted(sdf.columns)
+            s_multi = Counter(
+                tuple(norm(r[c]) for c in scols) for r in srows
+            )
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"spark error: {e}"))
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in os_:
+            print(f"PASS {name} (rows-only: {len(srows)} rows, no oracle)")
+            continue
+        try:
+            rel = con.sql(os_[name])
+            dcols_raw = [d[0] for d in rel.description]
+            drows = rel.fetchall()
+            order = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
+            dcols = sorted(dcols_raw)
+            d_multi = Counter(tuple(norm(r[i]) for i in order) for r in drows)
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"duckdb error: {e}"))
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        problems = []
+        if scols != dcols:
+            problems.append(f"cols {scols} != {dcols}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount {len(srows)} != {len(drows)}")
+        if s_multi != d_multi:
+            extra = list((s_multi - d_multi).items())[:3]
+            missing = list((d_multi - s_multi).items())[:3]
+            problems.append(f"values differ; spark-only={extra} oracle-only={missing}")
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"FAIL {name}: {'; '.join(problems)}")
+        else:
+            print(f"PASS {name} ({len(srows)} rows)")
+    spark.stop()
+    print(f"\n{len(qs) - len(failures)}/{len(qs) if not only else len(only)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
