@@ -29,6 +29,11 @@ from nerpii_spark.functions.text import (
 from nerpii_spark.operators.clean import clean_pages
 from nerpii_spark.operators.detect import detect_mentions
 from nerpii_spark.operators.extract import extract_triples, triples_by_pred_salted
+from nerpii_spark.operators.link import (
+    entity_members,
+    link_entities,
+    resolve_mentions,
+)
 from nerpii_spark.sources import pages as P
 
 _CACHE: dict = {}
@@ -95,6 +100,27 @@ def q_triples(spark, sf):
 def q_triples_by_pred(spark, sf):
     t = _pipeline(spark, sf)["triples"]
     return triples_by_pred_salted(t)
+
+
+def q_entities(spark, sf):
+    """S4: MinHash-LSH blocking + token-aware scoring + connected-components
+    canonicalization; oracle recomputes the planted cluster ground truth,
+    so a match certifies linking P/R = 1.0."""
+    m = _pipeline(spark, sf)["mentions"]
+    return link_entities(m)
+
+
+def q_resolve_persons(spark, sf):
+    """S4 join-back: every PERSON mention resolved to its canonical entity
+    via the broadcast surface->canonical map."""
+    m = _pipeline(spark, sf)["mentions"]
+    persons = m.where(F.col("entity_type") == "PERSON")
+    members = entity_members(persons)
+    return resolve_mentions(persons, members).select(
+        "doc_id",
+        F.lower(F.col("mention")).alias("mention_norm"),
+        "canonical",
+    )
 
 
 def q_scan(spark, sf):
@@ -197,6 +223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mentions_by_type": q_mentions_by_type,
         "q_triples": q_triples,
         "q_triples_by_pred": q_triples_by_pred,
+        "q_entities": q_entities,
+        "q_resolve_persons": q_resolve_persons,
         "q_scan": q_scan,
         "q_sample": q_sample,
         "q_project_str": q_project_str,
@@ -233,6 +261,8 @@ def oracle_sql() -> dict[str, str]:
         "q_triples_by_pred": (
             f"select pred, count(*) as n_triples from ({gt}) group by pred"
         ),
+        "q_entities": P.golden_entities_sql(),
+        "q_resolve_persons": P.golden_resolved_persons_sql(),
         "q_scan": "select * from customer",
         "q_sample": (
             f"select * from customer where {sql_h1('c_custkey', 7)} % 100 < 10"

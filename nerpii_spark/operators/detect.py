@@ -34,7 +34,9 @@ from pyspark.sql import functions as F
 from ..functions import gazetteers as G
 from ..sources.pages import luhn_valid
 
-SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+# split at sentence-final punctuation, but never after a middle initial
+# ("James Q. Smith" — the fixed-width lookbehind rejects "<space><cap>.")
+SENT_SPLIT = re.compile(r"(?<=[.!?])(?<!\s[A-Z]\.)\s+")
 
 
 def _alt(words: list[str]) -> str:
@@ -51,7 +53,8 @@ RE_ZIP = re.compile(r"(?<![\d/.-])\d{5}(?![\d-])")
 
 # --- gazetteer recognizers (spaCy stand-ins) --------------------------------
 _FIRSTS = G.FIRST_NAMES + [n.upper() for n in G.FIRST_NAMES]
-RE_PERSON = re.compile(rf"\b(?:{_alt(_FIRSTS)}) [A-Z][a-z]+\b")
+# optional middle initial between first and last name ("James Q. Smith")
+RE_PERSON = re.compile(rf"\b(?:{_alt(_FIRSTS)}) (?:[A-Z]\. )?[A-Z][a-z]+\b")
 _LOCS = G.CITIES + G.STATES + G.COUNTRIES
 RE_LOC = re.compile(rf"\b(?:{_alt(_LOCS)})\b|\b(?:{_alt(G.STATE_ABBR)})\b")
 

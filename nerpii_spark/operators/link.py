@@ -1,0 +1,250 @@
+"""S4 — entity linking + canonicalization (north_rule core).
+
+mentions -> canonical `entities` table via the classic three-stage
+record-linkage architecture, each stage a distributed DataFrame op:
+
+1. **MinHash-LSH blocking** (`lsh_candidate_pairs`): dedup mentions to
+   surface nodes keyed by normalized form; 3-gram shingles; B minhash
+   bands (r=1) computed JVM-side with `xxhash64(shingle, band)`; surfaces
+   sharing any band bucket become candidate pairs. Bucket size is capped
+   (`max_bucket`) — the explicit skew guard: a hot bucket (stopword-ish
+   shingle) would otherwise produce O(k^2) pairs on one reducer.
+2. **Candidate scoring** (`score_pairs`): candidates join back to surface
+   features (shingle + token arrays). A pair matches when its
+   long-token sets are identical (middle-initial-insensitive name rule,
+   e.g. "Frank D. Kemp" ~ "Frank Kemp") or its exact shingle Jaccard
+   >= `tau_string` (near-identical strings). Plain 3-gram Jaccard alone
+   cannot separate true initial-variants (min J .57) from sibling names
+   like "Robert X. Keller"/"Robert X. Kemp" (max J .63) — measured on the
+   planted corpus — hence the token-aware score.
+3. **Connected components** (`connected_components`): GraphFrames-style
+   min-label propagation over the edge DataFrame, driver-side fixpoint
+   loop with localCheckpoint per round (Catalyst cannot express
+   iteration; lineage must be truncated — SURVEY.md §4.3).
+
+Reference parity: generalizes the per-column majority-vote entity
+assignment (named_entity_recognizer.py:432-489) from columns to corpus-
+wide surface forms; the reference has no linking stage (it never needs
+one at 500 rows) — this is the north_rule web-scale addition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LINK_TYPES = ["PERSON", "ORGANIZATION", "LOCATION"]
+N_BANDS = 16
+MAX_BUCKET = 32
+TAU_STRING = 0.85
+
+_NORM = "lower(regexp_replace(trim(mention), '\\\\s+', ' '))"
+# tokens that are not middle initials ("q.")
+_LONG_TOKENS = (
+    "array_sort(array_distinct(filter(split(norm, ' '),"
+    " t -> t not rlike '^[a-z]\\\\.?$')))"
+)
+_SHINGLES = (
+    "array_distinct(transform(sequence(1, greatest(length(norm) - 2, 1)),"
+    " i -> substring(norm, i, 3)))"
+)
+
+
+def surface_nodes(mentions: DataFrame, types: list[str] | None = None) -> DataFrame:
+    """Dedup mentions into surface nodes:
+    (entity_type, norm, sid, n_mentions, shingles, toks).
+    One shuffle (groupBy normalized surface); casing/whitespace variants
+    collapse here, before any pairwise work."""
+    types = types or LINK_TYPES
+    return (
+        mentions.where(F.col("entity_type").isin(types))
+        .withColumn("norm", F.expr(_NORM))
+        .groupBy("entity_type", "norm")
+        .agg(F.count("*").alias("n_mentions"))
+        .withColumn("sid", F.xxhash64("entity_type", "norm"))
+        .withColumn("shingles", F.expr(_SHINGLES))
+        .withColumn("toks", F.expr(_LONG_TOKENS))
+    )
+
+
+def lsh_candidate_pairs(
+    nodes: DataFrame, n_bands: int = N_BANDS, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """MinHash-LSH blocking: (sid_a, sid_b) candidate pairs, sid_a < sid_b.
+    r=1 rows/band: band key = min over shingles of xxhash64(shingle, band).
+    Identical norms share every band; initial-variants (J >= ~.5) miss all
+    16 bands with prob (1-J)^16 < 2e-5, and connected components restores
+    any stragglers transitively via the cluster's other members."""
+    bands = nodes.select(
+        "entity_type",
+        "sid",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}),"
+                " b -> named_struct('band', b, 'mh',"
+                " array_min(transform(shingles, s -> xxhash64(s, b)))))"
+            )
+        ).alias("bk"),
+    ).select("entity_type", "sid", "bk.band", "bk.mh")
+    buckets = (
+        bands.groupBy("entity_type", "band", "mh")
+        .agg(F.collect_list("sid").alias("ms"))
+        # skew guard: drop degenerate hot buckets instead of exploding k^2
+        .where((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+    )
+    return (
+        buckets.select(
+            F.explode("ms").alias("sid_a"), F.col("ms").alias("ms")
+        )
+        .select("sid_a", F.explode("ms").alias("sid_b"))
+        .where(F.col("sid_a") < F.col("sid_b"))
+        .distinct()
+    )
+
+
+def score_pairs(
+    pairs: DataFrame, nodes: DataFrame, tau_string: float = TAU_STRING
+) -> DataFrame:
+    """Candidate scoring -> verified edges (sid_a, sid_b, score).
+    Features join twice back to the (already deduped, hence small relative
+    to the corpus) node table; AQE picks broadcast when it fits. A pair is
+    an edge when token sets match exactly (score 1.0) or shingle Jaccard
+    >= tau_string."""
+    feat = nodes.select("sid", "shingles", "toks")
+    a = feat.select(
+        F.col("sid").alias("sid_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("toks").alias("tk_a"),
+    )
+    b = feat.select(
+        F.col("sid").alias("sid_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("toks").alias("tk_b"),
+    )
+    scored = (
+        pairs.join(a, "sid_a")
+        .join(b, "sid_b")
+        .withColumn(
+            "jacc",
+            F.expr(
+                "size(array_intersect(sh_a, sh_b)) /"
+                " cast(size(array_union(sh_a, sh_b)) as double)"
+            ),
+        )
+        .withColumn("tok_eq", F.expr("tk_a = tk_b"))
+    )
+    return scored.where(
+        F.col("tok_eq") | (F.col("jacc") >= F.lit(tau_string))
+    ).select(
+        "sid_a",
+        "sid_b",
+        F.when(F.col("tok_eq"), F.lit(1.0)).otherwise(F.col("jacc")).alias("score"),
+    )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Min-label propagation fixpoint: (sid, label). label = min sid of the
+    component. Each round is one join + one agg (one shuffle);
+    localCheckpoint truncates the iterative lineage. Converges in
+    O(diameter) rounds (planted clusters are near-cliques: 2-3)."""
+    sym = edges.select(
+        F.col("sid_a").alias("src"), F.col("sid_b").alias("dst")
+    ).union(edges.select(F.col("sid_b").alias("src"), F.col("sid_a").alias("dst")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = nodes.select("sid", F.col("sid").alias("label")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.src == labels.sid)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.sid == nbr.dst, "left")
+            .select(
+                "sid",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "sid")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def _linked_members(
+    mentions: DataFrame,
+    types: list[str] | None,
+    n_bands: int,
+    tau_string: float,
+) -> DataFrame:
+    """Full linking dataflow -> per-surface rows with component label and
+    canonical: (entity_type, norm, n_mentions, label, canonical).
+    canonical = the component's most-mentioned surface (ties: lexicographic
+    min) — deterministic, unlike the reference's set-order mode tie-break
+    (named_entity_recognizer.py:485)."""
+    from pyspark.sql import Window as W
+
+    nodes = surface_nodes(mentions, types).localCheckpoint(eager=True)
+    pairs = lsh_candidate_pairs(nodes, n_bands=n_bands)
+    edges = score_pairs(pairs, nodes, tau_string=tau_string)
+    labels = connected_components(nodes, edges)
+    members = nodes.join(labels, "sid")
+    w = W.partitionBy("entity_type", "label").orderBy(
+        F.desc("n_mentions"), F.asc("norm")
+    )
+    canon = (
+        members.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("entity_type", "label", F.col("norm").alias("canonical"))
+    )
+    return members.join(canon, ["entity_type", "label"]).select(
+        "entity_type", "norm", "n_mentions", "label", "canonical"
+    )
+
+
+def link_entities(
+    mentions: DataFrame,
+    types: list[str] | None = None,
+    n_bands: int = N_BANDS,
+    tau_string: float = TAU_STRING,
+) -> DataFrame:
+    """mentions -> entities(entity_type, canonical, n_surfaces, n_mentions)."""
+    members = _linked_members(mentions, types, n_bands, tau_string)
+    return members.groupBy("entity_type", "label", "canonical").agg(
+        F.count("*").alias("n_surfaces"), F.sum("n_mentions").alias("n_mentions")
+    ).select("entity_type", "canonical", "n_surfaces", "n_mentions")
+
+
+def entity_members(
+    mentions: DataFrame,
+    types: list[str] | None = None,
+    n_bands: int = N_BANDS,
+    tau_string: float = TAU_STRING,
+) -> DataFrame:
+    """(entity_type, norm, canonical) — the surface->canonical map used by
+    resolve_mentions."""
+    return _linked_members(mentions, types, n_bands, tau_string).select(
+        "entity_type", "norm", "canonical"
+    )
+
+
+def resolve_mentions(mentions: DataFrame, entities_members: DataFrame) -> DataFrame:
+    """Join mentions back to their canonical entity (broadcast the small
+    surface->canonical map)."""
+    m = mentions.withColumn("norm", F.expr(_NORM))
+    return m.join(
+        F.broadcast(entities_members), ["entity_type", "norm"], "left"
+    )

@@ -107,7 +107,15 @@ def _vals(doc_id: int, j: int) -> dict:
     cc = f"4{a:07d}{b:07d}{luhn_check_digit(d15)}"
     url_m = f"https://www.{G.ORG_WORDS[hv(21) % 32].lower()}.example/p/{hv(22) % 100000}"
     email = f"{first.lower()}.{last.lower()}@{domain}"
-    person = f"{first_disp} {last}"
+    # 1/8 of planted person displays carry a middle initial — the fuzzy
+    # surface-form variant that exercises MinHash-LSH entity linking
+    # (FIXTURES.md F1 "small edits"); canonical cluster key stays
+    # lower(first last)
+    mid = hv(23) % 8 == 0
+    midchar = chr(65 + hv(24) % 26)
+    person = (
+        f"{first_disp} {midchar}. {last}" if mid else f"{first_disp} {last}"
+    )
     return dict(
         t=hs % N_TEMPLATES, person=person, first_disp=first_disp, last=last,
         gender=("female" if g == 0 else "male"),
@@ -243,6 +251,10 @@ def vals_cte_sql(dialect: str, doc_rel: str) -> str:
         f"case when {hv(0)} % 2 = 0 then {_pick(dialect, G.FIRST_FEMALE, f'{hv(1)} % 24')}"
         f" else {_pick(dialect, G.FIRST_MALE, f'{hv(1)} % 24')} end"
     )
+    mid_part = (
+        f"case when {hv(23)} % 8 = 0 then"
+        f" ' ' || chr(cast(65 + {hv(24)} % 26 as int)) || '.' else '' end"
+    )
     org_u = f"({hv(4)} % 32)"
     org_idx = _intdiv(dialect, f"{org_u} * {org_u}", 32)
     a_, b_ = f"({hv(19)} % 10000000)", f"({hv(20)} % 10000000)"
@@ -269,6 +281,7 @@ picks as (
     {_pick(dialect, G.STREET_TYPES, f'{hv(13)} % 6')} as stype,
     {_pick(dialect, G.STATE_ABBR, f'{hv(14)} % 50')} as st,
     {_lpad(f'({hv(15)} % 100000)', 5)} as zip5,
+    {mid_part} as mid_part,
     ({_s(f'(100 + {hv(16)} % 800)')} || '-' || {_s(f'(10 + {hv(17)} % 90)')} || '-' || {_lpad(f'({hv(18)} % 10000)', 4)}) as ssn,
     ('4' || {_lpad(a_, 7)} || {_lpad(b_, 7)} || {_s(_luhn_check_sql(dialect, a_, b_))}) as cc,
     ('https://www.' || lower({_pick(dialect, G.ORG_WORDS, f'{hv(21)} % 32')}) || '.example/p/' || {_s(f'({hv(22)} % 100000)')}) as url_m
@@ -276,7 +289,8 @@ picks as (
 ),
 vals as (
   select doc_id, j, t,
-    (case when caps then upper(first_raw) else first_raw end || ' ' || last) as person,
+    (case when caps then upper(first_raw) else first_raw end || mid_part || ' ' || last) as person,
+    (lower(first_raw) || ' ' || lower(last)) as person_key,
     gender, org, city,
     (lower(first_raw) || '.' || lower(last) || '@' || domain) as email,
     phone, streetnum, (sword || ' ' || stype) as street, stype, st, zip5, ssn, cc, url_m
@@ -372,6 +386,56 @@ from vals lateral view explode({case}) as m
 {vals_cte_sql(dialect, doc_rel)}
 select doc_id, m.e as entity_type, m.m as mention
 from (select doc_id, unnest({case}) as m from vals)
+"""
+
+
+def golden_entity_mentions_cte(doc_rel: str = "documents") -> str:
+    """DuckDB CTEs: planted linkable mentions as (entity_type, k, norm)
+    where k is the ground-truth cluster key (PERSON ignores casing and
+    middle initials via person_key; others normalize by lower)."""
+    return f"""
+{vals_cte_sql('duck', doc_rel)}
+, ment as (
+  select doc_id, 'PERSON' as entity_type, person_key as k, lower(person) as norm
+  from vals where t in (0, 1, 2)
+  union all select doc_id, 'ORGANIZATION', lower(org), lower(org) from vals where t in (0, 3)
+  union all select doc_id, 'LOCATION', lower(city), lower(city) from vals where t in (0, 2)
+  union all select doc_id, 'LOCATION', lower(st), lower(st) from vals where t = 2
+),
+counts as (select entity_type, k, norm, count(*) as c from ment group by 1, 2, 3),
+canon as (
+  select entity_type, k, norm as canonical,
+         row_number() over (partition by entity_type, k
+                            order by c desc, norm asc) as rk
+  from counts
+)
+"""
+
+
+def golden_entities_sql(doc_rel: str = "documents") -> str:
+    """(entity_type, canonical, n_surfaces, n_mentions) ground truth —
+    the DuckDB oracle for the LSH+CC linker (operators/link.py): a match
+    certifies linking P/R = 1.0 on the planted clusters."""
+    return f"""
+{golden_entity_mentions_cte(doc_rel)}
+, stats as (
+  select entity_type, k, count(*) as n_surfaces, cast(sum(c) as bigint) as n_mentions
+  from counts group by 1, 2
+)
+select s.entity_type, c.canonical, s.n_surfaces, s.n_mentions
+from stats s
+join canon c on s.entity_type = c.entity_type and s.k = c.k and c.rk = 1
+"""
+
+
+def golden_resolved_persons_sql(doc_rel: str = "documents") -> str:
+    """(doc_id, mention, canonical) for every planted PERSON mention."""
+    return f"""
+{golden_entity_mentions_cte(doc_rel)}
+select m.doc_id, m.norm as mention_norm, c.canonical
+from ment m
+join canon c on c.entity_type = m.entity_type and c.k = m.k and c.rk = 1
+where m.entity_type = 'PERSON'
 """
 
 

@@ -1,0 +1,101 @@
+"""S4 linking goldens: LSH+CC linker must recover the planted entity
+clusters exactly (linking P/R = 1.0) and deterministically."""
+
+import re
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from nerpii_spark.operators.clean import clean_pages
+from nerpii_spark.operators.detect import detect_mentions
+from nerpii_spark.operators.link import (
+    connected_components,
+    link_entities,
+    lsh_candidate_pairs,
+    surface_nodes,
+)
+from nerpii_spark.sources import pages as P
+
+from test_corpus_and_detect import base_text
+
+N_DOCS = 120
+
+
+def golden_clusters(doc_ids):
+    """(entity_type, key) -> Counter(norm -> n_mentions) from the plant spec."""
+    clusters = defaultdict(Counter)
+    for d in doc_ids:
+        n_sent = P.h1(d, 0) % (P.MAX_SENT + 1)
+        for j in range(n_sent):
+            v = P._vals(d, j)
+            t = v["t"]
+            ms = []
+            if t in (0, 1, 2):
+                key = re.sub(r" [a-z]\. ", " ", v["person"].lower())
+                ms.append(("PERSON", key, v["person"].lower()))
+            if t in (0, 3):
+                ms.append(("ORGANIZATION", v["org"].lower(), v["org"].lower()))
+            if t in (0, 2):
+                ms.append(("LOCATION", v["city"].lower(), v["city"].lower()))
+            if t == 2:
+                ms.append(("LOCATION", v["st"].lower(), v["st"].lower()))
+            for et, k, norm in ms:
+                clusters[(et, k)][norm] += 1
+    return clusters
+
+
+def golden_entities(doc_ids):
+    exp = {}
+    for (et, _k), cnt in golden_clusters(doc_ids).items():
+        canonical = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        exp[(et, canonical)] = (len(cnt), sum(cnt.values()))
+    return exp
+
+
+def _mentions(spark, n_docs=N_DOCS):
+    rows = [(i, base_text(i), "en") for i in range(n_docs)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    docs.createOrReplaceTempView("link_documents")
+    pg = (
+        spark.sql(P.pages_sql("spark", doc_rel="link_documents", with_html=True))
+        .drop("text")
+        .withColumn("text", F.lit(None).cast("string"))
+    )
+    return detect_mentions(clean_pages(pg))
+
+
+def test_link_entities_exact_recovery(spark):
+    got = {
+        (r.entity_type, r.canonical): (r.n_surfaces, r.n_mentions)
+        for r in link_entities(_mentions(spark)).collect()
+    }
+    assert got == golden_entities(range(N_DOCS))
+
+
+def test_link_entities_deterministic(spark):
+    m = _mentions(spark, 60)
+    a = sorted(map(tuple, link_entities(m).collect()))
+    b = sorted(map(tuple, link_entities(m).collect()))
+    assert a == b
+
+
+def test_connected_components_chain(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "sid bigint")
+    # two components: 0-1-2-3 chain and 4-5
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5)], "sid_a bigint, sid_b bigint"
+    )
+    labels = {r.sid: r.label for r in connected_components(nodes, edges).collect()}
+    assert labels == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4}
+
+
+def test_lsh_bucket_cap(spark):
+    """Degenerate hot buckets are dropped, not exploded (skew guard)."""
+    rows = [("PERSON", f"aaa {i:04d}") for i in range(100)]
+    m = spark.createDataFrame(rows, "entity_type string, mention string")
+    m = m.withColumn("doc_id", F.lit(1))
+    nodes = surface_nodes(m.withColumnRenamed("mention", "mention"))
+    pairs = lsh_candidate_pairs(nodes, max_bucket=8)
+    # every bucket shares min-shingle 'aaa' under most bands -> capped away;
+    # pair count must stay far below the 100*99/2 cross product
+    assert pairs.count() < 1000
