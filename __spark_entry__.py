@@ -34,6 +34,14 @@ from nerpii_spark.operators.link import (
     link_entities,
     resolve_mentions,
 )
+from nerpii_spark.operators.mask import (
+    mask_table,
+    mask_triples,
+    masked_select_sql,
+    masked_triples_exprs,
+    route_columns,
+)
+from nerpii_spark.operators.profile import column_profile, column_profile_sql
 from nerpii_spark.sources import pages as P
 
 _CACHE: dict = {}
@@ -121,6 +129,54 @@ def q_resolve_persons(spark, sf):
         F.lower(F.col("mention")).alias("mention_norm"),
         "canonical",
     )
+
+
+def q_column_profile(spark, sf):
+    """Tabular mode: the reference's full dict_global_entities pipeline
+    (presidio stage -> manual name rules -> model stage) over the planted
+    personal_info table; oracle recomputes the same staged rules in DuckDB."""
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_pi")
+    pi = spark.sql(P.personal_info_sql("spark", doc_rel="nerpii_documents_pi"))
+    return column_profile(pi)
+
+
+# expected profile of the planted personal_info table (verified separately
+# by q_column_profile) — used to build the mask oracle's routing
+_PI_PROFILE = [
+    ("person", "PERSON", 1.0),
+    ("first_name", "PERSON", 1.0),
+    ("last_name", None, None),
+    ("first_name_gender", None, None),
+    ("company_name", "ORGANIZATION", 0.5),
+    ("city", "LOCATION", 1.0),
+    ("state", "LOCATION", 1.0),
+    ("zip", "ZIPCODE", 1.0),
+    ("phone", "PHONE_NUMBER", 1.0),
+    ("email", "EMAIL_ADDRESS", 1.0),
+    ("web", "URL", 1.0),
+    ("ssn", "US_SSN", 1.0),
+    ("credit_card_number", "CREDIT_CARD_NUMBER", 1.0),
+    ("address", "ADDRESS", 1.0),
+]
+
+
+def q_mask_personal_info(spark, sf):
+    """S5: full FakerGenerator-parity masking of the planted personal_info
+    table; keyed deterministic synthetics, so the oracle recomputes the
+    exact masked values in DuckDB."""
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_mask")
+    pi = spark.sql(P.personal_info_sql("spark", doc_rel="nerpii_documents_mask"))
+    prof = column_profile(pi)
+    return mask_table(pi, prof, "row_id")
+
+
+def q_mask_triples(spark, sf):
+    """S5 masked-triple variant: person subjects and email/phone objects
+    replaced by surface-keyed synthetics (stable join keys)."""
+    t = _pipeline(spark, sf)["triples"]
+    return mask_triples(t).select("doc_id", "subj", "pred", "obj")
 
 
 def q_scan(spark, sf):
@@ -225,6 +281,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_triples_by_pred": q_triples_by_pred,
         "q_entities": q_entities,
         "q_resolve_persons": q_resolve_persons,
+        "q_column_profile": q_column_profile,
+        "q_mask_personal_info": q_mask_personal_info,
+        "q_mask_triples": q_mask_triples,
         "q_scan": q_scan,
         "q_sample": q_sample,
         "q_project_str": q_project_str,
@@ -263,6 +322,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_entities": P.golden_entities_sql(),
         "q_resolve_persons": P.golden_resolved_persons_sql(),
+        "q_column_profile": column_profile_sql(
+            "duck", P.personal_info_sql("duck"), P.PERSONAL_INFO_COLS
+        ),
+        "q_mask_personal_info": masked_select_sql(
+            "duck",
+            f"({P.personal_info_sql('duck')})",
+            P.PERSONAL_INFO_COLS,
+            route_columns(_PI_PROFILE, P.PERSONAL_INFO_COLS, {"state"}),
+            "row_id",
+            gender_col="first_name_gender",
+        ),
+        "q_mask_triples": (
+            lambda se: (
+                f"select doc_id, {se[0]} as subj, pred, {se[1]} as obj"
+                f" from ({P.golden_triples_sql('duck')})"
+            )
+        )(masked_triples_exprs("duck")),
         "q_scan": "select * from customer",
         "q_sample": (
             f"select * from customer where {sql_h1('c_custkey', 7)} % 100 < 10"

@@ -58,3 +58,34 @@ def sql_hn(key_expr: str, *salts: int) -> str:
     for s in salts[1:]:
         v = sql_h2(v, s)
     return v
+
+
+# ------------------------------------------------------------- string keys
+STRHASH_CHARS = 12
+_POW31 = [pow(31, i + 1, M) for i in range(STRHASH_CHARS)]
+
+
+def strhash(s: str) -> int:
+    """Portable string -> int key (polynomial over the first 12 chars +
+    length); identical in Python / Spark SQL / DuckDB SQL. Used to key
+    deterministic masking by original surface form so every occurrence of
+    the same value maps to the same synthetic replacement (referential
+    stability — stronger than the reference's global-RNG Faker draws)."""
+    s = s or ""
+    v = len(s) * 97
+    for i in range(min(len(s), STRHASH_CHARS)):
+        v += ord(s[i]) * _POW31[i]
+    return v % M
+
+
+def sql_strhash(expr: str) -> str:
+    """Same polynomial as strhash(), valid in Spark SQL and DuckDB SQL.
+    Terms stay < 2^42, safe for int64 ANSI arithmetic."""
+    terms = [f"cast(length({expr}) as bigint) * 97"]
+    for i in range(STRHASH_CHARS):
+        c = (
+            f"cast(coalesce(ascii(nullif(substring({expr}, {i + 1}, 1), '')), 0)"
+            " as bigint)"
+        )
+        terms.append(f"{c} * {_POW31[i]}")
+    return f"(({' + '.join(terms)}) % {M})"

@@ -1,0 +1,331 @@
+"""S5 — masked variant: keyed deterministic PII substitution.
+
+Reproduces the FakerGenerator phase (faker_generator.py:622-643, operators
+O19-O32 in SURVEY.md §2.1) with two deliberate upgrades:
+
+  * every synthetic value is a pure function of a 64-bit key through the
+    portable LCG (functions/hashing.py) instead of Faker's global RNG —
+    masked output is deterministic across runs AND recomputable by the
+    DuckDB oracle in plain SQL (the correctness gate actually checks the
+    synthesized values);
+  * triple masking keys by the ORIGINAL surface form (strhash), so every
+    occurrence of the same entity maps to the same synthetic replacement —
+    join keys stay stable across the masked KG (the reference draws a
+    fresh random value per cell: no referential integrity).
+
+Reference semantics preserved exactly:
+  * column routing predicates per synthesizer (entity + column-name rules,
+    faker_generator.py:120-596) including the 'indirizzo' address clause,
+    the last-name fallback to entity-less `*last*name*` columns (:308-313)
+    and the state-abbr branch decided by the column's first value (:412);
+  * O19 confidence filter > 0.3 and the not-synthesized report with its
+    last-name exclusion regex (:105,:112);
+  * generation-mark mode (only cells == "*" replaced) vs null-preserve
+    mode (:137-154);
+  * email = synthesized_first.lower() '.' synthesized_last.lower() '@'
+    free-email-domain, row-aligned with the first/last name columns
+    (:331-369) — alignment falls out of keying both by the same row key;
+  * gender-aware first names from a `first_name_gender` column
+    (:198-263), which is dropped afterwards (:263);
+  * synthesized credit cards are Luhn-valid, SSNs are ###-##-####.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import gazetteers as G
+from ..functions.hashing import sql_hn, sql_strhash
+from ..sources.pages import _lpad, _luhn_check_sql, _pick, _s
+
+GEN_MARK = "*"
+
+# ---------------------------------------------------------------------------
+# keyed synthesizer expressions (dialect-portable, mirroring Faker providers)
+# ---------------------------------------------------------------------------
+
+
+def _k(key_expr: str, salt: int, extra: int = 0) -> str:
+    return sql_hn(key_expr, salt, 7 + extra)
+
+
+def synth_sql(dialect: str, kind: str, key_expr: str, salt: int,
+              gender_expr: str | None = None) -> str:
+    """SQL expression producing the synthetic value of `kind` for the row
+    key `key_expr` (column-salted). Valid in Spark SQL and DuckDB SQL."""
+    k = lambda extra: _k(key_expr, salt, extra)
+    if kind == "address":  # faker.street_address()
+        return (
+            f"({_s(f'(1 + {k(0)} % 999)')} || ' ' || "
+            f"{_pick(dialect, G.STREET_WORDS, f'{k(1)} % 24')} || ' ' || "
+            f"{_pick(dialect, G.STREET_TYPES, f'{k(2)} % 6')})"
+        )
+    if kind == "phone":  # faker.phone_number()
+        return (
+            f"('(' || {_s(f'(200 + {k(0)} % 800)')} || ') ' || "
+            f"{_lpad(f'({k(1)} % 1000)', 3)} || '-' || {_lpad(f'({k(2)} % 10000)', 4)})"
+        )
+    if kind == "first_name":
+        if gender_expr is None:
+            return _pick(dialect, G.FIRST_NAMES, f"{k(3)} % 48")
+        female = _pick(dialect, G.FIRST_FEMALE, f"{k(3)} % 24")
+        male = _pick(dialect, G.FIRST_MALE, f"{k(3)} % 24")
+        anyn = _pick(dialect, G.FIRST_NAMES, f"{k(3)} % 48")
+        return (
+            f"(case when {gender_expr} in ('female', 'mostly_female') then {female}"
+            f" when {gender_expr} in ('male', 'mostly_male') then {male}"
+            f" else {anyn} end)"
+        )
+    if kind == "last_name":
+        return _pick(dialect, G.LAST_NAMES, f"{k(4)} % 40")
+    if kind == "email":  # composed from the same row's first/last draws
+        first = synth_sql(dialect, "first_name", key_expr, salt, gender_expr)
+        last = synth_sql(dialect, "last_name", key_expr, salt)
+        dom = _pick(dialect, G.EMAIL_DOMAINS, f"{k(5)} % 8")
+        return f"(lower({first}) || '.' || lower({last}) || '@' || {dom})"
+    if kind == "city":
+        return _pick(dialect, G.CITIES, f"{k(6)} % 32")
+    if kind == "state":
+        return _pick(dialect, G.STATES, f"{k(7)} % 50")
+    if kind == "state_abbr":
+        return _pick(dialect, G.STATE_ABBR, f"{k(7)} % 50")
+    if kind == "url":  # faker.url()
+        return (
+            f"('https://www.' || lower({_pick(dialect, G.ORG_WORDS, f'{k(8)} % 32')})"
+            f" || '.example/')"
+        )
+    if kind == "zipcode":  # en zipcode(); it postcode() is also 5 digits
+        return _lpad(f"({k(9)} % 100000)", 5)
+    if kind == "credit_card":  # Luhn-valid 16 digits
+        a, b = f"({k(10)} % 10000000)", f"({k(11)} % 10000000)"
+        return (
+            f"('4' || {_lpad(a, 7)} || {_lpad(b, 7)} || "
+            f"{_s(_luhn_check_sql(dialect, a, b))})"
+        )
+    if kind == "ssn":
+        return (
+            f"({_s(f'(100 + {k(12)} % 800)')} || '-' || "
+            f"{_s(f'(10 + {k(13)} % 90)')} || '-' || {_lpad(f'({k(14)} % 10000)', 4)})"
+        )
+    if kind == "country":
+        return _pick(dialect, G.COUNTRIES, f"{k(15)} % 24")
+    raise ValueError(f"unknown synth kind: {kind}")
+
+
+# ---------------------------------------------------------------------------
+# column routing (faker_generator.py:120-596 predicates, O19 filter)
+# ---------------------------------------------------------------------------
+
+
+def route_columns(
+    profile: list[tuple[str, str | None, float | None]],
+    all_cols: list[str],
+    state_abbr_cols: set[str] | None = None,
+) -> dict[str, str]:
+    """(col, entity, confidence) rows + the table's columns -> {col: kind}.
+    `state_abbr_cols`: state columns whose first value has length 2
+    (the reference's iloc[0] branch, :412)."""
+    state_abbr_cols = state_abbr_cols or set()
+    assigned = {
+        c: e for c, e, conf in profile if e is not None and (conf or 0) > 0.3
+    }
+    routing: dict[str, str] = {}
+    for c, e in assigned.items():
+        cl = c.lower()
+        if e == "ADDRESS" or "indirizzo" in cl or (
+            e == "LOCATION" and "address" in cl
+        ):
+            routing[c] = "address"
+        elif e == "PHONE_NUMBER":
+            routing[c] = "phone"
+        elif e == "PERSON" and "first" in cl and "name" in cl:
+            routing[c] = "first_name"
+        elif e == "PERSON" and "last" in cl and "name" in cl:
+            routing[c] = "last_name"
+        elif e == "EMAIL_ADDRESS":
+            routing[c] = "email"
+        elif e == "LOCATION" and ("city" in cl or "cities" in cl):
+            routing[c] = "city"
+        elif e == "LOCATION" and "state" in cl:
+            routing[c] = "state_abbr" if c in state_abbr_cols else "state"
+        elif e == "URL":
+            routing[c] = "url"
+        elif e == "ZIPCODE":
+            routing[c] = "zipcode"
+        elif e == "CREDIT_CARD_NUMBER":
+            routing[c] = "credit_card"
+        elif e == "US_SSN":
+            routing[c] = "ssn"
+        elif e == "LOCATION" and "country" in cl:
+            routing[c] = "country"
+    # last-name fallback: entity-less *last*name* columns (:308-313)
+    if not any(k == "last_name" for k in routing.values()):
+        for c in all_cols:
+            cl = c.lower()
+            if "last" in cl and "name" in cl and c not in routing:
+                routing[c] = "last_name"
+    return routing
+
+
+def columns_not_synthesized(
+    profile: list[tuple[str, str | None, float | None]],
+    routing: dict[str, str],
+) -> list[tuple[str, str]]:
+    """O32 report: assigned-entity columns that no synthesizer covered,
+    plus the O19 low-confidence list with its last-name exclusion (:112)."""
+    out = []
+    for c, e, conf in profile:
+        if e is None:
+            continue
+        if (conf or 0) > 0.3:
+            if c not in routing:
+                out.append((c, e))
+        elif not re.match(r".*?last.*?name.*?", c.lower()):
+            out.append((c, e))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# table masking
+# ---------------------------------------------------------------------------
+
+
+def masked_select_sql(
+    dialect: str,
+    rel: str,
+    all_cols: list[str],
+    routing: dict[str, str],
+    key_col: str,
+    mark: str | None = None,
+    gender_col: str | None = None,
+    extra_cols: list[str] | None = None,
+) -> str:
+    """SELECT over `rel` replacing routed columns with keyed synthetics.
+    Null-preserve mode replaces every non-null cell; mark mode replaces
+    only cells equal to the mark (:137-154). The gender column is consumed
+    and dropped (:263)."""
+    salts = {c: i + 1 for i, c in enumerate(sorted(all_cols))}
+    gq = None
+    if gender_col:
+        gq = f'"{gender_col}"' if dialect == "duck" else f"`{gender_col}`"
+    # email composes from the first/last NAME columns' draws, row-aligned
+    # (the reference passes get_first_name/get_last_name's lists, :630-632)
+    first_col = next((c for c, k in routing.items() if k == "first_name"), None)
+    last_col = next((c for c, k in routing.items() if k == "last_name"), None)
+    parts = [f'"{key_col}"' if dialect == "duck" else f"`{key_col}`"]
+    parts = [parts[0] + f" as {key_col}"]
+    for c in extra_cols or []:
+        parts.append(c)
+    for c in all_cols:
+        if c == gender_col:
+            continue  # dropped after use
+        q = f'"{c}"' if dialect == "duck" else f"`{c}`"
+        if c not in routing:
+            parts.append(f"{q} as {c}")
+            continue
+        g = gq if routing[c] in ("first_name", "email") else None
+        if routing[c] == "email":
+            first = synth_sql(
+                dialect, "first_name", key_col, salts.get(first_col, salts[c]), g
+            )
+            last = synth_sql(
+                dialect, "last_name", key_col, salts.get(last_col, salts[c])
+            )
+            dom = _pick(
+                dialect, G.EMAIL_DOMAINS, f"{_k(key_col, salts[c], 5)} % 8"
+            )
+            synth = f"(lower({first}) || '.' || lower({last}) || '@' || {dom})"
+        else:
+            synth = synth_sql(dialect, routing[c], key_col, salts[c], g)
+        if mark == GEN_MARK:
+            repl = f"case when {q} = '{GEN_MARK}' then {synth} else {q} end"
+        else:
+            repl = f"case when {q} is null then null else {synth} end"
+        parts.append(f"{repl} as {c}")
+    return f"select {', '.join(parts)} from {rel}"
+
+
+_MASK_VIEW_N = [0]
+
+
+def mask_table(
+    df: DataFrame,
+    profile: DataFrame,
+    key_col: str,
+    mark: str | None = None,
+) -> DataFrame:
+    """Spark operator: apply the masked SELECT to `df` given its
+    column_profile. Routing decisions (incl. the state first-value-length
+    branch) happen driver-side on tiny data; the masking itself is one
+    Catalyst projection — zero shuffles, zero UDFs."""
+    prof_rows = [
+        (r["col"], r["entity"], r["confidence"]) for r in profile.collect()
+    ]
+    all_cols = [c for c, _, _ in prof_rows]
+    gender_col = "first_name_gender" if "first_name_gender" in df.columns else None
+    # state-abbr branch: first value (by key order, deterministic) length 2
+    state_cols = [
+        c for c, e, conf in prof_rows
+        if e == "LOCATION" and (conf or 0) > 0.3 and "state" in c.lower()
+    ]
+    abbr = set()
+    for c in state_cols:
+        first_val = (
+            df.select(F.col(c)).orderBy(F.col(key_col)).limit(1).collect()
+            if key_col in df.columns
+            else df.select(F.col(c)).limit(1).collect()
+        )
+        if first_val and first_val[0][0] is not None and len(first_val[0][0]) == 2:
+            abbr.add(c)
+    routing = route_columns(prof_rows, list(df.columns), abbr)
+    _MASK_VIEW_N[0] += 1
+    view = f"nerpii_mask_in_{_MASK_VIEW_N[0]}"
+    df.createOrReplaceTempView(view)
+    sql = masked_select_sql(
+        "spark", view, all_cols, routing, key_col, mark, gender_col
+    )
+    return df.sparkSession.sql(sql)
+
+
+# ---------------------------------------------------------------------------
+# triple masking
+# ---------------------------------------------------------------------------
+
+PERSON_SUBJ_PREDS = ["works_at", "lives_in", "has_email", "has_phone"]
+
+
+def masked_triples_exprs(dialect: str) -> tuple[str, str]:
+    """(subj_expr, obj_expr) masking PII surfaces in a triples relation:
+    person subjects -> synthetic 'First Last' keyed by strhash(subj);
+    email/phone objects -> keyed synthetics. Same surface => same key =>
+    same synthetic (stable join keys)."""
+    skey = sql_strhash("subj")
+    okey = sql_strhash("obj")
+    first = synth_sql(dialect, "first_name", skey, 1)
+    last = synth_sql(dialect, "last_name", skey, 1)
+    email = synth_sql(dialect, "email", okey, 2)
+    phone = synth_sql(dialect, "phone", okey, 3)
+    preds = ", ".join(f"'{p}'" for p in PERSON_SUBJ_PREDS)
+    subj = (
+        f"case when pred in ({preds}) then ({first} || ' ' || {last})"
+        f" else subj end"
+    )
+    obj = (
+        f"case when pred = 'has_email' then {email}"
+        f" when pred = 'has_phone' then {phone} else obj end"
+    )
+    return subj, obj
+
+
+def mask_triples(triples: DataFrame) -> DataFrame:
+    """triples -> triples_masked (same schema; PII surfaces replaced)."""
+    subj, obj = masked_triples_exprs("spark")
+    keep = [c for c in triples.columns if c not in ("subj", "obj")]
+    return triples.select(
+        *keep,
+        F.expr(subj).alias("subj"),
+        F.expr(obj).alias("obj"),
+    )

@@ -1,0 +1,332 @@
+"""Tabular mode — reproduce the reference's column-profiling pipeline
+(`dict_global_entities`) as distributed DataFrame ops.
+
+Reference lifecycle E1/E2 (named_entity_recognizer.py:557-574, README
+order presidio -> manual -> model), stage for stage:
+
+  O10/O11 per-value first-entity + 30% threshold   :432-452
+  O12     LOCATION >10% override ('name' guard)    :454-474
+  O13     majority vote + confidence               :476-489
+  O16     column-NAME rules (ZIPCODE/CREDIT_CARD,
+          exact boolean precedence, overwrite)     :523-555
+  O14/O15 model stage for still-None columns,
+          B-ORG tag freq > 10%                     :491-521
+
+Differences (deliberate, documented):
+  * detection engines are the deterministic stand-ins of operators/detect.py
+    (sandbox has no Presidio/spaCy/BERT); gazetteer PERSON/LOCATION are
+    ANCHORED (full-value) in tabular mode, structural regexes are
+    contains-mode — mirrors how Presidio/spaCy behave on homogeneous cells
+  * mode tie-break is deterministic (count desc, entity asc) instead of
+    the reference's set-iteration-order `max(set(l), key=l.count)` (:485)
+  * value-level CREDIT_CARD is regex-only (the Luhn checksum stays in the
+    page-mode detector)
+
+The whole pipeline is Catalyst-only — one melt (no shuffle), one
+groupBy(col, entity) aggregation pass, window mode; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+from ..functions import gazetteers as G
+
+# ---------------------------------------------------------------------------
+# value-level detector suite (dialect-portable regexes: Java + RE2/DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def _alt(words: list[str]) -> str:
+    return "|".join(re.escape(w) for w in sorted(words, key=len, reverse=True))
+
+
+RX_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+RX_URL = r"https?://[^\s<>\"']+"
+RX_PHONE = r"\(\d{3}\) \d{3}-\d{4}|\d{3}-\d{3}-\d{4}"
+RX_SSN = r"\d{3}-\d{2}-\d{4}"
+RX_CARD = r"(^|[^0-9-])[0-9]{13,16}($|[^0-9-])"
+_DENY = [w for w in G.ADDRESS_DENY_LIST if w != "C/"]
+RX_ADDRESS = rf"\b(?:{_alt(_DENY)})\b|C/"
+_FIRSTS = G.FIRST_NAMES + [n.upper() for n in G.FIRST_NAMES]
+# full name, or a bare first name (tabular first_name columns — the
+# reference's spaCy assigns PERSON to those too)
+RX_PERSON_FULL = (
+    rf"^(?:{_alt(_FIRSTS)}) (?:[A-Z]\. )?[A-Z][a-z]+$|^(?:{_alt(_FIRSTS)})$"
+)
+_LOCS = G.CITIES + G.STATES + G.COUNTRIES + G.STATE_ABBR
+RX_LOC_FULL = rf"^(?:{_alt(_LOCS)})$"
+RX_ORG_FULL = rf"^[A-Z][a-z]+ (?:{_alt(G.ORG_SUFFIXES)})$|^University of [A-Z][a-z]+$"
+
+# priority order = the reference's first-result-per-value semantics (:442-446)
+VALUE_DETECTORS: list[tuple[str, str]] = [
+    ("EMAIL_ADDRESS", RX_EMAIL),
+    ("URL", RX_URL),
+    ("PHONE_NUMBER", RX_PHONE),
+    ("US_SSN", RX_SSN),
+    ("CREDIT_CARD_NUMBER", RX_CARD),
+    ("ADDRESS", RX_ADDRESS),
+    ("PERSON", RX_PERSON_FULL),
+    ("LOCATION", RX_LOC_FULL),
+]
+
+NAN_FILLER = "?"  # named_entity_recognizer.py:286
+
+
+def _rx_match(dialect: str, col_expr: str, pattern: str) -> str:
+    p = pattern.replace("'", "''")
+    if dialect == "spark":
+        # Spark SQL string literals process backslash escapes; DuckDB's don't
+        return f"{col_expr} rlike '{p.replace(chr(92), chr(92) * 2)}'"
+    return f"regexp_matches({col_expr}, '{p}')"
+
+
+def value_entity_sql(dialect: str, col_expr: str = "val") -> str:
+    """CASE expression assigning the first-matching entity to a cell value
+    (the stand-in for Presidio's per-value result, :442-446)."""
+    whens = " ".join(
+        f"when {_rx_match(dialect, col_expr, rx)} then '{ent}'"
+        for ent, rx in VALUE_DETECTORS
+    )
+    return f"case {whens} else null end"
+
+
+# ---------------------------------------------------------------------------
+# Spark operator
+# ---------------------------------------------------------------------------
+
+
+def string_columns(df: DataFrame) -> list[str]:
+    """O3 dtype projection: the reference's select_dtypes(['object']) (:317)."""
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
+
+
+def melt_strings(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Wide -> long (col, val) with the reference's NaN fill (:319-321).
+    stack() is a generator expression — no shuffle, no UDF."""
+    cols = cols if cols is not None else string_columns(df)
+    pairs = ", ".join(f"'{c}', `{c}`" for c in cols)
+    return df.select(
+        F.expr(f"stack({len(cols)}, {pairs}) as (col, raw)")
+    ).select("col", F.coalesce(F.col("raw"), F.lit(NAN_FILLER)).alias("val"))
+
+
+def manual_rule_entity(col_name: str) -> str | None:
+    """O16 column-name rules with the reference's exact boolean precedence
+    (:538-551): zipcode check first, credit-card check second (overwrites)."""
+    c = col_name.lower()
+    ent = None
+    if (("postal" in c) and ("code" in c)) or ("zip" in c) or ("cap" in c):
+        ent = "ZIPCODE"
+    if (("credit" in c) or ("card" in c)) and ("number" in c) or (
+        ("carta" in c) and ("credito" in c)
+    ):
+        ent = "CREDIT_CARD_NUMBER"
+    return ent
+
+
+def column_profile(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    manual: bool = True,
+    model: bool = True,
+) -> DataFrame:
+    """-> column_profile(col, entity, confidence): the reference's
+    dict_global_entities as a DataFrame (None columns -> entity null).
+    `manual`/`model` toggle the O16/O14-O15 stages like the reference's
+    assign_entities_manually flags and the presidio-only entry point."""
+    spark = df.sparkSession
+    cols = cols if cols is not None else string_columns(df)
+    n_rows = df.count()
+
+    long = melt_strings(df, cols)
+    typed = long.withColumn(
+        "entity", F.expr(value_entity_sql("spark", "val"))
+    )
+
+    # --- presidio stage: counts per (col, entity) -------------------------
+    counts = (
+        typed.where(F.col("entity").isNotNull())
+        .groupBy("col", "entity")
+        .agg(F.count("*").alias("c"))
+    )
+    n_typed = counts.groupBy("col").agg(F.sum("c").alias("n_typed"))
+    # 30% threshold over FULL row count (:449)
+    assigned = n_typed.where(F.col("n_typed") > 0.3 * n_rows)
+
+    # O12 LOCATION override: freq over the typed list (:465), 'name' guard
+    loc = (
+        counts.where(F.col("entity") == "LOCATION")
+        .join(assigned, "col")
+        .withColumn("freq", F.col("c") / F.col("n_typed"))
+        .where((F.col("freq") > 0.1) & (~F.lower(F.col("col")).contains("name")))
+        .select("col", F.lit("LOCATION").alias("e_loc"), F.col("freq").alias("s_loc"))
+    )
+
+    # O13 majority vote, deterministic tie-break
+    wv = W.partitionBy("col").orderBy(F.desc("c"), F.asc("entity"))
+    mode = (
+        counts.join(assigned, "col")
+        .withColumn("rk", F.row_number().over(wv))
+        .where(F.col("rk") == 1)
+        .select(
+            "col",
+            F.col("entity").alias("e_mode"),
+            (F.col("c") / F.col("n_typed")).alias("s_mode"),
+        )
+    )
+    presidio = (
+        assigned.select("col")
+        .join(loc, "col", "left")
+        .join(mode, "col", "left")
+        .select(
+            "col",
+            F.coalesce("e_loc", "e_mode").alias("e_pres"),
+            F.coalesce("s_loc", "s_mode").alias("s_pres"),
+        )
+    )
+
+    # --- O16 manual stage (metadata only, no scan) ------------------------
+    manual_rows = [
+        (c, manual_rule_entity(c))
+        for c in cols
+        if manual and manual_rule_entity(c)
+    ]
+    manual_df = spark.createDataFrame(
+        manual_rows or [(None, None)], "col string, e_man string"
+    ).where(F.col("col").isNotNull())
+
+    # --- O14/O15 model stage: B-ORG tag freq over all values --------------
+    org_stats = typed.groupBy("col").agg(
+        F.sum(
+            F.when(F.expr(_rx_match("spark", "val", RX_ORG_FULL)), 1).otherwise(0)
+        ).alias("n_org"),
+        F.sum(F.size(F.split("val", " "))).alias("n_tags"),
+    )
+    model_df = (
+        org_stats.withColumn("freq", F.col("n_org") / F.col("n_tags"))
+        .where((F.col("n_org") > 0) & (F.col("freq") > 0.1))
+        .select("col", F.lit("ORGANIZATION").alias("e_model"),
+                F.col("freq").alias("s_model"))
+    )
+    if not model:
+        model_df = model_df.where(F.lit(False))
+
+    # --- combine: manual overwrites presidio; model fills remaining None --
+    all_cols = spark.createDataFrame([(c,) for c in cols], "col string")
+    return (
+        all_cols.join(manual_df, "col", "left")
+        .join(presidio, "col", "left")
+        .join(model_df, "col", "left")
+        .select(
+            "col",
+            F.coalesce("e_man", "e_pres", "e_model").alias("entity"),
+            F.when(F.col("e_man").isNotNull(), F.lit(1.0))
+            .otherwise(F.coalesce("s_pres", "s_model"))
+            .alias("confidence"),
+        )
+    )
+
+
+def profile_as_dict(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    manual: bool = True,
+    model: bool = True,
+) -> dict:
+    """dict_global_entities-shaped result for reference-golden tests:
+    {col: None | {'entity': str, 'confidence_score': float}}."""
+    out: dict = {}
+    for r in column_profile(df, cols, manual=manual, model=model).collect():
+        out[r["col"]] = (
+            None
+            if r["entity"] is None
+            else {"entity": r["entity"], "confidence_score": r["confidence"]}
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# dual-dialect oracle SQL (independent recomputation for DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def column_profile_sql(dialect: str, rel_sql: str, cols: list[str]) -> str:
+    """Full staged pipeline as one SQL query over `rel_sql` (a relation with
+    the given string columns) — the DuckDB oracle twin of column_profile."""
+    stack_rows = " union all ".join(
+        f"select '{c}' as col, coalesce(\"{c}\", '{NAN_FILLER}') as val from rel"
+        for c in cols
+    )
+    manual_rows = [
+        f"select '{c}' as col, '{manual_rule_entity(c)}' as e_man"
+        for c in cols
+        if manual_rule_entity(c)
+    ]
+    manual_sql = (
+        " union all ".join(manual_rows)
+        if manual_rows
+        else "select null as col, null as e_man where 1=0"
+    )
+    all_cols = " union all ".join(f"select '{c}' as col" for c in cols)
+    org_match = _rx_match(dialect, "val", RX_ORG_FULL)
+    n_tokens = (
+        "size(split(val, ' '))"
+        if dialect == "spark"
+        else "len(string_split(val, ' '))"
+    )
+    return f"""
+with rel as ({rel_sql}),
+long as ({stack_rows}),
+typed as (select col, val, {value_entity_sql(dialect, 'val')} as entity from long),
+nrows as (select count(*) as n from rel),
+counts as (select col, entity, count(*) as c from typed
+           where entity is not null group by 1, 2),
+ntyped as (select col, sum(c) as n_typed from counts group by 1),
+assigned as (select col, n_typed from ntyped, nrows where n_typed > 0.3 * n),
+loc as (
+  select c0.col, 'LOCATION' as e_loc, c0.c * 1.0 / a.n_typed as s_loc
+  from counts c0 join assigned a on c0.col = a.col
+  where c0.entity = 'LOCATION' and c0.c * 1.0 / a.n_typed > 0.1
+    and lower(c0.col) not like '%name%'
+),
+mode_r as (
+  select c0.col, c0.entity as e_mode, c0.c * 1.0 / a.n_typed as s_mode,
+         row_number() over (partition by c0.col
+                            order by c0.c desc, c0.entity asc) as rk
+  from counts c0 join assigned a on c0.col = a.col
+),
+presidio as (
+  select a.col,
+         coalesce(l.e_loc, m.e_mode) as e_pres,
+         coalesce(l.s_loc, m.s_mode) as s_pres
+  from assigned a
+  left join loc l on a.col = l.col
+  left join (select * from mode_r where rk = 1) m on a.col = m.col
+),
+manual as ({manual_sql}),
+org_stats as (
+  select col,
+         sum(case when {org_match} then 1 else 0 end) as n_org,
+         sum({n_tokens}) as n_tags
+  from typed group by 1
+),
+model as (
+  select col, 'ORGANIZATION' as e_model, n_org * 1.0 / n_tags as s_model
+  from org_stats where n_org > 0 and n_org * 1.0 / n_tags > 0.1
+),
+allc as ({all_cols})
+select a.col,
+       coalesce(mn.e_man, p.e_pres, mo.e_model) as entity,
+       cast(case when mn.e_man is not null then 1.0
+            else coalesce(p.s_pres, mo.s_model) end as double) as confidence
+from allc a
+left join manual mn on a.col = mn.col
+left join presidio p on a.col = p.col
+left join model mo on a.col = mo.col
+"""

@@ -291,6 +291,8 @@ vals as (
   select doc_id, j, t,
     (case when caps then upper(first_raw) else first_raw end || mid_part || ' ' || last) as person,
     (lower(first_raw) || ' ' || lower(last)) as person_key,
+    (case when caps then upper(first_raw) else first_raw end) as first_name,
+    last as last_name,
     gender, org, city,
     (lower(first_raw) || '.' || lower(last) || '@' || domain) as email,
     phone, streetnum, (sword || ' ' || stype) as street, stype, st, zip5, ssn, cc, url_m
@@ -386,6 +388,39 @@ from vals lateral view explode({case}) as m
 {vals_cte_sql(dialect, doc_rel)}
 select doc_id, m.e as entity_type, m.m as mention
 from (select doc_id, unnest({case}) as m from vals)
+"""
+
+
+PERSONAL_INFO_COLS = [
+    "person", "first_name", "last_name", "first_name_gender", "company_name",
+    "city", "state", "zip", "phone", "email", "web", "ssn",
+    "credit_card_number", "address",
+]
+
+
+def personal_info_sql(dialect: str, doc_rel: str = "documents") -> str:
+    """Tabular-mode fixture (FIXTURES.md F2, mirroring the reference demo
+    CSV shape notebooks/dataset/PersonalInfo.csv): one row per planted
+    sentence, all columns strings. Derivable identically in Spark SQL and
+    DuckDB SQL from the same vals CTE."""
+    return f"""
+{vals_cte_sql(dialect, doc_rel)}
+select doc_id * 8 + j as row_id,
+  person,
+  first_name,
+  last_name,
+  gender as first_name_gender,
+  org as company_name,
+  city,
+  st as state,
+  zip5 as zip,
+  phone,
+  email,
+  url_m as web,
+  ssn,
+  cc as credit_card_number,
+  (streetnum || ' ' || street) as address
+from vals
 """
 
 

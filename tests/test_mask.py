@@ -1,0 +1,173 @@
+"""S5 masking goldens (FIXTURES.md F4, mirroring the reference's
+tests/test_faker_generator.py:85-168 shape assertions, plus the
+determinism/null/mark semantics the reference leaves untested)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nerpii_spark.functions.hashing import strhash
+from nerpii_spark.operators.mask import (
+    columns_not_synthesized,
+    mask_table,
+    mask_triples,
+    route_columns,
+)
+from nerpii_spark.operators.profile import column_profile
+from nerpii_spark.sources.pages import luhn_valid
+from nerpii_spark.sources import pages as P
+
+
+@pytest.fixture(scope="module")
+def masked(spark):
+    rows = [
+        (1, "Laura", "Walsh", "female", "a@b.com", "Chicago", "TX",
+         "10145", "(305) 123-4567", "123-45-6789", "4485040993287616",
+         "12 Oak Street", "https://x.example/"),
+        (2, "JAMES", "Kemp", "male", "c@d.com", "Paris", "CA",
+         "99999", "(212) 555-0199", "987-65-4321", "4716461583322103",
+         "9 Elm Road", "https://y.example/"),
+        (3, "Zoe", None, "female", None, "Berlin", "NY",
+         "00001", "(415) 777-8888", "111-22-3333", "4929804463622139",
+         None, "https://z.example/"),
+    ]
+    schema = (
+        "rid bigint, first_name string, last_name string,"
+        " first_name_gender string, email string, city string, state string,"
+        " zip string, phone string, ssn string, credit_card_number string,"
+        " address string, web string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    prof = column_profile(df)
+    out = mask_table(df, prof, "rid")
+    return df, {r["rid"]: r.asDict() for r in out.collect()}, out
+
+
+def test_all_pii_replaced_and_shaped(masked):
+    df, rows, out = masked
+    for rid, r in rows.items():
+        assert luhn_valid(r["credit_card_number"]) if r["credit_card_number"] else True
+        if r["ssn"]:
+            assert len(r["ssn"]) == 11 and r["ssn"][3] == r["ssn"][6] == "-"
+        if r["phone"]:
+            assert r["phone"][0] == "(" and r["phone"][4] == ")"
+        if r["zip"]:
+            assert len(r["zip"]) == 5 and r["zip"].isdigit()
+        if r["email"]:
+            assert "@" in r["email"] and "." in r["email"].split("@")[0]
+        if r["web"]:
+            assert r["web"].startswith("https://www.")
+        assert len(r["state"]) == 2  # abbr branch: first value 'TX' has len 2
+
+
+def test_email_composed_from_name_columns(masked):
+    _, rows, _ = masked
+    for r in rows.values():
+        if r["email"] is None:
+            continue
+        local = r["email"].split("@")[0]
+        assert local == f"{r['first_name'].lower()}.{r['last_name'].lower()}"
+
+
+def test_gender_aware_first_names(masked):
+    from nerpii_spark.functions.gazetteers import FIRST_FEMALE, FIRST_MALE
+
+    _, rows, _ = masked
+    assert rows[1]["first_name"] in FIRST_FEMALE
+    assert rows[2]["first_name"] in FIRST_MALE
+    # gender column consumed and dropped (faker_generator.py:263)
+    assert "first_name_gender" not in rows[1]
+
+
+def test_nulls_preserved(masked):
+    _, rows, _ = masked
+    # fallback last-name column synthesized where non-null, null kept null
+    assert rows[1]["last_name"] not in (None, "Walsh")
+    assert rows[3]["last_name"] is None
+    assert rows[3]["email"] is None
+    assert rows[3]["address"] is None
+
+
+def test_mask_deterministic(masked):
+    df, rows, _ = masked
+    prof = column_profile(df)
+    again = {r["rid"]: r.asDict() for r in mask_table(df, prof, "rid").collect()}
+    assert rows == again
+
+
+def test_values_actually_changed(masked):
+    df, rows, _ = masked
+    orig = {r["rid"]: r.asDict() for r in df.collect()}
+    for rid in orig:
+        for c in ("ssn", "credit_card_number", "phone"):
+            if orig[rid][c] is not None:
+                assert rows[rid][c] != orig[rid][c]
+
+
+def test_mark_mode(spark):
+    """Generation-mark mode: only cells equal to '*' are replaced
+    (faker_generator.py:56,91,138)."""
+    df = spark.createDataFrame(
+        [(1, "*"), (2, "123-45-6789")], "rid bigint, ssn string"
+    )
+    prof = spark.createDataFrame(
+        [("ssn", "US_SSN", 1.0)], "col string, entity string, confidence double"
+    )
+    out = {r["rid"]: r["ssn"] for r in mask_table(df, prof, "rid", mark="*").collect()}
+    assert out[2] == "123-45-6789"  # untouched
+    assert out[1] != "*" and out[1][3] == "-"  # replaced
+
+
+def test_not_synthesized_report():
+    prof = [
+        ("person", "PERSON", 1.0),       # full-name col: no synthesizer
+        ("company", "ORGANIZATION", 0.5),  # no ORG synthesizer
+        ("city", "LOCATION", 1.0),
+        ("weak", "LOCATION", 0.2),        # below O19 threshold
+        ("my_last_name", "PERSON", 0.2),  # excluded by the regex (:112)
+    ]
+    routing = route_columns(prof, [c for c, _, _ in prof])
+    assert routing["city"] == "city"
+    not_synth = columns_not_synthesized(prof, routing)
+    assert ("person", "PERSON") in not_synth
+    assert ("company", "ORGANIZATION") in not_synth
+    assert ("weak", "LOCATION") in not_synth
+    assert all(c != "my_last_name" for c, _ in not_synth)
+
+
+def test_mask_triples_stable_keys(spark):
+    """Same original surface -> same synthetic across rows (referential
+    stability of the masked KG)."""
+    t = spark.createDataFrame(
+        [
+            (1, "James Smith", "works_at", "Acme Corp", 1.0),
+            (2, "James Smith", "lives_in", "Boston", 1.0),
+            (3, "Laura Walsh", "has_email", "l.w@x.com", 1.0),
+            (4, "Acme Corp", "located_in", "Boston", 1.0),
+        ],
+        "doc_id bigint, subj string, pred string, obj string, score double",
+    )
+    got = mask_triples(t).orderBy("doc_id").collect()
+    assert got[0]["subj"] == got[1]["subj"]          # stable person synth
+    assert got[0]["subj"] != "James Smith"           # replaced
+    assert got[3]["subj"] == "Acme Corp"             # org subject untouched
+    assert got[0]["obj"] == "Acme Corp"              # org object untouched
+    assert "@" in got[2]["obj"] and got[2]["obj"] != "l.w@x.com"
+
+
+def test_strhash_python_sql_parity(spark):
+    from nerpii_spark.functions.hashing import sql_strhash
+
+    vals = ["James Smith", "a", "", "Zoe Q. Walsh", "x" * 40]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", F.expr(sql_strhash("s")).alias("h")).collect()
+    }
+    import duckdb
+
+    for v in vals:
+        assert got[v] == strhash(v)
+        duck = duckdb.sql(
+            f"select {sql_strhash('s')} from (select '{v}' as s)"
+        ).fetchone()[0]
+        assert duck == strhash(v)
