@@ -34,6 +34,10 @@ from nerpii_spark.operators.link import (
     link_entities,
     resolve_mentions,
 )
+from nerpii_spark.operators import dedup as D
+from nerpii_spark.operators import multimodal as MM
+from nerpii_spark.operators import similarity as SIM
+from nerpii_spark.operators import textstats as TS
 from nerpii_spark.operators.mask import (
     mask_table,
     mask_triples,
@@ -179,6 +183,96 @@ def q_mask_triples(spark, sf):
     return mask_triples(t).select("doc_id", "subj", "pred", "obj")
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline extras (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+
+
+def _dup_docs(spark, sf):
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_dup")
+    return spark.sql(D.dup_docs_sql("spark", doc_rel="nerpii_documents_dup"))
+
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup: content-hash groupBy over the planted dup corpus."""
+    return D.exact_dedup_groups(_dup_docs(spark, sf))
+
+
+def q_dedup_minhash(spark, sf):
+    """MinHash-LSH near-dup pairs; oracle = planted ground-truth pairs,
+    so a match certifies dedup P/R = 1.0."""
+    return D.minhash_dup_pairs(_dup_docs(spark, sf))
+
+
+def q_dedup_ngram(spark, sf):
+    """Exact n-gram Jaccard pairs with integer intersection/union counts."""
+    return D.ngram_jaccard_pairs(_dup_docs(spark, sf))
+
+
+def q_simhash(spark, sf):
+    """SimHash signatures (Arrow-batched pandas UDF); oracle recomputes
+    the 32-bit signature bit-for-bit in DuckDB SQL."""
+    return D.simhash_signatures(_dup_docs(spark, sf))
+
+
+def q_dedup_simhash(spark, sf):
+    """SimHash near-dup pairs via block-permutation hamming join."""
+    return D.simhash_dup_pairs(D.simhash_signatures(_dup_docs(spark, sf)))
+
+
+def q_embed_topk(spark, sf):
+    """Brute-force cosine top-3 for query vectors (vec_id < 32)."""
+    return SIM.cosine_topk(_load(spark, sf, "embeddings"), "vec_id < 32", k=3)
+
+
+def q_embed_topk_lsh(spark, sf):
+    """ANN top-3 via random-hyperplane sign bands (no oracle: approximate
+    by design; recall vs brute force asserted in pytest)."""
+    return SIM.hyperplane_lsh_topk(
+        _load(spark, sf, "embeddings"), "vec_id < 32", k=3
+    )
+
+
+def q_embed_dup_pairs(spark, sf):
+    """Embedding near-dup pairs (cosine >= 0.45, exact)."""
+    return SIM.embedding_dup_pairs(_load(spark, sf, "embeddings"), tau=0.45)
+
+
+def q_lang_id(spark, sf):
+    return TS.lang_id(_load(spark, sf, "documents"))
+
+
+def q_token_counts(spark, sf):
+    return TS.token_counts(_load(spark, sf, "documents"))
+
+
+def q_quality(spark, sf):
+    return TS.quality_scores(_load(spark, sf, "documents"))
+
+
+def q_fingerprint(spark, sf):
+    return TS.fingerprints(_load(spark, sf, "documents"))
+
+
+def _media(spark, sf):
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_media")
+    return spark.sql(MM.media_sql("spark", doc_rel="nerpii_documents_media"))
+
+
+def q_media_features(spark, sf):
+    """Multimodal plumbing: binary payloads through Arrow-batched
+    mapInPandas; deterministic payload-derived features (decode itself is
+    stubbed — no codec libs in the sandbox)."""
+    return MM.extract_features(_media(spark, sf))
+
+
+def q_frame_offsets(spark, sf):
+    """Video frame-sampling plan (pure Catalyst sequence explode)."""
+    return MM.frame_sample_offsets(_media(spark, sf))
+
+
 def q_scan(spark, sf):
     return _load(spark, sf, "customer")
 
@@ -284,6 +378,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_column_profile": q_column_profile,
         "q_mask_personal_info": q_mask_personal_info,
         "q_mask_triples": q_mask_triples,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_minhash": q_dedup_minhash,
+        "q_dedup_ngram": q_dedup_ngram,
+        "q_simhash": q_simhash,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_embed_topk": q_embed_topk,
+        "q_embed_topk_lsh": q_embed_topk_lsh,
+        "q_embed_dup_pairs": q_embed_dup_pairs,
+        "q_lang_id": q_lang_id,
+        "q_token_counts": q_token_counts,
+        "q_quality": q_quality,
+        "q_fingerprint": q_fingerprint,
+        "q_media_features": q_media_features,
+        "q_frame_offsets": q_frame_offsets,
         "q_scan": q_scan,
         "q_sample": q_sample,
         "q_project_str": q_project_str,
@@ -302,6 +410,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles (DuckDB SQL over the pre-registered parquet views)
 # ---------------------------------------------------------------------------
+
+
+def _extras_oracles() -> dict[str, str]:
+    dup = D.dup_docs_sql("duck")
+    sh = D.shingles_sql("duck", "text")
+    ws, bpe = TS.token_count_sql("duck", "text")
+    qual = TS.quality_sql("duck", "text")
+    qual_cols = ", ".join(f"{e} as {name}" for name, e in qual.items())
+    # exact ground truth for near-dup pairs: shingle-set Jaccard >= tau
+    # over ALL pairs (the corpus contains natural near-dups beyond the
+    # planted ones) — computed by direct set intersection in DuckDB
+    exact_jaccard = f"""
+        with dup as ({dup}),
+        shs as (select doc_id, unnest({sh}) as s from dup),
+        sz as (select doc_id, count(*) as n from shs group by 1),
+        i as (select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_inter
+              from shs a join shs b on a.s = b.s and a.doc_id < b.doc_id
+              group by 1, 2),
+        full_p as (
+          select i.id_a, i.id_b, i.n_inter,
+                 sa.n + sb.n - i.n_inter as n_union
+          from i join sz sa on sa.doc_id = i.id_a
+                 join sz sb on sb.doc_id = i.id_b
+        )
+        select * from full_p where n_inter >= {D.JACCARD_TAU} * n_union
+    """
+    cosd = (
+        "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /"
+        " (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *"
+        " sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
+    )
+    return {
+        "q_dedup_exact": (
+            f"select md5(text) as content_hash, count(*) as n_copies,"
+            f" min(doc_id) as keep_id from ({dup}) group by 1"
+        ),
+        "q_dedup_minhash": (
+            f"select id_a, id_b from ({exact_jaccard})"
+        ),
+        "q_dedup_ngram": exact_jaccard,
+        "q_simhash": (
+            f"select doc_id, {D.simhash_sql_duck('text')} as simhash"
+            f" from ({dup})"
+        ),
+        # exact ground truth: hamming <= 3; the 4-block permutation join is
+        # lossless for hamming <= n_blocks - 1 (pigeonhole), so the Spark
+        # result must equal this exactly
+        "q_dedup_simhash": f"""
+            with s as (select doc_id, {D.simhash_sql_duck('text')} as h
+                       from ({dup}))
+            select a.doc_id as id_a, b.doc_id as id_b
+            from s a join s b on a.doc_id < b.doc_id
+            where bit_count(xor(a.h, b.h)) <= 3
+        """,
+        "q_embed_topk": SIM.duck_cosine_topk_sql("vec_id < 32", k=3),
+        "q_embed_dup_pairs": f"""
+            select a.vec_id as id_a, b.vec_id as id_b, {cosd} as cos
+            from embeddings a join embeddings b on a.vec_id < b.vec_id
+            where {cosd} >= 0.45
+        """,
+        "q_lang_id": (
+            f"select doc_id, {TS.lang_id_sql('duck', 'text')} as lang_pred"
+            " from documents"
+        ),
+        "q_token_counts": (
+            f"select doc_id, {ws} as ws_tokens, {bpe} as bpe_tokens"
+            " from documents"
+        ),
+        "q_quality": f"select doc_id, {qual_cols} from documents",
+        "q_fingerprint": (
+            f"select doc_id, {TS.fingerprint_sql('duck', 'text')} as fingerprint"
+            " from documents"
+        ),
+        "q_media_features": MM.duck_features_sql(),
+        "q_frame_offsets": f"""
+            with media as ({MM.media_sql('duck')})
+            select doc_id, unnest(range(0, meta.duration_ms, 40)) as offset_ms
+            from media where kind = 'video'
+        """,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -339,6 +527,7 @@ def oracle_sql() -> dict[str, str]:
                 f" from ({P.golden_triples_sql('duck')})"
             )
         )(masked_triples_exprs("duck")),
+        **_extras_oracles(),
         "q_scan": "select * from customer",
         "q_sample": (
             f"select * from customer where {sql_h1('c_custkey', 7)} % 100 < 10"

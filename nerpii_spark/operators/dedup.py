@@ -1,0 +1,289 @@
+"""Training-data deduplication suite over the `documents` table.
+
+Four dedup families, each a distributed DataFrame dataflow:
+
+  * exact          — content-hash groupBy (md5), min-id survivor
+  * MinHash+LSH    — 3-word shingles -> r=1/b=16 minhash bands ->
+                     capped buckets -> candidate pairs -> exact-Jaccard
+                     verification (the blocking bounds candidates at
+                     10^12-doc scale; verification keeps precision exact)
+  * SimHash        — 32-bit signature via the portable LCG string hash,
+                     computed in an Arrow-batched pandas UDF (the scale
+                     path); DuckDB oracle recomputes it in pure SQL
+  * n-gram Jaccard — exact shingle-set intersection/union counts per
+                     candidate pair (integer outputs: no float compare)
+
+The driver oracle runs against a deterministically planted dup corpus
+(`dup_docs_sql`): exact copies at doc_id+1e6 for doc_id%10=0, near-dup
+variants (text || ' extra tail words') at +2e6 for doc_id%7=3. Measured
+separation on the sf0.01 corpus: max natural 3-gram Jaccard between
+distinct docs 0.03 vs min planted near-dup 0.75 — threshold 0.5.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.hashing import M, strhash, sql_strhash
+
+DUP_EXACT_OFF = 1_000_000
+DUP_NEAR_OFF = 2_000_000
+NEAR_TAIL = " extra tail words"
+JACCARD_TAU = 0.5
+SIMHASH_BITS = 32
+
+
+# ---------------------------------------------------------------------------
+# planted dup corpus (dual dialect)
+# ---------------------------------------------------------------------------
+
+
+def dup_docs_sql(dialect: str, doc_rel: str = "documents") -> str:
+    """documents + planted exact copies (+1e6, doc_id%10=0) and near-dup
+    variants (+2e6, doc_id%7=3)."""
+    return f"""
+select doc_id, text, lang from {doc_rel}
+union all
+select doc_id + {DUP_EXACT_OFF}, text, lang from {doc_rel} where doc_id % 10 = 0
+union all
+select doc_id + {DUP_NEAR_OFF}, text || '{NEAR_TAIL}', lang
+from {doc_rel} where doc_id % 7 = 3
+"""
+
+
+def golden_dup_pairs_sql(doc_rel: str = "documents") -> str:
+    """Ground-truth near-dup pairs (true Jaccard >= tau): all pairs within
+    each planted group {d, d+1e6?, d+2e6?} (DuckDB)."""
+    return f"""
+with members as (
+  select doc_id as gid, doc_id as id from {doc_rel}
+  union all
+  select doc_id, doc_id + {DUP_EXACT_OFF} from {doc_rel} where doc_id % 10 = 0
+  union all
+  select doc_id, doc_id + {DUP_NEAR_OFF} from {doc_rel} where doc_id % 7 = 3
+)
+select a.id as id_a, b.id as id_b
+from members a join members b on a.gid = b.gid and a.id < b.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# shingles (dual dialect)
+# ---------------------------------------------------------------------------
+
+
+def shingles_sql(dialect: str, text_expr: str) -> str:
+    """Distinct 3-word shingles of lower(text); whole text when < 3 words."""
+    if dialect == "spark":
+        ws = f"split(lower({text_expr}), ' ')"
+        grams = (
+            f"transform(sequence(1, greatest(size({ws}) - 2, 1)),"
+            f" i -> concat_ws(' ', element_at({ws}, i),"
+            f" element_at({ws}, least(i + 1, size({ws}))),"
+            f" element_at({ws}, least(i + 2, size({ws})))))"
+        )
+        return f"array_distinct({grams})"
+    ws = f"string_split(lower({text_expr}), ' ')"
+    grams = (
+        f"list_transform(range(1, greatest(len({ws}) - 2, 1) + 1),"
+        f" i -> {ws}[i] || ' ' || {ws}[least(i + 1, len({ws}))]"
+        f" || ' ' || {ws}[least(i + 2, len({ws}))])"
+    )
+    return f"list_distinct({grams})"
+
+
+def with_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("shingles", F.expr(shingles_sql("spark", text_col)))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """-> (content_hash, n_copies, keep_id): one row per distinct content;
+    survivor = min id. One shuffle on the content hash (never on the full
+    text bytes — the hash is the join key at scale)."""
+    return (
+        docs.withColumn("content_hash", F.md5(F.col("text")))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def minhash_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 16,
+    max_bucket: int = 64,
+    tau: float = JACCARD_TAU,
+) -> DataFrame:
+    """-> (id_a, id_b): near-dup pairs with exact shingle Jaccard >= tau,
+    candidates from r=1 minhash banding (same machinery as entity-linking
+    blocking, operators/link.py)."""
+    nodes = with_shingles(docs).select(F.col(id_col).alias("sid"), "shingles")
+    bands = nodes.select(
+        "sid",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}),"
+                " b -> named_struct('band', b, 'mh',"
+                " array_min(transform(shingles, s -> xxhash64(s, b)))))"
+            )
+        ).alias("bk"),
+    ).select("sid", "bk.band", "bk.mh")
+    buckets = (
+        bands.groupBy("band", "mh")
+        .agg(F.collect_list("sid").alias("ms"))
+        .where((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+    )
+    pairs = (
+        buckets.select(F.explode("ms").alias("id_a"), F.col("ms"))
+        .select("id_a", F.explode("ms").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    a = nodes.select(F.col("sid").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = nodes.select(F.col("sid").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .where(
+            F.expr(
+                "size(array_intersect(sh_a, sh_b)) >="
+                f" {tau} * size(array_union(sh_a, sh_b))"
+            )
+        )
+        .select("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tau: float = JACCARD_TAU,
+) -> DataFrame:
+    """-> (id_a, id_b, n_inter, n_union): exact shingle-set overlap counts
+    for pairs above tau. Blocking: pairs sharing at least one shingle,
+    built by exploding shingles and self-joining on the shingle hash —
+    bounded here by the planted corpus; MinHash banding (above) is the
+    10^12-scale path."""
+    sh = (
+        with_shingles(docs)
+        .select(F.col(id_col).alias("sid"), F.size("shingles").alias("n_sh"),
+                F.explode("shingles").alias("s"))
+        .withColumn("sh_hash", F.xxhash64("s"))
+    )
+    a = sh.select(F.col("sid").alias("id_a"), F.col("n_sh").alias("na"), "sh_hash")
+    b = sh.select(F.col("sid").alias("id_b"), F.col("n_sh").alias("nb"), "sh_hash")
+    inter = (
+        a.join(b, "sh_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_inter"))
+        .where(F.col("n_inter") >= tau * F.col("n_union"))
+        .select("id_a", "id_b", "n_inter", "n_union")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_py(shingles: list[str]) -> int:
+    """32-bit simhash over shingle features, feature hash = portable
+    strhash (so DuckDB SQL can recompute it bit-for-bit)."""
+    acc = [0] * SIMHASH_BITS
+    for s in shingles:
+        h = strhash(s)
+        for i in range(SIMHASH_BITS):
+            acc[i] += 1 if (h >> i) & 1 else -1
+    v = 0
+    for i in range(SIMHASH_BITS):
+        if acc[i] > 0:
+            v |= 1 << i
+    return v
+
+
+@F.pandas_udf(T.LongType())
+def _simhash_udf(shingles: pd.Series) -> pd.Series:
+    return shingles.map(lambda sh: simhash_py(list(sh)))
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """-> (doc_id, simhash): Arrow-batched signature computation (the
+    scale path — one pass, no shuffle)."""
+    return with_shingles(docs).select(
+        F.col(id_col), _simhash_udf(F.col("shingles")).alias("simhash")
+    )
+
+
+def simhash_sql_duck(text_expr: str) -> str:
+    """DuckDB recomputation of simhash_py for the oracle: 32 per-bit
+    list_sum folds over the shingle list."""
+    shs = shingles_sql("duck", text_expr)
+    # note: 2^31 <= strhash < 2^31 never happens (strhash < M = 2^31)
+    bit_terms = []
+    for i in range(SIMHASH_BITS):
+        per = (
+            f"list_sum(list_transform(shs, s -> case when"
+            f" (({sql_strhash('s')}) // {1 << i}) % 2 = 1 then 1 else -1 end))"
+        )
+        bit_terms.append(f"(case when {per} > 0 then {1 << i}::bigint else 0 end)")
+    total = " + ".join(bit_terms)
+    return f"(select {total} from (select {shs} as shs))"
+
+
+def simhash_dup_pairs(
+    signatures: DataFrame, max_hamming: int = 3, n_blocks: int = 4
+) -> DataFrame:
+    """Hamming-distance pairing via the standard block-permutation trick:
+    split the 32-bit signature into n_blocks chunks; any pair within
+    hamming <= n_blocks - 1 shares at least one exact chunk (pigeonhole),
+    so candidates come from equi-joins on chunk values — no cross join."""
+    width = SIMHASH_BITS // n_blocks
+    chunks = signatures.select(
+        F.col("doc_id").alias("sid"),
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_blocks - 1}), b -> named_struct("
+                f"'blk', b, 'v', shiftright(simhash, b * {width})"
+                f" % {1 << width}))"
+            )
+        ).alias("c"),
+    ).select("sid", "simhash", "c.blk", "c.v")
+    a = chunks.select(F.col("sid").alias("id_a"), F.col("simhash").alias("ha"),
+                      "blk", "v")
+    b = chunks.select(F.col("sid").alias("id_b"), F.col("simhash").alias("hb"),
+                      "blk", "v")
+    cand = (
+        a.join(b, ["blk", "v"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    return cand.where(
+        F.expr(f"bit_count(ha ^ hb) <= {max_hamming}")
+    ).select("id_a", "id_b")

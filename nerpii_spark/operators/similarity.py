@@ -1,0 +1,206 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(`array<float>`), training-data-pipeline style.
+
+  * `cosine_topk`      — brute-force exact top-k: broadcast the (small)
+                         query set against all candidates; the dot product
+                         is a JVM-side higher-order fold (no Python).
+                         Cosines are quantized to 6 decimals BEFORE
+                         ranking so the ordering is reproducible across
+                         engines (float fold order differs between Spark
+                         and DuckDB).
+  * `hyperplane_lsh_topk` — the scale path: 16 deterministic pseudo-random
+                         hyperplanes (signs from the portable LCG) bucket
+                         vectors by sign-pattern bands; top-k searched
+                         only among candidates sharing a band. Probing
+                         cost drops from O(N) to O(bucket); recall
+                         checked >= 0.9 vs brute force in tests.
+  * `embedding_dup_pairs` — near-duplicate detection: pairs with cosine
+                         >= tau among LSH-band candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..functions.hashing import hn
+
+N_PLANES = 16
+N_BANDS = 4  # 4 bands x 4 planes each
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) *"
+        f" cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> str:
+    return f"sqrt({_dot(a, a)})"
+
+
+def with_cosine(pairs: DataFrame, a: str = "qv", b: str = "cv") -> DataFrame:
+    """Quantized cosine (6 dp) — deterministic ranking across engines."""
+    return pairs.withColumn(
+        "cos",
+        F.round(
+            F.expr(f"{_dot(a, b)} / ({_norm(a)} * {_norm(b)})"), 6
+        ),
+    )
+
+
+def cosine_topk(
+    embs: DataFrame,
+    query_pred: str,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (query_id, rank, neighbor_id, cos): exact top-k by quantized
+    cosine; ties broken by ascending neighbor id."""
+    q = embs.where(F.expr(query_pred)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = embs.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = with_cosine(
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def lsh_signature_expr(vec_col: str, n_planes: int = N_PLANES) -> str:
+    """Sign pattern of `n_planes` deterministic hyperplanes. Plane p's
+    component for dimension d = (hn(d, p) % 2001 - 1000) / 1000 — the
+    same portable LCG used everywhere, so signatures are reproducible."""
+    bits = []
+    for p in range(n_planes):
+        comp = (
+            f"aggregate(zip_with({vec_col},"
+            f" transform(sequence(0, size({vec_col}) - 1),"
+            f" d -> (cast(((d * 2654435761 + {p * 97 + 12345}) % 2147483648)"
+            f" % 2001 as double) - 1000.0) / 1000.0),"
+            f" (x, w) -> cast(x as double) * w),"
+            f" cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        bits.append(f"(case when {comp} > 0 then {1 << p} else 0 end)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def with_lsh_bands(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """-> (id, vec, band, band_val): one row per band."""
+    width = n_planes // n_bands
+    sig = embs.withColumn("sig", F.expr(lsh_signature_expr(vec_col, n_planes)))
+    return sig.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), b -> named_struct("
+                f"'band', b, 'bv', shiftright(sig, b * {width}) % {1 << width}))"
+            )
+        ).alias("c"),
+    ).select(id_col, vec_col, "c.band", "c.bv")
+
+
+def hyperplane_lsh_topk(
+    embs: DataFrame,
+    query_pred: str,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: candidates share >= 1 sign band with the query."""
+    banded = with_lsh_bands(embs, id_col, vec_col)
+    q = banded.where(F.expr(query_pred)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        "band", "bv",
+    )
+    c = banded.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        "band", "bv",
+    )
+    cand = (
+        q.join(c, ["band", "bv"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    scored = with_cosine(cand)
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def embedding_dup_pairs(
+    embs: DataFrame,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "brute",
+) -> DataFrame:
+    """-> (id_a, id_b, cos): near-duplicate vectors (cosine >= tau).
+    method='brute' is exact (the oracle-checked path); method='lsh'
+    restricts to sign-band candidates — the scale path, whose recall is
+    high only in the high-tau regime real dedup uses (identical/near-
+    identical vectors collide in every band)."""
+    if method == "lsh":
+        banded = with_lsh_bands(embs, id_col, vec_col)
+        a = banded.select(F.col(id_col).alias("id_a"),
+                          F.col(vec_col).alias("qv"), "band", "bv")
+        b = banded.select(F.col(id_col).alias("id_b"),
+                          F.col(vec_col).alias("cv"), "band", "bv")
+        cand = (
+            a.join(b, ["band", "bv"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "qv", "cv")
+            .distinct()
+        )
+    else:
+        a = embs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("qv"))
+        b = embs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("cv"))
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        with_cosine(cand)
+        .where(F.col("cos") >= tau)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def duck_cosine_topk_sql(query_pred: str, k: int = 3) -> str:
+    """DuckDB oracle for cosine_topk over the `embeddings` view."""
+    return f"""
+with q as (select vec_id as query_id, embedding::DOUBLE[] as qv
+           from embeddings where {query_pred}),
+c as (select vec_id as neighbor_id, embedding::DOUBLE[] as cv
+      from embeddings),
+scored as (
+  select query_id, neighbor_id,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+               6) as cos
+  from q join c on query_id <> neighbor_id
+),
+ranked as (
+  select query_id, neighbor_id, cos,
+         row_number() over (partition by query_id
+                            order by cos desc, neighbor_id asc) as rank
+  from scored
+)
+select query_id, rank, neighbor_id, cos from ranked where rank <= {k}
+"""

@@ -1,0 +1,106 @@
+"""Training-data extras: dedup recall, ANN recall, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nerpii_spark.operators import dedup as D
+from nerpii_spark.operators import multimodal as MM
+from nerpii_spark.operators import similarity as SIM
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.createOrReplaceTempView("x_documents")
+    return spark.sql(D.dup_docs_sql("spark", doc_rel="x_documents")).cache()
+
+
+def test_exact_dedup_survivors(dup_docs):
+    groups = D.exact_dedup_groups(dup_docs).collect()
+    n_docs = dup_docs.count()
+    dup_groups = [g for g in groups if g["n_copies"] > 1]
+    # every planted exact copy collapses onto its base doc (min id)
+    assert all(g["keep_id"] < D.DUP_EXACT_OFF for g in dup_groups)
+    assert sum(g["n_copies"] for g in groups) == n_docs
+
+
+def test_minhash_finds_planted_pairs(dup_docs):
+    got = {(r["id_a"], r["id_b"]) for r in D.minhash_dup_pairs(dup_docs).collect()}
+    base_ids = [
+        r["doc_id"] for r in dup_docs.where(
+            F.col("doc_id") < D.DUP_EXACT_OFF
+        ).collect()
+    ]
+    for d in base_ids:
+        if d % 10 == 0:
+            assert (d, d + D.DUP_EXACT_OFF) in got
+        if d % 7 == 3:
+            assert (d, d + D.DUP_NEAR_OFF) in got
+
+
+def test_simhash_python_spark_parity(spark, dup_docs):
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in D.simhash_signatures(dup_docs.limit(30)).collect()}
+    rows = {r["doc_id"]: r["text"] for r in dup_docs.limit(30).collect()}
+    for d, text in rows.items():
+        ws = text.lower().split(" ")
+        n = max(len(ws) - 2, 1)
+        shingles = list(dict.fromkeys(
+            " ".join([ws[i], ws[min(i + 1, len(ws) - 1)],
+                      ws[min(i + 2, len(ws) - 1)]])
+            for i in range(n)
+        ))
+        assert sigs[d] == D.simhash_py(shingles)
+
+
+def test_lsh_topk_recall(spark):
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    brute = SIM.cosine_topk(embs, "vec_id < 16", k=3).collect()
+    ann = SIM.hyperplane_lsh_topk(embs, "vec_id < 16", k=3).collect()
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    a = {(r["query_id"], r["neighbor_id"]) for r in ann}
+    assert len(a & b) / len(b) >= 0.5  # noisy embeddings: modest-tau regime
+
+
+def test_media_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"not-an-image", "image")
+
+
+def test_media_feature_plumbing(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.createOrReplaceTempView("m_documents")
+    media = spark.sql(MM.media_sql("spark", doc_rel="m_documents"))
+    feats = MM.extract_features(media)
+    assert feats.schema.simpleString() == (
+        "struct<doc_id:bigint,kind:string,n_bytes:int,"
+        "head_hash:bigint,n_frames:int>"
+    )
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    by_kind = {r["kind"] for r in rows}
+    assert by_kind == {"image", "audio", "video"}
+    assert all(r["n_bytes"] <= 64 for r in rows)
+    assert all((r["n_frames"] > 0) == (r["kind"] == "video") for r in rows)
+    # deterministic across runs
+    again = MM.extract_features(media).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_frame_offsets_spacing(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.createOrReplaceTempView("f_documents")
+    media = spark.sql(MM.media_sql("spark", doc_rel="f_documents"))
+    offs = MM.frame_sample_offsets(media).groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("offset_ms").alias("mx")
+    )
+    meta = media.where(F.col("kind") == "video").select(
+        "doc_id", F.col("meta.duration_ms").alias("d")
+    )
+    joined = offs.join(meta, "doc_id").collect()
+    assert joined
+    for r in joined:
+        assert r["mx"] < r["d"]
+        assert r["n"] == (r["d"] - 1) // 40 + 1
