@@ -165,6 +165,71 @@ _PI_PROFILE = [
 ]
 
 
+def _personal_info(spark, sf):
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_pi2")
+    return spark.sql(P.personal_info_sql("spark", doc_rel="nerpii_documents_pi2"))
+
+
+def q_profile_presidio(spark, sf):
+    """E1 presidio-only profile (O11-O13): no manual/model stages."""
+    return column_profile(_personal_info(spark, sf), manual=False, model=False)
+
+
+def q_conf_filter(spark, sf):
+    """O19: columns with assigned entity and confidence > 0.3."""
+    return column_profile(_personal_info(spark, sf)).where(
+        F.col("confidence") > 0.3
+    ).select("col", "entity")
+
+
+def q_manual_rules(spark, sf):
+    """O16 metadata-only rules over the personal_info column names."""
+    from nerpii_spark.operators.profile import manual_rule_entity
+
+    rows = [
+        (c, manual_rule_entity(c))
+        for c in P.PERSONAL_INFO_COLS
+        if manual_rule_entity(c)
+    ]
+    return spark.createDataFrame(rows, "col string, entity string")
+
+
+def q_not_synth(spark, sf):
+    """O32: assigned-entity columns no synthesizer covers."""
+    from nerpii_spark.operators.mask import (
+        columns_not_synthesized,
+        route_columns,
+    )
+
+    pi = _personal_info(spark, sf)
+    prof_rows = [
+        (r["col"], r["entity"], r["confidence"])
+        for r in column_profile(pi).collect()
+    ]
+    routing = route_columns(prof_rows, list(pi.columns), {"state"})
+    rows = columns_not_synthesized(prof_rows, routing)
+    return spark.createDataFrame(rows, "col string, entity string")
+
+
+def q_events_window(spark, sf):
+    """Tumbling 10-minute windowed aggregation over the events feed (the
+    same operator runs on readStream with a watermark — tests prove
+    batch/stream equality)."""
+    from nerpii_spark.streaming.windows import windowed_event_counts
+
+    return windowed_event_counts(_load(spark, sf, "events"))
+
+
+def q_events_json(spark, sf):
+    """JSON property extraction from the events props column."""
+    e = _load(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
 def q_mask_personal_info(spark, sf):
     """S5: full FakerGenerator-parity masking of the planted personal_info
     table; keyed deterministic synthetics, so the oracle recomputes the
@@ -376,6 +441,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entities": q_entities,
         "q_resolve_persons": q_resolve_persons,
         "q_column_profile": q_column_profile,
+        "q_profile_presidio": q_profile_presidio,
+        "q_conf_filter": q_conf_filter,
+        "q_manual_rules": q_manual_rules,
+        "q_not_synth": q_not_synth,
+        "q_events_window": q_events_window,
+        "q_events_json": q_events_json,
         "q_mask_personal_info": q_mask_personal_info,
         "q_mask_triples": q_mask_triples,
         "q_dedup_exact": q_dedup_exact,
@@ -512,6 +583,36 @@ def oracle_sql() -> dict[str, str]:
         "q_resolve_persons": P.golden_resolved_persons_sql(),
         "q_column_profile": column_profile_sql(
             "duck", P.personal_info_sql("duck"), P.PERSONAL_INFO_COLS
+        ),
+        "q_profile_presidio": column_profile_sql(
+            "duck", P.personal_info_sql("duck"), P.PERSONAL_INFO_COLS,
+            manual=False, model=False,
+        ),
+        "q_conf_filter": (
+            "select col, entity from ("
+            + column_profile_sql(
+                "duck", P.personal_info_sql("duck"), P.PERSONAL_INFO_COLS
+            )
+            + ") where confidence > 0.3"
+        ),
+        "q_manual_rules": (
+            "select 'zip' as col, 'ZIPCODE' as entity union all"
+            " select 'credit_card_number', 'CREDIT_CARD_NUMBER'"
+        ),
+        "q_not_synth": (
+            "select 'person' as col, 'PERSON' as entity union all"
+            " select 'company_name', 'ORGANIZATION'"
+        ),
+        "q_events_window": """
+            select time_bucket(interval '10 minutes', ts) as window_start,
+                   event_type, count(*) as n,
+                   sum(cast(round(value * 100) as bigint)) as sum_value_c
+            from events group by 1, 2
+        """,
+        "q_events_json": (
+            "select event_id,"
+            " cast(json_extract_string(props, '$.k') as bigint) as k"
+            " from events"
         ),
         "q_mask_personal_info": masked_select_sql(
             "duck",

@@ -256,7 +256,13 @@ def profile_as_dict(
 # ---------------------------------------------------------------------------
 
 
-def column_profile_sql(dialect: str, rel_sql: str, cols: list[str]) -> str:
+def column_profile_sql(
+    dialect: str,
+    rel_sql: str,
+    cols: list[str],
+    manual: bool = True,
+    model: bool = True,
+) -> str:
     """Full staged pipeline as one SQL query over `rel_sql` (a relation with
     the given string columns) — the DuckDB oracle twin of column_profile."""
     stack_rows = " union all ".join(
@@ -266,7 +272,7 @@ def column_profile_sql(dialect: str, rel_sql: str, cols: list[str]) -> str:
     manual_rows = [
         f"select '{c}' as col, '{manual_rule_entity(c)}' as e_man"
         for c in cols
-        if manual_rule_entity(c)
+        if manual and manual_rule_entity(c)
     ]
     manual_sql = (
         " union all ".join(manual_rows)
@@ -319,6 +325,7 @@ org_stats as (
 model as (
   select col, 'ORGANIZATION' as e_model, n_org * 1.0 / n_tags as s_model
   from org_stats where n_org > 0 and n_org * 1.0 / n_tags > 0.1
+    and {str(model).lower()}
 ),
 allc as ({all_cols})
 select a.col,

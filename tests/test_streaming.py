@@ -1,0 +1,93 @@
+"""Structured Streaming equivalence: the same operators over readStream
+produce the same results as batch (windowed agg with watermark; the
+pandas-UDF clean + mapInPandas detect stages compose on streams)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from nerpii_spark.streaming.windows import (
+    stream_events_from_dir,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _collect_sorted(df, cols):
+    return sorted(tuple(str(v) for v in r) for r in df.select(*cols).collect())
+
+
+def test_stream_windowed_counts_equal_batch(spark, tmp_path):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    src_dir = str(tmp_path / "events_stream")
+    events.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+    cols = ["window_start", "event_type", "n", "sum_value_c"]
+    batch = _collect_sorted(
+        windowed_event_counts(spark.read.parquet(src_dir)), cols
+    )
+
+    stream = windowed_event_counts(
+        stream_events_from_dir(spark, src_dir), watermark="1 hour"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = _collect_sorted(spark.sql("select * from win_counts"), cols)
+    finally:
+        q.stop()
+    assert got == batch
+    shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_stream_mention_detection_equal_batch(spark, tmp_path):
+    """S1+S2 run unchanged on a streaming DataFrame."""
+    from nerpii_spark.operators.clean import clean_pages
+    from nerpii_spark.operators.detect import detect_mentions
+    from nerpii_spark.sources import pages as P
+    from test_corpus_and_detect import base_text
+
+    rows = [(i, base_text(i), "en") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    docs.createOrReplaceTempView("s_documents")
+    pages = (
+        spark.sql(P.pages_sql("spark", doc_rel="s_documents", with_html=True))
+        .drop("text")
+        .withColumn("text", F.lit(None).cast("string"))
+    )
+    src_dir = str(tmp_path / "pages_stream")
+    pages.repartition(3).write.mode("overwrite").parquet(src_dir)
+
+    batch = _collect_sorted(
+        detect_mentions(clean_pages(spark.read.parquet(src_dir))),
+        ["doc_id", "entity_type", "mention", "begin"],
+    )
+    stream_pages = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        detect_mentions(clean_pages(stream_pages))
+        .writeStream.format("memory")
+        .queryName("stream_mentions")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = _collect_sorted(
+            spark.sql("select * from stream_mentions"),
+            ["doc_id", "entity_type", "mention", "begin"],
+        )
+    finally:
+        q.stop()
+    assert got == batch
+    shutil.rmtree(src_dir, ignore_errors=True)
