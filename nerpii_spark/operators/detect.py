@@ -131,20 +131,31 @@ def detect_mentions(
     )
     cols = [*id_cols, text_col]
 
+    out_cols = [
+        "sid", "entity_type", "mention", "begin", "end", "score",
+        "detector", "m_works", "m_lives", "m_in",
+    ]
+
     def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        out_cols = [
-            "sid", "entity_type", "mention", "begin", "end", "score",
-            "detector", "m_works", "m_lives", "m_in",
-        ]
+        # columnar assembly: building per-column lists and one dict-of-lists
+        # DataFrame is several times cheaper than DataFrame-from-row-tuples
+        # (this closure is the hottest Python in the engine)
         for pdf in batches:
-            rows: list[tuple] = []
+            cols: dict[str, list] = {c: [] for c in (*id_cols, *out_cols)}
             ids = pdf[id_cols].itertuples(index=False, name=None)
             for id_vals, text in zip(ids, pdf[text_col].tolist()):
                 if not text:
                     continue
-                for mt in scan_text(text):
-                    rows.append(id_vals + mt)
-            yield pd.DataFrame(rows, columns=id_cols + out_cols)
+                mts = scan_text(text)
+                if not mts:
+                    continue
+                for c, v in zip(id_cols, id_vals):
+                    cols[c].extend([v] * len(mts))
+                for j, c in enumerate(out_cols):
+                    col = cols[c]
+                    for mt in mts:
+                        col.append(mt[j])
+            yield pd.DataFrame(cols)
 
     return clean_pages.select(*cols).mapInPandas(scan_batches, schema=schema)
 

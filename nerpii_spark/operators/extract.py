@@ -146,18 +146,27 @@ def extract_triples_inline(
     )
     cols = [*id_cols, "text"]
 
+    out_cols = ["subj", "pred", "obj", "score"]
+
     def run(batches):
+        # columnar assembly (see detect.scan_batches): dict-of-lists beats
+        # DataFrame-from-row-tuples several-fold in the hot path
         for pdf in batches:
-            rows: list[tuple] = []
+            cols: dict[str, list] = {c: [] for c in (*id_cols, *out_cols)}
             ids = pdf[list(id_cols)].itertuples(index=False, name=None)
             for id_vals, text in zip(ids, pdf["text"].tolist()):
                 if not text:
                     continue
-                for tr in match_rules(scan_text(text)):
-                    rows.append(id_vals + tr)
-            yield pd.DataFrame(
-                rows, columns=id_cols + ["subj", "pred", "obj", "score"]
-            )
+                trs = match_rules(scan_text(text))
+                if not trs:
+                    continue
+                for c, v in zip(id_cols, id_vals):
+                    cols[c].extend([v] * len(trs))
+                for j, c in enumerate(out_cols):
+                    col = cols[c]
+                    for tr in trs:
+                        col.append(tr[j])
+            yield pd.DataFrame(cols)
 
     return clean_pages.select(*cols).mapInPandas(run, schema=schema)
 

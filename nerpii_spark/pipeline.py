@@ -21,7 +21,6 @@ byte-identical tables (asserted by tests/test_pipeline.py).
 
 from __future__ import annotations
 
-import os
 import time
 from dataclasses import dataclass, field
 
@@ -33,6 +32,7 @@ from .operators.detect import detect_mentions
 from .operators.extract import extract_triples_inline
 from .operators.link import link_entities
 from .operators.mask import mask_triples
+from .sources.catalog import TableCatalog
 
 LINEAGE_SCHEMA = (
     "run_id string, stage string, partition_id int, rows_out bigint,"
@@ -54,10 +54,6 @@ class PipelineConfig:
     skipped: list[str] = field(default_factory=list)
 
 
-def _done(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
-
-
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     """north_rule partitioning key: pmod(xxhash64(url), N). Tables without
     a url (e.g. entities) bucket by their canonical key instead."""
@@ -76,36 +72,39 @@ class Pipeline:
     """Resume-capable staged runner. `pages` must carry
     (doc_id, url, warc_ts, html, text, lang)."""
 
-    def __init__(self, spark: SparkSession, cfg: PipelineConfig):
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: PipelineConfig,
+        catalog: TableCatalog | None = None,
+    ):
         self.spark = spark
         self.cfg = cfg
+        # all IO funnels through the catalog: a real Iceberg catalog is a
+        # constructor-argument swap (sources/catalog.py)
+        self.catalog = catalog or TableCatalog(root=cfg.root)
 
     # -- checkpoint plumbing -------------------------------------------------
 
-    def _path(self, stage: str) -> str:
-        return os.path.join(self.cfg.root, stage)
-
     def _write(self, stage: str, df: DataFrame, input_rows: int) -> None:
-        path = self._path(stage)
         t0 = time.perf_counter()
         if stage in self.cfg.partitioned:
             df = with_bucket(df, self.cfg.n_buckets)
             # one shuffle keyed the same way the table is laid out:
             # 1 file per (lang, bucket) partition
-            (
-                df.repartition("lang", "bucket")
-                .write.mode("overwrite")
-                .partitionBy("lang", "bucket")
-                .parquet(path)
+            self.catalog.write(
+                df.repartition("lang", "bucket"),
+                stage,
+                partition_by=("lang", "bucket"),
             )
         else:
-            df.write.mode("overwrite").parquet(path)
+            self.catalog.write(df, stage)
         wall_ms = int((time.perf_counter() - t0) * 1000)
         self._append_lineage(stage, input_rows, wall_ms)
         self.cfg.executed.append(stage)
 
     def _append_lineage(self, stage: str, input_rows: int, wall_ms: int) -> None:
-        out = self.spark.read.parquet(self._path(stage))
+        out = self.catalog.read(self.spark, stage)
         per_part = (
             with_bucket(out, self.cfg.n_buckets)
             .groupBy(F.col("bucket").cast("int").alias("partition_id"))
@@ -119,13 +118,13 @@ class Pipeline:
                 F.lit(wall_ms).cast("bigint").alias("wall_ms"),
             )
         )
-        per_part.write.mode("append").parquet(os.path.join(self.cfg.root, "lineage"))
+        self.catalog.write(per_part, "lineage", mode="append")
 
     def _read(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(self._path(stage))
+        return self.catalog.read(self.spark, stage)
 
     def _stage(self, stage: str, build, upstream: DataFrame) -> DataFrame:
-        if _done(self._path(stage)):
+        if self.catalog.exists(self.spark, stage):
             self.cfg.skipped.append(stage)
             return self._read(stage)
         n_in = upstream.count()
@@ -160,4 +159,4 @@ class Pipeline:
         return out
 
     def lineage(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.cfg.root, "lineage"))
+        return self.catalog.read(self.spark, "lineage")

@@ -1,0 +1,67 @@
+"""Thin table-catalog layer (SURVEY.md §7 hard-part (d)).
+
+The sandbox has no Iceberg runtime jar, so checkpoints are Iceberg-shaped
+partitioned Parquet directories. Every read/write in the engine funnels
+through this module, so pointing at a real Iceberg (or Delta) catalog is
+a config swap — `TableCatalog(format="iceberg", database="kg")` issues
+`saveAsTable`/`table()` calls against the session catalog instead of
+path-based Parquet IO; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class TableCatalog:
+    root: str
+    format: str = "parquet"  # "iceberg" / "delta" on a real cluster
+    database: str | None = None
+
+    def _ident(self, name: str) -> str:
+        return f"{self.database}.{name}" if self.database else name
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, spark: SparkSession, name: str) -> bool:
+        if self.format == "parquet":
+            return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
+        return spark.catalog.tableExists(self._ident(name))
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        if self.format == "parquet":
+            return spark.read.parquet(self.path(name))
+        return spark.table(self._ident(name))
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: tuple[str, ...] = (),
+        mode: str = "overwrite",
+    ) -> None:
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        if self.format == "parquet":
+            w.parquet(self.path(name))
+        else:
+            w.format(self.format).saveAsTable(self._ident(name))
+
+
+def load_table(spark: SparkSession, source) -> DataFrame:
+    """Reference O1 input coercion (named_entity_recognizer.py:310-311,
+    faker_generator.py:78-79): accept a DataFrame as-is, or a path —
+    .csv via header+schema inference like pd.read_csv, else Parquet."""
+    if isinstance(source, DataFrame):
+        return source
+    if isinstance(source, str):
+        if source.endswith(".csv"):
+            return spark.read.csv(source, header=True, inferSchema=True)
+        return spark.read.parquet(source)
+    raise ValueError(f"unsupported source: {type(source).__name__}")
