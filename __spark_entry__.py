@@ -230,6 +230,36 @@ def q_events_json(spark, sf):
     )
 
 
+def q_sessionize(spark, sf):
+    """Session windows over the events feed: a >30-minute gap starts a new
+    session (lag + running sum window, then per-user rollup)."""
+    e = _load(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = (
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    )
+    new_sess = F.when(gap > 1800, 1).otherwise(0)
+    sess = e.withColumn(
+        "session_idx",
+        F.sum(new_sess).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id").agg(
+        (F.max("session_idx") + 1).alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_rollup_lineitem(spark, sf):
+    """ROLLUP aggregation (grand/sub-total rows) over lineitem."""
+    li = _load(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("sum_qty_c"),
+    )
+
+
 def q_mask_personal_info(spark, sf):
     """S5: full FakerGenerator-parity masking of the planted personal_info
     table; keyed deterministic synthetics, so the oracle recomputes the
@@ -273,6 +303,13 @@ def q_dedup_minhash(spark, sf):
 def q_dedup_ngram(spark, sf):
     """Exact n-gram Jaccard pairs with integer intersection/union counts."""
     return D.ngram_jaccard_pairs(_dup_docs(spark, sf))
+
+
+def q_dedup_survivors(spark, sf):
+    """Full near-dedup materialization: MinHash pairs -> connected
+    components -> min-id survivor per cluster; oracle recomputes the
+    clusters from exact-Jaccard ground truth with a recursive CTE."""
+    return D.near_dedup_survivors(_dup_docs(spark, sf))
 
 
 def q_simhash(spark, sf):
@@ -447,11 +484,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_not_synth": q_not_synth,
         "q_events_window": q_events_window,
         "q_events_json": q_events_json,
+        "q_sessionize": q_sessionize,
+        "q_rollup_lineitem": q_rollup_lineitem,
         "q_mask_personal_info": q_mask_personal_info,
         "q_mask_triples": q_mask_triples,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_ngram": q_dedup_ngram,
+        "q_dedup_survivors": q_dedup_survivors,
         "q_simhash": q_simhash,
         "q_dedup_simhash": q_dedup_simhash,
         "q_embed_topk": q_embed_topk,
@@ -521,6 +561,9 @@ def _extras_oracles() -> dict[str, str]:
             f"select id_a, id_b from ({exact_jaccard})"
         ),
         "q_dedup_ngram": exact_jaccard,
+        "q_dedup_survivors": D.duck_near_dedup_survivors_sql(
+            f"select id_a, id_b from ({exact_jaccard})"
+        ),
         "q_simhash": (
             f"select doc_id, {D.simhash_sql_duck('text')} as simhash"
             f" from ({dup})"
@@ -614,6 +657,30 @@ def oracle_sql() -> dict[str, str]:
             " cast(json_extract_string(props, '$.k') as bigint) as k"
             " from events"
         ),
+        "q_sessionize": """
+            with g as (
+              select user_id, ts,
+                     case when date_diff('second',
+                              lag(ts) over (partition by user_id order by ts),
+                              ts) > 1800 then 1 else 0 end as is_new
+              from events
+            ),
+            s as (
+              select user_id,
+                     sum(is_new) over (partition by user_id order by ts
+                         rows between unbounded preceding and current row)
+                       as session_idx
+              from g
+            )
+            select user_id, max(session_idx) + 1 as n_sessions,
+                   count(*) as n_events
+            from s group by 1
+        """,
+        "q_rollup_lineitem": """
+            select l_returnflag, l_linestatus, count(*) as n_rows,
+                   sum(cast(round(l_quantity * 100) as bigint)) as sum_qty_c
+            from lineitem group by rollup (l_returnflag, l_linestatus)
+        """,
         "q_mask_personal_info": masked_select_sql(
             "duck",
             f"({P.personal_info_sql('duck')})",

@@ -255,6 +255,45 @@ def simhash_sql_duck(text_expr: str) -> str:
     return f"(select {total} from (select {shs} as shs))"
 
 
+def near_dedup_survivors(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Full near-dedup: MinHash pairs -> connected components (reusing the
+    linking CC fixpoint) -> one survivor (min id) per duplicate cluster.
+    -> (keep_id, n_members). Singletons keep themselves."""
+    from .link import connected_components
+
+    pairs = minhash_dup_pairs(docs, id_col=id_col)
+    nodes = docs.select(F.col(id_col).alias("sid"))
+    labels = connected_components(
+        nodes, pairs.select(F.col("id_a").alias("sid_a"),
+                            F.col("id_b").alias("sid_b"))
+    )
+    return labels.groupBy("label").agg(
+        F.min("sid").alias("keep_id"), F.count("*").alias("n_members")
+    ).select("keep_id", "n_members")
+
+
+def duck_near_dedup_survivors_sql(exact_pairs_sql: str, doc_rel: str = "documents") -> str:
+    """DuckDB oracle: connected components over the exact-Jaccard pair
+    ground truth via a recursive min-label propagation CTE."""
+    dup = dup_docs_sql("duck", doc_rel)
+    return f"""
+with recursive
+nodes as (select doc_id from ({dup})),
+e as (select id_a, id_b from ({exact_pairs_sql})),
+sym as (select id_a as src, id_b as dst from e
+        union all select id_b, id_a from e),
+reach(id, lbl) as (
+  select doc_id, doc_id from nodes
+  union
+  select s.dst, r.lbl
+  from reach r join sym s on s.src = r.id
+  where r.lbl < s.dst
+),
+comp as (select id, min(lbl) as lbl from reach group by 1)
+select lbl as keep_id, count(*) as n_members from comp group by 1
+"""
+
+
 def simhash_dup_pairs(
     signatures: DataFrame, max_hamming: int = 3, n_blocks: int = 4
 ) -> DataFrame:
