@@ -73,13 +73,12 @@ def materialize_pages(spark, sf_dir: str, reps: int) -> str:
 
 def e2e_triples(spark, pages_path: str):
     """The timed headline dataflow: pages.parquet -> triples, zero-shuffle
-    (S1 clean + fused S2/S3 detection+pairing in one Arrow-batched pass —
-    mention pairing is sentence-local so no exchange is ever needed)."""
-    from nerpii_spark.operators.clean import clean_pages
+    (fused S1 clean + S2 detect + S3 pair in ONE Arrow-batched pass —
+    mention pairing is sentence-local so no exchange is ever needed, and
+    cleaning in-closure avoids a second Python round trip)."""
     from nerpii_spark.operators.extract import extract_triples_inline
 
-    pages = spark.read.parquet(pages_path)
-    return extract_triples_inline(clean_pages(pages))
+    return extract_triples_inline(spark.read.parquet(pages_path))
 
 
 def main() -> int:

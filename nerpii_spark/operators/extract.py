@@ -122,29 +122,35 @@ def match_rules(mentions: list[tuple]) -> list[tuple]:
 
 
 def extract_triples_inline(
-    clean_pages: DataFrame, id_cols: tuple[str, ...] = ("doc_id", "url", "lang")
+    pages: DataFrame, id_cols: tuple[str, ...] = ("doc_id", "url", "lang")
 ) -> DataFrame:
-    """Fused S2+S3: clean pages -> triples in ONE Python pass, ZERO shuffle.
+    """Fused S1+S2+S3: pages -> triples in ONE Python pass, ZERO shuffle.
 
     Mention pairing is sentence-local — every candidate pair lives inside a
-    single input row — so running detection and rule matching in the same
-    Arrow-batched mapInPandas task avoids both the self-join's double
-    computation of the detector stage and its shuffle. This is the headline
-    throughput path (bench.py); the join-based extract_triples() remains for
-    composing over a checkpointed `mentions` table.
+    single input row — so running cleaning, detection and rule matching in
+    the same Arrow-batched mapInPandas task avoids (a) the self-join's
+    double computation of the detector stage and its shuffle, and (b) a
+    second Arrow round trip for a separate clean UDF stage (when the input
+    still carries `html`, the byte-identical clean function is applied
+    in-closure). This is the headline throughput path (bench.py); the
+    join-based extract_triples() remains for composing over a checkpointed
+    `mentions` table.
     """
-    from .detect import scan_text  # late import: detect must not import extract
+    # late imports: detect/clean must not import extract
+    from .clean import clean_html_bytes
+    from .detect import scan_text
 
     import pandas as pd
 
-    id_cols = [c for c in id_cols if c in clean_pages.columns]
+    id_cols = [c for c in id_cols if c in pages.columns]
     schema = (
         ", ".join(
-            f"{c} {clean_pages.schema[c].dataType.simpleString()}" for c in id_cols
+            f"{c} {pages.schema[c].dataType.simpleString()}" for c in id_cols
         )
         + ", subj string, pred string, obj string, score double"
     )
-    cols = [*id_cols, "text"]
+    has_html = "html" in pages.columns
+    in_cols = [*id_cols, *(["html"] if has_html else []), "text"]
 
     out_cols = ["subj", "pred", "obj", "score"]
 
@@ -154,7 +160,10 @@ def extract_triples_inline(
         for pdf in batches:
             cols: dict[str, list] = {c: [] for c in (*id_cols, *out_cols)}
             ids = pdf[list(id_cols)].itertuples(index=False, name=None)
-            for id_vals, text in zip(ids, pdf["text"].tolist()):
+            htmls = pdf["html"].tolist() if has_html else [None] * len(pdf)
+            for id_vals, html, text in zip(ids, htmls, pdf["text"].tolist()):
+                if html is not None:
+                    text = clean_html_bytes(bytes(html))
                 if not text:
                     continue
                 trs = match_rules(scan_text(text))
@@ -168,7 +177,7 @@ def extract_triples_inline(
                         col.append(tr[j])
             yield pd.DataFrame(cols)
 
-    return clean_pages.select(*cols).mapInPandas(run, schema=schema)
+    return pages.select(*in_cols).mapInPandas(run, schema=schema)
 
 
 def triples_by_pred_salted(triples: DataFrame, n_salt: int = 16) -> DataFrame:

@@ -137,7 +137,12 @@ class Pipeline:
         """Run (or resume) all stages; returns {stage: DataFrame}.
         `stop_after` simulates a mid-run failure for resume tests."""
         out: dict[str, DataFrame] = {}
-        clean = self._stage("clean_pages", clean_pages, pages)
+        # html is consumed by S1 and dropped from the checkpoint: the clean
+        # text is the contract downstream (and the bytes would double the
+        # checkpoint footprint at scale)
+        clean = self._stage(
+            "clean_pages", lambda p: clean_pages(p).drop("html"), pages
+        )
         out["clean_pages"] = clean
         if stop_after == "clean_pages":
             return out
