@@ -25,6 +25,10 @@ def split_name(df: DataFrame, name_of_column: str) -> DataFrame:
     nulls fill as "- -"; a single-token name pads last_name with "-";
     the source column is dropped.
     """
+    if df is None:
+        # reference parity: split_name(None, ...) raises
+        # (tests/test_named_entity_recognizer.py:170-172)
+        raise ValueError("split_name requires a DataFrame")
     toks = F.split(F.coalesce(F.col(name_of_column), F.lit("- -")), r"\s+")
     return (
         df.withColumn("first_name", F.element_at(toks, 1))

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.hashing import M, strhash, sql_strhash
+from ..functions.hashing import strhash, sql_strhash
 
 DUP_EXACT_OFF = 1_000_000
 DUP_NEAR_OFF = 2_000_000

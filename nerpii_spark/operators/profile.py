@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql import Window as W
@@ -135,13 +135,20 @@ def column_profile(
     cols: list[str] | None = None,
     manual: bool = True,
     model: bool = True,
+    data_sample: int | None = None,
 ) -> DataFrame:
     """-> column_profile(col, entity, confidence): the reference's
     dict_global_entities as a DataFrame (None columns -> entity null).
     `manual`/`model` toggle the O16/O14-O15 stages like the reference's
-    assign_entities_manually flags and the presidio-only entry point."""
+    assign_entities_manually flags and the presidio-only entry point.
+    `data_sample` is the reference's working-set cap (O2,
+    named_entity_recognizer.py:287,316 — default 500 there): profile over
+    a bounded sample instead of the full table. The reference's sample is
+    unseeded (nondeterministic); ours is a deterministic limit()."""
     spark = df.sparkSession
     cols = cols if cols is not None else string_columns(df)
+    if data_sample is not None:
+        df = df.limit(data_sample)
     n_rows = df.count()
 
     long = melt_strings(df, cols)

@@ -24,8 +24,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..functions.hashing import hn
-
 N_PLANES = 16
 N_BANDS = 4  # 4 bands x 4 planes each
 

@@ -1,7 +1,5 @@
 """Reference-parity unit tests (mirrors tests/test_named_entity_recognizer.py)."""
 
-from pyspark.sql import functions as F
-
 from nerpii_spark.functions import gazetteers as G
 from nerpii_spark.functions.text import (
     address_pattern,

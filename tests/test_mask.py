@@ -14,7 +14,6 @@ from nerpii_spark.operators.mask import (
 )
 from nerpii_spark.operators.profile import column_profile
 from nerpii_spark.sources.pages import luhn_valid
-from nerpii_spark.sources import pages as P
 
 
 @pytest.fixture(scope="module")

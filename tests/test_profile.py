@@ -107,3 +107,28 @@ def test_threshold_30_percent(spark):
     )
     got = profile_as_dict(df, manual=False, model=False)
     assert got == {"mixed": None}  # 1 typed of 4 rows = 25% < 30%
+
+
+def test_data_sample_cap(spark):
+    """O2 working-set cap (named_entity_recognizer.py:287,316): profiling
+    a bounded sample; deterministic unlike the reference's unseeded
+    sample."""
+    rows = [("Chicago",)] * 3 + [("zzz",)] * 97
+    df = spark.createDataFrame(rows, "city string")
+    # full scan: 3 typed of 100 rows = 3% < 30% -> None
+    assert profile_as_dict(df, manual=False, model=False) == {"city": None}
+    # capped at the first 3 rows: 3/3 typed -> LOCATION
+    from nerpii_spark.operators.profile import column_profile
+
+    capped = column_profile(df, manual=False, model=False, data_sample=3)
+    row = {r["col"]: (r["entity"], r["confidence"]) for r in capped.collect()}
+    assert row == {"city": ("LOCATION", 1.0)}
+
+
+def test_split_name_invalid_input():
+    import pytest as _pytest
+
+    from nerpii_spark.functions.text import split_name
+
+    with _pytest.raises(ValueError):
+        split_name(None, "name")

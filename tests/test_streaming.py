@@ -4,7 +4,6 @@ pandas-UDF clean + mapInPandas detect stages compose on streams)."""
 
 import shutil
 
-import pytest
 from pyspark.sql import functions as F
 
 from nerpii_spark.streaming.windows import (
