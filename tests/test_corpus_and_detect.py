@@ -107,3 +107,25 @@ def test_spark_pipeline_pr_one(spark):
         (r["doc_id"], r["subj"], r["pred"], r["obj"]) for r in triples.collect()
     )
     assert got_t == sorted(exp_t)
+
+
+def test_clean_html_edge_cases():
+    """clean is a total, pure function of the bytes (SURVEY.md §7 hard
+    part (a)): malformed/empty inputs never raise."""
+    from nerpii_spark.operators.clean import clean_html_bytes
+
+    assert clean_html_bytes(None) is None
+    assert clean_html_bytes(b"") == ""
+    assert clean_html_bytes(b"plain words only") == "plain words only"
+    # article region wins, byte-exact
+    assert clean_html_bytes(b"<html><article>A  B</article></html>") == "A  B"
+    # no article: blocks stripped, whitespace collapsed
+    got = clean_html_bytes(
+        b"<html><script>x</script><body>Hello <b>world</b></body></html>"
+    )
+    assert got == "Hello world"
+    # invalid utf-8 replaced, not raised
+    assert clean_html_bytes(b"<article>\xff\xfe</article>") is not None
+    # deterministic
+    raw = b"<html><nav>n</nav><p>x y</p></html>"
+    assert clean_html_bytes(raw) == clean_html_bytes(raw)

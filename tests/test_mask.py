@@ -170,3 +170,29 @@ def test_strhash_python_sql_parity(spark):
             f"select {sql_strhash('s')} from (select '{v}' as s)"
         ).fetchone()[0]
         assert duck == strhash(v)
+
+
+def test_masked_pii_round_trip_detectable(spark):
+    """North-star round trip: masked PII surface forms keep the SHAPE of
+    the original entity type — the page detectors still classify the
+    synthetic values as the same types."""
+    from nerpii_spark.operators.detect import (
+        RE_EMAIL,
+        RE_PERSON,
+        RE_PHONE,
+    )
+
+    t = spark.createDataFrame(
+        [
+            (1, "James Smith", "has_email", "james.smith@example.com", 1.0),
+            (2, "Laura Walsh", "has_phone", "(305) 123-4567", 1.0),
+            (3, "Zoe Quinn", "works_at", "Acme Corp", 1.0),
+        ],
+        "doc_id bigint, subj string, pred string, obj string, score double",
+    )
+    rows = {r["doc_id"]: r for r in mask_triples(t).collect()}
+    assert RE_PERSON.fullmatch(rows[1]["subj"])
+    assert RE_EMAIL.fullmatch(rows[1]["obj"])
+    assert RE_PERSON.fullmatch(rows[2]["subj"])
+    assert RE_PHONE.fullmatch(rows[2]["obj"])
+    assert RE_PERSON.fullmatch(rows[3]["subj"])

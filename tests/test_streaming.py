@@ -90,3 +90,60 @@ def test_stream_mention_detection_equal_batch(spark, tmp_path):
         q.stop()
     assert got == batch
     shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_stateful_stream_dedup(spark, tmp_path):
+    """applyInPandasWithState: duplicates dropped ACROSS micro-batches
+    (file source with maxFilesPerTrigger=1 forces multiple batches)."""
+    from nerpii_spark.streaming.stateful import dedup_stream
+
+    src = str(tmp_path / "dup_stream")
+    # batch files written separately -> separate micro-batches; doc 100
+    # duplicates doc 1's content, doc 101 duplicates doc 2's
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], "doc_id bigint, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(100, "alpha text"), (3, "gamma text")], "doc_id bigint, text string"
+    )
+    b3 = spark.createDataFrame(
+        [(101, "beta text"), (102, "gamma text"), (4, "delta text")],
+        "doc_id bigint, text string",
+    )
+    b1.coalesce(1).write.parquet(src + "/f1")
+    import shutil, glob, os
+
+    os.makedirs(src + "/in", exist_ok=True)
+    for i, b in enumerate((b1, b2, b3)):
+        d = src + f"/tmp{i}"
+        b.coalesce(1).write.parquet(d)
+        part = glob.glob(d + "/part-*.parquet")[0]
+        shutil.copy(part, src + f"/in/batch{i}.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/in")
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["doc_id"], r["text"])
+            for r in spark.sql("select * from dedup_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {
+        (1, "alpha text"),
+        (2, "beta text"),
+        (3, "gamma text"),
+        (4, "delta text"),
+    }
+    shutil.rmtree(src, ignore_errors=True)
