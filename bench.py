@@ -120,6 +120,8 @@ def main() -> int:
     bench_queries = [
         "q_triples_by_pred",
         "q_topk_objs_per_pred",
+        "q_entities",
+        "q_dedup_minhash",
         "q_agg_lineitem",
         "q_join_orders_customer",
         "q_anti_join",
