@@ -15,7 +15,12 @@ is safe under Spark 4's default ANSI mode and DuckDB's checked overflow.
 
 from __future__ import annotations
 
-M = 2_147_483_648  # 2**31 modulus
+# modulus: the largest prime below 2^31. An earlier 2^31 (power-of-two)
+# modulus made every `h % n` reduction with even n a function of the key's
+# low bits only (mul/add/mod-2^k is a ring homomorphism on low bits), which
+# capped planted-corpus diversity at ~120 person keys regardless of corpus
+# size; an odd prime modulus mixes all bits into every reduction.
+M = 2_147_483_629
 PHI = 2_654_435_761  # Knuth multiplicative constant (fits the first multiply)
 A = 1_103_515_245  # glibc LCG multiplier for chained re-hash
 C = 12_345
@@ -28,8 +33,14 @@ def h1(key: int, salt: int) -> int:
 
 
 def h2(prev: int, salt: int) -> int:
-    """Chained re-hash of a previous hash value (< 2^31)."""
-    return (prev * A + salt * 97 + C) % M
+    """Chained re-hash of a previous hash value (< 2^31).
+
+    The cross term (prev % 3037) * salt * 97 makes the salt's contribution
+    depend on prev: without it, hv(i) - hv(j) would be a constant for every
+    key (the chain is affine with a shared slope), locking reductions like
+    first-name %24 and last-name %40 together and capping planted-corpus
+    diversity. Operands stay < 2^61, safe for ANSI int64."""
+    return (prev * A + (prev % 3037) * (salt * 97) + C) % M
 
 
 def hn(key: int, *salts: int) -> int:
@@ -48,9 +59,12 @@ def sql_h1(key_expr: str, salt: int) -> str:
 
 
 def sql_h2(prev_expr: str, salt: int | str) -> str:
-    """`salt` may be an int or a SQL integer expression (e.g. ``"j + 1"``)."""
-    salt_term = salt * 97 + C if isinstance(salt, int) else f"(({salt}) * 97 + {C})"
-    return f"((({prev_expr}) * {A} + {salt_term}) % {M})"
+    """`salt` may be an int or a SQL integer expression (e.g. ``"j + 1"``).
+    Mirrors h2() exactly (incl. the prev-dependent cross term)."""
+    s97 = salt * 97 if isinstance(salt, int) else f"(({salt}) * 97)"
+    return (
+        f"((({prev_expr}) * {A} + (({prev_expr}) % 3037) * {s97} + {C}) % {M})"
+    )
 
 
 def sql_hn(key_expr: str, *salts: int) -> str:

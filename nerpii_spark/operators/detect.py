@@ -158,10 +158,3 @@ def detect_mentions(
             yield pd.DataFrame(cols)
 
     return clean_pages.select(*cols).mapInPandas(scan_batches, schema=schema)
-
-
-def mentions_with_buckets(mentions: DataFrame, n_buckets: int = 64) -> DataFrame:
-    """Attach the north_rule partitioning key: pmod(xxhash64(url), N)."""
-    return mentions.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
-    )

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..functions.hashing import M as _M
+
 N_PLANES = 16
 N_BANDS = 4  # 4 bands x 4 planes each
 
@@ -82,7 +84,7 @@ def lsh_signature_expr(vec_col: str, n_planes: int = N_PLANES) -> str:
         comp = (
             f"aggregate(zip_with({vec_col},"
             f" transform(sequence(0, size({vec_col}) - 1),"
-            f" d -> (cast(((d * 2654435761 + {p * 97 + 12345}) % 2147483648)"
+            f" d -> (cast(((d * 2654435761 + {p * 97 + 12345}) % {_M})"
             f" % 2001 as double) - 1000.0) / 1000.0),"
             f" (x, w) -> cast(x as double) * w),"
             f" cast(0.0 as double), (acc, v) -> acc + v)"

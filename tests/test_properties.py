@@ -1,0 +1,72 @@
+"""Property-based invariants (hypothesis) — beyond the reference's test
+strategy (it has no property tests): the cross-engine determinism claims
+hold for arbitrary inputs, not just the planted corpus."""
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nerpii_spark.functions.hashing import h1, h2, hn, strhash, sql_strhash, M
+from nerpii_spark.operators.clean import clean_html_bytes
+from nerpii_spark.sources.pages import luhn_check_digit, luhn_valid
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1), st.integers(0, 1000))
+def test_lcg_range(key, salt):
+    v = h1(key, salt)
+    assert 0 <= v < M
+    assert 0 <= h2(v, salt) < M
+    assert hn(key, salt, salt + 1) == h2(h1(key, salt), salt + 1)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               max_size=40))
+def test_strhash_python_duckdb_parity(s):
+    py = strhash(s)
+    assert 0 <= py < M
+    lit = s.replace("'", "''")
+    duck = duckdb.sql(
+        f"select {sql_strhash('s')} from (select '{lit}' as s)"
+    ).fetchone()[0]
+    assert duck == py
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=300))
+def test_clean_total_and_deterministic(b):
+    # pure total function of the bytes: never raises, always stable
+    assert clean_html_bytes(b) == clean_html_bytes(b)
+    assert isinstance(clean_html_bytes(b), str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               max_size=200))
+def test_clean_article_region_byte_identical(inner):
+    if "</article>" in inner or "<article>" in inner:
+        return
+    html = f"<html><article>{inner}</article></html>".encode()
+    assert clean_html_bytes(html) == inner
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, 9), min_size=15, max_size=15))
+def test_luhn_check_digit_property(d15):
+    num = "".join(map(str, d15)) + str(luhn_check_digit(d15))
+    assert luhn_valid(num)
+    # flipping the check digit breaks validity
+    bad = (int(num[-1]) + 1) % 10
+    assert not luhn_valid(num[:-1] + str(bad))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet="abcdefg .", min_size=0, max_size=60))
+def test_scan_text_offsets_consistent(text):
+    """Every reported span reproduces its mention via slicing."""
+    from nerpii_spark.operators.detect import scan_text
+
+    for m in scan_text(text):
+        _, _etype, mention, begin, end = m[0], m[1], m[2], m[3], m[4]
+        assert text[begin:end] == mention
