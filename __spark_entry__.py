@@ -5,10 +5,17 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
+45 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+S1-S5, tabular-mode profiling/masking, scalar/relational/window/set ops,
+the training-data extras (dedup, ANN similarity, text analysis,
+multimodal), and events queries. Every query except q_embed_topk_lsh
+(approximate by design) carries a DuckDB oracle.
+
 Pipeline queries run over the deterministic planted `pages` corpus
 derived from the `documents` table (nerpii_spark/sources/pages.py);
 their oracles recompute the *planted ground truth* in DuckDB SQL, so a
-match certifies extraction P/R = 1.0, not just plumbing.
+match certifies extraction/linking/dedup P/R = 1.0, not just plumbing;
+masking oracles recompute the exact keyed synthetic values.
 """
 
 from __future__ import annotations

@@ -26,12 +26,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_level(cores: int, attempts: int = 3) -> dict:
     """Best-of-N fresh-process runs (the host shows up-to-3x noisy-neighbor
-    variance; min wall == honest machine capacity)."""
+    variance; min wall == honest machine capacity). The process tree is
+    PINNED to `cores` CPUs with taskset: local[N] only caps task slots, and
+    Python UDF workers run outside the JVM task threads, so an unpinned
+    local[4] run would quietly use extra host cores (and an unpinned
+    local[16] run up to ~2x its share) — measured to inflate 'scaling
+    efficiency' above 1.0."""
     best = None
     for _ in range(attempts):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
         out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
+            ["taskset", "-c", f"0-{cores - 1}",
+             sys.executable, os.path.join(REPO, "bench.py")],
             env=env,
             capture_output=True,
             text=True,
@@ -64,11 +70,14 @@ corpus derived from `{r_low.get('sf')}`-scale `documents`
 
 North_rule two-cluster-size criterion, evidenced per driver instructions
 by the same job at two parallelism levels on the same input
-(local[{low}] vs local[{high}] on this 32-core host — the sandbox
-stand-in for N vs 4N executors; levels chosen to leave physical
-headroom, since saturating all 32 logical CPUs collapses the host's
-per-core throughput ~2.4x via turbo/SMT — a hardware artifact
-confirmed by a pure-Python burn test, not a pipeline property):
+(local[{low}] vs local[{high}] on this 32-core host, each level's whole
+process tree pinned to exactly {low}/{high} CPUs with taskset — the
+sandbox stand-in for N vs 4N executors. Pinning matters: local[N] caps
+task slots only, and Python UDF workers run outside the JVM task
+threads, so unpinned levels quietly use unequal CPU shares. Levels
+leave physical headroom because saturating all 32 logical CPUs
+collapses the host's per-core throughput ~2.4x via turbo/SMT — a
+hardware artifact confirmed by a pure-Python burn test):
 
 | level | cores | e2e wall (s) | triples | triples/sec |
 |---|---|---|---|---|
