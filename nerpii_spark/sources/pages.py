@@ -117,7 +117,10 @@ def _vals(doc_id: int, j: int) -> dict:
         f"{first_disp} {midchar}. {last}" if mid else f"{first_disp} {last}"
     )
     return dict(
-        t=hs % N_TEMPLATES, person=person, first_disp=first_disp, last=last,
+        # Zipf-hot template mix (north_rule skew): 5/8 of sentences are the
+        # works_at template, so `pred` genuinely needs the salted aggregation
+        t=(0 if hs % 8 < 5 else hs % 8 - 4),
+        person=person, first_disp=first_disp, last=last,
         gender=("female" if g == 0 else "male"),
         org=org, city=city, email=email, phone=phone, streetnum=streetnum,
         street=street, stype=stype, st=st, zip5=zip5, ssn=ssn, cc=cc, url_m=url_m,
@@ -267,7 +270,7 @@ sb as (
 ),
 picks as (
   select doc_id, j, hs,
-    (hs % {N_TEMPLATES}) as t,
+    (case when hs % 8 < 5 then 0 else hs % 8 - 4 end) as t,
     {first} as first_raw,
     ({hv(2)} % 50 = 0) as caps,
     {_pick(dialect, G.LAST_NAMES, f'{hv(3)} % 40')} as last,
