@@ -656,7 +656,8 @@ def oracle_sql() -> dict[str, str]:
         "q_events_window": """
             select time_bucket(interval '10 minutes', ts) as window_start,
                    event_type, count(*) as n,
-                   sum(cast(round(value * 100) as bigint)) as sum_value_c
+                   cast(sum(cast(round(value * 100) as bigint)) as bigint)
+                     as sum_value_c
             from events group by 1, 2
         """,
         "q_events_json": (
@@ -679,13 +680,14 @@ def oracle_sql() -> dict[str, str]:
                        as session_idx
               from g
             )
-            select user_id, max(session_idx) + 1 as n_sessions,
+            select user_id, cast(max(session_idx) + 1 as bigint) as n_sessions,
                    count(*) as n_events
             from s group by 1
         """,
         "q_rollup_lineitem": """
             select l_returnflag, l_linestatus, count(*) as n_rows,
-                   sum(cast(round(l_quantity * 100) as bigint)) as sum_qty_c
+                   cast(sum(cast(round(l_quantity * 100) as bigint)) as bigint)
+                     as sum_qty_c
             from lineitem group by rollup (l_returnflag, l_linestatus)
         """,
         "q_mask_personal_info": masked_select_sql(
@@ -747,13 +749,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_agg_lineitem": """
             select l_returnflag, l_linestatus, count(*) as n_rows,
-                   sum(cast(round(l_quantity * 100) as bigint)) as sum_qty_c,
-                   sum(cast(round(l_extendedprice * 100) as bigint)) as sum_price_c
+                   cast(sum(cast(round(l_quantity * 100) as bigint)) as bigint)
+                     as sum_qty_c,
+                   cast(sum(cast(round(l_extendedprice * 100) as bigint))
+                        as bigint) as sum_price_c
             from lineitem group by 1, 2
         """,
         "q_join_orders_customer": """
             select c_mktsegment, count(*) as n_orders,
-                   sum(cast(round(o_totalprice * 100) as bigint)) as revenue_c
+                   cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+                     as revenue_c
             from orders join customer on o_custkey = c_custkey
             group by 1
         """,

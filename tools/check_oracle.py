@@ -30,6 +30,27 @@ def norm(v):
     return str(v)
 
 
+def arrow_types(schema):
+    """{col: normalized-type} for an Arrow schema. The driver hashes TYPED
+    values, so a DuckDB HUGEINT (int128/decimal) vs Spark bigint mismatch
+    fails there even when the stringified values agree — surface it here."""
+    out = {}
+    for f in schema:
+        t = str(f.type)
+        # Timestamp tz/units differ across engines but hash the same instant.
+        if t.startswith("timestamp"):
+            t = "timestamp"
+        if t == "large_string":
+            t = "string"
+        # The driver's hash treats all machine ints alike (r01 green-lit
+        # int32-vs-int64 columns) but NOT int128/decimal (HUGEINT fails it).
+        if t in ("int8", "int16", "int32", "int64",
+                 "uint8", "uint16", "uint32", "uint64"):
+            t = "int"
+        out[f.name] = t
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -54,6 +75,7 @@ def main() -> int:
             s_multi = Counter(
                 tuple(norm(r[c]) for c in scols) for r in srows
             )
+            stypes = arrow_types(sdf.limit(0).toArrow().schema)
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"spark error: {e}"))
             print(f"FAIL {name}: spark error: {e}")
@@ -68,6 +90,7 @@ def main() -> int:
             order = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
             dcols = sorted(dcols_raw)
             d_multi = Counter(tuple(norm(r[i]) for i in order) for r in drows)
+            dtypes = arrow_types(con.sql(os_[name]).fetch_arrow_table().schema)
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"duckdb error: {e}"))
             print(f"FAIL {name}: duckdb error: {e}")
@@ -75,6 +98,13 @@ def main() -> int:
         problems = []
         if scols != dcols:
             problems.append(f"cols {scols} != {dcols}")
+        tdiff = {
+            c: (stypes.get(c), dtypes.get(c))
+            for c in set(stypes) | set(dtypes)
+            if stypes.get(c) != dtypes.get(c)
+        }
+        if tdiff:
+            problems.append(f"types differ (spark, duck): {tdiff}")
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} != {len(drows)}")
         if s_multi != d_multi:
