@@ -343,9 +343,20 @@ def q_embed_topk_lsh(spark, sf):
     )
 
 
+def _dup_embs(spark, sf):
+    embs = _load(spark, sf, "embeddings")
+    embs.createOrReplaceTempView("nerpii_embeddings_dup")
+    return spark.sql(SIM.dup_embs_sql("spark", emb_rel="nerpii_embeddings_dup"))
+
+
 def q_embed_dup_pairs(spark, sf):
-    """Embedding near-dup pairs (cosine >= 0.45, exact)."""
-    return SIM.embedding_dup_pairs(_load(spark, sf, "embeddings"), tau=0.45)
+    """Embedding near-dup pairs over the planted dup-emb corpus: LSH
+    sign-band candidates + exact cosine verify (the scale path — no
+    cartesian in the plan); oracle = exact brute force in DuckDB, so a
+    hash match certifies LSH recall AND precision = 1.0."""
+    return SIM.embedding_dup_pairs(
+        _dup_embs(spark, sf), tau=SIM.DUP_TAU, method="lsh"
+    )
 
 
 def q_lang_id(spark, sf):
@@ -554,11 +565,6 @@ def _extras_oracles() -> dict[str, str]:
         )
         select * from full_p where n_inter >= {D.JACCARD_TAU} * n_union
     """
-    cosd = (
-        "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /"
-        " (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *"
-        " sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
-    )
     return {
         "q_dedup_exact": (
             f"select md5(text) as content_hash, count(*) as n_copies,"
@@ -586,11 +592,7 @@ def _extras_oracles() -> dict[str, str]:
             where bit_count(xor(a.h, b.h)) <= 3
         """,
         "q_embed_topk": SIM.duck_cosine_topk_sql("vec_id < 32", k=3),
-        "q_embed_dup_pairs": f"""
-            select a.vec_id as id_a, b.vec_id as id_b, {cosd} as cos
-            from embeddings a join embeddings b on a.vec_id < b.vec_id
-            where {cosd} >= 0.45
-        """,
+        "q_embed_dup_pairs": SIM.duck_embedding_dup_pairs_sql(),
         "q_lang_id": (
             f"select doc_id, {TS.lang_id_sql('duck', 'text')} as lang_pred"
             " from documents"

@@ -99,6 +99,18 @@ def with_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("shingles", F.expr(shingles_sql("spark", text_col)))
 
 
+def with_hashed_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """shingles + their int64 hashes (`hsh`). Verification joins ship the
+    8-byte hashes, never the string arrays — at 10^12-doc scale the
+    verify shuffle is the dominant cost and strings are ~3-10x wider.
+    Shingle strings are distinct per doc, so set sizes over hashes equal
+    set sizes over strings (64-bit collisions: ~1e-10 at 1e4 distinct
+    shingles per doc-pair union)."""
+    return with_shingles(docs, text_col).withColumn(
+        "hsh", F.expr("transform(shingles, s -> xxhash64(s))")
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -133,7 +145,9 @@ def minhash_dup_pairs(
     """-> (id_a, id_b): near-dup pairs with exact shingle Jaccard >= tau,
     candidates from r=1 minhash banding (same machinery as entity-linking
     blocking, operators/link.py)."""
-    nodes = with_shingles(docs).select(F.col(id_col).alias("sid"), "shingles")
+    nodes = with_hashed_shingles(docs).select(
+        F.col(id_col).alias("sid"), "shingles", "hsh"
+    )
     bands = nodes.select(
         "sid",
         F.explode(
@@ -155,15 +169,17 @@ def minhash_dup_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
-    a = nodes.select(F.col("sid").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = nodes.select(F.col("sid").alias("id_b"), F.col("shingles").alias("sh_b"))
+    # verify with int64 shingle hashes — the join shuffles 8-byte arrays,
+    # not the raw shingle strings (the wide side of this dataflow at scale)
+    a = nodes.select(F.col("sid").alias("id_a"), F.col("hsh").alias("h_a"))
+    b = nodes.select(F.col("sid").alias("id_b"), F.col("hsh").alias("h_b"))
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
         .where(
             F.expr(
-                "size(array_intersect(sh_a, sh_b)) >="
-                f" {tau} * size(array_union(sh_a, sh_b))"
+                "size(array_intersect(h_a, h_b)) >="
+                f" {tau} * size(array_union(h_a, h_b))"
             )
         )
         .select("id_a", "id_b")
@@ -175,32 +191,56 @@ def minhash_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def ngram_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    max_df: int = 64,
+) -> DataFrame:
+    """-> (id_a, id_b): pairs sharing >= 1 shingle with document frequency
+    <= max_df. The df cap is the hot-shingle skew guard: a ubiquitous
+    shingle ("extra tail words"-style boilerplate) would otherwise land
+    O(k^2) pairs on a single reducer. Dropping hot shingles only affects
+    candidate GENERATION — counts are verified exactly afterwards — and a
+    pair above tau whose every shared shingle appears in > max_df docs
+    does not exist in practice (such shingles are boilerplate; a real
+    near-dup shares many doc-specific shingles)."""
+    sh = with_hashed_shingles(docs).select(
+        F.col(id_col).alias("sid"), F.explode("hsh").alias("sh_hash")
+    )
+    buckets = (
+        sh.groupBy("sh_hash")
+        .agg(F.collect_list("sid").alias("ms"))
+        .where((F.size("ms") >= 2) & (F.size("ms") <= max_df))
+    )
+    return (
+        buckets.select(F.explode("ms").alias("id_a"), F.col("ms"))
+        .select("id_a", F.explode("ms").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     tau: float = JACCARD_TAU,
+    max_df: int = 64,
 ) -> DataFrame:
     """-> (id_a, id_b, n_inter, n_union): exact shingle-set overlap counts
-    for pairs above tau. Blocking: pairs sharing at least one shingle,
-    built by exploding shingles and self-joining on the shingle hash —
-    bounded here by the planted corpus; MinHash banding (above) is the
-    10^12-scale path."""
-    sh = (
-        with_shingles(docs)
-        .select(F.col(id_col).alias("sid"), F.size("shingles").alias("n_sh"),
-                F.explode("shingles").alias("s"))
-        .withColumn("sh_hash", F.xxhash64("s"))
+    for pairs above tau. Candidates from the df-capped shingle self-join
+    (skew-guarded); counts verified exactly per pair from the full hashed
+    shingle sets, so the cap never distorts a reported count."""
+    cand = ngram_candidate_pairs(docs, id_col=id_col, max_df=max_df)
+    nodes = with_hashed_shingles(docs).select(
+        F.col(id_col).alias("sid"), "hsh"
     )
-    a = sh.select(F.col("sid").alias("id_a"), F.col("n_sh").alias("na"), "sh_hash")
-    b = sh.select(F.col("sid").alias("id_b"), F.col("n_sh").alias("nb"), "sh_hash")
-    inter = (
-        a.join(b, "sh_hash")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    a = nodes.select(F.col("sid").alias("id_a"), F.col("hsh").alias("h_a"))
+    b = nodes.select(F.col("sid").alias("id_b"), F.col("hsh").alias("h_b"))
     return (
-        inter.withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_inter"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_inter", F.expr("size(array_intersect(h_a, h_b))"))
+        .withColumn("n_union", F.expr("size(array_union(h_a, h_b))"))
         .where(F.col("n_inter") >= tau * F.col("n_union"))
         .select("id_a", "id_b", "n_inter", "n_union")
     )

@@ -109,16 +109,20 @@ def score_pairs(
     Features join twice back to the (already deduped, hence small relative
     to the corpus) node table; AQE picks broadcast when it fits. A pair is
     an edge when token sets match exactly (score 1.0) or shingle Jaccard
-    >= tau_string."""
-    feat = nodes.select("sid", "shingles", "toks")
+    >= tau_string. The join ships int64 shingle hashes, not the string
+    arrays (per-shingle distinctness preserved, so set sizes agree)."""
+    feat = nodes.select(
+        "sid", F.expr("transform(shingles, s -> xxhash64(s))").alias("hsh"),
+        "toks",
+    )
     a = feat.select(
         F.col("sid").alias("sid_a"),
-        F.col("shingles").alias("sh_a"),
+        F.col("hsh").alias("sh_a"),
         F.col("toks").alias("tk_a"),
     )
     b = feat.select(
         F.col("sid").alias("sid_b"),
-        F.col("shingles").alias("sh_b"),
+        F.col("hsh").alias("sh_b"),
         F.col("toks").alias("tk_b"),
     )
     scored = (

