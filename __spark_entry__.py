@@ -5,11 +5,11 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-45 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
-S1-S5, tabular-mode profiling/masking, scalar/relational/window/set ops,
-the training-data extras (dedup, ANN similarity, text analysis,
-multimodal), and events queries. Every query except q_embed_topk_lsh
-(approximate by design) carries a DuckDB oracle.
+47 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+S1-S5, tabular-mode profiling/masking (en + the it-locale dimension),
+scalar/relational/window/set ops, the training-data extras (dedup, ANN
+similarity, text analysis, multimodal), and events queries. Every query
+except q_embed_topk_lsh (approximate by design) carries a DuckDB oracle.
 
 Pipeline queries run over the deterministic planted `pages` corpus
 derived from the `documents` table (nerpii_spark/sources/pages.py);
@@ -169,6 +169,7 @@ _PI_PROFILE = [
     ("ssn", "US_SSN", 1.0),
     ("credit_card_number", "CREDIT_CARD_NUMBER", 1.0),
     ("address", "ADDRESS", 1.0),
+    ("country", "LOCATION", 1.0),
 ]
 
 
@@ -217,6 +218,47 @@ def q_not_synth(spark, sf):
     routing = route_columns(prof_rows, list(pi.columns), {"state"})
     rows = columns_not_synthesized(prof_rows, routing)
     return spark.createDataFrame(rows, "col string, entity string")
+
+
+# expected profile of the planted Italian personal_info table (verified
+# separately by q_profile_it) — used to build the it mask oracle's routing
+_PI_IT_PROFILE = [
+    ("person", "PERSON", 1.0),
+    ("first_name", "PERSON", 1.0),
+    ("last_name", None, None),
+    ("first_name_gender", None, None),
+    ("city", "LOCATION", 1.0),
+    ("cap", "ZIPCODE", 1.0),
+    ("telefono", "PHONE_NUMBER", 1.0),
+    ("email", "EMAIL_ADDRESS", 1.0),
+    ("indirizzo", "ADDRESS", 1.0),
+    ("carta_di_credito", "CREDIT_CARD_NUMBER", 1.0),
+]
+
+
+def _personal_info_it(spark, sf):
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_pi_it")
+    return spark.sql(
+        P.personal_info_it_sql("spark", doc_rel="nerpii_documents_pi_it")
+    )
+
+
+def q_profile_it(spark, sf):
+    """Italian tabular profile: the it detector suite (IT name/city
+    gazetteers standing in for it_core_news_lg) + the it-specific manual
+    rules ('cap', 'carta...credito') over the planted Italian table."""
+    return column_profile(_personal_info_it(spark, sf), lang="it")
+
+
+def q_mask_personal_info_it(spark, sf):
+    """Italian masking: Faker(['it_IT']) parity — Italian name/city/street
+    draws, 'Via ...' addresses, CAP postcodes (postcode() vs zipcode(),
+    faker_generator.py:478-513), routed through the 'indirizzo'/'cap'
+    clauses."""
+    pi = _personal_info_it(spark, sf)
+    prof = column_profile(pi, lang="it")
+    return mask_table(pi, prof, "row_id", lang="it")
 
 
 def q_events_window(spark, sf):
@@ -505,6 +547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_rollup_lineitem": q_rollup_lineitem,
         "q_mask_personal_info": q_mask_personal_info,
+        "q_profile_it": q_profile_it,
+        "q_mask_personal_info_it": q_mask_personal_info_it,
         "q_mask_triples": q_mask_triples,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_minhash": q_dedup_minhash,
@@ -699,6 +743,19 @@ def oracle_sql() -> dict[str, str]:
             route_columns(_PI_PROFILE, P.PERSONAL_INFO_COLS, {"state"}),
             "row_id",
             gender_col="first_name_gender",
+        ),
+        "q_profile_it": column_profile_sql(
+            "duck", P.personal_info_it_sql("duck"), P.PERSONAL_INFO_IT_COLS,
+            lang="it",
+        ),
+        "q_mask_personal_info_it": masked_select_sql(
+            "duck",
+            f"({P.personal_info_it_sql('duck')})",
+            P.PERSONAL_INFO_IT_COLS,
+            route_columns(_PI_IT_PROFILE, P.PERSONAL_INFO_IT_COLS, set()),
+            "row_id",
+            gender_col="first_name_gender",
+            lang="it",
         ),
         "q_mask_triples": (
             lambda se: (

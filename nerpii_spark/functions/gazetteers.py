@@ -105,7 +105,11 @@ ADDRESS_DENY_LIST = [
 
 # gender lookup (the deterministic stand-in for gender_guesser,
 # named_entity_recognizer.py:203-231); "andy" = androgynous, like the lib.
+# mostly_* are gender_guesser's soft categories the reference consumes
+# (faker_generator.py:198-258).
 GENDER_ANDY = ["Alex", "Robin", "Casey", "Jordan"]
+GENDER_MOSTLY_FEMALE = ["Kim", "Kelly", "Sasha", "Jody"]
+GENDER_MOSTLY_MALE = ["Terry", "Pat", "Noel", "Sidney"]
 
 
 def gender_of(name: str) -> str:
@@ -114,9 +118,56 @@ def gender_of(name: str) -> str:
         return "female"
     if n in (x.lower() for x in FIRST_MALE):
         return "male"
+    if n in (x.lower() for x in GENDER_MOSTLY_FEMALE):
+        return "mostly_female"
+    if n in (x.lower() for x in GENDER_MOSTLY_MALE):
+        return "mostly_male"
     if n in (x.lower() for x in GENDER_ANDY):
         return "andy"
     return "unknown"
+
+
+# ---------------------------------------------------------------------------
+# Italian locale (reference lang='it': Faker(['it_IT']) faker_generator.py:85,
+# it spaCy/Presidio engine named_entity_recognizer.py:359-376). These lists
+# back the it-locale synthesizers and the it gazetteer detectors; they are
+# additive — nothing above may change.
+# ---------------------------------------------------------------------------
+
+IT_FIRST_FEMALE = [
+    "Giulia", "Sofia", "Chiara", "Martina", "Francesca", "Alessia",
+    "Valentina", "Silvia", "Federica", "Elisa", "Beatrice", "Camilla",
+]
+
+IT_FIRST_MALE = [
+    "Marco", "Luca", "Giovanni", "Andrea", "Alessandro", "Matteo",
+    "Davide", "Simone", "Federico", "Riccardo", "Stefano", "Paolo",
+]
+
+IT_FIRST_NAMES = IT_FIRST_FEMALE + IT_FIRST_MALE
+
+IT_LAST_NAMES = [
+    "Rossi", "Russo", "Ferrari", "Esposito", "Bianchi", "Romano",
+    "Colombo", "Ricci", "Marino", "Greco", "Bruno", "Gallo", "Conti",
+    "Mancini", "Costa", "Giordano", "Rizzo", "Lombardi", "Moretti",
+    "Barbieri",
+]
+
+IT_CITIES = [
+    "Roma", "Milano", "Napoli", "Torino", "Palermo", "Genova", "Bologna",
+    "Firenze", "Bari", "Catania", "Venezia", "Verona", "Padova", "Trieste",
+    "Brescia", "Taranto",
+]
+
+IT_STREET_WORDS = [
+    "Garibaldi", "Mazzini", "Cavour", "Dante", "Verdi", "Marconi",
+    "Galilei", "Leopardi", "Manzoni", "Petrarca", "Vespucci", "Alighieri",
+]
+
+# Italian street designators lead the address ("Via Garibaldi 42"); all
+# five are already terms of the frozen ADDRESS_DENY_LIST above, so masked
+# Italian addresses stay detectable by the deny-list recognizer.
+IT_STREET_TYPES = ["Via", "Corso", "Piazza", "Strada", "Vico"]
 
 
 # small per-language stopword lists for the lang-id heuristic / quality
@@ -127,6 +178,7 @@ LANG_STOPWORDS = {
     "fr": ["le", "la", "et", "les", "des", "est", "pour", "dans", "une", "sur"],
     "es": ["el", "la", "de", "que", "los", "una", "por", "con", "para", "las"],
     "zh": ["de", "shi", "zai", "le", "you", "wo", "ta", "men", "zhe", "na"],
+    "it": ["il", "la", "di", "che", "e", "un", "per", "con", "non", "una"],
 }
 
 EN_STOPWORDS = LANG_STOPWORDS["en"] + [

@@ -65,6 +65,8 @@ def gender_lookup_df(spark: SparkSession) -> DataFrame:
     rows = (
         [(n.lower(), "female") for n in G.FIRST_FEMALE]
         + [(n.lower(), "male") for n in G.FIRST_MALE]
+        + [(n.lower(), "mostly_female") for n in G.GENDER_MOSTLY_FEMALE]
+        + [(n.lower(), "mostly_male") for n in G.GENDER_MOSTLY_MALE]
         + [(n.lower(), "andy") for n in G.GENDER_ANDY]
     )
     return spark.createDataFrame(rows, "name_key string, gender string")

@@ -67,19 +67,76 @@ RE_ORG = re.compile(
 _DENY_WORDS = [w for w in G.ADDRESS_DENY_LIST if w != "C/"]
 RE_ADDRESS = re.compile(rf"\b(?:{_alt(_DENY_WORDS)})\b|C/")
 
-# (entity_type, regex, score, detector, needs_luhn)
-PAGE_DETECTORS = [
-    ("EMAIL_ADDRESS", RE_EMAIL, 1.0, "regex_email", False),
-    ("URL", RE_URL, 0.5, "regex_url", False),
-    ("PHONE_NUMBER", RE_PHONE, 0.75, "regex_phone", False),
-    ("US_SSN", RE_SSN, 0.85, "regex_ssn", False),
-    ("CREDIT_CARD_NUMBER", RE_CARD, 1.0, "regex_luhn", True),
-    ("ZIPCODE", RE_ZIP, 0.6, "regex_zip", False),
-    ("ADDRESS", RE_ADDRESS, 1.0, "denylist_address", False),
-    ("PERSON", RE_PERSON, 0.85, "gazetteer_person", False),
-    ("LOCATION", RE_LOC, 0.85, "gazetteer_location", False),
-    ("ORGANIZATION", RE_ORG, 0.8, "pattern_org", False),
-]
+# --- detector registry ------------------------------------------------------
+# A detector is DATA: (entity_type, regex | pattern string, score,
+# detector_name, needs_luhn). The analyzer is BUILT from registrations —
+# the seam the reference exposes via set_presidio_analyzer(
+# add_addresses_recognizer, additional_addresses) and set_model
+# (named_entity_recognizer.py:343-405): swapping in a real Presidio/spaCy/
+# HF engine (or a user's custom recognizer) is a registration, not a
+# module edit. Pattern strings compile lazily inside the executor task
+# (per-partition, trivial cost), so specs ship cleanly through closures.
+
+DetectorSpec = tuple  # (entity_type, re.Pattern | str, float, str, bool)
+
+
+def build_detectors(
+    lang: str = "en",
+    add_addresses_recognizer: bool = True,
+    additional_addresses: list[str] | tuple[str, ...] = (),
+    extra: list[DetectorSpec] | tuple[DetectorSpec, ...] = (),
+) -> list[DetectorSpec]:
+    """Construct the analyzer's detector list.
+
+    Mirrors the reference's engine construction branch by branch:
+    structural Presidio built-ins (language-neutral), the optional
+    deny-list ADDRESS recognizer with user-supplied additional terms
+    (named_entity_recognizer.py:97-147,343-357), per-lang gazetteer
+    PERSON/LOCATION (en_core_web_lg vs it_core_news_lg, :359-376), the
+    per-lang ORG model stand-in (dslim/bert-base-NER vs
+    osiria/bert-italian-uncased-ner, :387-405), and `extra` custom
+    registrations appended last (analyzer.registry.add_recognizer)."""
+    from ..functions.text import address_pattern
+
+    dets: list[DetectorSpec] = [
+        ("EMAIL_ADDRESS", RE_EMAIL, 1.0, "regex_email", False),
+        ("URL", RE_URL, 0.5, "regex_url", False),
+        ("PHONE_NUMBER", RE_PHONE, 0.75, "regex_phone", False),
+        ("US_SSN", RE_SSN, 0.85, "regex_ssn", False),
+        ("CREDIT_CARD_NUMBER", RE_CARD, 1.0, "regex_luhn", True),
+        ("ZIPCODE", RE_ZIP, 0.6, "regex_zip", False),
+    ]
+    if add_addresses_recognizer:
+        rx = (
+            RE_ADDRESS
+            if not additional_addresses
+            else address_pattern(list(additional_addresses))
+        )
+        dets.append(("ADDRESS", rx, 1.0, "denylist_address", False))
+    if lang == "it":
+        firsts = G.IT_FIRST_NAMES + [n.upper() for n in G.IT_FIRST_NAMES]
+        rx_person = rf"\b(?:{_alt(firsts)}) (?:[A-Z]\. )?[A-Z][a-z]+\b"
+        rx_loc = rf"\b(?:{_alt(G.IT_CITIES + G.COUNTRIES)})\b"
+        dets.append(("PERSON", rx_person, 0.85, "gazetteer_person_it", False))
+        dets.append(("LOCATION", rx_loc, 0.85, "gazetteer_location_it", False))
+        dets.append(("ORGANIZATION", RE_ORG, 0.8, "pattern_org_it", False))
+    else:
+        dets.append(("PERSON", RE_PERSON, 0.85, "gazetteer_person", False))
+        dets.append(("LOCATION", RE_LOC, 0.85, "gazetteer_location", False))
+        dets.append(("ORGANIZATION", RE_ORG, 0.8, "pattern_org", False))
+    dets.extend(extra)
+    return dets
+
+
+def compile_detectors(dets: list[DetectorSpec]) -> list[DetectorSpec]:
+    return [
+        (e, re.compile(p) if isinstance(p, str) else p, s, n, luhn)
+        for e, p, s, n, luhn in dets
+    ]
+
+
+# the default analyzer (en, addresses on) — identical to round-1 behavior
+PAGE_DETECTORS = build_detectors()
 
 # tabular mode stage split, mirroring the reference pipeline order
 # (presidio stage excludes ORG + ZIPCODE: ZIPCODE exists only as a
@@ -95,9 +152,10 @@ MENTION_FIELDS = (
 )
 
 
-def scan_text(text: str) -> list[tuple]:
+def scan_text(text: str, detectors: list[DetectorSpec] | None = None) -> list[tuple]:
     """All mentions in one document text. Returns tuples matching
-    MENTION_FIELDS order."""
+    MENTION_FIELDS order. `detectors` must be pre-compiled (regex
+    objects); defaults to the en analyzer."""
     out = []
     pos = 0
     for sid, seg in enumerate(SENT_SPLIT.split(text)):
@@ -106,7 +164,7 @@ def scan_text(text: str) -> list[tuple]:
         m_works = " works at " in seg
         m_lives = " lives at " in seg
         m_in = " in " in seg
-        for etype, rx, score, det, needs_luhn in PAGE_DETECTORS:
+        for etype, rx, score, det, needs_luhn in (detectors or PAGE_DETECTORS):
             for m in rx.finditer(seg):
                 if needs_luhn and not luhn_valid(m.group(0)):
                     continue
@@ -121,9 +179,12 @@ def detect_mentions(
     clean_pages: DataFrame,
     id_cols: tuple[str, ...] = ("doc_id", "url", "lang"),
     text_col: str = "text",
+    detectors: list[DetectorSpec] | None = None,
 ) -> DataFrame:
     """clean_pages -> mentions (long). One Arrow batch in, many mention
-    rows out; no state crosses batches."""
+    rows out; no state crosses batches. `detectors` (from
+    build_detectors) customizes the analyzer — specs with string
+    patterns compile once per partition inside the executor."""
     id_cols = [c for c in id_cols if c in clean_pages.columns]
     schema = (
         ", ".join(f"{c} {clean_pages.schema[c].dataType.simpleString()}" for c in id_cols)
@@ -136,17 +197,20 @@ def detect_mentions(
         "detector", "m_works", "m_lives", "m_in",
     ]
 
+    specs = detectors  # capture specs, compile executor-side
+
     def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # columnar assembly: building per-column lists and one dict-of-lists
         # DataFrame is several times cheaper than DataFrame-from-row-tuples
         # (this closure is the hottest Python in the engine)
+        cdets = compile_detectors(specs) if specs is not None else None
         for pdf in batches:
             cols: dict[str, list] = {c: [] for c in (*id_cols, *out_cols)}
             ids = pdf[id_cols].itertuples(index=False, name=None)
             for id_vals, text in zip(ids, pdf[text_col].tolist()):
                 if not text:
                     continue
-                mts = scan_text(text)
+                mts = scan_text(text, cdets)
                 if not mts:
                     continue
                 for c, v in zip(id_cols, id_vals):

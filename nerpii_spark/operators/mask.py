@@ -53,11 +53,21 @@ def _k(key_expr: str, salt: int, extra: int = 0) -> str:
 
 
 def synth_sql(dialect: str, kind: str, key_expr: str, salt: int,
-              gender_expr: str | None = None) -> str:
+              gender_expr: str | None = None, lang: str = "en") -> str:
     """SQL expression producing the synthetic value of `kind` for the row
-    key `key_expr` (column-salted). Valid in Spark SQL and DuckDB SQL."""
+    key `key_expr` (column-salted). Valid in Spark SQL and DuckDB SQL.
+    `lang='it'` mirrors the reference's Faker(['it_IT']) locale
+    (faker_generator.py:83-87): Italian name/city/street gazetteers,
+    designator-first addresses ('Via Garibaldi 42'), and postcode() in
+    the CAP range instead of zipcode() (:478-513)."""
     k = lambda extra: _k(key_expr, salt, extra)
     if kind == "address":  # faker.street_address()
+        if lang == "it":
+            return (
+                f"({_pick(dialect, G.IT_STREET_TYPES, f'{k(2)} % 5')} || ' ' || "
+                f"{_pick(dialect, G.IT_STREET_WORDS, f'{k(1)} % 12')} || ' ' || "
+                f"{_s(f'(1 + {k(0)} % 999)')})"
+            )
         return (
             f"({_s(f'(1 + {k(0)} % 999)')} || ' ' || "
             f"{_pick(dialect, G.STREET_WORDS, f'{k(1)} % 24')} || ' ' || "
@@ -69,25 +79,30 @@ def synth_sql(dialect: str, kind: str, key_expr: str, salt: int,
             f"{_lpad(f'({k(1)} % 1000)', 3)} || '-' || {_lpad(f'({k(2)} % 10000)', 4)})"
         )
     if kind == "first_name":
+        fem = G.IT_FIRST_FEMALE if lang == "it" else G.FIRST_FEMALE
+        mal = G.IT_FIRST_MALE if lang == "it" else G.FIRST_MALE
+        alln = G.IT_FIRST_NAMES if lang == "it" else G.FIRST_NAMES
         if gender_expr is None:
-            return _pick(dialect, G.FIRST_NAMES, f"{k(3)} % 48")
-        female = _pick(dialect, G.FIRST_FEMALE, f"{k(3)} % 24")
-        male = _pick(dialect, G.FIRST_MALE, f"{k(3)} % 24")
-        anyn = _pick(dialect, G.FIRST_NAMES, f"{k(3)} % 48")
+            return _pick(dialect, alln, f"{k(3)} % {len(alln)}")
+        female = _pick(dialect, fem, f"{k(3)} % {len(fem)}")
+        male = _pick(dialect, mal, f"{k(3)} % {len(mal)}")
+        anyn = _pick(dialect, alln, f"{k(3)} % {len(alln)}")
         return (
             f"(case when {gender_expr} in ('female', 'mostly_female') then {female}"
             f" when {gender_expr} in ('male', 'mostly_male') then {male}"
             f" else {anyn} end)"
         )
     if kind == "last_name":
-        return _pick(dialect, G.LAST_NAMES, f"{k(4)} % 40")
+        lasts = G.IT_LAST_NAMES if lang == "it" else G.LAST_NAMES
+        return _pick(dialect, lasts, f"{k(4)} % {len(lasts)}")
     if kind == "email":  # composed from the same row's first/last draws
-        first = synth_sql(dialect, "first_name", key_expr, salt, gender_expr)
-        last = synth_sql(dialect, "last_name", key_expr, salt)
+        first = synth_sql(dialect, "first_name", key_expr, salt, gender_expr, lang)
+        last = synth_sql(dialect, "last_name", key_expr, salt, lang=lang)
         dom = _pick(dialect, G.EMAIL_DOMAINS, f"{k(5)} % 8")
         return f"(lower({first}) || '.' || lower({last}) || '@' || {dom})"
     if kind == "city":
-        return _pick(dialect, G.CITIES, f"{k(6)} % 32")
+        cities = G.IT_CITIES if lang == "it" else G.CITIES
+        return _pick(dialect, cities, f"{k(6)} % {len(cities)}")
     if kind == "state":
         return _pick(dialect, G.STATES, f"{k(7)} % 50")
     if kind == "state_abbr":
@@ -97,8 +112,10 @@ def synth_sql(dialect: str, kind: str, key_expr: str, salt: int,
             f"('https://www.' || lower({_pick(dialect, G.ORG_WORDS, f'{k(8)} % 32')})"
             f" || '.example/')"
         )
-    if kind == "zipcode":  # en zipcode(); it postcode() is also 5 digits
-        return _lpad(f"({k(9)} % 100000)", 5)
+    if kind == "zipcode":
+        if lang == "it":  # postcode(): Italian CAP range 00010-98999
+            return _lpad(f"(10 + {k(9)} % 98990)", 5)
+        return _lpad(f"({k(9)} % 100000)", 5)  # en zipcode(): 5 uniform digits
     if kind == "credit_card":  # Luhn-valid 16 digits
         a, b = f"({k(10)} % 10000000)", f"({k(11)} % 10000000)"
         return (
@@ -202,11 +219,12 @@ def masked_select_sql(
     mark: str | None = None,
     gender_col: str | None = None,
     extra_cols: list[str] | None = None,
+    lang: str = "en",
 ) -> str:
     """SELECT over `rel` replacing routed columns with keyed synthetics.
     Null-preserve mode replaces every non-null cell; mark mode replaces
     only cells equal to the mark (:137-154). The gender column is consumed
-    and dropped (:263)."""
+    and dropped (:263). `lang` selects the Faker locale (en/it)."""
     salts = {c: i + 1 for i, c in enumerate(sorted(all_cols))}
     gq = None
     if gender_col:
@@ -229,17 +247,19 @@ def masked_select_sql(
         g = gq if routing[c] in ("first_name", "email") else None
         if routing[c] == "email":
             first = synth_sql(
-                dialect, "first_name", key_col, salts.get(first_col, salts[c]), g
+                dialect, "first_name", key_col, salts.get(first_col, salts[c]),
+                g, lang,
             )
             last = synth_sql(
-                dialect, "last_name", key_col, salts.get(last_col, salts[c])
+                dialect, "last_name", key_col, salts.get(last_col, salts[c]),
+                lang=lang,
             )
             dom = _pick(
                 dialect, G.EMAIL_DOMAINS, f"{_k(key_col, salts[c], 5)} % 8"
             )
             synth = f"(lower({first}) || '.' || lower({last}) || '@' || {dom})"
         else:
-            synth = synth_sql(dialect, routing[c], key_col, salts[c], g)
+            synth = synth_sql(dialect, routing[c], key_col, salts[c], g, lang)
         if mark == GEN_MARK:
             repl = f"case when {q} = '{GEN_MARK}' then {synth} else {q} end"
         else:
@@ -256,6 +276,7 @@ def mask_table(
     profile: DataFrame,
     key_col: str,
     mark: str | None = None,
+    lang: str = "en",
 ) -> DataFrame:
     """Spark operator: apply the masked SELECT to `df` given its
     column_profile. Routing decisions (incl. the state first-value-length
@@ -267,25 +288,30 @@ def mask_table(
     all_cols = [c for c, _, _ in prof_rows]
     gender_col = "first_name_gender" if "first_name_gender" in df.columns else None
     # state-abbr branch: first value (by key order, deterministic) length 2
+    # — ONE min_by aggregation job for all state columns, not one job each
     state_cols = [
         c for c, e, conf in prof_rows
         if e == "LOCATION" and (conf or 0) > 0.3 and "state" in c.lower()
     ]
     abbr = set()
-    for c in state_cols:
-        first_val = (
-            df.select(F.col(c)).orderBy(F.col(key_col)).limit(1).collect()
-            if key_col in df.columns
-            else df.select(F.col(c)).limit(1).collect()
-        )
-        if first_val and first_val[0][0] is not None and len(first_val[0][0]) == 2:
-            abbr.add(c)
+    if state_cols:
+        if key_col in df.columns:
+            probes = df.agg(
+                *[F.min_by(F.col(c), F.col(key_col)).alias(c) for c in state_cols]
+            ).collect()[0]
+        else:
+            probes = df.select(*state_cols).limit(1).collect()
+            probes = probes[0] if probes else {c: None for c in state_cols}
+        abbr = {
+            c for c in state_cols
+            if probes[c] is not None and len(probes[c]) == 2
+        }
     routing = route_columns(prof_rows, list(df.columns), abbr)
     _MASK_VIEW_N[0] += 1
     view = f"nerpii_mask_in_{_MASK_VIEW_N[0]}"
     df.createOrReplaceTempView(view)
     sql = masked_select_sql(
-        "spark", view, all_cols, routing, key_col, mark, gender_col
+        "spark", view, all_cols, routing, key_col, mark, gender_col, lang=lang
     )
     return df.sparkSession.sql(sql)
 

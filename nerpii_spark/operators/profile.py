@@ -75,6 +75,27 @@ VALUE_DETECTORS: list[tuple[str, str]] = [
     ("LOCATION", RX_LOC_FULL),
 ]
 
+
+def value_detectors(lang: str = "en") -> list[tuple[str, str]]:
+    """Detector suite for a language — the tabular mirror of the
+    reference's per-lang NLP engine construction
+    (named_entity_recognizer.py:359-376: it_core_news_lg vs
+    en_core_web_lg). lang='it' swaps the PERSON/LOCATION gazetteers for
+    the Italian ones; the structural recognizers are language-neutral."""
+    if lang != "it":
+        return VALUE_DETECTORS
+    firsts = G.IT_FIRST_NAMES + [n.upper() for n in G.IT_FIRST_NAMES]
+    rx_person = (
+        rf"^(?:{_alt(firsts)}) (?:[A-Z]\. )?[A-Z][a-z]+$|^(?:{_alt(firsts)})$"
+    )
+    locs = _LOCS + G.IT_CITIES
+    rx_loc = rf"^(?:{_alt(locs)})$"
+    return [
+        (e, rx) for e, rx in VALUE_DETECTORS
+        if e not in ("PERSON", "LOCATION")
+    ] + [("PERSON", rx_person), ("LOCATION", rx_loc)]
+
+
 NAN_FILLER = "?"  # named_entity_recognizer.py:286
 
 
@@ -86,12 +107,12 @@ def _rx_match(dialect: str, col_expr: str, pattern: str) -> str:
     return f"regexp_matches({col_expr}, '{p}')"
 
 
-def value_entity_sql(dialect: str, col_expr: str = "val") -> str:
+def value_entity_sql(dialect: str, col_expr: str = "val", lang: str = "en") -> str:
     """CASE expression assigning the first-matching entity to a cell value
     (the stand-in for Presidio's per-value result, :442-446)."""
     whens = " ".join(
         f"when {_rx_match(dialect, col_expr, rx)} then '{ent}'"
-        for ent, rx in VALUE_DETECTORS
+        for ent, rx in value_detectors(lang)
     )
     return f"case {whens} else null end"
 
@@ -136,6 +157,7 @@ def column_profile(
     manual: bool = True,
     model: bool = True,
     data_sample: int | None = None,
+    lang: str = "en",
 ) -> DataFrame:
     """-> column_profile(col, entity, confidence): the reference's
     dict_global_entities as a DataFrame (None columns -> entity null).
@@ -153,7 +175,7 @@ def column_profile(
 
     long = melt_strings(df, cols)
     typed = long.withColumn(
-        "entity", F.expr(value_entity_sql("spark", "val"))
+        "entity", F.expr(value_entity_sql("spark", "val", lang))
     )
 
     # --- presidio stage: counts per (col, entity) -------------------------
@@ -269,6 +291,7 @@ def column_profile_sql(
     cols: list[str],
     manual: bool = True,
     model: bool = True,
+    lang: str = "en",
 ) -> str:
     """Full staged pipeline as one SQL query over `rel_sql` (a relation with
     the given string columns) — the DuckDB oracle twin of column_profile."""
@@ -296,7 +319,7 @@ def column_profile_sql(
     return f"""
 with rel as ({rel_sql}),
 long as ({stack_rows}),
-typed as (select col, val, {value_entity_sql(dialect, 'val')} as entity from long),
+typed as (select col, val, {value_entity_sql(dialect, 'val', lang)} as entity from long),
 nrows as (select count(*) as n from rel),
 counts as (select col, entity, count(*) as c from typed
            where entity is not null group by 1, 2),

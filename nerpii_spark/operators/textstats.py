@@ -34,20 +34,20 @@ def _hits(dialect: str, text_expr: str, words: list[str]) -> str:
 
 def lang_id_sql(dialect: str, text_expr: str) -> str:
     """argmax over per-language stopword hit counts; 'und' when no
-    language scores > 0. Deterministic tie-break: language code asc."""
+    language scores > 0. Deterministic tie-break: language code asc
+    (the first lang equal to the max wins). O(L) hit expressions —
+    each language's count appears once in greatest() and once in its
+    own `when`, so the expression stays linear at 50+ languages."""
     langs = sorted(G.LANG_STOPWORDS)
     hit_cols = {
         lang: _hits(dialect, text_expr, G.LANG_STOPWORDS[lang]) for lang in langs
     }
-    # case: all-zero -> 'und'; else first lang (asc) achieving the max
-    conds = []
-    for lang in langs:
-        ge = " and ".join(
-            f"({hit_cols[lang]}) >= ({hit_cols[o]})" for o in langs if o != lang
-        )
-        conds.append(f"when {ge} then '{lang}'")
-    allzero = " + ".join(f"({hit_cols[lang]})" for lang in langs)
-    return f"case when ({allzero}) = 0 then 'und' {' '.join(conds)} else 'und' end"
+    mx = f"greatest({', '.join(f'({hit_cols[lang]})' for lang in langs)})"
+    conds = " ".join(
+        f"when ({hit_cols[lang]}) = mx then '{lang}'" for lang in langs
+    )
+    inner = f"case when mx = 0 then 'und' {conds} else 'und' end"
+    return f"(select {inner} from (select {mx} as mx))"
 
 
 def token_count_sql(dialect: str, text_expr: str) -> str:

@@ -116,6 +116,7 @@ def _vals(doc_id: int, j: int) -> dict:
     person = (
         f"{first_disp} {midchar}. {last}" if mid else f"{first_disp} {last}"
     )
+    country = G.COUNTRIES[hv(25) % 24]
     return dict(
         # Zipf-hot template mix (north_rule skew): 5/8 of sentences are the
         # works_at template, so `pred` genuinely needs the salted aggregation
@@ -124,6 +125,7 @@ def _vals(doc_id: int, j: int) -> dict:
         gender=("female" if g == 0 else "male"),
         org=org, city=city, email=email, phone=phone, streetnum=streetnum,
         street=street, stype=stype, st=st, zip5=zip5, ssn=ssn, cc=cc, url_m=url_m,
+        country=country,
     )
 
 
@@ -285,6 +287,7 @@ picks as (
     {_pick(dialect, G.STATE_ABBR, f'{hv(14)} % 50')} as st,
     {_lpad(f'({hv(15)} % 100000)', 5)} as zip5,
     {mid_part} as mid_part,
+    {_pick(dialect, G.COUNTRIES, f'{hv(25)} % 24')} as country,
     ({_s(f'(100 + {hv(16)} % 800)')} || '-' || {_s(f'(10 + {hv(17)} % 90)')} || '-' || {_lpad(f'({hv(18)} % 10000)', 4)}) as ssn,
     ('4' || {_lpad(a_, 7)} || {_lpad(b_, 7)} || {_s(_luhn_check_sql(dialect, a_, b_))}) as cc,
     ('https://www.' || lower({_pick(dialect, G.ORG_WORDS, f'{hv(21)} % 32')}) || '.example/p/' || {_s(f'({hv(22)} % 100000)')}) as url_m
@@ -296,7 +299,7 @@ vals as (
     (lower(first_raw) || ' ' || lower(last)) as person_key,
     (case when caps then upper(first_raw) else first_raw end) as first_name,
     last as last_name,
-    gender, org, city,
+    gender, org, city, country,
     (lower(first_raw) || '.' || lower(last) || '@' || domain) as email,
     phone, streetnum, (sword || ' ' || stype) as street, stype, st, zip5, ssn, cc, url_m
   from picks
@@ -397,7 +400,7 @@ from (select doc_id, unnest({case}) as m from vals)
 PERSONAL_INFO_COLS = [
     "person", "first_name", "last_name", "first_name_gender", "company_name",
     "city", "state", "zip", "phone", "email", "web", "ssn",
-    "credit_card_number", "address",
+    "credit_card_number", "address", "country",
 ]
 
 
@@ -405,14 +408,18 @@ def personal_info_sql(dialect: str, doc_rel: str = "documents") -> str:
     """Tabular-mode fixture (FIXTURES.md F2, mirroring the reference demo
     CSV shape notebooks/dataset/PersonalInfo.csv): one row per planted
     sentence, all columns strings. Derivable identically in Spark SQL and
-    DuckDB SQL from the same vals CTE."""
+    DuckDB SQL from the same vals CTE. Every 13th row carries a
+    gender_guesser soft category ('mostly_female'/'mostly_male') so the
+    mostly_* branch of the gender-aware first-name synthesizer
+    (faker_generator.py:198-258) is exercised by the oracle."""
     return f"""
 {vals_cte_sql(dialect, doc_rel)}
 select doc_id * 8 + j as row_id,
   person,
   first_name,
   last_name,
-  gender as first_name_gender,
+  case when (doc_id * 8 + j) % 13 = 0 then 'mostly_' || gender
+       else gender end as first_name_gender,
   org as company_name,
   city,
   st as state,
@@ -422,8 +429,64 @@ select doc_id * 8 + j as row_id,
   url_m as web,
   ssn,
   cc as credit_card_number,
-  (streetnum || ' ' || street) as address
+  (streetnum || ' ' || street) as address,
+  country
 from vals
+"""
+
+
+PERSONAL_INFO_IT_COLS = [
+    "person", "first_name", "last_name", "first_name_gender", "city", "cap",
+    "telefono", "email", "indirizzo", "carta_di_credito",
+]
+
+
+def personal_info_it_sql(dialect: str, doc_rel: str = "documents") -> str:
+    """Italian tabular-mode fixture (the reference's lang='it' dimension,
+    named_entity_recognizer.py:322,359-376 + faker_generator.py:83-87):
+    Italian names/cities, designator-first addresses, CAP postcodes, and
+    the it-specific column names the reference's rules key on —
+    'cap' (manual ZIPCODE rule), 'indirizzo' (address clause), and
+    'carta...credito' (manual CREDIT_CARD rule). One row per document;
+    identical in Spark SQL and DuckDB SQL via the portable hash chain."""
+    hs = sql_h1("doc_id", 2)
+
+    def hv(i: int) -> str:
+        return sql_h2("hs", 40 + i)
+
+    first = (
+        f"case when {hv(0)} % 2 = 0 then"
+        f" {_pick(dialect, G.IT_FIRST_FEMALE, f'{hv(1)} % 12')}"
+        f" else {_pick(dialect, G.IT_FIRST_MALE, f'{hv(1)} % 12')} end"
+    )
+    a_, b_ = f"({hv(8)} % 10000000)", f"({hv(9)} % 10000000)"
+    return f"""
+with it_sb as (select doc_id, {hs} as hs from {doc_rel}),
+it_picks as (
+  select doc_id,
+    {first} as first_raw,
+    case when {hv(0)} % 2 = 0 then 'female' else 'male' end as gender,
+    {_pick(dialect, G.IT_LAST_NAMES, f'{hv(2)} % 20')} as last,
+    {_pick(dialect, G.IT_CITIES, f'{hv(3)} % 16')} as city,
+    {_lpad(f'(10 + {hv(4)} % 98990)', 5)} as cap,
+    ('(' || {_s(f'(200 + {hv(5)} % 800)')} || ') ' || {_lpad(f'({hv(6)} % 1000)', 3)} || '-' || {_lpad(f'({hv(7)} % 10000)', 4)}) as telefono,
+    ({_pick(dialect, G.IT_STREET_TYPES, f'{hv(10)} % 5')} || ' ' || {_pick(dialect, G.IT_STREET_WORDS, f'{hv(11)} % 12')} || ' ' || {_s(f'(1 + {hv(12)} % 999)')}) as indirizzo,
+    ('4' || {_lpad(a_, 7)} || {_lpad(b_, 7)} || {_s(_luhn_check_sql(dialect, a_, b_))}) as cc,
+    {_pick(dialect, G.EMAIL_DOMAINS, f'{hv(13)} % 8')} as domain
+  from it_sb
+)
+select doc_id as row_id,
+  (first_raw || ' ' || last) as person,
+  first_raw as first_name,
+  last as last_name,
+  gender as first_name_gender,
+  city,
+  cap,
+  telefono,
+  (lower(first_raw) || '.' || lower(last) || '@' || domain) as email,
+  indirizzo,
+  cc as carta_di_credito
+from it_picks
 """
 
 

@@ -129,3 +129,47 @@ def test_clean_html_edge_cases():
     # deterministic
     raw = b"<html><nav>n</nav><p>x y</p></html>"
     assert clean_html_bytes(raw) == clean_html_bytes(raw)
+
+
+def test_detector_registry_seam(spark):
+    """The analyzer is built from registrations (reference
+    set_presidio_analyzer/set_model seam, named_entity_recognizer.py:
+    343-405): additional_addresses extends the deny list (:97-147) and a
+    custom recognizer spec surfaces its own mentions in S2 output."""
+    from nerpii_spark.operators.detect import build_detectors, detect_mentions
+
+    dets = build_detectors(
+        additional_addresses=["Esplanade"],
+        extra=[("BADGE_ID", r"\bBDG-\d{4}\b", 0.9, "custom_badge", False)],
+    )
+    df = spark.createDataFrame(
+        [(1, "Meet at 5 Esplanade near the office. Badge BDG-1234 required.")],
+        "doc_id bigint, text string",
+    )
+    got = detect_mentions(df, id_cols=("doc_id",), detectors=dets)
+    rows = {(r["entity_type"], r["mention"]) for r in got.collect()}
+    assert ("ADDRESS", "Esplanade") in rows
+    assert ("BADGE_ID", "BDG-1234") in rows
+    # the default analyzer knows neither
+    base = detect_mentions(df, id_cols=("doc_id",))
+    brows = {(r["entity_type"], r["mention"]) for r in base.collect()}
+    assert ("ADDRESS", "Esplanade") not in brows
+    assert all(e != "BADGE_ID" for e, _ in brows)
+
+
+def test_it_detectors_find_italian_entities(spark):
+    """lang='it' analyzer (it_core_news_lg stand-in): Italian persons and
+    cities detected in page text."""
+    from nerpii_spark.operators.detect import build_detectors, detect_mentions
+
+    df = spark.createDataFrame(
+        [(1, "Giulia Rossi lavora a Milano. Contact via Corso Cavour 7.")],
+        "doc_id bigint, text string",
+    )
+    got = detect_mentions(
+        df, id_cols=("doc_id",), detectors=build_detectors(lang="it")
+    )
+    rows = {(r["entity_type"], r["mention"]) for r in got.collect()}
+    assert ("PERSON", "Giulia Rossi") in rows
+    assert ("LOCATION", "Milano") in rows
+    assert ("ADDRESS", "Corso") in rows

@@ -105,6 +105,79 @@ def test_values_actually_changed(masked):
                 assert rows[rid][c] != orig[rid][c]
 
 
+def test_country_and_mostly_gender_branches(spark):
+    """O31 COUNTRY routing + the gender_guesser mostly_* categories
+    (faker_generator.py:198-258): mostly_female draws a female name,
+    mostly_male a male one."""
+    from nerpii_spark.functions.gazetteers import (
+        COUNTRIES,
+        FIRST_FEMALE,
+        FIRST_MALE,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Kim", "mostly_female", "France"),
+            (2, "Terry", "mostly_male", "Japan"),
+            (3, "Alex", "andy", None),
+        ],
+        "rid bigint, first_name string, first_name_gender string,"
+        " country string",
+    )
+    prof = spark.createDataFrame(
+        [
+            ("first_name", "PERSON", 1.0),
+            ("first_name_gender", None, None),
+            ("country", "LOCATION", 1.0),
+        ],
+        "col string, entity string, confidence double",
+    )
+    rows = {r["rid"]: r.asDict() for r in mask_table(df, prof, "rid").collect()}
+    assert rows[1]["country"] in COUNTRIES and rows[2]["country"] in COUNTRIES
+    assert rows[3]["country"] is None  # null preserved
+    assert rows[1]["first_name"] in FIRST_FEMALE
+    assert rows[2]["first_name"] in FIRST_MALE
+    assert "first_name_gender" not in rows[1]
+
+
+def test_italian_locale_masking(spark):
+    """lang='it' parity: Italian gazetteer draws, designator-first
+    addresses, CAP postcodes in [00010, 99000)."""
+    from nerpii_spark.functions.gazetteers import (
+        IT_CITIES,
+        IT_FIRST_FEMALE,
+        IT_LAST_NAMES,
+        IT_STREET_TYPES,
+    )
+    from nerpii_spark.operators.profile import column_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "Giulia", "Rossi", "female", "Milano", "20121",
+             "(342) 123-4567", "Via Garibaldi 42"),
+            (2, "Marco", "Bianchi", "male", "Roma", "00184",
+             "(063) 555-0199", "Corso Cavour 7"),
+        ],
+        "rid bigint, first_name string, last_name string,"
+        " first_name_gender string, city string, cap string,"
+        " telefono string, indirizzo string",
+    )
+    prof = column_profile(df, lang="it")
+    got = {r["col"]: r["entity"] for r in prof.collect()}
+    assert got["first_name"] == "PERSON"      # it gazetteer detector
+    assert got["city"] == "LOCATION"          # Milano/Roma via IT_CITIES
+    assert got["cap"] == "ZIPCODE"            # it manual rule ('cap')
+    assert got["indirizzo"] == "ADDRESS"      # deny list (Via/Corso)
+    rows = {r["rid"]: r.asDict()
+            for r in mask_table(df, prof, "rid", lang="it").collect()}
+    for r in rows.values():
+        assert r["city"] in IT_CITIES
+        assert r["last_name"] in IT_LAST_NAMES
+        assert r["indirizzo"].split(" ")[0] in IT_STREET_TYPES
+        assert 10 <= int(r["cap"]) < 99000
+    assert rows[1]["first_name"] in IT_FIRST_FEMALE
+
+
 def test_mark_mode(spark):
     """Generation-mark mode: only cells equal to '*' are replaced
     (faker_generator.py:56,91,138)."""
