@@ -13,11 +13,14 @@ Methodology: the production input per BASELINE.json input_hint is a
 to Parquet once (untimed setup, cached under /tmp across runs) and the
 timed headline ``e2e_triples`` is the full S1->S2->S3 dataflow
 pages.parquet -> clean text -> mentions -> triples — the BASELINE.json
-"triples/sec" metric. ``$SPARK_GRAFT_BENCH_REPS`` (default 20) replicates
-the planted corpus with distinct doc_ids so the run is data-dominated
-rather than overhead-dominated. ``tools/bench_scaling.py`` reruns this
-file at two parallelism levels (local[8] vs local[32]) to evidence the
-north_rule scaling-efficiency criterion.
+"triples/sec" metric. ``$SPARK_GRAFT_BENCH_REPS`` (default 100, so sf0.1
+yields a 500k-page corpus) replicates the planted corpus with distinct
+doc_ids so the run is data-dominated rather than overhead-dominated.
+``tools/bench_scaling.py`` reruns this file at two parallelism levels
+(local[8] vs local[32]) to evidence the north_rule scaling-efficiency
+criterion. The `_pipeline` stage cache is materialized UNTIMED (its cost
+is reported separately as `pipeline_warm_sec`) so per-query timings
+measure the downstream operators, not cache warm-up.
 """
 
 from __future__ import annotations
@@ -115,8 +118,16 @@ def main() -> int:
     extras["triples"] = n_triples
     extras["triples_per_sec"] = round(n_triples / timings["e2e_triples"], 1)
 
-    # --- representative driver queries (uses __spark_entry__ cache,
-    #     i.e. warmed stage outputs — measures the downstream operators) ----
+    # --- untimed: materialize the __spark_entry__ stage cache so the
+    #     per-query timings below measure the downstream operators, not the
+    #     clean->detect->extract warm-up (reported separately) ---------------
+    t0 = time.perf_counter()
+    pipe = E._pipeline(spark, sf_dir)
+    pipe["mentions"].count()
+    pipe["triples"].count()
+    extras["pipeline_warm_sec"] = round(time.perf_counter() - t0, 3)
+
+    # --- representative driver queries over the warmed stage outputs -------
     bench_queries = [
         "q_triples_by_pred",
         "q_topk_objs_per_pred",

@@ -335,15 +335,19 @@ select lbl as keep_id, count(*) as n_members from comp group by 1
 
 
 def simhash_dup_pairs(
-    signatures: DataFrame, max_hamming: int = 3, n_blocks: int = 4
+    signatures: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Hamming-distance pairing via the standard block-permutation trick:
     split the 32-bit signature into n_blocks chunks; any pair within
     hamming <= n_blocks - 1 shares at least one exact chunk (pigeonhole),
-    so candidates come from equi-joins on chunk values — no cross join."""
+    so candidates come from equi-joins on chunk values — no cross join.
+    `id_col` must match the one used in simhash_signatures."""
     width = SIMHASH_BITS // n_blocks
     chunks = signatures.select(
-        F.col("doc_id").alias("sid"),
+        F.col(id_col).alias("sid"),
         "simhash",
         F.explode(
             F.expr(

@@ -54,10 +54,21 @@ def _pred_expr() -> F.Column:
 
 
 def extract_triples(
-    mentions: DataFrame, id_cols: tuple[str, ...] = ("doc_id", "url", "lang")
+    mentions: DataFrame,
+    id_cols: tuple[str, ...] = ("doc_id", "url", "lang"),
+    doc_key: str = "doc_id",
 ) -> DataFrame:
-    """mentions -> triples(id cols..., subj, pred, obj, score)."""
+    """mentions -> triples(id cols..., subj, pred, obj, score).
+    The sentence join key is (`doc_key`, sid); `doc_key` must exist (a
+    clear error here beats an AnalysisException from the join)."""
+    if doc_key not in mentions.columns:
+        raise ValueError(
+            f"extract_triples: mentions must carry the document key column"
+            f" {doc_key!r} (the sentence join key is ({doc_key!r}, 'sid'))"
+        )
     id_cols = [c for c in id_cols if c in mentions.columns]
+    if doc_key not in id_cols:
+        id_cols = [doc_key, *id_cols]
     a = mentions.where(F.col("entity_type").isin(SUBJ_TYPES)).select(
         *id_cols,
         F.col("sid"),
@@ -69,7 +80,7 @@ def extract_triples(
     # sentence markers (m_*) are constant within a sentence, so reading them
     # from the object side is equivalent to a group-level max
     b = mentions.where(F.col("entity_type").isin(OBJ_TYPES)).select(
-        F.col("doc_id").alias("b_doc_id"),
+        F.col(doc_key).alias("b_doc_key"),
         F.col("sid").alias("b_sid"),
         F.col("entity_type").alias("o_type"),
         F.col("mention").alias("obj"),
@@ -81,7 +92,7 @@ def extract_triples(
     )
     joined = a.join(
         b,
-        (a.doc_id == b.b_doc_id) & (a.sid == b.b_sid) & (a.s_end < b.o_begin),
+        (a[doc_key] == b.b_doc_key) & (a.sid == b.b_sid) & (a.s_end < b.o_begin),
         "inner",
     )
     return (

@@ -119,8 +119,10 @@ def cosine_topk(
 
 def lsh_signature_expr(vec_col: str, n_planes: int = N_PLANES) -> str:
     """Sign pattern of `n_planes` deterministic hyperplanes. Plane p's
-    component for dimension d = (hn(d, p) % 2001 - 1000) / 1000 — the
-    same portable LCG used everywhere, so signatures are reproducible."""
+    component for dimension d = (h1(d, p) % 2001 - 1000) / 1000, where h1
+    is the FIRST-LEVEL portable hash (hashing.py h1 inlined — no chained
+    h2 re-hash is involved), so signatures are reproducible across runs
+    and engines."""
     bits = []
     for p in range(n_planes):
         comp = (

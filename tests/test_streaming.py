@@ -147,3 +147,97 @@ def test_stateful_stream_dedup(spark, tmp_path):
         (4, "delta text"),
     }
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stateful_dedup_survivor_min_across_chunks(spark, tmp_path):
+    """The survivor is the min doc_id of the WHOLE first-seen batch, even
+    when applyInPandasWithState splits the group across Arrow chunks."""
+    from nerpii_spark.streaming.stateful import dedup_stream
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        src = str(tmp_path / "chunk_stream")
+        rows = [(i, "same text") for i in (9, 8, 7, 3, 6, 5)]
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+            1
+        ).write.parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        )
+        q = (
+            dedup_stream(stream, state_ttl_ms=None)
+            .writeStream.format("memory")
+            .queryName("chunk_dedup")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = [r["doc_id"] for r in spark.sql(
+                "select * from chunk_dedup").collect()]
+        finally:
+            q.stop()
+        assert got == [3]  # min across all chunks, not min of first chunk
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_stateful_dedup_state_ttl_eviction(spark, tmp_path):
+    """ProcessingTimeTimeout bounds the state: a fingerprint idle past the
+    TTL is evicted and re-emits on recurrence."""
+    import os
+    import time
+
+    from nerpii_spark.streaming.stateful import dedup_stream
+
+    src = str(tmp_path / "ttl_stream")
+    os.makedirs(src, exist_ok=True)
+
+    def write_batch(name, rows):
+        d = str(tmp_path / f"ttl_tmp_{name}")
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+            1
+        ).write.parquet(d)
+        import glob
+        import shutil as sh
+
+        sh.copy(glob.glob(d + "/part-*.parquet")[0], f"{src}/{name}.parquet")
+
+    def wait_for(n_rows, deadline_s=60):
+        end = time.time() + deadline_s
+        while time.time() < end:
+            if spark.sql("select * from ttl_dedup").count() >= n_rows:
+                return
+            time.sleep(0.2)
+        raise AssertionError(f"timed out waiting for {n_rows} rows")
+
+    write_batch("b1", [(1, "alpha text")])
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # a timer-driven query never quiesces: use a trigger interval + polling
+    # (processAllAvailable would block forever — see stateful.py docstring)
+    q = (
+        dedup_stream(stream, state_ttl_ms=500)
+        .writeStream.format("memory")
+        .queryName("ttl_dedup")
+        .outputMode("append")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        wait_for(1)
+        time.sleep(1.5)  # timer-check triggers fire and evict alpha's state
+        # alpha recurs AFTER eviction: re-emitted
+        write_batch("b2", [(100, "alpha text")])
+        wait_for(2)
+        got = {
+            (r["doc_id"], r["text"])
+            for r in spark.sql("select * from ttl_dedup").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {(1, "alpha text"), (100, "alpha text")}
