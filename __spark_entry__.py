@@ -5,11 +5,12 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-47 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+48 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5, tabular-mode profiling/masking (en + the it-locale dimension),
 scalar/relational/window/set ops, the training-data extras (dedup, ANN
 similarity, text analysis, multimodal), and events queries. Every query
-except q_embed_topk_lsh (approximate by design) carries a DuckDB oracle.
+except q_embed_topk_lsh / q_embed_topk_ivf (approximate by design)
+carries a DuckDB oracle.
 
 Pipeline queries run over the deterministic planted `pages` corpus
 derived from the `documents` table (nerpii_spark/sources/pages.py);
@@ -385,6 +386,13 @@ def q_embed_topk_lsh(spark, sf):
     )
 
 
+def q_embed_topk_ivf(spark, sf):
+    """ANN top-3 via IVF coarse quantization (numpy Arrow-batch cell
+    assignment + n_probe nearest-cell search; no oracle: approximate by
+    design, recall vs brute force gated in pytest)."""
+    return SIM.ivf_topk(_load(spark, sf, "embeddings"), "vec_id < 32", k=3)
+
+
 def _dup_embs(spark, sf):
     embs = _load(spark, sf, "embeddings")
     embs.createOrReplaceTempView("nerpii_embeddings_dup")
@@ -558,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_simhash": q_dedup_simhash,
         "q_embed_topk": q_embed_topk,
         "q_embed_topk_lsh": q_embed_topk_lsh,
+        "q_embed_topk_ivf": q_embed_topk_ivf,
         "q_embed_dup_pairs": q_embed_dup_pairs,
         "q_lang_id": q_lang_id,
         "q_token_counts": q_token_counts,

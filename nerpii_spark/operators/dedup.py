@@ -144,7 +144,15 @@ def minhash_dup_pairs(
 ) -> DataFrame:
     """-> (id_a, id_b): near-dup pairs with exact shingle Jaccard >= tau,
     candidates from r=1 minhash banding (same machinery as entity-linking
-    blocking, operators/link.py)."""
+    blocking, operators/link.py).
+
+    Plan-shape note (measured, interleaved A/B at sf0.1 x3): an
+    alternative that explodes shingles and computes all band minima in
+    one codegen groupBy(sid) (trading the interpreted HOF lambdas for a
+    shuffle) ran ~50% SLOWER (15s vs 9.6s) — the explode+wide-agg shuffle
+    costs more than interpreted per-row lambda eval at this corpus shape.
+    Keep the zero-shuffle HOF banding; the verify join ships int64 hash
+    arrays, not strings."""
     nodes = with_hashed_shingles(docs).select(
         F.col(id_col).alias("sid"), "shingles", "hsh"
     )

@@ -20,8 +20,11 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 from ..functions.hashing import M as _M
@@ -226,6 +229,77 @@ def embedding_dup_pairs(
         with_cosine(cand)
         .where(F.col("cos") >= tau)
         .select("id_a", "id_b", "cos")
+    )
+
+
+def ivf_topk(
+    embs: DataFrame,
+    query_pred: str,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN top-k: coarse-quantize vectors into `n_cells` cells
+    (nearest-centroid by cosine), search only the query's `n_probe`
+    nearest cells. The other scale path next to hyperplane LSH.
+
+    Centroids: the `n_cells` lowest-id vectors (a deterministic training
+    stand-in for k-means — at real scale you'd train on a sample; the
+    assignment/probe machinery is identical). Assignment is a
+    numpy-vectorized Arrow batch matmul (N x d @ d x K per batch — no
+    per-row Python), cells are plain int join keys, and the exact cosine
+    re-rank within probed cells reuses the quantized-cosine expression,
+    so precision within the candidate set is exact. Approximate by
+    design: recall vs brute force is gated in tests, no DuckDB oracle."""
+    cents = (
+        embs.orderBy(F.col(id_col))
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    M = np.array([list(r[0]) for r in cents], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+
+    def _cells_of(v: pd.Series, top: int) -> np.ndarray:
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = Xn @ Mn.T
+        # argsort desc, deterministic tie-break by cell id asc
+        order = np.lexsort((np.arange(sims.shape[1])[None, :].repeat(len(X), 0),
+                            -sims), axis=1)
+        return order[:, :top]
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(v: pd.Series) -> pd.Series:
+        return pd.Series(_cells_of(v, 1)[:, 0])
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _probe(v: pd.Series) -> pd.Series:
+        return pd.Series([row.tolist() for row in _cells_of(v, n_probe)])
+
+    assigned = embs.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _assign(F.col(vec_col)).alias("cell"),
+    )
+    q = embs.where(F.expr(query_pred)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(_probe(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        q.join(assigned, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+    )
+    scored = with_cosine(cand)
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
     )
 
 

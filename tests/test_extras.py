@@ -88,6 +88,21 @@ def test_lsh_topk_recall(spark):
     assert len(a & b) / len(b) >= 0.5  # noisy embeddings: modest-tau regime
 
 
+def test_ivf_topk_recall(spark):
+    """IVF coarse-quantized ANN: recall vs brute force at default
+    n_probe; near-exact when probing (almost) all cells."""
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    b = {(r["query_id"], r["neighbor_id"])
+         for r in SIM.cosine_topk(embs, "vec_id < 16", k=3).collect()}
+    a = {(r["query_id"], r["neighbor_id"])
+         for r in SIM.ivf_topk(embs, "vec_id < 16", k=3).collect()}
+    assert len(a & b) / len(b) >= 0.7  # random (clusterless) vectors
+    full = {(r["query_id"], r["neighbor_id"])
+            for r in SIM.ivf_topk(embs, "vec_id < 16", k=3,
+                                  n_probe=16).collect()}
+    assert full == b  # probing every cell degenerates to exact search
+
+
 def test_embed_dup_pairs_lsh_matches_brute(spark):
     """The verified (driver) path is LSH band-join + exact cosine verify;
     precision is exact by construction, so equality with brute force

@@ -95,8 +95,16 @@ Per-query seconds at each level (`bench.py` JSON):
 ```
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve the hand-maintained measurement-notes section across reruns
+    notes = ""
+    if os.path.exists(out_path):
+        old = open(out_path).read()
+        idx = old.find("## Measurement notes")
+        if idx >= 0:
+            notes = "\n\n" + old[idx:].rstrip() + "\n"
+    with open(out_path, "w") as f:
+        f.write(md + notes)
     print(json.dumps({"low": tp_low, "high": tp_high, "efficiency": round(eff, 3)}))
     return 0
 
