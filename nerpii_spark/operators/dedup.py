@@ -135,6 +135,36 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _bucket_pairs(
+    rows: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    max_bucket: int,
+) -> DataFrame:
+    """(keys..., id) rows -> distinct (id_a, id_b) pairs among rows
+    sharing a key, skipping keys with more than `max_bucket` members
+    (skew guard). Count-filter + self-join: the per-key count
+    pre-aggregates map-side, so a degenerate hot key is DROPPED without
+    ever concentrating its members on one reducer — unlike a
+    collect_list-then-filter shape, which must materialize the full hot
+    list before the filter can reject it. Callers should pass an already
+    materialized (cached/checkpointed) `rows` if it is expensive: it is
+    scanned three times (count, both self-join sides)."""
+    counts = rows.groupBy(*key_cols).agg(F.count("*").alias("n"))
+    ok = counts.where(
+        (F.col("n") >= 2) & (F.col("n") <= max_bucket)
+    ).select(*key_cols)
+    r = rows.join(ok, key_cols)
+    a = r.select(*key_cols, F.col(id_col).alias("id_a"))
+    b = r.select(*key_cols, F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, key_cols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def minhash_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -146,13 +176,22 @@ def minhash_dup_pairs(
     candidates from r=1 minhash banding (same machinery as entity-linking
     blocking, operators/link.py).
 
-    Plan-shape note (measured, interleaved A/B at sf0.1 x3): an
-    alternative that explodes shingles and computes all band minima in
-    one codegen groupBy(sid) (trading the interpreted HOF lambdas for a
-    shuffle) ran ~50% SLOWER (15s vs 9.6s) — the explode+wide-agg shuffle
-    costs more than interpreted per-row lambda eval at this corpus shape.
-    Keep the zero-shuffle HOF banding; the verify join ships int64 hash
-    arrays, not strings."""
+    Plan-shape notes (each measured with interleaved A/B at sf0.1 x3):
+
+      * Banding stays zero-shuffle HOF lambdas per row. The codegen
+        alternative (explode shingles, one wide groupBy(sid) of band
+        minima) ran ~50% SLOWER (15s vs 9.6s) — the explode+wide-agg
+        shuffle costs more than interpreted lambda eval at this shape.
+      * Bucket pairing is count-filter + self-join over a ONE-TIME
+        materialized band table (localCheckpoint), NOT
+        collect_list-then-filter: a hot bucket (boilerplate shingle
+        shared by 10^8 docs) would materialize its whole member list on
+        one reducer BEFORE the cap filter could drop it — the classic
+        web-scale OOM. count() pre-aggregates map-side so the hot key
+        never concentrates; measured at parity with collect_list locally
+        (11.2s vs 10.6s warm). The checkpoint also keeps the expensive
+        banding computed once instead of once per join branch.
+      * The verify join ships int64 hash arrays, not shingle strings."""
     nodes = with_hashed_shingles(docs).select(
         F.col(id_col).alias("sid"), "shingles", "hsh"
     )
@@ -165,18 +204,8 @@ def minhash_dup_pairs(
                 " array_min(transform(shingles, s -> xxhash64(s, b)))))"
             )
         ).alias("bk"),
-    ).select("sid", "bk.band", "bk.mh")
-    buckets = (
-        bands.groupBy("band", "mh")
-        .agg(F.collect_list("sid").alias("ms"))
-        .where((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
-    )
-    pairs = (
-        buckets.select(F.explode("ms").alias("id_a"), F.col("ms"))
-        .select("id_a", F.explode("ms").alias("id_b"))
-        .where(F.col("id_a") < F.col("id_b"))
-        .distinct()
-    )
+    ).select("sid", "bk.band", "bk.mh").localCheckpoint(eager=False)
+    pairs = _bucket_pairs(bands, ["band", "mh"], "sid", max_bucket)
     # verify with int64 shingle hashes — the join shuffles 8-byte arrays,
     # not the raw shingle strings (the wide side of this dataflow at scale)
     a = nodes.select(F.col("sid").alias("id_a"), F.col("hsh").alias("h_a"))
@@ -211,21 +240,14 @@ def ngram_candidate_pairs(
     candidate GENERATION — counts are verified exactly afterwards — and a
     pair above tau whose every shared shingle appears in > max_df docs
     does not exist in practice (such shingles are boilerplate; a real
-    near-dup shares many doc-specific shingles)."""
+    near-dup shares many doc-specific shingles). Count-filter +
+    self-join (_bucket_pairs): the df count pre-aggregates map-side, so
+    even the ubiquitous shingle never lands its posting list on one
+    reducer."""
     sh = with_hashed_shingles(docs).select(
         F.col(id_col).alias("sid"), F.explode("hsh").alias("sh_hash")
-    )
-    buckets = (
-        sh.groupBy("sh_hash")
-        .agg(F.collect_list("sid").alias("ms"))
-        .where((F.size("ms") >= 2) & (F.size("ms") <= max_df))
-    )
-    return (
-        buckets.select(F.explode("ms").alias("id_a"), F.col("ms"))
-        .select("id_a", F.explode("ms").alias("id_b"))
-        .where(F.col("id_a") < F.col("id_b"))
-        .distinct()
-    )
+    ).localCheckpoint(eager=False)
+    return _bucket_pairs(sh, ["sh_hash"], "sid", max_df)
 
 
 def ngram_jaccard_pairs(

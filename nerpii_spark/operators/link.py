@@ -74,7 +74,13 @@ def lsh_candidate_pairs(
     r=1 rows/band: band key = min over shingles of xxhash64(shingle, band).
     Identical norms share every band; initial-variants (J >= ~.5) miss all
     16 bands with prob (1-J)^16 < 2e-5, and connected components restores
-    any stragglers transitively via the cluster's other members."""
+    any stragglers transitively via the cluster's other members.
+    Bucket pairing is count-filter + self-join (dedup._bucket_pairs):
+    the skew guard drops degenerate hot buckets via a map-side
+    pre-aggregated count, never materializing a hot member list on one
+    reducer."""
+    from .dedup import _bucket_pairs
+
     bands = nodes.select(
         "entity_type",
         "sid",
@@ -85,20 +91,13 @@ def lsh_candidate_pairs(
                 " array_min(transform(shingles, s -> xxhash64(s, b)))))"
             )
         ).alias("bk"),
-    ).select("entity_type", "sid", "bk.band", "bk.mh")
-    buckets = (
-        bands.groupBy("entity_type", "band", "mh")
-        .agg(F.collect_list("sid").alias("ms"))
-        # skew guard: drop degenerate hot buckets instead of exploding k^2
-        .where((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+    ).select("entity_type", "sid", "bk.band", "bk.mh").localCheckpoint(
+        eager=False
     )
-    return (
-        buckets.select(
-            F.explode("ms").alias("sid_a"), F.col("ms").alias("ms")
-        )
-        .select("sid_a", F.explode("ms").alias("sid_b"))
-        .where(F.col("sid_a") < F.col("sid_b"))
-        .distinct()
+    return _bucket_pairs(
+        bands, ["entity_type", "band", "mh"], "sid", max_bucket
+    ).select(
+        F.col("id_a").alias("sid_a"), F.col("id_b").alias("sid_b")
     )
 
 
