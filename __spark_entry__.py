@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-48 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+49 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5, tabular-mode profiling/masking (en + the it-locale dimension),
 scalar/relational/window/set ops, the training-data extras (dedup, ANN
 similarity, text analysis, multimodal), and events queries. Every query
@@ -262,6 +262,38 @@ def q_mask_personal_info_it(spark, sf):
     return mask_table(pi, prof, "row_id", lang="it")
 
 
+def _marked_pi_sql(dialect: str, doc_rel: str) -> str:
+    """personal_info with ssn/phone cells replaced by the generation mark
+    '*' on every 3rd row — the reference's get_faker_generation input
+    shape (faker_generator.py:56,91,137-154)."""
+    inner = P.personal_info_sql(dialect, doc_rel)
+    qc = (lambda c: f'"{c}"') if dialect == "duck" else (lambda c: f"`{c}`")
+    cols = []
+    for c in P.PERSONAL_INFO_COLS:
+        if c in ("ssn", "phone"):
+            cols.append(
+                f"case when row_id % 3 = 0 then '*' else {qc(c)} end as {c}"
+            )
+        else:
+            cols.append(f"{qc(c)} as {c}")
+    return f"select row_id, {', '.join(cols)} from ({inner})"
+
+
+def q_mask_marked(spark, sf):
+    """Generation-mark mode: only cells equal to '*' are synthesized;
+    every other cell (PII included) passes through unchanged
+    (faker_generator.py:137-154). Routing from the verified static
+    profile; oracle recomputes the same marked relation + masked SELECT
+    in DuckDB."""
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_mark")
+    marked = spark.sql(_marked_pi_sql("spark", "nerpii_documents_mark"))
+    prof = spark.createDataFrame(
+        _PI_PROFILE, "col string, entity string, confidence double"
+    )
+    return mask_table(marked, prof, "row_id", mark="*")
+
+
 def q_events_window(spark, sf):
     """Tumbling 10-minute windowed aggregation over the events feed (the
     same operator runs on readStream with a watermark — tests prove
@@ -475,11 +507,10 @@ def q_split_name(spark, sf):
 
 
 def q_frequency(spark, sf):
-    d = _load(spark, sf, "documents")
-    total = d.count()
-    return d.groupBy("lang").agg(
-        (F.count("*") * F.lit(1.0) / F.lit(total)).alias("freq")
-    )
+    """O6: one-scan relative frequencies (window-normalized counts)."""
+    from nerpii_spark.functions.text import frequency_df
+
+    return frequency_df(_load(spark, sf, "documents"), "lang")
 
 
 def q_address_denylist(spark, sf):
@@ -555,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_rollup_lineitem": q_rollup_lineitem,
         "q_mask_personal_info": q_mask_personal_info,
+        "q_mask_marked": q_mask_marked,
         "q_profile_it": q_profile_it,
         "q_mask_personal_info_it": q_mask_personal_info_it,
         "q_mask_triples": q_mask_triples,
@@ -751,6 +783,15 @@ def oracle_sql() -> dict[str, str]:
             P.PERSONAL_INFO_COLS,
             route_columns(_PI_PROFILE, P.PERSONAL_INFO_COLS, {"state"}),
             "row_id",
+            gender_col="first_name_gender",
+        ),
+        "q_mask_marked": masked_select_sql(
+            "duck",
+            f"({_marked_pi_sql('duck', 'documents')})",
+            P.PERSONAL_INFO_COLS,
+            route_columns(_PI_PROFILE, P.PERSONAL_INFO_COLS, {"state"}),
+            "row_id",
+            mark="*",
             gender_col="first_name_gender",
         ),
         "q_profile_it": column_profile_sql(

@@ -41,13 +41,18 @@ def split_name(df: DataFrame, name_of_column: str) -> DataFrame:
 
 
 def frequency_df(df: DataFrame, column: str) -> DataFrame:
-    """Relative frequency of every value of `column` (one groupBy pass —
-    the reference re-scans the list per element, O(n^2) at :485)."""
-    total = df.count()
-    if total == 0:
-        return df.groupBy(F.col(column)).agg(F.lit(0.0).alias("freq"))
-    return df.groupBy(F.col(column)).agg(
-        (F.count("*") * F.lit(1.0) / F.lit(total)).alias("freq")
+    """Relative frequency of every value of `column` in ONE scan of the
+    base data (the reference re-scans the list per element, O(n^2) at
+    :485; an earlier version here ran df.count() as a second scan). The
+    normalizing total comes from an unpartitioned window over the
+    already-aggregated counts — that exchange moves only |distinct
+    values| rows, not the base table."""
+    from pyspark.sql import Window as W
+
+    counts = df.groupBy(F.col(column)).agg(F.count("*").alias("__c"))
+    total = F.sum("__c").over(W.partitionBy())
+    return counts.select(
+        column, (F.col("__c") * F.lit(1.0) / total).alias("freq")
     )
 
 
