@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-49 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+51 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5, tabular-mode profiling/masking (en + the it-locale dimension),
 scalar/relational/window/set ops, the training-data extras (dedup, ANN
 similarity, text analysis, multimodal), and events queries. Every query
@@ -457,6 +457,20 @@ def q_fingerprint(spark, sf):
     return TS.fingerprints(_load(spark, sf, "documents"))
 
 
+def q_quality_gopher(spark, sf):
+    """Gopher/C4-style quality gates (word-count band, mean word length,
+    unique-word ratio, alphabetic ratio, max word length) + combined
+    keep flag, all Catalyst scalar exprs with an exact DuckDB twin."""
+    return TS.gopher_quality(_load(spark, sf, "documents"))
+
+
+def q_domain_stats(spark, sf):
+    """Per-domain corpus rollup over the cleaned pages (doc count +
+    total text bytes) — the partitioning/prioritization signal a corpus
+    pipeline feeds into dedup and quality stages."""
+    return TS.domain_stats(_pipeline(spark, sf)["clean"])
+
+
 def _media(spark, sf):
     docs = _load(spark, sf, "documents")
     docs.createOrReplaceTempView("nerpii_documents_media")
@@ -603,6 +617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_token_counts": q_token_counts,
         "q_quality": q_quality,
+        "q_quality_gopher": q_quality_gopher,
+        "q_domain_stats": q_domain_stats,
         "q_fingerprint": q_fingerprint,
         "q_media_features": q_media_features,
         "q_frame_offsets": q_frame_offsets,
@@ -687,6 +703,17 @@ def _extras_oracles() -> dict[str, str]:
             " from documents"
         ),
         "q_quality": f"select doc_id, {qual_cols} from documents",
+        "q_quality_gopher": (
+            lambda g: "select doc_id, "
+            + ", ".join(f"{e} as {name}" for name, e in g.items())
+            + " from documents"
+        )(TS.gopher_sql("duck", "text")),
+        "q_domain_stats": f"""
+            select {TS.domain_expr('duck', 'url')} as domain,
+                   count(*) as n_docs,
+                   cast(sum(length(text)) as bigint) as total_chars
+            from ({P.pages_sql('duck')}) group by 1
+        """,
         "q_fingerprint": (
             f"select doc_id, {TS.fingerprint_sql('duck', 'text')} as fingerprint"
             " from documents"

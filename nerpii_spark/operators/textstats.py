@@ -88,6 +88,51 @@ def quality_sql(dialect: str, text_expr: str) -> dict:
     }
 
 
+def gopher_sql(dialect: str, text_expr: str) -> dict:
+    """Gopher/C4-style document quality gates (Rae et al. 2021 §A1.1,
+    public filter heuristics), each a scalar expression with an exact
+    DuckDB twin: word count bounds, mean word length band, unique-word
+    ratio (repetition signal), alphabetic-word ratio, and the combined
+    keep flag. Ratios are x1e6 ints so the oracle compare is exact."""
+    toks = _toks(dialect, text_expr)
+    if dialect == "spark":
+        n = f"size({toks})"
+        uniq = f"size(array_distinct({toks}))"
+        alpha = f"size(filter({toks}, t -> t rlike '^[a-z]+$'))"
+        maxlen = f"array_max(transform({toks}, t -> length(t)))"
+    else:
+        n = f"len({toks})"
+        uniq = f"len(list_distinct({toks}))"
+        alpha = f"len(list_filter({toks}, t -> regexp_matches(t, '^[a-z]+$')))"
+        maxlen = f"list_max(list_transform({toks}, t -> length(t)))"
+    mean_e6 = (
+        f"cast(round(length(replace({text_expr}, ' ', '')) * 1000000.0"
+        f" / ({n}), 0) as bigint)"
+    )
+    uniq_e6 = f"cast(round(({uniq}) * 1000000.0 / ({n}), 0) as bigint)"
+    alpha_e6 = f"cast(round(({alpha}) * 1000000.0 / ({n}), 0) as bigint)"
+    keep = (
+        f"(({n}) >= 50 and ({n}) <= 100000"
+        f" and {mean_e6} >= 3000000 and {mean_e6} <= 10000000"
+        f" and {uniq_e6} >= 200000"
+        f" and {alpha_e6} >= 800000"
+        f" and ({maxlen}) <= 1000)"
+    )
+    return {
+        "n_words": f"cast({n} as bigint)",
+        "max_word_len": f"cast({maxlen} as bigint)",
+        "mean_word_len_e6": mean_e6,
+        "uniq_ratio_e6": uniq_e6,
+        "alpha_ratio_e6": alpha_e6,
+        "keep": keep,
+    }
+
+
+def domain_expr(dialect: str, url_expr: str) -> str:
+    """Registrable-host extraction (same regexp function in both engines)."""
+    return f"regexp_extract({url_expr}, 'https?://([^/]+)', 1)"
+
+
 def fingerprint_sql(dialect: str, text_expr: str) -> str:
     """Content fingerprint: md5 of the whitespace-normalized lowercase
     text (identical built-in in both engines)."""
@@ -128,4 +173,32 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id", F.expr(fingerprint_sql("spark", text_col)).alias("fingerprint")
+    )
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    exprs = gopher_sql("spark", text_col)
+    return docs.select(
+        "doc_id", *[F.expr(e).alias(name) for name, e in exprs.items()]
+    )
+
+
+def domain_stats(pages: DataFrame, url_col: str = "url",
+                 text_col: str = "text") -> DataFrame:
+    """Per-domain corpus stats: doc count + total text bytes. One
+    partial-aggregated groupBy; the domain key is far lower-cardinality
+    than doc_id, and a boilerplate-heavy domain is exactly what the
+    dedup/quality stages consume next."""
+    return (
+        pages.select(
+            F.expr(domain_expr("spark", url_col)).alias("domain"),
+            F.length(text_col).alias("n_chars"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias(
+                "total_chars"
+            ),
+        )
     )

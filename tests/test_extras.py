@@ -166,3 +166,23 @@ def test_frame_offsets_spacing(spark):
     for r in joined:
         assert r["mx"] < r["d"]
         assert r["n"] == (r["d"] - 1) // 40 + 1
+
+
+def test_gopher_keep_flag_edges(spark):
+    """Quality gates reject short docs and degenerate repetition, keep
+    normal prose-like text."""
+    from nerpii_spark.operators import textstats as TS
+
+    normal = " ".join(f"word{i % 37} plus some more tokens" for i in range(20))
+    repeated = " ".join(["the"] * 200)
+    short = "too short"
+    longword = ("x" * 2000 + " ") * 60
+    df = spark.createDataFrame(
+        [(1, normal), (2, repeated), (3, short), (4, longword)],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in TS.gopher_quality(df).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False      # uniq_ratio ~ 1/200
+    assert got[3]["keep"] is False      # n_words < 50
+    assert got[4]["keep"] is False      # max_word_len > 1000
