@@ -1,0 +1,91 @@
+"""Physical-plan regression tests: lock in the optimizer properties
+PLANS.md documents, so a refactor that silently loses predicate
+pushdown, column pruning, a broadcast, or map-side partial aggregation
+fails CI instead of only showing up at 100x the data.
+"""
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_join_orders_customer_broadcast_and_pruning(spark):
+    plan = _plan(E.q_join_orders_customer(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # column pruning reaches the scans: only the needed columns are read
+    assert "o_custkey" in plan and "o_totalprice" in plan
+    assert "o_comment" not in plan and "o_orderdate" not in plan
+    assert "c_mktsegment" in plan and "c_name" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .where(F.col("o_custkey") == 7)
+        .select("o_orderkey")
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "EqualTo(o_custkey,7)" in plan
+
+
+def test_anti_join_is_broadcast(spark):
+    plan = _plan(E.q_anti_join(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_no_cartesian_anywhere_in_similarity_paths(spark):
+    for q in ("q_embed_dup_pairs", "q_embed_topk_lsh", "q_embed_topk_ivf"):
+        plan = _plan(E.queries()[q](spark, SF))
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoop" not in plan, q
+
+
+def test_minhash_count_filter_partial_agg(spark):
+    """The hot-bucket skew guard counts map-side (partial_count in the
+    plan) — the property that keeps a degenerate key off a single
+    reducer."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from nerpii_spark.operators.dedup import minhash_dup_pairs
+
+    plan = _plan(minhash_dup_pairs(docs))
+    assert "partial_count" in plan
+    assert "collect_list" not in plan
+
+
+def test_salted_pred_agg_two_level(spark):
+    """Zipf-hot predicate histogram: two HashAggregates (salted partial,
+    then final over the tiny salted result)."""
+    t = spark.createDataFrame(
+        [(i, "works_at" if i % 8 < 5 else "lives_in", f"s{i}", "o")
+         for i in range(64)],
+        "doc_id bigint, pred string, subj string, obj string",
+    )
+    from nerpii_spark.operators.extract import triples_by_pred_salted
+
+    plan = _plan(triples_by_pred_salted(t))
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x (partial + final)
+
+
+def test_mask_is_single_projection_no_shuffle(spark):
+    """Masking is one Catalyst projection over the input — no exchange,
+    no Python in the plan."""
+    df = spark.createDataFrame(
+        [(1, "123-45-6789", "a@b.com")],
+        "rid bigint, ssn string, email string",
+    )
+    prof = spark.createDataFrame(
+        [("ssn", "US_SSN", 1.0), ("email", "EMAIL_ADDRESS", 1.0)],
+        "col string, entity string, confidence double",
+    )
+    from nerpii_spark.operators.mask import mask_table
+
+    plan = _plan(mask_table(df, prof, "rid"))
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
