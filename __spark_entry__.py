@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-51 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+52 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5, tabular-mode profiling/masking (en + the it-locale dimension),
 scalar/relational/window/set ops, the training-data extras (dedup, ANN
 similarity, text analysis, multimodal), and events queries. Every query
@@ -333,6 +333,23 @@ def q_sessionize(spark, sf):
     )
 
 
+def q_session_window(spark, sf):
+    """Native session_window (gap-close 30 min) — the built-in streaming
+    session operator run in batch mode; oracle reconstructs the same
+    sessions with the lag/cumsum trick and end = max(ts) + gap."""
+    e = _load(spark, sf, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def q_rollup_lineitem(spark, sf):
     """ROLLUP aggregation (grand/sub-total rows) over lineitem."""
     li = _load(spark, sf, "lineitem")
@@ -598,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_window": q_events_window,
         "q_events_json": q_events_json,
         "q_sessionize": q_sessionize,
+        "q_session_window": q_session_window,
         "q_rollup_lineitem": q_rollup_lineitem,
         "q_mask_personal_info": q_mask_personal_info,
         "q_mask_marked": q_mask_marked,
@@ -797,6 +815,27 @@ def oracle_sql() -> dict[str, str]:
             select user_id, cast(max(session_idx) + 1 as bigint) as n_sessions,
                    count(*) as n_events
             from s group by 1
+        """,
+        "q_session_window": """
+            with g as (
+              select user_id, ts,
+                     case when date_diff('second',
+                              lag(ts) over (partition by user_id order by ts),
+                              ts) > 1800 then 1 else 0 end as is_new
+              from events
+            ),
+            s as (
+              select user_id, ts,
+                     sum(is_new) over (partition by user_id order by ts
+                         rows between unbounded preceding and current row)
+                       as session_idx
+              from g
+            )
+            select user_id,
+                   min(ts) as session_start,
+                   max(ts) + interval '30 minutes' as session_end,
+                   count(*) as n_events
+            from s group by user_id, session_idx
         """,
         "q_rollup_lineitem": """
             select l_returnflag, l_linestatus, count(*) as n_rows,

@@ -241,3 +241,47 @@ def test_stateful_dedup_state_ttl_eviction(spark, tmp_path):
     finally:
         q.stop()
     assert got == {(1, "alpha text"), (100, "alpha text")}
+
+
+def test_stream_static_broadcast_enrich(spark, tmp_path):
+    """Stream-static join: a streaming fact feed enriched against a
+    broadcast dimension produces exactly the batch result (the standard
+    dimension-enrichment pattern; the static side is re-read per
+    micro-batch, broadcast by AQE)."""
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(f"{SF}/events.parquet").limit(500)
+    src = str(tmp_path / "enrich_stream")
+    events.repartition(3).write.mode("overwrite").parquet(src)
+
+    dim = (
+        spark.read.parquet(src)
+        .select("user_id").distinct()
+        .withColumn("segment", F.pmod(F.col("user_id"), F.lit(3)))
+    )
+    cols = ["event_id", "user_id", "segment"]
+
+    batch = _collect_sorted(
+        spark.read.parquet(src).join(F.broadcast(dim), "user_id")
+        .select(*cols),
+        cols,
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .join(F.broadcast(dim), "user_id")
+        .select(*cols)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = _collect_sorted(spark.sql("select * from enriched"), cols)
+    finally:
+        q.stop()
+    assert got == batch
