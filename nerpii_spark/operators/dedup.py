@@ -207,9 +207,12 @@ def minhash_dup_pairs(
     ).select("sid", "bk.band", "bk.mh").localCheckpoint(eager=False)
     pairs = _bucket_pairs(bands, ["band", "mh"], "sid", max_bucket)
     # verify with int64 shingle hashes — the join shuffles 8-byte arrays,
-    # not the raw shingle strings (the wide side of this dataflow at scale)
-    a = nodes.select(F.col("sid").alias("id_a"), F.col("hsh").alias("h_a"))
-    b = nodes.select(F.col("sid").alias("id_b"), F.col("hsh").alias("h_b"))
+    # not the raw shingle strings (the wide side of this dataflow at
+    # scale); checkpointed so the shingle+hash subtree is computed once
+    # for verification instead of once per join side
+    feat = nodes.select("sid", "hsh").localCheckpoint(eager=False)
+    a = feat.select(F.col("sid").alias("id_a"), F.col("hsh").alias("h_a"))
+    b = feat.select(F.col("sid").alias("id_b"), F.col("hsh").alias("h_b"))
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
@@ -263,7 +266,7 @@ def ngram_jaccard_pairs(
     cand = ngram_candidate_pairs(docs, id_col=id_col, max_df=max_df)
     nodes = with_hashed_shingles(docs).select(
         F.col(id_col).alias("sid"), "hsh"
-    )
+    ).localCheckpoint(eager=False)
     a = nodes.select(F.col("sid").alias("id_a"), F.col("hsh").alias("h_a"))
     b = nodes.select(F.col("sid").alias("id_b"), F.col("hsh").alias("h_b"))
     return (

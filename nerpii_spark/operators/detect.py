@@ -146,12 +146,23 @@ def build_detectors(
     return dets
 
 
+VALID_GUARDS = ("at", "http", "dig", "up", None)
+
+
 def compile_detectors(dets: list[DetectorSpec]) -> list[DetectorSpec]:
-    """Compile pattern strings; normalize 5-tuples (no guard) to 6."""
+    """Compile pattern strings; normalize 5-tuples (no guard) to 6.
+    Validates guard tags so a typo'd registration fails fast with a
+    clear message instead of a KeyError deep inside an executor task
+    (detect_mentions also runs this once driver-side for that reason)."""
     out = []
     for d in dets:
         e, p, s, n, luhn = d[:5]
         guard = d[5] if len(d) > 5 else None
+        if guard not in VALID_GUARDS:
+            raise ValueError(
+                f"detector {n!r} ({e}): unknown guard {guard!r};"
+                f" valid guards: {VALID_GUARDS}"
+            )
         out.append(
             (e, re.compile(p) if isinstance(p, str) else p, s, n, luhn, guard)
         )
@@ -201,7 +212,7 @@ def scan_text(text: str, detectors: list[DetectorSpec] | None = None) -> list[tu
         m_lives = " lives at " in seg
         m_in = " in " in seg
         for etype, rx, score, det, needs_luhn, guard in (
-            detectors or PAGE_DETECTORS
+            PAGE_DETECTORS if detectors is None else detectors
         ):
             if not guard_ok[guard]:
                 continue
@@ -238,6 +249,8 @@ def detect_mentions(
     ]
 
     specs = detectors  # capture specs, compile executor-side
+    if specs is not None:
+        compile_detectors(specs)  # driver-side validation (fail fast)
 
     def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # columnar assembly: building per-column lists and one dict-of-lists

@@ -33,7 +33,6 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUT_SCHEMA = "fingerprint string, doc_id bigint, text string"
 STATE_SCHEMA = "seen boolean"
-DEFAULT_STATE_TTL_MS = 24 * 3600 * 1000
 
 
 def _make_dedup_fn(state_ttl_ms: int | None):

@@ -157,6 +157,24 @@ def test_detector_registry_seam(spark):
     assert all(e != "BADGE_ID" for e, _ in brows)
 
 
+def test_detector_registry_validation(spark):
+    """A typo'd guard tag fails fast driver-side with a clear message;
+    an explicitly empty detector list means 'detect nothing', not 'fall
+    back to the default analyzer'."""
+    from nerpii_spark.operators.detect import detect_mentions
+
+    df = spark.createDataFrame(
+        [(1, "Contact a@b.example now.")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="unknown guard"):
+        detect_mentions(
+            df, id_cols=("doc_id",),
+            detectors=[("X", r"x", 1.0, "x", False, "digit")],
+        )
+    assert detect_mentions(df, id_cols=("doc_id",), detectors=[]).count() == 0
+    assert detect_mentions(df, id_cols=("doc_id",)).count() > 0
+
+
 def test_it_detectors_find_italian_entities(spark):
     """lang='it' analyzer (it_core_news_lg stand-in): Italian persons and
     cities detected in page text."""

@@ -230,17 +230,27 @@ def test_stateful_dedup_state_ttl_eviction(spark, tmp_path):
     )
     try:
         wait_for(1)
-        time.sleep(1.5)  # timer-check triggers fire and evict alpha's state
-        # alpha recurs AFTER eviction: re-emitted
-        write_batch("b2", [(100, "alpha text")])
+        time.sleep(1.5)  # let alpha's 500ms TTL expire on the wall clock
+        # deterministic eviction: process an unrelated tick batch — the
+        # trigger that handles it also fires the timeout pass for alpha
+        # (robust even if the host stalled every timer-driven trigger
+        # during the sleep)
+        write_batch("b2", [(2, "beta tick")])
         wait_for(2)
+        # alpha recurs AFTER eviction: re-emitted
+        write_batch("b3", [(100, "alpha text")])
+        wait_for(3)
         got = {
             (r["doc_id"], r["text"])
             for r in spark.sql("select * from ttl_dedup").collect()
         }
     finally:
         q.stop()
-    assert got == {(1, "alpha text"), (100, "alpha text")}
+    assert got == {
+        (1, "alpha text"),
+        (2, "beta tick"),
+        (100, "alpha text"),
+    }
 
 
 def test_stream_static_broadcast_enrich(spark, tmp_path):

@@ -84,13 +84,16 @@ def main() -> int:
             print(f"PASS {name} (rows-only: {len(srows)} rows, no oracle)")
             continue
         try:
-            rel = con.sql(os_[name])
-            dcols_raw = [d[0] for d in rel.description]
-            drows = rel.fetchall()
+            # one execution: rows AND schema from the same Arrow table
+            tbl = con.sql(os_[name]).fetch_arrow_table()
+            dcols_raw = tbl.column_names
+            drows = [
+                tuple(row[c] for c in dcols_raw) for row in tbl.to_pylist()
+            ]
             order = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
             dcols = sorted(dcols_raw)
             d_multi = Counter(tuple(norm(r[i]) for i in order) for r in drows)
-            dtypes = arrow_types(con.sql(os_[name]).fetch_arrow_table().schema)
+            dtypes = arrow_types(tbl.schema)
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"duckdb error: {e}"))
             print(f"FAIL {name}: duckdb error: {e}")
@@ -117,7 +120,8 @@ def main() -> int:
         else:
             print(f"PASS {name} ({len(srows)} rows)")
     spark.stop()
-    print(f"\n{len(qs) - len(failures)}/{len(qs) if not only else len(only)} passed")
+    n_checked = len(only) if only else len(qs)
+    print(f"\n{n_checked - len(failures)}/{n_checked} passed")
     return 1 if failures else 0
 
 
