@@ -20,9 +20,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_ARTICLE = re.compile(rb"<article>(.*?)</article>", re.DOTALL)
+# case-insensitive + attribute-tolerant: real-world HTML mixes <SCRIPT>,
+# <Article class="x">, etc.; on the planted corpus (lowercase bare tags)
+# these match byte-identically to the strict forms
+_ARTICLE = re.compile(rb"<article(?:\s[^>]*)?>(.*?)</article>", re.DOTALL | re.IGNORECASE)
 _BLOCKS = re.compile(
-    rb"<(script|style|nav|footer|header)\b[^>]*>.*?</\1>", re.DOTALL
+    rb"<(script|style|nav|footer|header)\b[^>]*>.*?</\1\s*>",
+    re.DOTALL | re.IGNORECASE,
 )
 _TAGS = re.compile(rb"<[^>]+>")
 

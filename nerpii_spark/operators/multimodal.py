@@ -90,9 +90,17 @@ FEATURE_SCHEMA = (
 
 def feature_row(doc_id: int, kind: str, payload: bytes, duration_ms: int):
     """Deterministic payload-derived features (the stand-in for decoded
-    feature extraction; SQL-recomputable)."""
-    head = payload[:12].decode("utf-8", errors="replace")
-    n_frames = duration_ms // 40 if kind == "video" else 0  # 25 fps sampling
+    feature extraction; SQL-recomputable).
+
+    head = first 12 CHARACTERS of the decoded payload (not 12 bytes —
+    a byte slice would split multi-byte codepoints and hash a U+FFFD
+    the SQL oracle can never produce; the payload is char-aligned utf-8
+    by construction). n_frames = ceil(duration/40ms), exactly the row
+    count frame_sample_offsets plans for the same video."""
+    head = payload.decode("utf-8", errors="replace")[:12]
+    n_frames = (
+        -(-duration_ms // 40) if kind == "video" and duration_ms > 0 else 0
+    )
     return (doc_id, kind, len(payload), strhash(head), n_frames)
 
 
@@ -125,8 +133,12 @@ def frame_sample_offsets(media: DataFrame, every_ms: int = 40) -> DataFrame:
         .select(
             "doc_id",
             F.explode(
+                # empty plan for non-positive durations (matches the
+                # oracle's range(0, d, step) semantics exactly)
                 F.expr(
-                    f"sequence(0, greatest(meta.duration_ms - 1, 0), {every_ms})"
+                    "case when meta.duration_ms > 0 then"
+                    f" sequence(0, meta.duration_ms - 1, {every_ms})"
+                    " else array() end"
                 )
             ).alias("offset_ms"),
         )
@@ -142,7 +154,8 @@ select m.doc_id,
        m.kind,
        cast(octet_length(m.payload) as int) as n_bytes,
        {sql_strhash(head)} as head_hash,
-       cast(case when m.kind = 'video' then m.meta.duration_ms // 40
+       cast(case when m.kind = 'video' and m.meta.duration_ms > 0
+            then (m.meta.duration_ms + 39) // 40
             else 0 end as int) as n_frames
 from media m join {doc_rel} d on m.doc_id = d.doc_id
 """

@@ -45,9 +45,9 @@ class PipelineConfig:
     root: str
     n_buckets: int = 64
     run_id: str = "run-0"
-    stages: tuple[str, ...] = (
-        "clean_pages", "mentions", "triples", "entities", "triples_masked"
-    )
+    # stage ORDER is the dataflow itself (run() wires the dependencies);
+    # use run(stop_after=...) to truncate — a configurable stage list
+    # would only misleadingly suggest stages can be reordered
     partitioned: tuple[str, ...] = ("clean_pages", "mentions", "triples",
                                     "triples_masked")
     executed: list[str] = field(default_factory=list)
@@ -86,7 +86,7 @@ class Pipeline:
 
     # -- checkpoint plumbing -------------------------------------------------
 
-    def _write(self, stage: str, df: DataFrame, input_rows: int) -> None:
+    def _write(self, stage: str, df: DataFrame, input_rows: int | None) -> None:
         t0 = time.perf_counter()
         if stage in self.cfg.partitioned:
             df = with_bucket(df, self.cfg.n_buckets)
@@ -103,8 +103,15 @@ class Pipeline:
         self._append_lineage(stage, input_rows, wall_ms)
         self.cfg.executed.append(stage)
 
-    def _append_lineage(self, stage: str, input_rows: int, wall_ms: int) -> None:
+    def _append_lineage(
+        self, stage: str, input_rows: int | None, wall_ms: int
+    ) -> None:
         out = self.catalog.read(self.spark, stage)
+        if input_rows is None:
+            # 1:1 stages (clean): input rows == output rows; counting the
+            # checkpointed parquet is cheap, counting the LIVE upstream
+            # plan would re-execute the whole corpus CTE a second time
+            input_rows = out.count()
         per_part = (
             with_bucket(out, self.cfg.n_buckets)
             .groupBy(F.col("bucket").cast("int").alias("partition_id"))
@@ -123,11 +130,37 @@ class Pipeline:
     def _read(self, stage: str) -> DataFrame:
         return self.catalog.read(self.spark, stage)
 
-    def _stage(self, stage: str, build, upstream: DataFrame) -> DataFrame:
+    def _ensure_lineage(self, stage: str) -> None:
+        """Crash-recovery: a kill between a checkpoint's _SUCCESS and its
+        lineage append would otherwise leave the stage without lineage
+        under ANY run (resume skips it forever). Backfill only in that
+        case — normal resumes add no rows for skipped stages (asserted
+        by tests). input_rows = -1 marks the backfill."""
+        if self.catalog.exists(self.spark, "lineage"):
+            existing = (
+                self.catalog.read(self.spark, "lineage")
+                .where(F.col("stage") == stage)
+                .limit(1)
+                .count()
+            )
+            if existing:
+                return
+        self._append_lineage(stage, -1, 0)
+
+    def _stage(
+        self,
+        stage: str,
+        build,
+        upstream: DataFrame,
+        one_to_one: bool = False,
+    ) -> DataFrame:
         if self.catalog.exists(self.spark, stage):
             self.cfg.skipped.append(stage)
+            self._ensure_lineage(stage)
             return self._read(stage)
-        n_in = upstream.count()
+        # 1:1 stages take input_rows from the (cheap) checkpointed output
+        # instead of force-evaluating a live upstream plan twice
+        n_in = None if one_to_one else upstream.count()
         self._write(stage, build(upstream), n_in)
         return self._read(stage)
 
@@ -141,7 +174,8 @@ class Pipeline:
         # text is the contract downstream (and the bytes would double the
         # checkpoint footprint at scale)
         clean = self._stage(
-            "clean_pages", lambda p: clean_pages(p).drop("html"), pages
+            "clean_pages", lambda p: clean_pages(p).drop("html"), pages,
+            one_to_one=True,
         )
         out["clean_pages"] = clean
         if stop_after == "clean_pages":

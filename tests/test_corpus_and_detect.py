@@ -129,6 +129,11 @@ def test_clean_html_edge_cases():
     # deterministic
     raw = b"<html><nav>n</nav><p>x y</p></html>"
     assert clean_html_bytes(raw) == clean_html_bytes(raw)
+    # real-world casing/attributes: uppercase script stripped, attributed
+    # article still wins
+    assert clean_html_bytes(b"<SCRIPT>var x=1;</SCRIPT><P>Hello</P>") == "Hello"
+    assert clean_html_bytes(b'<Article class="x">A B</Article>') == "A B"
+    assert clean_html_bytes(b"<style >c{}</style >ok") == "ok"
 
 
 def test_detector_registry_seam(spark):

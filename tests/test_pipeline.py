@@ -98,3 +98,28 @@ def test_lineage_partition_counts(spark, tmp_root):
 
     langs = os.listdir(f"{tmp_root}/triples")
     assert any(d.startswith("lang=") for d in langs)
+
+
+def test_lineage_backfill_after_crash(spark, tmp_root):
+    """A kill between a checkpoint's _SUCCESS and its lineage append must
+    not lose the stage's lineage forever: the resume backfills it
+    (input_rows = -1 marks the backfill) — while normal resumes still add
+    no lineage for skipped stages."""
+    import shutil as sh
+
+    pages = _pages(spark, n=30)
+    p1 = Pipeline(spark, PipelineConfig(root=tmp_root, run_id="c1"))
+    p1.run(pages, stop_after="mentions")
+    # simulate the crash window: checkpoints exist, lineage rows lost
+    sh.rmtree(f"{tmp_root}/lineage")
+    p2 = Pipeline(spark, PipelineConfig(root=tmp_root, run_id="c2"))
+    p2.run(pages, stop_after="mentions")
+    assert p2.cfg.skipped == ["clean_pages", "mentions"]
+    lin = p2.lineage()
+    stages = {r["stage"] for r in lin.select("stage").distinct().collect()}
+    assert stages == {"clean_pages", "mentions"}
+    assert {r["input_rows"] for r in lin.select("input_rows").collect()} == {-1}
+    # a THIRD run over intact lineage adds nothing for skipped stages
+    p3 = Pipeline(spark, PipelineConfig(root=tmp_root, run_id="c3"))
+    p3.run(pages, stop_after="mentions")
+    assert p3.lineage().where(F.col("run_id") == "c3").count() == 0
