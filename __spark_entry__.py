@@ -759,7 +759,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_triples": gt,
         "q_triples_by_pred": (
-            f"select pred, count(*) as n_triples from ({gt}) group by pred"
+            f"select pred, count(*) as n_triples,"
+            f" cast(count(distinct subj) as bigint) as n_subjs"
+            f" from ({gt}) group by pred"
         ),
         "q_entities": P.golden_entities_sql(),
         "q_resolve_persons": P.golden_resolved_persons_sql(),

@@ -28,7 +28,11 @@ C = 12_345
 
 # ---------------------------------------------------------------- python
 def h1(key: int, salt: int) -> int:
-    """First-level hash of a non-negative int64 key (key < 2^32)."""
+    """First-level hash of a non-negative int key. SQL-side bound:
+    key * PHI must fit int64, so key <= ~3.47e9 ((2^63-1)/PHI); stay
+    below 2^31 to honor the module invariant with ample margin (every
+    engine key — doc_id incl. bench replication and the +2e6 dup
+    offsets, vec_id + 1e5, strhash < M — is far below it)."""
     return (key * PHI + salt * 97 + C) % M
 
 
@@ -94,11 +98,15 @@ def strhash(s: str) -> int:
 
 def sql_strhash(expr: str) -> str:
     """Same polynomial as strhash(), valid in Spark SQL and DuckDB SQL.
-    Terms stay < 2^42, safe for int64 ANSI arithmetic."""
-    terms = [f"cast(length({expr}) as bigint) * 97"]
+    Terms stay < 2^42, safe for int64 ANSI arithmetic. NULL-safe like the
+    Python mirror (strhash(None) == strhash('') == 0): the input is
+    coalesced to '' so a NULL cell hashes to 0 instead of poisoning the
+    whole expression to NULL."""
+    e = f"coalesce({expr}, '')"
+    terms = [f"cast(length({e}) as bigint) * 97"]
     for i in range(STRHASH_CHARS):
         c = (
-            f"cast(coalesce(ascii(nullif(substring({expr}, {i + 1}, 1), '')), 0)"
+            f"cast(coalesce(ascii(nullif(substring({e}, {i + 1}, 1), '')), 0)"
             " as bigint)"
         )
         terms.append(f"{c} * {_POW31[i]}")

@@ -80,18 +80,21 @@ def gender_lookup_df(spark: SparkSession) -> DataFrame:
 def with_gender(df: DataFrame, first_name_col: str) -> DataFrame:
     """Append `first_name_gender` via broadcast join (reference appends the
     same column at :228-229). Unknown names -> 'unknown'; null -> 'Nan value'
-    (the reference's literal sentinel at :226)."""
+    (the reference's literal sentinel at :226). Lookup columns use
+    collision-proof names so an input that already carries 'gender' /
+    'name_key' columns survives untouched."""
     spark = df.sparkSession
-    lk = gender_lookup_df(spark)
+    lk = gender_lookup_df(spark).select(
+        F.col("name_key").alias("__gl_key"), F.col("gender").alias("__gl_val")
+    )
     key = F.lower(F.trim(F.col(first_name_col)))
     return (
-        df.withColumn("__k", key)
-        .join(F.broadcast(lk), F.col("__k") == lk.name_key, "left")
+        df.join(F.broadcast(lk), key == lk["__gl_key"], "left")
         .withColumn(
             "first_name_gender",
             F.when(F.col(first_name_col).isNull(), F.lit("Nan value")).otherwise(
-                F.coalesce(F.col("gender"), F.lit("unknown"))
+                F.coalesce(F.col("__gl_val"), F.lit("unknown"))
             ),
         )
-        .drop("__k", "name_key", "gender")
+        .drop("__gl_key", "__gl_val")
     )

@@ -192,13 +192,24 @@ def extract_triples_inline(
 
 
 def triples_by_pred_salted(triples: DataFrame, n_salt: int = 16) -> DataFrame:
-    """Skew-aware predicate histogram (north_rule: explicit salting on hot
-    predicates). `pred` is Zipf-hot (works_at dominates), so a plain
-    groupBy('pred') funnels the hot key through one reducer; salt with a
-    subj-hash shard, partial-agg, then final-agg on the tiny salted result.
-    """
+    """Skew-aware per-predicate stats: (pred, n_triples, n_subjs).
+
+    `pred` is Zipf-hot (works_at dominates). For the plain count alone,
+    map-side partial aggregation already collapses the hot key (a salt
+    would be pure overhead); the salt earns its keep for the DISTINCT
+    aggregation: subjects shard by hash(subj) % n_salt, so each shard's
+    distinct-subject set is DISJOINT and per-shard exact counts sum to
+    the exact global count — the hot predicate's distinct work spreads
+    over n_salt reducers instead of concentrating on one. Both stats
+    ride the same two-level plan."""
     salted = triples.withColumn(
         "salt", F.pmod(F.xxhash64("subj"), F.lit(n_salt)).cast("int")
     )
-    partial = salted.groupBy("pred", "salt").agg(F.count("*").alias("c"))
-    return partial.groupBy("pred").agg(F.sum("c").alias("n_triples"))
+    partial = salted.groupBy("pred", "salt").agg(
+        F.count("*").alias("c"),
+        F.count_distinct("subj").alias("d"),
+    )
+    return partial.groupBy("pred").agg(
+        F.sum("c").alias("n_triples"),
+        F.sum("d").cast("bigint").alias("n_subjs"),
+    )

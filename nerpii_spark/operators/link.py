@@ -184,6 +184,18 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # never silent: an abandoned fixpoint splits one real entity into
+        # several labels downstream
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within {max_iter}"
+            f" iterations ({changed} labels still changing) — a component"
+            " with diameter > max_iter is returned SPLIT; raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

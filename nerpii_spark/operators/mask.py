@@ -233,16 +233,16 @@ def masked_select_sql(
     # (the reference passes get_first_name/get_last_name's lists, :630-632)
     first_col = next((c for c, k in routing.items() if k == "first_name"), None)
     last_col = next((c for c, k in routing.items() if k == "last_name"), None)
-    parts = [f'"{key_col}"' if dialect == "duck" else f"`{key_col}`"]
-    parts = [parts[0] + f" as {key_col}"]
+    qc = (lambda c: f'"{c}"') if dialect == "duck" else (lambda c: f"`{c}`")
+    parts = [f"{qc(key_col)} as {qc(key_col)}"]
     for c in extra_cols or []:
         parts.append(c)
     for c in all_cols:
-        if c == gender_col:
-            continue  # dropped after use
-        q = f'"{c}"' if dialect == "duck" else f"`{c}`"
+        if c == gender_col or c == key_col:
+            continue  # gender dropped after use; key already emitted
+        q = qc(c)
         if c not in routing:
-            parts.append(f"{q} as {c}")
+            parts.append(f"{q} as {q}")
             continue
         g = gq if routing[c] in ("first_name", "email") else None
         if routing[c] == "email":
@@ -260,11 +260,12 @@ def masked_select_sql(
             synth = f"(lower({first}) || '.' || lower({last}) || '@' || {dom})"
         else:
             synth = synth_sql(dialect, routing[c], key_col, salts[c], g, lang)
-        if mark == GEN_MARK:
-            repl = f"case when {q} = '{GEN_MARK}' then {synth} else {q} end"
+        if mark is not None:
+            m = mark.replace("'", "''")
+            repl = f"case when {q} = '{m}' then {synth} else {q} end"
         else:
             repl = f"case when {q} is null then null else {synth} end"
-        parts.append(f"{repl} as {c}")
+        parts.append(f"{repl} as {q}")
     return f"select {', '.join(parts)} from {rel}"
 
 
@@ -285,7 +286,10 @@ def mask_table(
     prof_rows = [
         (r["col"], r["entity"], r["confidence"]) for r in profile.collect()
     ]
-    all_cols = [c for c, _, _ in prof_rows]
+    # emit EVERY input column (reference mutates the frame in place):
+    # unprofiled/non-string columns pass through untouched; only the
+    # profile drives routing
+    all_cols = [c for c in df.columns if c != key_col]
     gender_col = "first_name_gender" if "first_name_gender" in df.columns else None
     # state-abbr branch: first value (by key order, deterministic) length 2
     # — ONE min_by aggregation job for all state columns, not one job each
@@ -347,11 +351,11 @@ def masked_triples_exprs(dialect: str) -> tuple[str, str]:
 
 
 def mask_triples(triples: DataFrame) -> DataFrame:
-    """triples -> triples_masked (same schema; PII surfaces replaced)."""
+    """triples -> triples_masked (same schema, same COLUMN ORDER — so
+    positional ops like union against the unmasked table stay aligned;
+    PII surfaces replaced in place)."""
     subj, obj = masked_triples_exprs("spark")
-    keep = [c for c in triples.columns if c not in ("subj", "obj")]
+    repl = {"subj": F.expr(subj).alias("subj"), "obj": F.expr(obj).alias("obj")}
     return triples.select(
-        *keep,
-        F.expr(subj).alias("subj"),
-        F.expr(obj).alias("obj"),
+        *[repl.get(c, F.col(c)) for c in triples.columns]
     )

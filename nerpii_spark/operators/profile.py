@@ -169,14 +169,23 @@ def column_profile(
     unseeded (nondeterministic); ours is a deterministic limit()."""
     spark = df.sparkSession
     cols = cols if cols is not None else string_columns(df)
+    if not cols:
+        return spark.createDataFrame(
+            [], "col string, entity string, confidence double"
+        )
     if data_sample is not None:
         df = df.limit(data_sample)
-    n_rows = df.count()
 
+    # the melt + 8-regex CASE projection is the dominant cost: checkpoint
+    # it so the presidio-counts and model-org aggregations (different
+    # groupings — exchange reuse cannot share them) evaluate it ONCE, and
+    # derive n_rows from it (|typed| = n_rows x n_cols) instead of a
+    # third scan of the base table
     long = melt_strings(df, cols)
     typed = long.withColumn(
         "entity", F.expr(value_entity_sql("spark", "val", lang))
-    )
+    ).localCheckpoint(eager=False)
+    n_rows = typed.count() // len(cols)
 
     # --- presidio stage: counts per (col, entity) -------------------------
     counts = (

@@ -272,3 +272,64 @@ def test_masked_pii_round_trip_detectable(spark):
     assert RE_PERSON.fullmatch(rows[2]["subj"])
     assert RE_PHONE.fullmatch(rows[2]["obj"])
     assert RE_PERSON.fullmatch(rows[3]["subj"])
+
+
+def test_custom_generation_mark(spark):
+    """A caller-supplied mark (not '*') replaces ONLY marked cells."""
+    df = spark.createDataFrame(
+        [(1, "<GEN>"), (2, "123-45-6789")], "rid bigint, ssn string"
+    )
+    prof = spark.createDataFrame(
+        [("ssn", "US_SSN", 1.0)], "col string, entity string, confidence double"
+    )
+    out = {r["rid"]: r["ssn"]
+           for r in mask_table(df, prof, "rid", mark="<GEN>").collect()}
+    assert out[2] == "123-45-6789"  # untouched despite being real PII shape
+    assert out[1] != "<GEN>" and out[1][3] == "-"
+
+
+def test_unprofiled_columns_pass_through(spark):
+    """Non-string / unprofiled columns survive masking untouched (the
+    reference mutates the frame in place — nothing is dropped)."""
+    df = spark.createDataFrame(
+        [(1, 42, 1.5, "123-45-6789")],
+        "rid bigint, age int, salary double, ssn string",
+    )
+    prof = spark.createDataFrame(
+        [("ssn", "US_SSN", 1.0)], "col string, entity string, confidence double"
+    )
+    out = mask_table(df, prof, "rid")
+    assert out.columns == ["rid", "age", "salary", "ssn"]
+    r = out.collect()[0]
+    assert r["age"] == 42 and r["salary"] == 1.5 and r["ssn"] != "123-45-6789"
+
+
+def test_mask_triples_preserves_column_order(spark):
+    t = spark.createDataFrame(
+        [(1, "James Smith", "works_at", "Acme Corp", 1.0)],
+        "doc_id bigint, subj string, pred string, obj string, score double",
+    )
+    assert mask_triples(t).columns == t.columns
+
+
+def test_with_gender_survives_existing_gender_column(spark):
+    from nerpii_spark.functions.text import with_gender
+
+    df = spark.createDataFrame(
+        [("Laura", "whatever")], "first_name string, gender string"
+    )
+    out = with_gender(df, "first_name").collect()[0]
+    assert out["gender"] == "whatever"          # user column untouched
+    assert out["first_name_gender"] == "female"
+
+
+def test_sql_strhash_null_matches_python(spark):
+    from nerpii_spark.functions.hashing import sql_strhash, strhash
+    import duckdb
+
+    df = spark.createDataFrame([(None,)], "s string")
+    got = df.select(F.expr(sql_strhash("s")).alias("h")).collect()[0]["h"]
+    assert got == strhash(None) == strhash("") == 0
+    assert duckdb.sql(
+        f"select {sql_strhash('s')} from (select cast(null as varchar) as s)"
+    ).fetchone()[0] == strhash(None)
