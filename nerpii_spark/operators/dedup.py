@@ -262,11 +262,14 @@ def ngram_jaccard_pairs(
     """-> (id_a, id_b, n_inter, n_union): exact shingle-set overlap counts
     for pairs above tau. Candidates from the df-capped shingle self-join
     (skew-guarded); counts verified exactly per pair from the full hashed
-    shingle sets, so the cap never distorts a reported count."""
-    cand = ngram_candidate_pairs(docs, id_col=id_col, max_df=max_df)
+    shingle sets, so the cap never distorts a reported count. The
+    shingle+hash pass runs ONCE (checkpointed nodes feed both the
+    exploded candidate rows and the verify sides)."""
     nodes = with_hashed_shingles(docs).select(
         F.col(id_col).alias("sid"), "hsh"
     ).localCheckpoint(eager=False)
+    sh = nodes.select("sid", F.explode("hsh").alias("sh_hash"))
+    cand = _bucket_pairs(sh, ["sh_hash"], "sid", max_df)
     a = nodes.select(F.col("sid").alias("id_a"), F.col("hsh").alias("h_a"))
     b = nodes.select(F.col("sid").alias("id_b"), F.col("hsh").alias("h_b"))
     return (

@@ -87,13 +87,30 @@ def _norm(a: str) -> str:
 
 
 def with_cosine(pairs: DataFrame, a: str = "qv", b: str = "cv") -> DataFrame:
-    """Quantized cosine (6 dp) — deterministic ranking across engines."""
+    """Quantized cosine (6 dp) — deterministic ranking across engines.
+    Prefer the precomputed-norm path (with_norm + cosine_expr) on hot
+    joins: this convenience form evaluates THREE interpreted HOF folds
+    per candidate pair."""
     return pairs.withColumn(
         "cos",
         F.round(
             F.expr(f"{_dot(a, b)} / ({_norm(a)} * {_norm(b)})"), 6
         ),
     )
+
+
+def with_norm(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    """Precompute a vector's norm ONCE per row (one HOF fold) so the
+    pairwise scorer evaluates only the dot product per candidate —
+    without this, every candidate pair re-folds both norms (3x the
+    interpreted-HOF work on the dominant verify stage). Bit-identical
+    cosines: the norm expression is unchanged, just evaluated per vector
+    instead of per pair."""
+    return df.withColumn(out, F.expr(_norm(vec_col)))
+
+
+def cosine_expr(a: str, b: str, na: str, nb: str) -> str:
+    return f"round({_dot(a, b)} / ({na} * {nb}), 6)"
 
 
 def cosine_topk(
@@ -105,13 +122,21 @@ def cosine_topk(
 ) -> DataFrame:
     """-> (query_id, rank, neighbor_id, cos): exact top-k by quantized
     cosine; ties broken by ascending neighbor id."""
-    q = embs.where(F.expr(query_pred)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    q = with_norm(
+        embs.where(F.expr(query_pred)).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        "qv", "qn",
     )
-    c = embs.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = with_cosine(
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    c = with_norm(
+        embs.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        "cv", "cn",
     )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("cos", F.expr(cosine_expr("qv", "cv", "qn", "cn")))
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -171,21 +196,27 @@ def hyperplane_lsh_topk(
 ) -> DataFrame:
     """ANN top-k: candidates share >= 1 sign band with the query."""
     banded = with_lsh_bands(embs, id_col, vec_col)
-    q = banded.where(F.expr(query_pred)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        "band", "bv",
+    q = with_norm(
+        banded.where(F.expr(query_pred)).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            "band", "bv",
+        ),
+        "qv", "qn",
     )
-    c = banded.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        "band", "bv",
+    c = with_norm(
+        banded.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+            "band", "bv",
+        ),
+        "cv", "cn",
     )
     cand = (
         q.join(c, ["band", "bv"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
         .distinct()
     )
-    scored = with_cosine(cand)
+    scored = cand.withColumn("cos", F.expr(cosine_expr("qv", "cv", "qn", "cn")))
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -196,7 +227,7 @@ def hyperplane_lsh_topk(
 
 def embedding_dup_pairs(
     embs: DataFrame,
-    tau: float = 0.95,
+    tau: float = DUP_TAU,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "lsh",
@@ -211,22 +242,36 @@ def embedding_dup_pairs(
     O(N^2) cross join — used only in DuckDB oracles and tests."""
     if method == "lsh":
         banded = with_lsh_bands(embs, id_col, vec_col)
-        a = banded.select(F.col(id_col).alias("id_a"),
-                          F.col(vec_col).alias("qv"), "band", "bv")
-        b = banded.select(F.col(id_col).alias("id_b"),
-                          F.col(vec_col).alias("cv"), "band", "bv")
+        a = with_norm(
+            banded.select(F.col(id_col).alias("id_a"),
+                          F.col(vec_col).alias("qv"), "band", "bv"),
+            "qv", "qn",
+        )
+        b = with_norm(
+            banded.select(F.col(id_col).alias("id_b"),
+                          F.col(vec_col).alias("cv"), "band", "bv"),
+            "cv", "cn",
+        )
         cand = (
             a.join(b, ["band", "bv"])
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "qv", "cv")
+            .select("id_a", "id_b", "qv", "qn", "cv", "cn")
             .distinct()
         )
     else:
-        a = embs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("qv"))
-        b = embs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("cv"))
+        a = with_norm(
+            embs.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("qv")),
+            "qv", "qn",
+        )
+        b = with_norm(
+            embs.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("cv")),
+            "cv", "cn",
+        )
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
-        with_cosine(cand)
+        cand.withColumn("cos", F.expr(cosine_expr("qv", "cv", "qn", "cn")))
         .where(F.col("cos") >= tau)
         .select("id_a", "id_b", "cos")
     )
@@ -279,22 +324,28 @@ def ivf_topk(
     def _probe(v: pd.Series) -> pd.Series:
         return pd.Series([row.tolist() for row in _cells_of(v, n_probe)])
 
-    assigned = embs.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        _assign(F.col(vec_col)).alias("cell"),
+    assigned = with_norm(
+        embs.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            _assign(F.col(vec_col)).alias("cell"),
+        ),
+        "cv", "cn",
     )
-    q = embs.where(F.expr(query_pred)).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.explode(_probe(F.col(vec_col))).alias("cell"),
+    q = with_norm(
+        embs.where(F.expr(query_pred)).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(_probe(F.col(vec_col))).alias("cell"),
+        ),
+        "qv", "qn",
     )
     cand = (
         q.join(assigned, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
     )
-    scored = with_cosine(cand)
+    scored = cand.withColumn("cos", F.expr(cosine_expr("qv", "cv", "qn", "cn")))
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

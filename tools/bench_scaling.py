@@ -41,9 +41,16 @@ def run_level(cores: int, attempts: int = 3) -> dict:
             env=env,
             capture_output=True,
             text=True,
-            check=True,
             timeout=1800,
         )
+        if out.returncode != 0:
+            # surface the captured diagnostics before dying — a bare
+            # CalledProcessError would discard the Spark traceback
+            sys.stderr.write(out.stderr[-4000:])
+            raise RuntimeError(
+                f"bench.py failed at {cores} cores (rc={out.returncode});"
+                " stderr tail above"
+            )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         r = json.loads(line)
         if best is None or r["triples_per_sec"] > best["triples_per_sec"]:
@@ -85,7 +92,7 @@ hardware artifact confirmed by a pure-Python burn test):
 | 4N | {high} | {r_high['queries']['e2e_triples']} | {r_high['triples']} | {tp_high} |
 
 - speedup {low}->{high} cores: **{speedup:.2f}x**
-- scaling efficiency (speedup / {high // low}): **{eff:.3f}** (target >= 0.8)
+- scaling efficiency (speedup / {high / low:g}): **{eff:.3f}** (target >= 0.8)
 
 Per-query seconds at each level (`bench.py` JSON):
 

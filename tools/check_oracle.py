@@ -64,6 +64,10 @@ def main() -> int:
         con.sql(f"create view {t} as select * from '{sf_dir}/{t}.parquet'")
 
     qs, os_ = E.queries(), E.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR: unknown query names: {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
