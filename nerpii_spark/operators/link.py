@@ -165,6 +165,9 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_min"))
         )
+        # carry a change flag through the update so convergence is a
+        # filter-count on the (already materialized) checkpoint, not a
+        # second join of new-vs-old labels
         new_labels = (
             labels.join(nbr, labels.sid == nbr.dst, "left")
             .select(
@@ -172,16 +175,13 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
+                (F.coalesce(F.col("nbr_min"), F.col("label")) < F.col("label"))
+                .alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "sid")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("chg").count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     else:
