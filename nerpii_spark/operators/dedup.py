@@ -76,7 +76,11 @@ from members a join members b on a.gid = b.gid and a.id < b.id
 
 
 def shingles_sql(dialect: str, text_expr: str) -> str:
-    """Distinct 3-word shingles of lower(text); whole text when < 3 words."""
+    """Distinct 3-word shingles of lower(text); whole text when < 3 words.
+    The 'spark' branch is the single-expression semantic contract (kept
+    for inline-SQL callers); DataFrame paths use `with_shingles`, which
+    evaluates identically but materializes the word array once (the
+    inline form re-splits per lambda element — see PLANS.md)."""
     if dialect == "spark":
         ws = f"split(lower({text_expr}), ' ')"
         grams = (
@@ -96,7 +100,24 @@ def shingles_sql(dialect: str, text_expr: str) -> str:
 
 
 def with_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.withColumn("shingles", F.expr(shingles_sql("spark", text_col)))
+    """Same output as `shingles_sql('spark', ...)` in one expression, but
+    the word array is materialized ONCE per row first: interpreted HOF
+    lambdas do not common-subexpression-eliminate, so the single-expr
+    form re-splits the full text on every `element_at` access — measured
+    O(words^2) and ~13x slower at sf0.1 (7.6s vs 0.6s warm) for
+    bit-identical output. The DuckDB dialect keeps the inline form (its
+    list engine evaluates `string_split` once)."""
+    grams = (
+        "array_distinct(transform(sequence(1, greatest(size(__ws) - 2, 1)),"
+        " i -> concat_ws(' ', element_at(__ws, i),"
+        " element_at(__ws, least(i + 1, size(__ws))),"
+        " element_at(__ws, least(i + 2, size(__ws))))))"
+    )
+    return (
+        docs.withColumn("__ws", F.expr(f"split(lower({text_col}), ' ')"))
+        .withColumn("shingles", F.expr(grams))
+        .drop("__ws")
+    )
 
 
 def with_hashed_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -178,41 +199,36 @@ def minhash_dup_pairs(
 
     Plan-shape notes (each measured with interleaved A/B at sf0.1 x3):
 
-      * Banding stays zero-shuffle HOF lambdas per row. The codegen
-        alternative (explode shingles, one wide groupBy(sid) of band
-        minima) ran ~50% SLOWER (15s vs 9.6s) — the explode+wide-agg
-        shuffle costs more than interpreted lambda eval at this shape.
-      * Bucket pairing is count-filter + self-join over a ONE-TIME
-        materialized band table (localCheckpoint), NOT
-        collect_list-then-filter: a hot bucket (boilerplate shingle
+      * The shingle+hash pass is materialized ONCE (localCheckpoint) and
+        feeds BOTH banding and verification; band minima derive from the
+        int64 `hsh` values (`xxhash64(h, b)` — statistically the same
+        r=1/b=16 family, measured 1.8s vs 9.9s for re-hashing the shingle
+        strings per band) so the string shingles never leave the first
+        projection.
+      * Bucket pairing is count-filter + self-join over the band table,
+        NOT collect_list-then-filter: a hot bucket (boilerplate shingle
         shared by 10^8 docs) would materialize its whole member list on
         one reducer BEFORE the cap filter could drop it — the classic
         web-scale OOM. count() pre-aggregates map-side so the hot key
         never concentrates; measured at parity with collect_list locally
-        (11.2s vs 10.6s warm). The checkpoint also keeps the expensive
-        banding computed once instead of once per join branch.
+        (11.2s vs 10.6s warm).
       * The verify join ships int64 hash arrays, not shingle strings."""
     nodes = with_hashed_shingles(docs).select(
-        F.col(id_col).alias("sid"), "shingles", "hsh"
-    )
+        F.col(id_col).alias("sid"), "hsh"
+    ).localCheckpoint(eager=False)
     bands = nodes.select(
         "sid",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {n_bands - 1}),"
                 " b -> named_struct('band', b, 'mh',"
-                " array_min(transform(shingles, s -> xxhash64(s, b)))))"
+                " array_min(transform(hsh, h -> xxhash64(h, b)))))"
             )
         ).alias("bk"),
     ).select("sid", "bk.band", "bk.mh").localCheckpoint(eager=False)
     pairs = _bucket_pairs(bands, ["band", "mh"], "sid", max_bucket)
-    # verify with int64 shingle hashes — the join shuffles 8-byte arrays,
-    # not the raw shingle strings (the wide side of this dataflow at
-    # scale); checkpointed so the shingle+hash subtree is computed once
-    # for verification instead of once per join side
-    feat = nodes.select("sid", "hsh").localCheckpoint(eager=False)
-    a = feat.select(F.col("sid").alias("id_a"), F.col("hsh").alias("h_a"))
-    b = feat.select(F.col("sid").alias("id_b"), F.col("hsh").alias("h_b"))
+    a = nodes.select(F.col("sid").alias("id_a"), F.col("hsh").alias("h_a"))
+    b = nodes.select(F.col("sid").alias("id_b"), F.col("hsh").alias("h_b"))
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")

@@ -70,3 +70,35 @@ def test_scan_text_offsets_consistent(text):
     for m in scan_text(text):
         _, _etype, mention, begin, end = m[0], m[1], m[2], m[3], m[4]
         assert text[begin:end] == mention
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=120,
+    ),
+)
+def test_trie_alt_matches_length_sorted_alternation(words, text):
+    # _trie_alt is a pure speedup: identical match SPANS to the
+    # length-desc alternation on arbitrary word sets and texts
+    # (leftmost-longest tie-break preserved by trying child branches
+    # before the end-of-word marker)
+    import re
+
+    from nerpii_spark.operators.detect import _alt, _trie_alt
+
+    old = re.compile(_alt(words))
+    new = re.compile(_trie_alt(words))
+    a = [(m.start(), m.end()) for m in old.finditer(text)]
+    b = [(m.start(), m.end()) for m in new.finditer(text)]
+    assert a == b
