@@ -488,6 +488,57 @@ def q_domain_stats(spark, sf):
     return TS.domain_stats(_pipeline(spark, sf)["clean"])
 
 
+def q_quality_repetition(spark, sf):
+    """Gopher repetition gate: per-doc share of word bigrams taken by the
+    most frequent bigram (explode -> two map-side-combined aggs)."""
+    return TS.repetition_stats(_load(spark, sf, "documents"))
+
+
+def q_vocab_topk(spark, sf):
+    """Per-language vocabulary head (top-10 tokens, deterministic
+    tie-break); the rank window moves only |vocab| rows per lang."""
+    return TS.vocab_topk(_load(spark, sf, "documents"), k=10)
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: training docs (dup corpus minus the
+    eval originals) flagged when >= 50% of their shingles appear in the
+    broadcast eval shingle union; planted copies of eval docs must come
+    out contaminated. Oracle recomputes exact string-shingle overlap."""
+    dup = _dup_docs(spark, sf)
+    docs = _load(spark, sf, "documents")
+    train = dup.where(F.expr(f"doc_id % {D.EVAL_MOD} <> {D.EVAL_RES}"))
+    ev = docs.where(F.expr(f"doc_id % {D.EVAL_MOD} = {D.EVAL_RES}"))
+    return D.decontaminate(train, ev)
+
+
+def q_pii_by_domain(spark, sf):
+    """PII density rollup: mentions per domain over the cleaned pages —
+    the prioritization signal a masking stage consumes. Mention counts
+    pre-aggregate per doc before the (low-cardinality) domain agg."""
+    p = _pipeline(spark, sf)
+    per_doc = p["mentions"].groupBy("doc_id").agg(
+        F.count("*").alias("n_m")
+    )
+    return (
+        p["clean"]
+        .select(
+            "doc_id",
+            F.expr(TS.domain_expr("spark", "url")).alias("domain"),
+            F.length("text").cast("bigint").alias("n_chars"),
+        )
+        .join(per_doc, "doc_id", "left")
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("n_m"), F.lit(0))).cast("bigint").alias(
+                "n_mentions"
+            ),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
 def _media(spark, sf):
     docs = _load(spark, sf, "documents")
     docs.createOrReplaceTempView("nerpii_documents_media")
@@ -636,6 +687,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_counts": q_token_counts,
         "q_quality": q_quality,
         "q_quality_gopher": q_quality_gopher,
+        "q_quality_repetition": q_quality_repetition,
+        "q_vocab_topk": q_vocab_topk,
+        "q_decontaminate": q_decontaminate,
+        "q_pii_by_domain": q_pii_by_domain,
         "q_domain_stats": q_domain_stats,
         "q_fingerprint": q_fingerprint,
         "q_media_features": q_media_features,
@@ -726,6 +781,9 @@ def _extras_oracles() -> dict[str, str]:
             + ", ".join(f"{e} as {name}" for name, e in g.items())
             + " from documents"
         )(TS.gopher_sql("duck", "text")),
+        "q_quality_repetition": TS.duck_repetition_sql(),
+        "q_vocab_topk": TS.duck_vocab_topk_sql(10),
+        "q_decontaminate": D.duck_decontaminate_sql(),
         "q_domain_stats": f"""
             select {TS.domain_expr('duck', 'url')} as domain,
                    count(*) as n_docs,
@@ -882,6 +940,16 @@ def oracle_sql() -> dict[str, str]:
             )
         )(masked_triples_exprs("duck")),
         **_extras_oracles(),
+        "q_pii_by_domain": f"""
+            with pg as ({pages}),
+            pm as (select doc_id, count(*) as n_m from ({gm}) group by 1)
+            select {TS.domain_expr('duck', 'url')} as domain,
+                   count(*) as n_docs,
+                   cast(sum(coalesce(pm.n_m, 0)) as bigint) as n_mentions,
+                   cast(sum(length(text)) as bigint) as total_chars
+            from pg left join pm using (doc_id)
+            group by 1
+        """,
         "q_scan": "select * from customer",
         "q_sample": (
             f"select * from customer where {sql_h1('c_custkey', 7)} % 100 < 10"

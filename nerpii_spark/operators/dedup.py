@@ -299,6 +299,96 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+DECONTAM_TAU = 0.5
+EVAL_MOD = 97
+EVAL_RES = 5
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    tau: float = DECONTAM_TAU,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Pile n-gram-overlap recipe):
+    flag training documents whose shingle set overlaps an evaluation
+    corpus. -> (doc_id, n_matched, n_shingles, contaminated) where
+    n_matched = |train shingles ∩ eval shingle union| and contaminated
+    iff n_matched >= tau * n_shingles.
+
+    Scale shape: the eval benchmark is small (10^3-10^5 docs) next to a
+    10^12-doc training corpus, so its distinct shingle hashes are
+    BROADCAST; the train side is one shingle explode + broadcast-hash
+    inner join + one (doc_id)-keyed count — the training corpus is never
+    shuffled by shingle and never self-joined. int64 shingle hashes ship
+    instead of strings (collision odds as in with_hashed_shingles)."""
+    ev = (
+        with_hashed_shingles(eval_docs)
+        .select(F.explode("hsh").alias("sh"))
+        .distinct()
+    )
+    nodes = with_hashed_shingles(train).select(
+        F.col(id_col).alias("sid"), "hsh"
+    ).localCheckpoint(eager=False)
+    matched = (
+        nodes.select("sid", F.explode("hsh").alias("sh"))
+        .join(F.broadcast(ev), "sh")
+        .groupBy("sid")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    return (
+        nodes.select("sid", F.size("hsh").cast("bigint").alias("n_shingles"))
+        .join(matched, "sid", "left")
+        .select(
+            F.col("sid").alias(id_col),
+            F.coalesce(F.col("n_matched"), F.lit(0)).cast("bigint").alias(
+                "n_matched"
+            ),
+            "n_shingles",
+            (
+                F.coalesce(F.col("n_matched"), F.lit(0))
+                >= F.lit(tau) * F.col("n_shingles")
+            ).alias("contaminated"),
+        )
+    )
+
+
+def duck_decontaminate_sql(
+    doc_rel: str = "documents", tau: float = DECONTAM_TAU
+) -> str:
+    """DuckDB oracle: exact string-shingle recomputation of
+    `decontaminate` over the planted dup corpus, eval = raw documents
+    with doc_id % EVAL_MOD = EVAL_RES, train = the dup corpus minus the
+    eval originals (their planted copies at +1e6/+2e6 stay in train and
+    must come out contaminated)."""
+    dup = dup_docs_sql("duck", doc_rel)
+    sh = shingles_sql("duck", "text")
+    return f"""
+with ev as (
+  select distinct unnest({sh}) as s from {doc_rel}
+  where doc_id % {EVAL_MOD} = {EVAL_RES}
+),
+tr as (
+  select doc_id, {sh} as shingles from ({dup})
+  where doc_id % {EVAL_MOD} <> {EVAL_RES}
+),
+m as (
+  select t.doc_id, count(*) as n_matched
+  from (select doc_id, unnest(shingles) as s from tr) t
+  join ev using (s) group by 1
+)
+select tr.doc_id,
+       cast(coalesce(m.n_matched, 0) as bigint) as n_matched,
+       cast(len(tr.shingles) as bigint) as n_shingles,
+       coalesce(m.n_matched, 0) >= {tau} * len(tr.shingles) as contaminated
+from tr left join m using (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -128,6 +128,23 @@ def gopher_sql(dialect: str, text_expr: str) -> dict:
     }
 
 
+def bigrams_sql(dialect: str, text_expr: str) -> str:
+    """Word bigrams of lower(text) (NOT distinct — repetition stats need
+    multiplicities). Callers must guard `n_words >= 2`."""
+    if dialect == "spark":
+        ws = f"split(lower({text_expr}), ' ')"
+        return (
+            f"transform(sequence(1, size({ws}) - 1),"
+            f" i -> concat_ws(' ', element_at({ws}, i),"
+            f" element_at({ws}, i + 1)))"
+        )
+    ws = f"string_split(lower({text_expr}), ' ')"
+    return (
+        f"list_transform(range(1, len({ws})),"
+        f" i -> {ws}[i] || ' ' || {ws}[i + 1])"
+    )
+
+
 def domain_expr(dialect: str, url_expr: str) -> str:
     """Registrable-host extraction (same regexp function in both engines)."""
     return f"regexp_extract({url_expr}, 'https?://([^/]+)', 1)"
@@ -181,6 +198,92 @@ def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id", *[F.expr(e).alias(name) for name, e in exprs.items()]
     )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signal (Rae et al. 2021 §A1.1 'fraction
+    of duplicate n-grams'): per document, the share of word bigrams
+    taken by the single most frequent bigram.
+    -> (doc_id, n_bigrams, top_bigram_n, top_frac_e6).
+
+    Plan shape: explode bigrams -> two hash aggregations keyed
+    (doc_id, bigram) then (doc_id). A single-expression HOF alternative
+    would be O(words^2) per row in interpreted lambdas (no CSE — see
+    CLAUDE.md), while both aggregations here combine map-side, so a
+    boilerplate-heavy hot bigram never concentrates on one reducer.
+    Only max/sum of counts are taken, so no bigram tie-break is needed.
+    Docs with < 2 words are excluded (no bigrams to measure)."""
+    b = docs.where(
+        F.expr(f"size(split({text_col}, ' ')) >= 2")
+    ).select(
+        "doc_id",
+        F.explode(F.expr(bigrams_sql("spark", text_col))).alias("bg"),
+    )
+    per_bg = b.groupBy("doc_id", "bg").agg(F.count("*").alias("n"))
+    return per_bg.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_bigrams"),
+        F.max("n").cast("bigint").alias("top_bigram_n"),
+        F.expr(
+            "cast(round(max(n) * 1000000.0 / sum(n), 0) as bigint)"
+        ).alias("top_frac_e6"),
+    )
+
+
+def duck_repetition_sql(doc_rel: str = "documents") -> str:
+    bg = bigrams_sql("duck", "text")
+    return f"""
+with b as (
+  select doc_id, unnest({bg}) as bg from {doc_rel}
+  where len(string_split(text, ' ')) >= 2
+),
+c as (select doc_id, bg, count(*) as n from b group by 1, 2)
+select doc_id,
+       cast(sum(n) as bigint) as n_bigrams,
+       cast(max(n) as bigint) as top_bigram_n,
+       cast(round(max(n) * 1000000.0 / sum(n), 0) as bigint) as top_frac_e6
+from c group by 1
+"""
+
+
+def vocab_topk(docs: DataFrame, k: int = 10, text_col: str = "text",
+               lang_col: str = "lang") -> DataFrame:
+    """Per-language vocabulary head: the k most frequent tokens with
+    counts and rank (ties broken token-asc — deterministic).
+    -> (lang, token, n, rk).
+
+    Scale shape: the (lang, token) aggregation combines map-side, so
+    Zipf-hot tokens ('the') arrive at the reducer pre-summed per map
+    task; the rank window then moves only |vocab| rows per language,
+    not corpus rows."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        docs.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(F.expr(f"split(lower({text_col}), ' ')")).alias("token"),
+        )
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+
+
+def duck_vocab_topk_sql(k: int = 10, doc_rel: str = "documents") -> str:
+    return f"""
+with t as (
+  select lang, unnest(string_split(lower(text), ' ')) as token from {doc_rel}
+),
+c as (select lang, token, count(*) as n from t group by 1, 2)
+select lang, token, n, rk from (
+  select lang, token, n,
+         row_number() over (partition by lang order by n desc, token asc) as rk
+  from c
+) where rk <= {k}
+"""
 
 
 def domain_stats(pages: DataFrame, url_col: str = "url",

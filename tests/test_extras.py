@@ -168,6 +168,81 @@ def test_frame_offsets_spacing(spark):
         assert r["n"] == (r["d"] - 1) // 40 + 1
 
 
+def test_repetition_stats_exact(spark):
+    """Hand-computable top-bigram fractions; <2-word docs excluded."""
+    from nerpii_spark.operators import textstats as TS
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),       # bigrams: ab ba ab ba -> top 2/4
+            (2, "x x x x"),         # xx xx xx -> top 3/3
+            (3, "one"),             # no bigrams -> excluded
+            (4, "p q r"),           # pq qr -> top 1/2
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in TS.repetition_stats(df).collect()}
+    assert set(got) == {1, 2, 4}
+    assert (got[1]["n_bigrams"], got[1]["top_bigram_n"]) == (4, 2)
+    assert got[1]["top_frac_e6"] == 500000
+    assert (got[2]["n_bigrams"], got[2]["top_bigram_n"]) == (3, 3)
+    assert got[2]["top_frac_e6"] == 1000000
+    assert got[4]["top_frac_e6"] == 500000
+
+
+def test_vocab_topk_rank_and_ties(spark):
+    """Per-lang counts with deterministic token-asc tie-break."""
+    from nerpii_spark.operators import textstats as TS
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "b a b c a b"),
+            (2, "en", "c a"),
+            (3, "it", "z z y"),
+        ],
+        "doc_id bigint, lang string, text string",
+    )
+    got = [
+        (r["lang"], r["token"], r["n"], r["rk"])
+        for r in TS.vocab_topk(df, k=2).orderBy("lang", "rk").collect()
+    ]
+    # en: a=3 b=3 c=2 -> tie at n=3 broken token-asc
+    assert got == [
+        ("en", "a", 3, 1),
+        ("en", "b", 3, 2),
+        ("it", "z", 2, 1),
+        ("it", "y", 1, 2),
+    ]
+
+
+def test_decontaminate_flags_copies_only(spark):
+    """Planted copies of eval docs are contaminated; unrelated training
+    docs are not; eval originals never appear in the output."""
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta")],
+        "doc_id bigint, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta"),   # exact copy
+            (2, "alpha beta gamma delta epsilon zeta theta"), # near copy
+            (3, "totally unrelated words about something else"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in D.decontaminate(train, ev).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["contaminated"] and got[1]["n_matched"] == got[1]["n_shingles"]
+    assert got[2]["contaminated"]       # 4 of 5 shingles shared
+    assert not got[3]["contaminated"] and got[3]["n_matched"] == 0
+    # the plan broadcasts the eval side: no shuffle of train by shingle key
+    plan = (
+        D.decontaminate(train, ev)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
 def test_gopher_keep_flag_edges(spark):
     """Quality gates reject short docs and degenerate repetition, keep
     normal prose-like text."""
