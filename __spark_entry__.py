@@ -5,12 +5,13 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-52 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
-S1-S5, tabular-mode profiling/masking (en + the it-locale dimension),
-scalar/relational/window/set ops, the training-data extras (dedup, ANN
-similarity, text analysis, multimodal), and events queries. Every query
-except q_embed_topk_lsh / q_embed_topk_ivf (approximate by design)
-carries a DuckDB oracle.
+57 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+S1-S5 (incl. incremental S4 linking), tabular-mode profiling/masking
+(en + the it-locale dimension), scalar/relational/window/set ops, the
+training-data extras (dedup, decontamination, ANN similarity, text
+analysis, multimodal), and events queries. Every query except
+q_embed_topk_lsh / q_embed_topk_ivf (approximate by design) carries a
+DuckDB oracle.
 
 Pipeline queries run over the deterministic planted `pages` corpus
 derived from the `documents` table (nerpii_spark/sources/pages.py);
@@ -39,7 +40,9 @@ from nerpii_spark.operators.detect import detect_mentions
 from nerpii_spark.operators.extract import extract_triples, triples_by_pred_salted
 from nerpii_spark.operators.link import (
     entity_members,
+    incremental_link_entities,
     link_entities,
+    linked_members,
     resolve_mentions,
 )
 from nerpii_spark.operators import dedup as D
@@ -128,6 +131,21 @@ def q_entities(spark, sf):
     so a match certifies linking P/R = 1.0."""
     m = _pipeline(spark, sf)["mentions"]
     return link_entities(m)
+
+
+def q_entities_incremental(spark, sf):
+    """Incremental S4: link 3/4 of the corpus, persist the members
+    state, fold the remaining 1/4 in as a delta batch (contracted-CC
+    over touched components only — the old corpus is never relinked).
+    Oracle = the SAME planted-cluster ground truth as q_entities, so a
+    match certifies incremental == from-scratch == truth."""
+    m = _pipeline(spark, sf)["mentions"]
+    old_members = linked_members(
+        m.where(F.col("doc_id") % 4 != 0)
+    ).localCheckpoint(eager=True)
+    return incremental_link_entities(
+        old_members, m.where(F.col("doc_id") % 4 == 0)
+    )
 
 
 def q_resolve_persons(spark, sf):
@@ -657,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_triples": q_triples,
         "q_triples_by_pred": q_triples_by_pred,
         "q_entities": q_entities,
+        "q_entities_incremental": q_entities_incremental,
         "q_resolve_persons": q_resolve_persons,
         "q_column_profile": q_column_profile,
         "q_profile_presidio": q_profile_presidio,
@@ -822,6 +841,7 @@ def oracle_sql() -> dict[str, str]:
             f" from ({gt}) group by pred"
         ),
         "q_entities": P.golden_entities_sql(),
+        "q_entities_incremental": P.golden_entities_sql(),
         "q_resolve_persons": P.golden_resolved_persons_sql(),
         "q_column_profile": column_profile_sql(
             "duck", P.personal_info_sql("duck"), P.PERSONAL_INFO_COLS

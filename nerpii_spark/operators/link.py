@@ -230,6 +230,12 @@ def _linked_members(
     )
 
 
+def _entities_from_members(members: DataFrame) -> DataFrame:
+    return members.groupBy("entity_type", "label", "canonical").agg(
+        F.count("*").alias("n_surfaces"), F.sum("n_mentions").alias("n_mentions")
+    ).select("entity_type", "canonical", "n_surfaces", "n_mentions")
+
+
 def link_entities(
     mentions: DataFrame,
     types: list[str] | None = None,
@@ -237,10 +243,237 @@ def link_entities(
     tau_string: float = TAU_STRING,
 ) -> DataFrame:
     """mentions -> entities(entity_type, canonical, n_surfaces, n_mentions)."""
-    members = _linked_members(mentions, types, n_bands, tau_string)
-    return members.groupBy("entity_type", "label", "canonical").agg(
-        F.count("*").alias("n_surfaces"), F.sum("n_mentions").alias("n_mentions")
-    ).select("entity_type", "canonical", "n_surfaces", "n_mentions")
+    return _entities_from_members(
+        _linked_members(mentions, types, n_bands, tau_string)
+    )
+
+
+def linked_members(
+    mentions: DataFrame,
+    types: list[str] | None = None,
+    n_bands: int = N_BANDS,
+    tau_string: float = TAU_STRING,
+) -> DataFrame:
+    """Public full-linking members table — the checkpointable state an
+    incremental run resumes from (see incremental_members)."""
+    return _linked_members(mentions, types, n_bands, tau_string)
+
+
+def _with_node_features(rows: DataFrame) -> DataFrame:
+    """(entity_type, norm, ...) -> + (sid, shingles, toks). Pure
+    projection (no shuffle): features derive from norm alone, so an
+    incremental run can rebuild them from the persisted members table
+    instead of re-reading old mentions."""
+    return (
+        rows.withColumn("sid", F.xxhash64("entity_type", "norm"))
+        .withColumn("shingles", F.expr(_SHINGLES))
+        .withColumn("toks", F.expr(_LONG_TOKENS))
+    )
+
+
+def _incremental_candidate_pairs(
+    all_nodes: DataFrame, n_bands: int, max_bucket: int
+) -> DataFrame:
+    """(sid_a, sid_b) candidate pairs with >= 1 NEW endpoint, from the
+    same banding as lsh_candidate_pairs. `all_nodes` carries `is_new`.
+    The bucket-count skew guard is computed over the FULL band table
+    (old + new members — identical population to a from-scratch run),
+    but pair expansion only ever joins the new side against its
+    buckets: old-old pairs are never generated, which is what makes the
+    delta cost O(|new| x bucket) instead of O(corpus)."""
+    bands = all_nodes.select(
+        "entity_type",
+        "sid",
+        "is_new",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}),"
+                " b -> named_struct('band', b, 'mh',"
+                " array_min(transform(shingles, s -> xxhash64(s, b)))))"
+            )
+        ).alias("bk"),
+    ).select("entity_type", "sid", "is_new", "bk.band", "bk.mh").localCheckpoint(
+        eager=False
+    )
+    keys = ["entity_type", "band", "mh"]
+    counts = bands.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.max(F.col("is_new").cast("int")).alias("has_new"),
+    )
+    ok = counts.where(
+        (F.col("n") >= 2) & (F.col("n") <= max_bucket) & (F.col("has_new") == 1)
+    ).select(*keys)
+    r = bands.join(ok, keys)
+    a = r.where("is_new").select(*keys, F.col("sid").alias("sid_x"))
+    b = r.select(*keys, F.col("sid").alias("sid_y"))
+    return (
+        a.join(b, keys)
+        .where(F.col("sid_x") != F.col("sid_y"))
+        .select(
+            F.least("sid_x", "sid_y").alias("sid_a"),
+            F.greatest("sid_x", "sid_y").alias("sid_b"),
+        )
+        .distinct()
+    )
+
+
+def incremental_members(
+    old_members: DataFrame,
+    new_mentions: DataFrame,
+    types: list[str] | None = None,
+    n_bands: int = N_BANDS,
+    max_bucket: int = MAX_BUCKET,
+    tau_string: float = TAU_STRING,
+) -> DataFrame:
+    """Incremental S4: fold newly arrived mentions into an existing
+    members table (the persisted output of linked_members) WITHOUT
+    relinking the old corpus. Returns the same members schema
+    (entity_type, norm, n_mentions, label, canonical).
+
+    Dataflow (each step touches O(|new| + affected) rows, never the old
+    corpus pairwise):
+      1. New mentions collapse to surface nodes; surfaces already known
+         just add mention counts (same norm => same features => same
+         component — no relink needed).
+      2. Brand-new surfaces band-join against the old + new band index;
+         old-old pairs are never generated (their features are
+         unchanged, so no new old-old edge can exist).
+      3. Old components contract to super-nodes keyed by their label
+         (= min member sid, so contracted CC labels coincide with a
+         from-scratch run's), and the CC fixpoint runs only over bases
+         touched by a new edge; every other component passes through.
+      4. Canonicals are recomputed only for touched components (merged,
+         or containing a surface whose count changed); untouched rows
+         keep their stored canonical.
+
+    Equals a from-scratch relink whenever no LSH bucket crosses
+    `max_bucket` BETWEEN the runs (asserted on the planted corpus); if
+    new members push a bucket over the cap, the incremental result
+    keeps previously found merges a from-scratch run would now skip —
+    strictly closer to the true clustering, never behind it."""
+    from pyspark.sql import Window as W
+
+    new_nodes = surface_nodes(new_mentions, types).localCheckpoint(eager=True)
+    old_nodes = _with_node_features(
+        old_members.select("entity_type", "norm", "n_mentions", "label")
+    ).localCheckpoint(eager=True)
+
+    old_sids = old_nodes.select("sid")
+    brand_new = new_nodes.join(old_sids, "sid", "left_anti").localCheckpoint(
+        eager=True
+    )
+    all_nodes = old_nodes.select(
+        "entity_type", "sid", "shingles", "toks", F.lit(False).alias("is_new")
+    ).unionByName(
+        brand_new.select(
+            "entity_type", "sid", "shingles", "toks", F.lit(True).alias("is_new")
+        )
+    )
+
+    pairs = _incremental_candidate_pairs(all_nodes, n_bands, max_bucket)
+    edges = score_pairs(pairs, all_nodes, tau_string=tau_string)
+
+    # contract: old surfaces stand in as their component label; new
+    # surfaces as themselves
+    base = old_nodes.select("sid", F.col("label").alias("base")).unionByName(
+        brand_new.select("sid", F.col("sid").alias("base"))
+    )
+    e = (
+        edges.join(base.withColumnRenamed("sid", "sid_a")
+                   .withColumnRenamed("base", "base_a"), "sid_a")
+        .join(base.withColumnRenamed("sid", "sid_b")
+              .withColumnRenamed("base", "base_b"), "sid_b")
+        .where(F.col("base_a") != F.col("base_b"))
+        .select(
+            F.least("base_a", "base_b").alias("sid_a"),
+            F.greatest("base_a", "base_b").alias("sid_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    touched_bases = (
+        e.select(F.col("sid_a").alias("sid"))
+        .union(e.select(F.col("sid_b").alias("sid")))
+        .distinct()
+    )
+    delta = connected_components(touched_bases, e).withColumnRenamed(
+        "sid", "base"
+    ).withColumnRenamed("label", "new_label")
+
+    # merge counts for surfaces seen again, append brand-new surfaces
+    known_inc = new_nodes.join(old_sids, "sid", "left_semi").select(
+        "sid", F.col("n_mentions").alias("n_inc")
+    )
+    old_rows = (
+        old_nodes.join(known_inc, "sid", "left")
+        .select(
+            "entity_type", "norm", "sid",
+            (F.col("n_mentions") + F.coalesce(F.col("n_inc"), F.lit(0)))
+            .alias("n_mentions"),
+            F.col("label").alias("base"),
+            (F.col("n_inc").isNotNull()).alias("count_changed"),
+        )
+    )
+    new_rows = brand_new.select(
+        "entity_type", "norm", "sid", "n_mentions",
+        F.col("sid").alias("base"), F.lit(True).alias("count_changed"),
+    )
+    members = (
+        old_rows.unionByName(new_rows)
+        .join(delta, "base", "left")
+        .select(
+            "entity_type", "norm", "sid", "n_mentions", "count_changed",
+            F.coalesce(F.col("new_label"), F.col("base")).alias("label"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # a label id is globally unique across entity types (sid embeds the
+    # type), so touched components are identified by label alone
+    touched_labels = (
+        members.where(F.col("count_changed")).select("label")
+        .union(delta.select(F.col("new_label").alias("label")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    touched = members.join(touched_labels, "label", "left_semi")
+    w = W.partitionBy("entity_type", "label").orderBy(
+        F.desc("n_mentions"), F.asc("norm")
+    )
+    canon_new = (
+        touched.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("entity_type", "label", F.col("norm").alias("canonical"))
+    )
+    touched_out = touched.join(canon_new, ["entity_type", "label"]).select(
+        "entity_type", "norm", "n_mentions", "label", "canonical"
+    )
+    untouched_out = (
+        members.join(touched_labels, "label", "left_anti")
+        .join(
+            old_members.select("entity_type", "norm", "canonical"),
+            ["entity_type", "norm"],
+        )
+        .select("entity_type", "norm", "n_mentions", "label", "canonical")
+    )
+    return touched_out.unionByName(untouched_out)
+
+
+def incremental_link_entities(
+    old_members: DataFrame,
+    new_mentions: DataFrame,
+    types: list[str] | None = None,
+    n_bands: int = N_BANDS,
+    tau_string: float = TAU_STRING,
+) -> DataFrame:
+    """Incremental S4 -> entities table (same schema/contract as
+    link_entities, equal output on bucket-cap-stable corpora)."""
+    return _entities_from_members(
+        incremental_members(
+            old_members, new_mentions, types,
+            n_bands=n_bands, tau_string=tau_string,
+        )
+    )
 
 
 def entity_members(

@@ -10,7 +10,10 @@ from nerpii_spark.operators.clean import clean_pages
 from nerpii_spark.operators.detect import detect_mentions
 from nerpii_spark.operators.link import (
     connected_components,
+    incremental_link_entities,
+    incremental_members,
     link_entities,
+    linked_members,
     lsh_candidate_pairs,
     surface_nodes,
 )
@@ -77,6 +80,72 @@ def test_link_entities_deterministic(spark):
     a = sorted(map(tuple, link_entities(m).collect()))
     b = sorted(map(tuple, link_entities(m).collect()))
     assert a == b
+
+
+def test_incremental_equals_full_relink(spark):
+    """Folding a delta batch into persisted members yields bit-identical
+    members AND entities vs relinking the whole corpus from scratch —
+    including component labels (old labels are min member sids, so the
+    contracted CC reproduces the from-scratch labels)."""
+    m = _mentions(spark, 90).localCheckpoint(eager=True)
+    old = m.where(F.col("doc_id") % 4 != 0)
+    new = m.where(F.col("doc_id") % 4 == 0)
+    old_members = linked_members(old).localCheckpoint(eager=True)
+    inc = incremental_members(old_members, new)
+    full = linked_members(m)
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    got = sorted(map(tuple, incremental_link_entities(old_members, new).collect()))
+    assert got == sorted(map(tuple, link_entities(m).collect()))
+
+
+def test_incremental_merges_old_components(spark):
+    """A brand-new surface bridging two previously SEPARATE components
+    must merge them, adopt the min label, and win the canonical; an
+    unrelated component passes through with its stored label."""
+    olds = spark.createDataFrame(
+        [
+            ("PERSON", "frank kemp", 5),       # tokens {frank, kemp}
+            ("PERSON", "frank x. kempe", 1),   # tokens {frank, kempe}
+            ("PERSON", "laura ortiz", 9),
+        ],
+        "entity_type string, mention string, doc_id bigint",
+    )
+    # old run: no token match, kemp/kempe shingle-J < 0.85 -> 3 singletons
+    old_members = linked_members(olds).localCheckpoint(eager=True)
+    assert old_members.count() == 3
+    assert {(r.norm, r.canonical) for r in old_members.collect()} == {
+        ("frank kemp", "frank kemp"),
+        ("frank x. kempe", "frank x. kempe"),
+        ("laura ortiz", "laura ortiz"),
+    }
+    # bridge: token-matches "frank kemp" (initial dropped) AND is
+    # string-similar to "frank x. kempe" (J = 11/12); arrives 20x so it
+    # becomes the merged component's most-mentioned surface
+    news = spark.createDataFrame(
+        [("PERSON", "Frank X. Kemp", i) for i in range(20)],
+        "entity_type string, mention string, doc_id bigint",
+    )
+    inc = incremental_members(old_members, news).collect()
+    by_norm = {r.norm: r for r in inc}
+    assert set(by_norm) == {
+        "frank kemp", "frank x. kempe", "frank x. kemp", "laura ortiz"
+    }
+    merged = [by_norm[n] for n in
+              ("frank kemp", "frank x. kempe", "frank x. kemp")]
+    assert all(r.canonical == "frank x. kemp" for r in merged)
+    assert len({r.label for r in merged}) == 1
+    assert by_norm["frank x. kemp"].n_mentions == 20
+    # min-label: the merged label equals the min of the three sids,
+    # i.e. a from-scratch run's label
+    full = {r.norm: r.label
+            for r in linked_members(olds.unionByName(news)).collect()}
+    assert by_norm["frank kemp"].label == full["frank kemp"]
+    # untouched component kept its stored label and canonical
+    old_ortiz = [r for r in old_members.collect() if r.norm == "laura ortiz"][0]
+    assert by_norm["laura ortiz"].label == old_ortiz.label
+    assert by_norm["laura ortiz"].canonical == "laura ortiz"
 
 
 def test_connected_components_chain(spark):
