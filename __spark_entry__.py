@@ -37,7 +37,12 @@ from nerpii_spark.functions.text import (
 )
 from nerpii_spark.operators.clean import clean_pages
 from nerpii_spark.operators.detect import detect_mentions
-from nerpii_spark.operators.extract import extract_triples, triples_by_pred_salted
+from nerpii_spark.operators.extract import (
+    entity_degree,
+    extract_triples,
+    topk_objs_per_pred,
+    triples_by_pred_salted,
+)
 from nerpii_spark.operators.link import (
     entity_members,
     incremental_link_entities,
@@ -629,10 +634,15 @@ def q_gender(spark, sf):
 
 
 def q_topk_objs_per_pred(spark, sf):
-    t = _pipeline(spark, sf)["triples"]
-    counts = t.groupBy("pred", "obj").agg(F.count("*").alias("n"))
-    w = W.partitionBy("pred").orderBy(F.desc("n"), F.asc("obj"))
-    return counts.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+    """Exact top-3 objects per predicate, two-phase salted windows so a
+    Zipf-hot predicate's object counts never land on one reducer."""
+    return topk_objs_per_pred(_pipeline(spark, sf)["triples"], k=3)
+
+
+def q_entity_degree(spark, sf):
+    """KG degree stats: triple occurrences + distinct counterparties per
+    node (subjects and objects as one node set)."""
+    return entity_degree(_pipeline(spark, sf)["triples"])
 
 
 def q_anti_join(spark, sf):
@@ -723,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_address_denylist": q_address_denylist,
         "q_gender": q_gender,
         "q_topk_objs_per_pred": q_topk_objs_per_pred,
+        "q_entity_degree": q_entity_degree,
         "q_anti_join": q_anti_join,
         "q_agg_lineitem": q_agg_lineitem,
         "q_join_orders_customer": q_join_orders_customer,
@@ -1007,6 +1018,16 @@ def oracle_sql() -> dict[str, str]:
                                         order by n desc, obj asc) as rk
               from (select pred, obj, count(*) as n from ({gt}) group by 1, 2)
             ) where rk <= 3
+        """,
+        "q_entity_degree": f"""
+            with e as (
+              select subj as node, obj as nbr from ({gt})
+              union all
+              select obj, subj from ({gt})
+            )
+            select node, count(*) as n_edges,
+                   cast(count(distinct nbr) as bigint) as n_neighbors
+            from e group by 1
         """,
         "q_anti_join": (
             "select c_custkey from customer c where not exists"

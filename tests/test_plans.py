@@ -73,6 +73,52 @@ def test_salted_pred_agg_two_level(spark):
     assert plan.count("HashAggregate") >= 4  # 2 aggs x (partial + final)
 
 
+def test_topk_two_phase_equals_single_window(spark):
+    """The salted pre-window must be invisible in the result: identical
+    to the naive pred-only window on a corpus with ties and a hot
+    predicate."""
+    from pyspark.sql import Window as W
+
+    from nerpii_spark.operators.extract import topk_objs_per_pred
+
+    rows = (
+        [("hot", f"o{i % 50}") for i in range(500)]     # hot pred, 50 objs
+        + [("cold", "x"), ("cold", "x"), ("cold", "y")]  # tie on n for top-3
+        + [("cold", "z")]
+    )
+    t = spark.createDataFrame(rows, "pred string, obj string")
+    got = sorted(
+        map(tuple, topk_objs_per_pred(t, k=3, n_salt=4).collect())
+    )
+    counts = t.groupBy("pred", "obj").agg(F.count("*").alias("n"))
+    w = W.partitionBy("pred").orderBy(F.desc("n"), F.asc("obj"))
+    naive = sorted(
+        map(
+            tuple,
+            counts.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 3)
+            .collect(),
+        )
+    )
+    assert got == naive
+    # and the plan actually shards: two window nodes, the first keyed by
+    # the salt expression
+    plan = _plan(topk_objs_per_pred(t, k=3, n_salt=4))
+    assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2
+
+
+def test_entity_degree_hand_case(spark):
+    from nerpii_spark.operators.extract import entity_degree
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "p", "b"), ("a", "q", "c"), ("b", "p", "c")],
+        "subj string, pred string, obj string",
+    )
+    got = {r["node"]: (r["n_edges"], r["n_neighbors"])
+           for r in entity_degree(t).collect()}
+    assert got == {"a": (3, 2), "b": (3, 2), "c": (2, 2)}
+
+
 def test_mask_is_single_projection_no_shuffle(spark):
     """Masking is one Catalyst projection over the input — no exchange,
     no Python in the plan."""
