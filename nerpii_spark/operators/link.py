@@ -26,6 +26,13 @@ Reference parity: generalizes the per-column majority-vote entity
 assignment (named_entity_recognizer.py:432-489) from columns to corpus-
 wide surface forms; the reference has no linking stage (it never needs
 one at 500 rows) — this is the north_rule web-scale addition.
+
+**Incremental mode** (`incremental_members` / `incremental_link_entities`):
+newly arrived mentions fold into a persisted members table without
+relinking the old corpus — old components contract to super-nodes by
+label, candidate pairs require >= 1 new endpoint, and the CC fixpoint
+runs over the touched subgraph only. At 10^12 docs this turns the daily
+linking cost from O(corpus) pairwise work into O(delta x bucket).
 """
 
 from __future__ import annotations
