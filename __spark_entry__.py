@@ -5,11 +5,13 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-57 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
-S1-S5 (incl. incremental S4 linking), tabular-mode profiling/masking
+64 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+S1-S5 (incl. incremental S4 linking), KG analytics (degree / 2-hop
+inference / co-occurrence lift), tabular-mode profiling/masking
 (en + the it-locale dimension), scalar/relational/window/set ops, the
-training-data extras (dedup, decontamination, ANN similarity, text
-analysis, multimodal), and events queries. Every query except
+training-data extras (dedup incl. crawl-URL canonicalization,
+decontamination, ANN similarity, text analysis incl. tf-idf,
+multimodal), and events queries. Every query except
 q_embed_topk_lsh / q_embed_topk_ivf (approximate by design) carries a
 DuckDB oracle.
 
@@ -38,10 +40,12 @@ from nerpii_spark.functions.text import (
 from nerpii_spark.operators.clean import clean_pages
 from nerpii_spark.operators.detect import detect_mentions
 from nerpii_spark.operators.extract import (
+    entity_cooccur,
     entity_degree,
     extract_triples,
     topk_objs_per_pred,
     triples_by_pred_salted,
+    two_hop_locations,
 )
 from nerpii_spark.operators.link import (
     entity_members,
@@ -51,6 +55,7 @@ from nerpii_spark.operators.link import (
     resolve_mentions,
 )
 from nerpii_spark.operators import dedup as D
+from nerpii_spark.operators import events as EV
 from nerpii_spark.operators import multimodal as MM
 from nerpii_spark.operators import similarity as SIM
 from nerpii_spark.operators import textstats as TS
@@ -335,6 +340,14 @@ def q_events_json(spark, sf):
     )
 
 
+def q_events_asof(spark, sf):
+    """As-of (attribution) join: each purchase gets the user's most
+    recent prior click — running last-ignorenulls window over one
+    user_id shuffle; the DuckDB oracle is the native ASOF JOIN, so the
+    check cross-validates two independent implementations."""
+    return EV.asof_join(_load(spark, sf, "events"))
+
+
 def q_sessionize(spark, sf):
     """Session windows over the events feed: a >30-minute gap starts a new
     session (lag + running sum window, then per-user rollup)."""
@@ -523,6 +536,12 @@ def q_vocab_topk(spark, sf):
     return TS.vocab_topk(_load(spark, sf, "documents"), k=10)
 
 
+def q_tfidf_topk(spark, sf):
+    """Per-doc top-5 keywords by tf-idf; ranking uses the quantized
+    tfidf_e6 so a last-ulp ln() difference cannot reorder engines."""
+    return TS.tfidf_topk(_load(spark, sf, "documents"), k=5)
+
+
 def q_decontaminate(spark, sf):
     """Benchmark decontamination: training docs (dup corpus minus the
     eval originals) flagged when >= 50% of their shingles appear in the
@@ -589,6 +608,24 @@ def q_sample(spark, sf):
     return c.where(F.expr(f"{sql_h1('c_custkey', 7)} % 100 < 10"))
 
 
+def q_sample_stratified(spark, sf):
+    """Per-language stratified sample (training-data mixing): en keeps
+    10%, every other lang 50% — a seeded portable-hash filter, so the
+    sample is deterministic, join-free, and pushed to the scan."""
+    d = _load(spark, sf, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(100)).otherwise(F.lit(500))
+    return d.where(
+        F.expr(f"{sql_h1('doc_id', 11)} % 1000") < rate
+    ).select("doc_id", "lang")
+
+
+def q_mix_weights(spark, sf):
+    """Alpha-smoothed language mixture weights (XLM-R sampling recipe);
+    per-row quantized pow + bigint normalization keeps both engines
+    bit-identical."""
+    return TS.mix_weights(_load(spark, sf, "documents"))
+
+
 def q_project_str(spark, sf):
     return _load(spark, sf, "customer").select("c_name", "c_mktsegment")
 
@@ -645,6 +682,29 @@ def q_entity_degree(spark, sf):
     return entity_degree(_pipeline(spark, sf)["triples"])
 
 
+def q_kg_2hop(spark, sf):
+    """Multi-hop KG inference: works_at o located_in -> person-location
+    facts, both sides pre-collapsed to distinct entity pairs."""
+    return two_hop_locations(_pipeline(spark, sf)["triples"])
+
+
+def q_entity_cooccur(spark, sf):
+    """Per-document entity co-occurrence with exact integer lift_e6
+    scoring (PMI numerator/denominator without the log — bigint-only
+    arithmetic, so both engines agree bit-for-bit)."""
+    return entity_cooccur(_pipeline(spark, sf)["mentions"])
+
+
+def q_dedup_url(spark, sf):
+    """Crawl-log URL dedup: canonicalize planted re-capture variants
+    (tracking params / fragments / case / trailing slash) and keep the
+    latest capture per canonical URL."""
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_crawl")
+    crawl = spark.sql(P.crawl_sql("spark", doc_rel="nerpii_documents_crawl"))
+    return D.url_dedup(crawl)
+
+
 def q_anti_join(spark, sf):
     c = _load(spark, sf, "customer")
     o = _load(spark, sf, "orders")
@@ -694,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_not_synth": q_not_synth,
         "q_events_window": q_events_window,
         "q_events_json": q_events_json,
+        "q_events_asof": q_events_asof,
         "q_sessionize": q_sessionize,
         "q_session_window": q_session_window,
         "q_rollup_lineitem": q_rollup_lineitem,
@@ -702,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile_it": q_profile_it,
         "q_mask_personal_info_it": q_mask_personal_info_it,
         "q_mask_triples": q_mask_triples,
+        "q_dedup_url": q_dedup_url,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_ngram": q_dedup_ngram,
@@ -718,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_gopher": q_quality_gopher,
         "q_quality_repetition": q_quality_repetition,
         "q_vocab_topk": q_vocab_topk,
+        "q_tfidf_topk": q_tfidf_topk,
         "q_decontaminate": q_decontaminate,
         "q_pii_by_domain": q_pii_by_domain,
         "q_domain_stats": q_domain_stats,
@@ -726,6 +789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_frame_offsets": q_frame_offsets,
         "q_scan": q_scan,
         "q_sample": q_sample,
+        "q_sample_stratified": q_sample_stratified,
+        "q_mix_weights": q_mix_weights,
         "q_project_str": q_project_str,
         "q_nan_fill": q_nan_fill,
         "q_split_name": q_split_name,
@@ -734,6 +799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gender": q_gender,
         "q_topk_objs_per_pred": q_topk_objs_per_pred,
         "q_entity_degree": q_entity_degree,
+        "q_kg_2hop": q_kg_2hop,
+        "q_entity_cooccur": q_entity_cooccur,
         "q_anti_join": q_anti_join,
         "q_agg_lineitem": q_agg_lineitem,
         "q_join_orders_customer": q_join_orders_customer,
@@ -770,6 +837,7 @@ def _extras_oracles() -> dict[str, str]:
         select * from full_p where n_inter >= {D.JACCARD_TAU} * n_union
     """
     return {
+        "q_dedup_url": D.duck_url_dedup_sql(P.crawl_sql("duck")),
         "q_dedup_exact": (
             f"select md5(text) as content_hash, count(*) as n_copies,"
             f" min(doc_id) as keep_id from ({dup}) group by 1"
@@ -813,6 +881,7 @@ def _extras_oracles() -> dict[str, str]:
         )(TS.gopher_sql("duck", "text")),
         "q_quality_repetition": TS.duck_repetition_sql(),
         "q_vocab_topk": TS.duck_vocab_topk_sql(10),
+        "q_tfidf_topk": TS.duck_tfidf_topk_sql(5),
         "q_decontaminate": D.duck_decontaminate_sql(),
         "q_domain_stats": f"""
             select {TS.domain_expr('duck', 'url')} as domain,
@@ -888,6 +957,7 @@ def oracle_sql() -> dict[str, str]:
             " cast(json_extract_string(props, '$.k') as bigint) as k"
             " from events"
         ),
+        "q_events_asof": EV.duck_asof_sql(),
         "q_sessionize": """
             with g as (
               select user_id, ts,
@@ -985,6 +1055,12 @@ def oracle_sql() -> dict[str, str]:
         "q_sample": (
             f"select * from customer where {sql_h1('c_custkey', 7)} % 100 < 10"
         ),
+        "q_sample_stratified": f"""
+            select doc_id, lang from documents
+            where {sql_h1('doc_id', 11)} % 1000 <
+                  (case when lang = 'en' then 100 else 500 end)
+        """,
+        "q_mix_weights": TS.duck_mix_weights_sql(),
         "q_project_str": "select c_name, c_mktsegment from customer",
         "q_nan_fill": (
             "select doc_id, coalesce(nullif(source, 'src0'), '?')"
@@ -1028,6 +1104,40 @@ def oracle_sql() -> dict[str, str]:
             select node, count(*) as n_edges,
                    cast(count(distinct nbr) as bigint) as n_neighbors
             from e group by 1
+        """,
+        "q_kg_2hop": f"""
+            with wa as (select distinct subj as person, obj as org
+                        from ({gt}) where pred = 'works_at'),
+                 li as (select distinct subj as org, obj as location
+                        from ({gt}) where pred = 'located_in')
+            select person, location,
+                   cast(count(distinct org) as bigint) as n_paths
+            from wa join li using (org) group by 1, 2
+        """,
+        "q_entity_cooccur": f"""
+            with surf as (
+              select distinct doc_id, mention from ({gm})
+              where entity_type in ('LOCATION', 'ORGANIZATION', 'PERSON')
+            ),
+            ok as (select doc_id from surf group by 1 having count(*) <= 64),
+            s2 as (select surf.* from surf join ok using (doc_id)),
+            pairs as (
+              select a.mention as a, b.mention as b,
+                     cast(count(*) as bigint) as n_ab
+              from s2 a join s2 b
+                on a.doc_id = b.doc_id and a.mention < b.mention
+              group by 1, 2
+            ),
+            marg as (select mention, cast(count(*) as bigint) as c
+                     from s2 group by 1),
+            n as (select cast(count(distinct doc_id) as bigint) as n_docs
+                  from s2)
+            select p.a, p.b, p.n_ab,
+                   cast((p.n_ab * n.n_docs * 1000000) // (ma.c * mb.c)
+                        as bigint) as lift_e6
+            from pairs p
+            join marg ma on p.a = ma.mention
+            join marg mb on p.b = mb.mention, n
         """,
         "q_anti_join": (
             "select c_custkey from customer c where not exists"

@@ -152,6 +152,69 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# URL canonicalization dedup (crawl-log latest-capture-wins)
+# ---------------------------------------------------------------------------
+
+
+def canonical_url_expr(url_col: str = "url") -> str:
+    """Canonical form of a crawl URL: strip query string and fragment,
+    strip one trailing slash, lowercase. Valid in both Spark SQL and
+    DuckDB (each regex matches at most once, so the engines' differing
+    replace-all vs replace-first defaults cannot diverge). Lowercasing
+    the whole URL (not just scheme+host) is the common crawl-pipeline
+    simplification; the corpus' canonical paths are already lowercase,
+    so here it is lossless."""
+    return (
+        f"lower(regexp_replace(regexp_replace({url_col}, '[?#].*', ''),"
+        f" '/$', ''))"
+    )
+
+
+def url_dedup(
+    crawl: DataFrame, url_col: str = "url", ts_col: str = "ts_s",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Crawl-log URL dedup: collapse re-captures of the same page
+    (tracking params, fragments, case/slash variants) to one row per
+    canonical URL with latest-capture-wins survivor selection.
+    -> (curl, n_captures, last_ts_s, survivor_doc).
+
+    Scale shape: a single map-side-combined groupBy on the canonical
+    URL — max/max_by/count all fold partially, so a URL re-captured
+    millions of times arrives at its reducer as one partial row per map
+    task; no window, no self-join, nothing corpus-sized crosses the
+    exchange. This is the cheapest (and first) dedup pass of a crawl
+    pipeline; content-level dedup (exact/minhash/simhash below) runs on
+    its survivors."""
+    return (
+        crawl.select(
+            F.expr(canonical_url_expr(url_col)).alias("curl"),
+            F.col(ts_col),
+            F.col(id_col),
+        )
+        .groupBy("curl")
+        .agg(
+            F.count("*").cast("bigint").alias("n_captures"),
+            F.max(ts_col).cast("bigint").alias("last_ts_s"),
+            F.expr(f"max_by({id_col}, {ts_col})").cast("bigint").alias(
+                "survivor_doc"
+            ),
+        )
+    )
+
+
+def duck_url_dedup_sql(crawl_rel_sql: str) -> str:
+    """DuckDB oracle twin of `url_dedup` over a crawl-log SELECT."""
+    return f"""
+select {canonical_url_expr('url')} as curl,
+       cast(count(*) as bigint) as n_captures,
+       cast(max(ts_s) as bigint) as last_ts_s,
+       cast(max_by(doc_id, ts_s) as bigint) as survivor_doc
+from ({crawl_rel_sql}) group by 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # MinHash-LSH near-dup pairs
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,91 @@
+"""Event-log relational operators (batch; the streaming surface is
+nerpii_spark/streaming/).
+
+The as-of (attribution) join here is the time-series operator SURVEY
+§2.2 notes the reference never needs (nerpii is batch-tabular, 500
+rows); it is delivered as a training-/event-pipeline extra because
+"latest prior touchpoint" enrichment is the standard event-log join and
+a distributed engine must express it WITHOUT a per-user range join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+) -> DataFrame:
+    """For each `left_type` event, attach the most recent `right_type`
+    event of the same user at or before its timestamp.
+    -> (event_id, user_id, right_event_id nullable, gap_us nullable).
+
+    Scale shape: the distributed as-of is a running `last(...,
+    ignorenulls=True)` over ONE shuffle on user_id + one per-partition
+    sort — no self-join, no per-user range scan (a naive range join is
+    O(n_left x n_right) per user), no Python. The window's
+    (unbounded, current) frame is computed incrementally during the
+    sort-based window pass, so cost is linear in events per user, and
+    user_id is a uniform high-cardinality key (no hot partition).
+
+    Determinism: ordering is (ts, event_id) — a total order — so the
+    result is unique even if timestamps collide. "At or before" is
+    inclusive; a right-type event sharing the exact timestamp counts
+    only if its event_id sorts first (the generated events table has
+    unique (user_id, ts), so the edge never fires there — the DuckDB
+    oracle's native ASOF JOIN, inclusive by definition, agrees).
+
+    The DuckDB oracle is deliberately a DIFFERENT algorithm (native
+    ASOF JOIN) — the comparison cross-validates two independent
+    implementations of the semantics.
+    """
+    ev = events.where(F.col("event_type").isin([left_type, right_type]))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    is_right = F.col("event_type") == right_type
+    r_id = F.last(
+        F.when(is_right, F.col("event_id")), ignorenulls=True
+    ).over(w)
+    r_ts = F.last(F.when(is_right, F.col("ts")), ignorenulls=True).over(w)
+    return (
+        ev.withColumn("right_event_id", r_id)
+        .withColumn("right_ts", r_ts)
+        .where(F.col("event_type") == left_type)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("right_event_id").cast("bigint").alias("right_event_id"),
+            (
+                # ts is TIMESTAMP_NTZ in the parquet; unix_micros needs
+                # TIMESTAMP — safe here because the gap is a difference,
+                # so the session-timezone offset cancels exactly
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("right_ts").cast("timestamp"))
+            )
+            .cast("bigint")
+            .alias("gap_us"),
+        )
+    )
+
+
+def duck_asof_sql(
+    left_type: str = "purchase",
+    right_type: str = "click",
+    rel: str = "events",
+) -> str:
+    """Native-ASOF DuckDB twin of `asof_join`."""
+    return f"""
+with p as (select * from {rel} where event_type = '{left_type}'),
+     c as (select * from {rel} where event_type = '{right_type}')
+select p.event_id, p.user_id,
+       cast(c.event_id as bigint) as right_event_id,
+       cast(epoch_us(p.ts) - epoch_us(c.ts) as bigint) as gap_us
+from p asof left join c on p.user_id = c.user_id and p.ts >= c.ts
+"""

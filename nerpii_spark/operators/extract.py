@@ -266,3 +266,107 @@ def entity_degree(triples: DataFrame) -> DataFrame:
         F.count("*").alias("n_edges"),
         F.count_distinct("nbr").cast("bigint").alias("n_neighbors"),
     )
+
+
+def two_hop_locations(triples: DataFrame) -> DataFrame:
+    """KG inference: derive person->location facts by composing
+    works_at(P, O) with located_in(O, L) -> (person, location, n_paths)
+    where n_paths counts the distinct organizations witnessing the hop.
+    This is the canonical multi-hop join a downstream KG consumer runs;
+    the reference never materializes relations so has no analogue — the
+    north_rule "materialized entity/triple tables" exist exactly so this
+    query is a join, not a re-extraction.
+
+    Scale shape: BOTH sides collapse to distinct entity pairs before the
+    join (triple multiplicity is irrelevant to path existence), so the
+    join input is entity-graph-sized, not corpus-sized, and the
+    map-side-combined distinct runs before any wide exchange. The join
+    key `org` is Zipf-hot (a mega-employer), which is precisely the
+    skew AQE's runtime skew-join split handles — each side is already
+    distinct so the hot key's row product is irreducible output, not
+    redundant work. The final distinct aggregate shards by
+    (person, location)."""
+    wa = (
+        triples.where(F.col("pred") == "works_at")
+        .select(F.col("subj").alias("person"), F.col("obj").alias("org"))
+        .distinct()
+    )
+    li = (
+        triples.where(F.col("pred") == "located_in")
+        .select(F.col("subj").alias("org"), F.col("obj").alias("location"))
+        .distinct()
+    )
+    return wa.join(li, "org").groupBy("person", "location").agg(
+        F.count_distinct("org").cast("bigint").alias("n_paths")
+    )
+
+
+COOCCUR_TYPES = ("LOCATION", "ORGANIZATION", "PERSON")
+
+
+def entity_cooccur(
+    mentions: DataFrame, max_per_doc: int = 64
+) -> DataFrame:
+    """Entity co-occurrence lift over documents: for every unordered pair
+    of entity surface forms appearing in the same document,
+    (a, b, n_ab, lift_e6) with lift = P(a,b) / (P(a) P(b)) — PMI without
+    the log, the standard relatedness prior for KG candidate scoring.
+    lift_e6 = n_ab * n_docs * 1e6 `div` (n_a * n_b) is computed entirely
+    in bigint arithmetic, so Spark and the DuckDB oracle agree exactly
+    (no transcendental/float rounding in either engine).
+
+    Scale shape: surfaces are first DISTINCT per (doc, mention) — sharded
+    by that composite key, no hot key — then a window count drops
+    degenerate docs with > max_per_doc distinct surfaces (a boilerplate
+    page mentioning thousands of entities would otherwise contribute
+    O(max^2) pairs); the pair self-join keys on doc_id, whose fan-out is
+    bounded by the cap, and reuses the window's hash partitioning on
+    both sides. Marginals and the doc count join back on the pair
+    table, which is co-occurrence-graph-sized, not corpus-sized."""
+    from pyspark.sql import Window as W
+
+    surf = (
+        mentions.where(F.col("entity_type").isin(list(COOCCUR_TYPES)))
+        .select("doc_id", "mention")
+        .distinct()
+    )
+    w = W.partitionBy("doc_id")
+    surf = (
+        surf.withColumn("ns", F.count("*").over(w))
+        .where(F.col("ns") <= max_per_doc)
+        .drop("ns")
+    )
+    b = surf.select(
+        F.col("doc_id").alias("b_doc_id"), F.col("mention").alias("b_mention")
+    )
+    pairs = (
+        surf.join(
+            b,
+            (surf.doc_id == b.b_doc_id) & (surf.mention < b.b_mention),
+        )
+        .groupBy(F.col("mention").alias("a"), F.col("b_mention").alias("b"))
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    marg = surf.groupBy("mention").agg(F.count("*").cast("bigint").alias("c"))
+    n_docs = surf.select(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    return (
+        pairs.join(
+            marg.select(F.col("mention").alias("a"), F.col("c").alias("c_a")),
+            "a",
+        )
+        .join(
+            marg.select(F.col("mention").alias("b"), F.col("c").alias("c_b")),
+            "b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.expr(
+                "cast((n_ab * n_docs * 1000000) div (c_a * c_b) as bigint)"
+            ).alias("lift_e6"),
+        )
+    )

@@ -286,6 +286,130 @@ select lang, token, n, rk from (
 """
 
 
+def tfidf_topk(docs: DataFrame, k: int = 5, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-document top-k keywords by tf-idf (raw tf x ln(N/df), the
+    classic variant): -> (doc_id, token, tf, tfidf_e6, rk).
+
+    Determinism across engines: the idf logarithm is computed once per
+    (token, doc) with the identical expression shape in Spark and the
+    DuckDB oracle — double division then ln then scale — and the rank
+    window orders by the QUANTIZED tfidf_e6 (not the raw double), so a
+    last-ulp libm difference cannot reorder rows; ties break token-asc.
+
+    Scale shape: tf is a (doc, token)-keyed map-side-combined agg; df is
+    a second agg over tf (one row per (doc,token) already, so the
+    Zipf-hot token arrives pre-deduplicated per doc); the tf-df join
+    shuffles on `token`, whose hot keys ('the') are real skew — AQE's
+    skew-join split divides the hot token's tf rows across reducers
+    since the df side is one row per token (trivially replicable). The
+    top-k window partitions by doc_id: high-cardinality, uniform, no
+    hot partition."""
+    from pyspark.sql import Window as W
+
+    tokens = docs.select(
+        id_col,
+        F.explode(F.expr(f"split(lower({text_col}), ' ')")).alias("token"),
+    )
+    tf = tokens.groupBy(id_col, "token").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    n = docs.select(F.count_distinct(id_col).cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf_e6",
+            F.expr(
+                "cast(round(tf * ln(cast(n_docs as double) / df)"
+                " * 1000000, 0) as bigint)"
+            ),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("tfidf_e6"), F.asc("token"))
+    return (
+        scored.select(id_col, "token", "tf", "tfidf_e6")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+
+
+def duck_tfidf_topk_sql(k: int = 5, doc_rel: str = "documents") -> str:
+    return f"""
+with t as (
+  select doc_id, unnest(string_split(lower(text), ' ')) as token from {doc_rel}
+),
+tf as (select doc_id, token, cast(count(*) as bigint) as tf from t group by 1, 2),
+dfreq as (select token, cast(count(*) as bigint) as df from tf group by 1),
+n as (select cast(count(distinct doc_id) as bigint) as n_docs from {doc_rel}),
+scored as (
+  select tf.doc_id, tf.token, tf.tf,
+         cast(round(tf.tf * ln(cast(n.n_docs as double) / dfreq.df)
+              * 1000000, 0) as bigint) as tfidf_e6
+  from tf join dfreq using (token), n
+)
+select doc_id, token, tf, tfidf_e6, rk from (
+  select *, row_number() over (partition by doc_id
+                               order by tfidf_e6 desc, token asc) as rk
+  from scored
+) where rk <= {k}
+"""
+
+
+def mix_weights(docs: DataFrame, alpha: float = 0.3,
+                lang_col: str = "lang") -> DataFrame:
+    """Alpha-smoothed multinomial mixture weights per language — the
+    XLM-R / mT5 sampling recipe (w_l proportional to n_l^alpha,
+    alpha < 1 upsamples low-resource languages).
+    -> (lang, n_docs, pow_e6, weight_e6).
+
+    Determinism across engines: pow() is quantized to bigint PER ROW
+    (identical expression shape in Spark and DuckDB), and the
+    normalizing sum + division then run entirely in bigint — so the
+    result is bit-identical even though summing raw doubles would be
+    partition-order-dependent.
+
+    Scale shape: one map-side-combined count per language, then a
+    global window over |languages| rows (a handful) — the corpus-sized
+    work is all in the first partial aggregation."""
+    counts = docs.groupBy(lang_col).agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    pow_q = (
+        f"cast(round(pow(cast(n_docs as double), {alpha}) * 1000000, 0)"
+        f" as bigint)"
+    )
+    return counts.select(
+        F.col(lang_col).alias("lang"),
+        "n_docs",
+        F.expr(pow_q).alias("pow_e6"),
+    ).select(
+        "lang",
+        "n_docs",
+        "pow_e6",
+        F.expr(
+            "cast((pow_e6 * 1000000) div sum(pow_e6) over () as bigint)"
+        ).alias("weight_e6"),
+    )
+
+
+def duck_mix_weights_sql(alpha: float = 0.3,
+                         doc_rel: str = "documents") -> str:
+    pow_q = (
+        f"cast(round(pow(cast(n_docs as double), {alpha}) * 1000000, 0)"
+        f" as bigint)"
+    )
+    return f"""
+with c as (select lang, cast(count(*) as bigint) as n_docs
+           from {doc_rel} group by 1),
+p as (select lang, n_docs, {pow_q} as pow_e6 from c)
+select lang, n_docs, pow_e6,
+       cast((pow_e6 * 1000000) // sum(pow_e6) over () as bigint) as weight_e6
+from p
+"""
+
+
 def domain_stats(pages: DataFrame, url_col: str = "url",
                  text_col: str = "text") -> DataFrame:
     """Per-domain corpus stats: doc count + total text bytes. One

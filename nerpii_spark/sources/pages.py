@@ -356,6 +356,41 @@ from {doc_rel} d left join agg a on d.doc_id = a.doc_id
 """
 
 
+def crawl_sql(dialect: str, doc_rel: str = "documents") -> str:
+    """Deterministic crawl-log table (doc_id, url, ts_s) with planted
+    RE-CAPTURES of the same page under URL variants — the raw state of a
+    Common-Crawl-style fetch log before URL canonicalization:
+
+      * every page once at its canonical URL (ts = BASE_EPOCH + doc_id)
+      * doc_id % 3 = 0: tracking-query variant (?utm_...), one day later
+      * doc_id % 5 = 0: fragment variant (#section-2), two days later
+      * doc_id % 7 = 0: scheme/host case variant (HTTPS://Site...), +3d
+      * doc_id % 11 = 0: trailing-slash variant, +4d
+
+    ts_s is epoch seconds as bigint (identical in both dialects; the
+    Spark-side `warc_ts` timestamp is BASE_EPOCH + doc_id, so this is
+    the same clock). All five capture timestamps of a page are distinct,
+    so latest-capture-wins selection is deterministic."""
+    p = f"(select doc_id, url from ({pages_sql(dialect, doc_rel)}))"
+    t = f"{BASE_EPOCH} + doc_id"
+    return f"""
+with cp as {p}
+select doc_id, url, cast({t} as bigint) as ts_s from cp
+union all
+select doc_id, url || '?utm_source=feed&utm_medium=rss',
+       cast({t} + 86400 as bigint) from cp where doc_id % 3 = 0
+union all
+select doc_id, url || '#section-2',
+       cast({t} + 172800 as bigint) from cp where doc_id % 5 = 0
+union all
+select doc_id, replace(url, 'https://site', 'HTTPS://Site'),
+       cast({t} + 259200 as bigint) from cp where doc_id % 7 = 0
+union all
+select doc_id, url || '/',
+       cast({t} + 345600 as bigint) from cp where doc_id % 11 = 0
+"""
+
+
 def _mention_struct(dialect: str, etype: str, m_expr: str) -> str:
     if dialect == "spark":
         return f"named_struct('e', '{etype}', 'm', {m_expr})"

@@ -261,3 +261,163 @@ def test_gopher_keep_flag_edges(spark):
     assert got[2]["keep"] is False      # uniq_ratio ~ 1/200
     assert got[3]["keep"] is False      # n_words < 50
     assert got[4]["keep"] is False      # max_word_len > 1000
+
+
+def test_two_hop_locations_exact(spark):
+    """Hand-computable 2-hop composition; triple multiplicity must not
+    inflate n_paths, and only works_at o located_in composes."""
+    from nerpii_spark.operators.extract import two_hop_locations
+
+    triples = spark.createDataFrame(
+        [
+            ("Ann Ray", "works_at", "Acme"),
+            ("Ann Ray", "works_at", "Acme"),      # duplicate triple
+            ("Ann Ray", "works_at", "Globex"),
+            ("Bob Ito", "works_at", "Acme"),
+            ("Acme", "located_in", "Springfield"),
+            ("Globex", "located_in", "Springfield"),
+            ("Acme", "located_in", "Shelbyville"),
+            ("Ann Ray", "lives_in", "Ogden"),      # wrong predicate
+            ("Ogden", "located_in", "Utah"),       # no works_at edge in
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        (r["person"], r["location"]): r["n_paths"]
+        for r in two_hop_locations(triples).collect()
+    }
+    assert got == {
+        ("Ann Ray", "Springfield"): 2,   # via Acme and Globex
+        ("Ann Ray", "Shelbyville"): 1,
+        ("Bob Ito", "Springfield"): 1,
+        ("Bob Ito", "Shelbyville"): 1,
+    }
+
+
+def test_entity_cooccur_lift_and_cap(spark):
+    """Integer lift arithmetic is exact; a degenerate doc with more than
+    max_per_doc distinct surfaces is excluded from pairs AND marginals."""
+    from nerpii_spark.operators.extract import entity_cooccur
+
+    rows = [
+        (1, "PERSON", "Ann"), (1, "ORGANIZATION", "Acme"),
+        (2, "PERSON", "Ann"), (2, "ORGANIZATION", "Acme"),
+        (3, "PERSON", "Ann"), (3, "LOCATION", "Springfield"),
+        (3, "PERSON", "Ann"),                   # repeated mention, one surface
+        (4, "EMAIL_ADDRESS", "a@b.c"), (4, "PERSON", "Ann"),  # email ignored
+    ]
+    # doc 99 is degenerate: 5 distinct surfaces > cap of 4
+    rows += [(99, "PERSON", f"P{i}") for i in range(5)]
+    m = spark.createDataFrame(rows, "doc_id bigint, entity_type string, mention string")
+    got = {
+        (r["a"], r["b"]): (r["n_ab"], r["lift_e6"])
+        for r in entity_cooccur(m, max_per_doc=4).collect()
+    }
+    # surviving docs: 1..4 -> n_docs=4; c(Ann)=4, c(Acme)=2, c(Springfield)=1
+    # (Acme, Ann): n_ab=2, lift = 2*4/(2*4) = 1.0 -> 1_000_000
+    # (Ann, Springfield): n_ab=1, lift = 1*4/(4*1) = 1.0
+    assert got == {
+        ("Acme", "Ann"): (2, 1000000),
+        ("Ann", "Springfield"): (1, 1000000),
+    }
+
+
+def test_tfidf_topk_ranking(spark):
+    """idf separates a doc-specific token from a corpus-wide one; rank
+    window orders by the quantized score with token-asc tie-break."""
+    from nerpii_spark.operators import textstats as TS
+
+    df = spark.createDataFrame(
+        [
+            (1, "common rare rare"),
+            (2, "common other"),
+            (3, "common other"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["doc_id"], r["rk"]): (r["token"], r["tf"], r["tfidf_e6"])
+        for r in TS.tfidf_topk(df, k=2).collect()
+    }
+    import math
+
+    # doc 1: rare tf=2 df=1 -> 2*ln(3); common tf=1 df=3 -> ln(1)=0
+    assert got[(1, 1)] == ("rare", 2, round(2 * math.log(3.0) * 1e6))
+    assert got[(1, 2)] == ("common", 1, 0)
+    # docs 2/3: other (df=2) beats common (idf 0); ties impossible here
+    assert got[(2, 1)][0] == "other"
+    assert got[(2, 1)][2] == round(math.log(3.0 / 2.0) * 1e6)
+
+
+def test_url_dedup_canonicalization(spark):
+    """All planted variants collapse to one canonical URL; survivor is
+    the latest capture; unrelated URLs stay separate."""
+    crawl = spark.createDataFrame(
+        [
+            (10, "https://site1.example/en/page/10", 100),
+            (10, "https://site1.example/en/page/10?utm_source=feed", 200),
+            (10, "https://site1.example/en/page/10#section-2", 300),
+            (10, "HTTPS://Site1.example/en/page/10", 400),
+            (10, "https://site1.example/en/page/10/", 500),
+            (11, "https://site2.example/en/page/11", 100),
+        ],
+        "doc_id bigint, url string, ts_s bigint",
+    )
+    got = {r["curl"]: r for r in D.url_dedup(crawl).collect()}
+    assert set(got) == {
+        "https://site1.example/en/page/10",
+        "https://site2.example/en/page/11",
+    }
+    g = got["https://site1.example/en/page/10"]
+    assert (g["n_captures"], g["last_ts_s"], g["survivor_doc"]) == (5, 500, 10)
+
+
+def test_asof_join_semantics(spark):
+    """Latest prior click wins; purchases before any click get nulls;
+    other users' clicks never leak."""
+    from datetime import datetime as dt
+
+    from nerpii_spark.operators.events import asof_join
+
+    rows = [
+        # user 1: click(10) @t1, purchase(11) @t2, click(12) @t3, purchase(13) @t4
+        (10, dt(2024, 1, 1, 0, 0, 1), 1, "click", 0.0, "{}"),
+        (11, dt(2024, 1, 1, 0, 0, 2), 1, "purchase", 0.0, "{}"),
+        (12, dt(2024, 1, 1, 0, 0, 3), 1, "click", 0.0, "{}"),
+        (13, dt(2024, 1, 1, 0, 0, 5), 1, "purchase", 0.0, "{}"),
+        # user 2: purchase with no prior click (click comes after)
+        (20, dt(2024, 1, 1, 0, 0, 1), 2, "purchase", 0.0, "{}"),
+        (21, dt(2024, 1, 1, 0, 0, 2), 2, "click", 0.0, "{}"),
+        # noise: a view event must not participate
+        (30, dt(2024, 1, 1, 0, 0, 0), 1, "view", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp_ntz, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    got = {r["event_id"]: r for r in asof_join(ev).collect()}
+    assert set(got) == {11, 13, 20}
+    assert (got[11]["right_event_id"], got[11]["gap_us"]) == (10, 1_000_000)
+    assert (got[13]["right_event_id"], got[13]["gap_us"]) == (12, 2_000_000)
+    assert got[20]["right_event_id"] is None and got[20]["gap_us"] is None
+
+
+def test_mix_weights_integer_exact(spark):
+    """Quantized-pow + bigint normalization: weights are exact integer
+    arithmetic over per-lang pow_e6 and sum to <= 1e6."""
+    from nerpii_spark.operators import textstats as TS
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 80 else ("it" if i < 90 else "de"), "x")
+         for i in range(100)],
+        "doc_id bigint, lang string, text string",
+    )
+    got = {r["lang"]: r for r in TS.mix_weights(df).collect()}
+    assert {g["n_docs"] for g in got.values()} == {80, 10, 10}
+    tot = sum(g["pow_e6"] for g in got.values())
+    for g in got.values():
+        assert g["weight_e6"] == g["pow_e6"] * 1_000_000 // tot
+    assert sum(g["weight_e6"] for g in got.values()) <= 1_000_000
+    # alpha=0.3 upsamples low-resource langs: de weight >> its doc share
+    assert got["de"]["weight_e6"] > 100_000  # doc share would be 100k exactly
