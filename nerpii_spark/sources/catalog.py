@@ -54,6 +54,43 @@ class TableCatalog:
             w.format(self.format).saveAsTable(self._ident(name))
 
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_by: str,
+        n_buckets: int = 16,
+        sort_by: str | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """Bucketed write: rows are hash-clustered into `n_buckets` files
+        by `bucket_by` and sorted within each bucket, and the layout is
+        recorded in the session catalog (bucket metadata cannot live in
+        bare path-based Parquet, so this goes through saveAsTable with an
+        external path under the catalog root).
+
+        Why it matters at scale: two tables bucketed by the same key and
+        bucket count sort-merge-join WITHOUT either side's Exchange, and
+        a groupBy on the bucket key skips its shuffle too — for a
+        repeatedly-joined table (triples by subj, entities by entity_id)
+        the shuffle is paid once at write time, not once per query.
+        tests/test_catalog.py asserts the exchange-free join plan. On a
+        real lakehouse this maps to Iceberg's `bucket(N, col)` partition
+        transform — same config-swap story as the rest of this module."""
+        w = (
+            df.write.mode(mode)
+            .option("path", self.path(name))
+            .bucketBy(n_buckets, bucket_by)
+            .sortBy(sort_by or bucket_by)
+        )
+        w.format(self.format).saveAsTable(self._ident(name))
+
+    def read_bucketed(self, spark: SparkSession, name: str) -> DataFrame:
+        """Bucketed tables are catalog-backed regardless of format (the
+        bucket spec lives in the table metadata, not the files)."""
+        return spark.table(self._ident(name))
+
+
 def load_table(spark: SparkSession, source) -> DataFrame:
     """Reference O1 input coercion (named_entity_recognizer.py:310-311,
     faker_generator.py:78-79): accept a DataFrame as-is, or a path —

@@ -33,3 +33,38 @@ def test_catalog_roundtrip_and_exists(spark, tmp_path):
     cat.write(df, "t2")
     cat.write(df, "t2", mode="append")
     assert cat.read(spark, "t2").count() == 4
+
+
+def test_bucketed_join_and_agg_skip_exchange(spark, tmp_path):
+    """Two tables bucketed by the same key and count sort-merge-join with
+    ZERO Exchange nodes, and a groupBy on the bucket key aggregates
+    without its shuffle — the write-once-shuffle-never property
+    write_bucketed exists for."""
+    cat = TableCatalog(root=str(tmp_path))
+    triples = spark.createDataFrame(
+        [(f"s{i % 7}", "p", f"o{i}") for i in range(100)],
+        "subj string, pred string, obj string",
+    )
+    ents = spark.createDataFrame(
+        [(f"s{i}", i) for i in range(7)], "subj string, entity_id bigint"
+    )
+    cat.write_bucketed(triples, "tb_triples", bucket_by="subj", n_buckets=4)
+    cat.write_bucketed(ents, "tb_ents", bucket_by="subj", n_buckets=4)
+    a = cat.read_bucketed(spark, "tb_triples")
+    b = cat.read_bucketed(spark, "tb_ents")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = a.join(b, "subj")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == 100
+        g = a.groupBy("subj").count()
+        gplan = g._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in gplan
+        assert g.count() == 7
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for t in ("tb_triples", "tb_ents"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
