@@ -43,6 +43,7 @@ from nerpii_spark.operators.extract import (
     entity_cooccur,
     entity_degree,
     extract_triples,
+    kg_triangles,
     topk_objs_per_pred,
     triples_by_pred_salted,
     two_hop_locations,
@@ -494,6 +495,13 @@ def q_embed_dup_pairs(spark, sf):
     )
 
 
+def q_embed_dup_survivors(spark, sf):
+    """Embedding-level near-dedup end to end: LSH-verified pairs -> CC
+    fixpoint -> min-id survivor per cluster; oracle = recursive-CTE CC
+    over the brute-force pair ground truth."""
+    return SIM.embedding_dup_survivors(_dup_embs(spark, sf), tau=SIM.DUP_TAU)
+
+
 def q_lang_id(spark, sf):
     return TS.lang_id(_load(spark, sf, "documents"))
 
@@ -688,6 +696,13 @@ def q_kg_2hop(spark, sf):
     return two_hop_locations(_pipeline(spark, sf)["triples"])
 
 
+def q_kg_triangles(spark, sf):
+    """Triangle census of the entity graph via the degree-oriented
+    node-iterator (per-node wedge fan-out bounded by out-degree <=
+    O(sqrt(m)); a hub generates zero wedges)."""
+    return kg_triangles(_pipeline(spark, sf)["triples"])
+
+
 def q_entity_cooccur(spark, sf):
     """Per-document entity co-occurrence with exact integer lift_e6
     scoring (PMI numerator/denominator without the log — bigint-only
@@ -774,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_topk_lsh": q_embed_topk_lsh,
         "q_embed_topk_ivf": q_embed_topk_ivf,
         "q_embed_dup_pairs": q_embed_dup_pairs,
+        "q_embed_dup_survivors": q_embed_dup_survivors,
         "q_lang_id": q_lang_id,
         "q_token_counts": q_token_counts,
         "q_quality": q_quality,
@@ -800,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_objs_per_pred": q_topk_objs_per_pred,
         "q_entity_degree": q_entity_degree,
         "q_kg_2hop": q_kg_2hop,
+        "q_kg_triangles": q_kg_triangles,
         "q_entity_cooccur": q_entity_cooccur,
         "q_anti_join": q_anti_join,
         "q_agg_lineitem": q_agg_lineitem,
@@ -865,6 +882,7 @@ def _extras_oracles() -> dict[str, str]:
         """,
         "q_embed_topk": SIM.duck_cosine_topk_sql("vec_id < 32", k=3),
         "q_embed_dup_pairs": SIM.duck_embedding_dup_pairs_sql(),
+        "q_embed_dup_survivors": SIM.duck_embedding_dup_survivors_sql(),
         "q_lang_id": (
             f"select doc_id, {TS.lang_id_sql('duck', 'text')} as lang_pred"
             " from documents"
@@ -1113,6 +1131,23 @@ def oracle_sql() -> dict[str, str]:
             select person, location,
                    cast(count(distinct org) as bigint) as n_paths
             from wa join li using (org) group by 1, 2
+        """,
+        "q_kg_triangles": f"""
+            with e as (
+              select distinct least(subj, obj) as a, greatest(subj, obj) as b
+              from ({gt}) where subj <> obj
+            ),
+            v as (select count(*) as n_nodes
+                  from (select a as n from e union select b from e)),
+            ne as (select count(*) as n_edges from e),
+            tri as (select count(*) as n_triangles
+                    from e e1
+                    join e e2 on e2.a = e1.b
+                    join e e3 on e3.a = e1.a and e3.b = e2.b)
+            select cast(v.n_nodes as bigint) as n_nodes,
+                   cast(ne.n_edges as bigint) as n_edges,
+                   cast(tri.n_triangles as bigint) as n_triangles
+            from v, ne, tri
         """,
         "q_entity_cooccur": f"""
             with surf as (

@@ -301,6 +301,64 @@ def two_hop_locations(triples: DataFrame) -> DataFrame:
     )
 
 
+def kg_triangles(triples: DataFrame) -> DataFrame:
+    """Global triangle census of the entity graph -> one row
+    (n_nodes, n_edges, n_triangles): the standard KG health metric
+    (closure density) over the materialized triple table.
+
+    Scale shape: degree-oriented node-iterator. The undirected distinct
+    edge set is oriented from the lower-(degree, name) endpoint to the
+    higher, making a DAG in which every triangle is counted exactly once
+    at its minimum vertex. The wedge self-join then fans out per node by
+    OUT-degree, which orientation bounds by O(sqrt(m)) on any graph — a
+    celebrity hub that would explode a naive wedge join generates ZERO
+    wedges because all its edges point into it (asserted on a planted
+    star graph in tests). The closing-edge check is an equi-join back to
+    the edge set on the sorted pair. All joins are equi-joins on
+    (src) / (a, b); the edge set is localCheckpoint'd once because three
+    downstream branches (degrees, orientation, closure) reuse it."""
+    e = (
+        triples.where(F.col("subj") != F.col("obj"))
+        .select(
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    ori = (
+        e.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            # a < b always (sorted pair), so the (d, name) tie-break is
+            # simply: equal degrees orient a -> b
+            F.when(F.col("da") <= F.col("db"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("src"),
+            F.when(F.col("da") <= F.col("db"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("dst"),
+        )
+    )
+    wedges = (
+        ori.select("src", F.col("dst").alias("v"))
+        .join(ori.select("src", F.col("dst").alias("w")), "src")
+        .where(F.col("v") < F.col("w"))
+    )
+    n_tri = wedges.join(
+        e, (F.col("v") == F.col("a")) & (F.col("w") == F.col("b"))
+    ).agg(F.count("*").cast("bigint").alias("n_triangles"))
+    n_nodes = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    n_edges = e.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
 COOCCUR_TYPES = ("LOCATION", "ORGANIZATION", "PERSON")
 
 

@@ -354,6 +354,59 @@ def ivf_topk(
     )
 
 
+def embedding_dup_survivors(
+    embs: DataFrame,
+    tau: float = DUP_TAU,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level near-dedup, end to end: LSH-verified dup pairs ->
+    connected components (reusing the linking CC fixpoint) -> one
+    survivor (min id) per duplicate cluster -> (keep_id, n_members).
+    Singletons keep themselves — the same contract as the text-side
+    near_dedup_survivors, so a training-data pipeline can dedup by
+    embedding similarity with identical downstream semantics."""
+    from .link import connected_components
+
+    pairs = embedding_dup_pairs(embs, tau=tau, id_col=id_col, vec_col=vec_col)
+    nodes = embs.select(F.col(id_col).alias("sid"))
+    labels = connected_components(
+        nodes,
+        pairs.select(
+            F.col("id_a").alias("sid_a"), F.col("id_b").alias("sid_b")
+        ),
+    )
+    return (
+        labels.groupBy("label")
+        .agg(F.min("sid").alias("keep_id"), F.count("*").alias("n_members"))
+        .select("keep_id", "n_members")
+    )
+
+
+def duck_embedding_dup_survivors_sql(tau: float = DUP_TAU) -> str:
+    """DuckDB oracle: CC over the exact brute-force pair ground truth via
+    a recursive min-label propagation CTE (mirrors the text-side
+    duck_near_dedup_survivors_sql)."""
+    dup = dup_embs_sql("duck")
+    pairs = duck_embedding_dup_pairs_sql(tau)
+    return f"""
+with recursive
+nodes as (select vec_id from ({dup})),
+e as (select id_a, id_b from ({pairs})),
+sym as (select id_a as src, id_b as dst from e
+        union all select id_b, id_a from e),
+reach(id, lbl) as (
+  select vec_id, vec_id from nodes
+  union
+  select s.dst, r.lbl
+  from reach r join sym s on s.src = r.id
+  where r.lbl < s.dst
+),
+comp as (select id, min(lbl) as lbl from reach group by 1)
+select lbl as keep_id, count(*) as n_members from comp group by 1
+"""
+
+
 def duck_embedding_dup_pairs_sql(tau: float = DUP_TAU) -> str:
     """DuckDB oracle for embedding_dup_pairs over the planted dup-emb
     relation: exact brute force (the O(N^2) path lives ONLY here — the
