@@ -43,7 +43,9 @@ from nerpii_spark.operators.extract import (
     entity_cooccur,
     entity_degree,
     extract_triples,
+    duck_pagerank_sql,
     kg_triangles,
+    pagerank,
     topk_objs_per_pred,
     triples_by_pred_salted,
     two_hop_locations,
@@ -703,6 +705,14 @@ def q_kg_triangles(spark, sf):
     return kg_triangles(_pipeline(spark, sf)["triples"])
 
 
+def q_pagerank(spark, sf):
+    """3-step fixed-point PageRank over the directed entity graph; all
+    arithmetic bigint fixed-point (rank_e12), so the chained-CTE DuckDB
+    oracle matches bit-for-bit — certifying the distributed iteration,
+    not just the plumbing."""
+    return pagerank(_pipeline(spark, sf)["triples"], n_iter=3)
+
+
 def q_entity_cooccur(spark, sf):
     """Per-document entity co-occurrence with exact integer lift_e6
     scoring (PMI numerator/denominator without the log — bigint-only
@@ -817,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entity_degree": q_entity_degree,
         "q_kg_2hop": q_kg_2hop,
         "q_kg_triangles": q_kg_triangles,
+        "q_pagerank": q_pagerank,
         "q_entity_cooccur": q_entity_cooccur,
         "q_anti_join": q_anti_join,
         "q_agg_lineitem": q_agg_lineitem,
@@ -1149,6 +1160,7 @@ def oracle_sql() -> dict[str, str]:
                    cast(tri.n_triangles as bigint) as n_triangles
             from v, ne, tri
         """,
+        "q_pagerank": duck_pagerank_sql(gt, n_iter=3),
         "q_entity_cooccur": f"""
             with surf as (
               select distinct doc_id, mention from ({gm})

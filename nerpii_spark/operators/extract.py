@@ -359,6 +359,110 @@ def kg_triangles(triples: DataFrame) -> DataFrame:
     return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
 
 
+PR_SCALE = 10**12  # fixed-point rank unit (rank_e12)
+PR_DAMP = 850      # damping factor in permille (0.85)
+
+
+def pagerank(triples: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Fixed-point PageRank over the directed entity graph ->
+    (node, rank_e12). Ranks are bigint fixed-point (PR_SCALE = 1e12), and
+    EVERY operation — initial mass, per-edge contribution, dangling
+    redistribution, damping — is integer arithmetic with a fixed
+    evaluation order, so Spark and the DuckDB chained-CTE oracle agree
+    bit-for-bit (no float summation order, no libm).
+
+    update: r'(v) = (150*base + 850*(contrib(v) + dangling div N)) div 1000
+    where base = PR_SCALE div N, contrib(v) = sum over in-edges (u,v) of
+    r(u) div outdeg(u), dangling = total rank on sink nodes.
+
+    Scale shape: each iteration is one edges|>ranks equi-join + one
+    groupBy(dst) partial-aggregated shuffle, plus a one-row dangling agg
+    broadcast back via crossJoin — NO driver-side collect in the loop.
+    Edges and nodes are localCheckpoint'd once; each iteration's ranks
+    are checkpointed to truncate the iterative lineage (same discipline
+    as the CC fixpoint). n_iter is fixed here (the driver query is a
+    deterministic 3-step demo); a production run iterates until the
+    total rank delta underflows the fixed-point unit."""
+    edges = (
+        triples.where(F.col("subj") != F.col("obj"))
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    base = PR_SCALE // n
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
+    ranks = nodes.select(
+        "node", F.lit(base).cast("bigint").alias("rank")
+    ).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("rank div odeg")).cast("bigint").alias("c"))
+        )
+        dang = (
+            ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("bigint").alias("dang"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                F.expr(
+                    f"cast((150 * cast({base} as bigint)"
+                    f" + {PR_DAMP} * (coalesce(c, cast(0 as bigint))"
+                    f" + dang div cast({n} as bigint))) div 1000 as bigint)"
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("rank").alias("rank_e12"))
+
+
+def duck_pagerank_sql(triples_sql: str, n_iter: int = 3) -> str:
+    """DuckDB oracle: the same fixed-point update unrolled as chained
+    CTEs (r0 -> r1 -> ... -> rN) — an independent implementation whose
+    bit-identical result certifies the Spark iteration. sum() outputs
+    are cast back from HUGEINT at every level."""
+    head = f"""
+with
+e as (select distinct subj as src, obj as dst
+      from ({triples_sql}) where subj <> obj),
+nodes as (select src as node from e union select dst from e),
+meta as (select count(*) as n from nodes),
+od as (select src, count(*) as odeg from e group by 1),
+r0 as (select node, cast({PR_SCALE} // (select n from meta) as bigint) as rank
+       from nodes)"""
+    steps = []
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        steps.append(f"""
+c{i} as (select e.dst as node, cast(sum(r.rank // od.odeg) as bigint) as c
+     from e join r{p} r on r.node = e.src join od on od.src = e.src
+     group by 1),
+d{i} as (select cast(coalesce(sum(r.rank), 0) as bigint) as dang
+     from r{p} r left join od on od.src = r.node where od.src is null),
+r{i} as (select nodes.node,
+       cast((150 * cast({PR_SCALE} // (select n from meta) as bigint)
+             + {PR_DAMP} * (coalesce(c.c, cast(0 as bigint))
+                 + (select dang from d{i}) // (select n from meta)))
+            // 1000 as bigint) as rank
+     from nodes left join c{i} c using (node))""")
+    return (
+        head + "," + ",".join(steps)
+        + f"\nselect node, rank as rank_e12 from r{n_iter}"
+    )
+
+
 COOCCUR_TYPES = ("LOCATION", "ORGANIZATION", "PERSON")
 
 

@@ -142,6 +142,28 @@ def test_kg_triangles_hand_case_and_hub_guard(spark):
     assert (r2["n_nodes"], r2["n_edges"], r2["n_triangles"]) == (201, 200, 0)
 
 
+def test_pagerank_hand_cases(spark):
+    from nerpii_spark.operators.extract import pagerank
+
+    # 2-cycle is stationary: every iteration returns the uniform mass
+    cyc = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "a")], "subj string, pred string, obj string"
+    )
+    got = {r["node"]: r["rank_e12"] for r in pagerank(cyc, n_iter=3).collect()}
+    assert got == {"a": 500_000_000_000, "b": 500_000_000_000}
+    # star with a dangling hub: exact fixed-point values after 1 step
+    # (base=2.5e11; hub gets 3 contributions + its own dangling share)
+    star = spark.createDataFrame(
+        [(f"l{i}", "p", "hub") for i in range(3)],
+        "subj string, pred string, obj string",
+    )
+    got = {r["node"]: r["rank_e12"] for r in pagerank(star, n_iter=1).collect()}
+    assert got["hub"] == 728_125_000_000
+    assert all(got[f"l{i}"] == 90_625_000_000 for i in range(3))
+    # mass is conserved by the integer update (remainders excepted)
+    assert sum(got.values()) == 10**12
+
+
 def test_mask_is_single_projection_no_shuffle(spark):
     """Masking is one Catalyst projection over the input — no exchange,
     no Python in the plan."""
