@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-64 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+69 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking), KG analytics (degree / 2-hop
 inference / co-occurrence lift), tabular-mode profiling/masking
 (en + the it-locale dimension), scalar/relational/window/set ops, the
@@ -730,6 +730,14 @@ def q_dedup_url(spark, sf):
     return D.url_dedup(crawl)
 
 
+def q_dedup_lines(spark, sf):
+    """Corpus-frequency line dedup (C4/RefinedWeb boilerplate removal):
+    lines repeated across > df_cap documents — the planted nav / footer /
+    title / script template segments — are discovered statistically and
+    dropped; per-page content survives in original order."""
+    return D.line_dedup(_pipeline(spark, sf)["pages"])
+
+
 def q_anti_join(spark, sf):
     c = _load(spark, sf, "customer")
     o = _load(spark, sf, "orders")
@@ -789,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mask_personal_info_it": q_mask_personal_info_it,
         "q_mask_triples": q_mask_triples,
         "q_dedup_url": q_dedup_url,
+        "q_dedup_lines": q_dedup_lines,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_ngram": q_dedup_ngram,
@@ -866,6 +875,7 @@ def _extras_oracles() -> dict[str, str]:
     """
     return {
         "q_dedup_url": D.duck_url_dedup_sql(P.crawl_sql("duck")),
+        "q_dedup_lines": D.duck_line_dedup_sql(P.pages_sql("duck")),
         "q_dedup_exact": (
             f"select md5(text) as content_hash, count(*) as n_copies,"
             f" min(doc_id) as keep_id from ({dup}) group by 1"

@@ -575,3 +575,121 @@ def simhash_dup_pairs(
     return cand.where(
         F.expr(f"bit_count(ha ^ hb) <= {max_hamming}")
     ).select("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# corpus-frequency line dedup (C4/RefinedWeb-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+LINE_SPLIT_RE = r"<[^>]*>|\. "
+LINE_DF_CAP = 8
+
+
+def line_dedup(
+    pages: DataFrame,
+    df_cap: int = LINE_DF_CAP,
+    html_col: str = "html",
+) -> DataFrame:
+    """Corpus-frequency line deduplication (the C4 / RefinedWeb recipe):
+    segment each page into lines, count each distinct line's document
+    frequency across the corpus, and drop lines appearing in more than
+    `df_cap` documents — template boilerplate (nav bars, footers, cookie
+    banners) is *discovered statistically* instead of hand-listed, the
+    corpus-level complement to the per-page tag stripping in
+    operators/clean.py. -> (doc_id, n_kept, n_dropped, text_kept) with
+    text_kept = surviving lines in original page order.
+
+    Lines are the non-empty trimmed segments between HTML tags or
+    sentence boundaries (LINE_SPLIT_RE, identical regex semantics in
+    Java and RE2). Line identity is md5(line) — the same digest the
+    exact-dedup family uses — so the df aggregation and the membership
+    join ship 16-byte keys, never line text.
+
+    Scale shape (10^12 docs): one explode (map-side) -> groupBy(digest)
+    with a partial-aggregated distinct-doc count -> the tiny high-df
+    head (only lines repeated across > df_cap docs: nav/footer/banner
+    templates) is BROADCAST back as the drop list; the corpus-sized line
+    stream is shuffled once, by doc_id, to reassemble pages — there is
+    no line-keyed join against a corpus-sized table and no self-join
+    anywhere. Reference analogy: nerpii strips noise per-cell with fixed
+    deny lists (named_entity_recognizer.py:115-141); this is the
+    corpus-statistics generalization a web-scale pipeline needs."""
+    segs = (
+        pages.select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.col(html_col).cast("string"), LINE_SPLIT_RE)
+            ).alias("pos", "seg"),
+        )
+        .withColumn("seg", F.trim("seg"))
+        .where(F.col("seg") != "")
+        .withColumn("k", F.md5("seg"))
+    )
+    bp = (
+        segs.groupBy("k")
+        .agg(F.count_distinct("doc_id").alias("line_df"))
+        .where(F.col("line_df") > df_cap)
+        .select("k", F.lit(1).alias("is_bp"))
+    )
+    return (
+        segs.join(F.broadcast(bp), "k", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "cast(sum(case when is_bp is null then 1 else 0 end)"
+                " as bigint)"
+            ).alias("n_kept"),
+            F.expr(
+                "cast(sum(case when is_bp is not null then 1 else 0 end)"
+                " as bigint)"
+            ).alias("n_dropped"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "case when is_bp is null then struct(pos, seg) end)),"
+                " x -> x.seg), ' ')"
+            ).alias("text_kept"),
+        )
+    )
+
+
+def duck_line_dedup_sql(
+    pages_sql_duck: str, df_cap: int = LINE_DF_CAP
+) -> str:
+    """DuckDB oracle for `line_dedup`: rebuilds the page html inline
+    (the duck pages relation carries text only), re-segments with the
+    same regex, recomputes per-line document frequency and the ordered
+    reassembly. string_split_regex keeps empty segments like Java
+    split(limit=-1); both sides drop them after trim, preserving
+    relative order."""
+    from ..sources.pages import HTML_POST, HTML_PRE
+
+    pre = HTML_PRE.replace("'", "''")
+    post = HTML_POST.replace("'", "''")
+    return f"""
+with p as (
+  select doc_id, '{pre}' || text || '{post}' as html
+  from ({pages_sql_duck})
+),
+raw as (
+  select doc_id, generate_subscripts(ls, 1) as pos, trim(unnest(ls)) as seg
+  from (select doc_id,
+               string_split_regex(html, '{LINE_SPLIT_RE}') as ls
+        from p)
+),
+segs as (
+  select doc_id, pos, seg, md5(seg) as k from raw where seg <> ''
+),
+bp as (
+  select k from segs group by k having count(distinct doc_id) > {df_cap}
+),
+tagged as (
+  select s.doc_id, s.pos, s.seg, b.k is not null as is_bp
+  from segs s left join bp b on s.k = b.k
+)
+select doc_id,
+       cast(count(*) filter (where not is_bp) as bigint) as n_kept,
+       cast(count(*) filter (where is_bp) as bigint) as n_dropped,
+       coalesce(string_agg(seg, ' ' order by pos)
+                  filter (where not is_bp), '') as text_kept
+from tagged group by doc_id
+"""
