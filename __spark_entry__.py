@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-69 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+70 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking), KG analytics (degree / 2-hop
 inference / co-occurrence lift), tabular-mode profiling/masking
 (en + the it-locale dimension), scalar/relational/window/set ops, the
@@ -527,6 +527,14 @@ def q_quality_gopher(spark, sf):
     return TS.gopher_quality(_load(spark, sf, "documents"))
 
 
+def q_quality_lm(spark, sf):
+    """Unigram-LM surprisal scoring (CCNet-style perplexity filtering):
+    corpus-trained token surprisal quantized to integer log2 bits, so
+    both engines agree bit-for-bit; head vocab broadcast, token stream
+    never shuffled by token."""
+    return TS.lm_surprisal(_load(spark, sf, "documents"))
+
+
 def q_domain_stats(spark, sf):
     """Per-domain corpus rollup over the cleaned pages (doc count +
     total text bytes) — the partitioning/prioritization signal a corpus
@@ -814,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality": q_quality,
         "q_quality_gopher": q_quality_gopher,
         "q_quality_repetition": q_quality_repetition,
+        "q_quality_lm": q_quality_lm,
         "q_vocab_topk": q_vocab_topk,
         "q_tfidf_topk": q_tfidf_topk,
         "q_decontaminate": q_decontaminate,
@@ -919,6 +928,7 @@ def _extras_oracles() -> dict[str, str]:
             + " from documents"
         )(TS.gopher_sql("duck", "text")),
         "q_quality_repetition": TS.duck_repetition_sql(),
+        "q_quality_lm": TS.duck_lm_surprisal_sql(),
         "q_vocab_topk": TS.duck_vocab_topk_sql(10),
         "q_tfidf_topk": TS.duck_tfidf_topk_sql(5),
         "q_decontaminate": D.duck_decontaminate_sql(),

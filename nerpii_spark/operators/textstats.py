@@ -429,3 +429,86 @@ def domain_stats(pages: DataFrame, url_col: str = "url",
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM surprisal (CCNet-style perplexity filtering, integer-exact)
+# ---------------------------------------------------------------------------
+
+LM_MIN_CNT = 3
+
+
+def lm_surprisal(docs: DataFrame, min_cnt: int = LM_MIN_CNT,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Unigram-LM surprisal scoring — the CCNet / RedPajama perplexity-
+    filtering recipe with the LM trained on the corpus itself:
+    token surprisal = -log2 p(t) quantized to its integer part,
+    ilog2(n_total div cnt(t)), computed as length(bin(x)) - 1 — pure
+    int64 arithmetic, so Spark and DuckDB agree bit-for-bit (a float
+    floor(log2(x)) misrounds near powers of two once x stops being
+    representable as a double; bit-length never does).
+    -> (doc_id, n_tokens, surprisal_sum, score_milli) with score_milli =
+    1000 * surprisal_sum div n_tokens — high = rare-word-heavy text,
+    low = repetitive/common-word text; the filterable quality signal.
+
+    Tail handling: tokens with cnt < min_cnt are scored at the OOV
+    ceiling ilog2(n_total) (cnt treated as 1) — the standard unknown-
+    token backoff, and what bounds the broadcast below.
+
+    Scale shape (10^12 docs): the vocab agg combines map-side (Zipf-hot
+    tokens arrive pre-summed); only the HEAD vocabulary (cnt >= min_cnt,
+    Zipf-bounded at ~n_total/min_cnt entries worst-case, in practice
+    millions) is broadcast; the token stream then never shuffles by
+    token — one broadcast-left-join + one doc_id-keyed agg. n_total
+    rides along as a one-row broadcast crossJoin, no driver collect."""
+    tokens = docs.select(
+        id_col,
+        F.explode(F.expr(f"split(lower({text_col}), ' ')")).alias("token"),
+    )
+    vocab = tokens.groupBy("token").agg(F.count("*").cast("bigint").alias("cnt"))
+    n_total = vocab.agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    head = vocab.where(F.col("cnt") >= min_cnt)
+    scored = (
+        tokens.join(F.broadcast(head), "token", "left")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "s",
+            F.expr(
+                "cast(length(bin(n_total div coalesce(cnt, 1))) - 1 as bigint)"
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("s").cast("bigint").alias("surprisal_sum"),
+        F.expr("cast((1000 * sum(s)) div count(*) as bigint)").alias(
+            "score_milli"
+        ),
+    )
+
+
+def duck_lm_surprisal_sql(min_cnt: int = LM_MIN_CNT,
+                          doc_rel: str = "documents") -> str:
+    """DuckDB oracle for `lm_surprisal`: identical integer pipeline;
+    ilog2 via length(to_base(x, 2)) - 1; every sum cast back from
+    HUGEINT."""
+    return f"""
+with t as (
+  select doc_id, unnest(string_split(lower(text), ' ')) as token from {doc_rel}
+),
+v as (select token, cast(count(*) as bigint) as cnt from t group by 1),
+n as (select cast(sum(cnt) as bigint) as n_total from v),
+head as (select * from v where cnt >= {min_cnt}),
+s as (
+  select t.doc_id,
+         cast(length(to_base(n.n_total // coalesce(h.cnt, 1), 2)) - 1
+              as bigint) as s
+  from t left join head h using (token), n
+)
+select doc_id,
+       cast(count(*) as bigint) as n_tokens,
+       cast(sum(s) as bigint) as surprisal_sum,
+       cast((1000 * cast(sum(s) as bigint)) // count(*) as bigint)
+         as score_milli
+from s group by 1
+"""

@@ -421,3 +421,23 @@ def test_mix_weights_integer_exact(spark):
     assert sum(g["weight_e6"] for g in got.values()) <= 1_000_000
     # alpha=0.3 upsamples low-resource langs: de weight >> its doc share
     assert got["de"]["weight_e6"] > 100_000  # doc share would be 100k exactly
+
+
+def test_lm_surprisal_hand_case_and_plan(spark):
+    """Integer-log2 surprisal: hand-computed values on a 3-doc corpus
+    (n_total=7, head={a:5}: s(a)=ilog2(1)=0, OOV s=ilog2(7)=2), and the
+    head-vocab membership join is a broadcast."""
+    from nerpii_spark.operators import textstats as TS
+
+    docs = spark.createDataFrame(
+        [(0, "a a a a"), (1, "a b"), (2, "c")], "doc_id bigint, text string"
+    )
+    out = TS.lm_surprisal(docs, min_cnt=2)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert (got[0]["n_tokens"], got[0]["surprisal_sum"],
+            got[0]["score_milli"]) == (4, 0, 0)
+    assert (got[1]["surprisal_sum"], got[1]["score_milli"]) == (2, 1000)
+    assert (got[2]["surprisal_sum"], got[2]["score_milli"]) == (2, 2000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
