@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-70 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+71 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking), KG analytics (degree / 2-hop
 inference / co-occurrence lift), tabular-mode profiling/masking
 (en + the it-locale dimension), scalar/relational/window/set ops, the
@@ -40,6 +40,8 @@ from nerpii_spark.functions.text import (
 from nerpii_spark.operators.clean import clean_pages
 from nerpii_spark.operators.detect import detect_mentions
 from nerpii_spark.operators.extract import (
+    degree_histogram,
+    duck_degree_histogram_sql,
     entity_cooccur,
     entity_degree,
     extract_triples,
@@ -700,6 +702,12 @@ def q_entity_degree(spark, sf):
     return entity_degree(_pipeline(spark, sf)["triples"])
 
 
+def q_degree_hist(spark, sf):
+    """Log2-bucketed degree distribution (power-law diagnostic): bucket
+    via integer bit-length, exact in both engines; <= 64 output rows."""
+    return degree_histogram(_pipeline(spark, sf)["triples"])
+
+
 def q_kg_2hop(spark, sf):
     """Multi-hop KG inference: works_at o located_in -> person-location
     facts, both sides pre-collapsed to distinct entity pairs."""
@@ -843,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gender": q_gender,
         "q_topk_objs_per_pred": q_topk_objs_per_pred,
         "q_entity_degree": q_entity_degree,
+        "q_degree_hist": q_degree_hist,
         "q_kg_2hop": q_kg_2hop,
         "q_kg_triangles": q_kg_triangles,
         "q_pagerank": q_pagerank,
@@ -1154,6 +1163,16 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(distinct nbr) as bigint) as n_neighbors
             from e group by 1
         """,
+        "q_degree_hist": duck_degree_histogram_sql(f"""
+            with e as (
+              select subj as node, obj as nbr from ({gt})
+              union all
+              select obj, subj from ({gt})
+            )
+            select node, count(*) as n_edges,
+                   cast(count(distinct nbr) as bigint) as n_neighbors
+            from e group by 1
+        """),
         "q_kg_2hop": f"""
             with wa as (select distinct subj as person, obj as org
                         from ({gt}) where pred = 'works_at'),

@@ -146,6 +146,8 @@ def main() -> int:
         "q_topk_objs_per_pred",
         "q_entities",
         "q_dedup_minhash",
+        "q_dedup_lines",
+        "q_quality_lm",
         "q_agg_lineitem",
         "q_join_orders_customer",
         "q_anti_join",

@@ -463,6 +463,49 @@ r{i} as (select nodes.node,
     )
 
 
+def degree_histogram(triples: DataFrame) -> DataFrame:
+    """Log2-bucketed degree distribution of the entity graph:
+    (bucket, min_degree, n_nodes, sum_degree) where bucket =
+    ilog2(n_neighbors) via bit-length (length(bin(x)) - 1) — integer-
+    exact in both engines (see lm_surprisal for why float floor(log2)
+    is not). The standard power-law diagnostic a KG pipeline publishes
+    per build; at web scale the histogram is what is small enough to
+    alert on, not the per-node table.
+
+    Scale shape: reuses entity_degree's map-side-deduplicated distinct
+    aggregation, then a second tiny groupBy(bucket) — at most 64 output
+    rows, combined map-side."""
+    deg = entity_degree(triples)
+    return (
+        deg.withColumn(
+            "bucket",
+            F.expr("cast(length(bin(n_neighbors)) - 1 as bigint)"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.expr("cast(pow(2, bucket) as bigint)").alias("min_degree"),
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("n_neighbors").cast("bigint").alias("sum_degree"),
+        )
+    )
+
+
+def duck_degree_histogram_sql(entity_degree_sql: str) -> str:
+    """DuckDB oracle: same bucketing over the entity-degree oracle
+    relation; ilog2 via to_base(x, 2); sums cast back from HUGEINT.
+    pow(2, bucket) is exact in doubles for bucket < 53 in both engines."""
+    return f"""
+with deg as ({entity_degree_sql}),
+b as (select *, cast(length(to_base(n_neighbors, 2)) - 1 as bigint) as bucket
+      from deg)
+select bucket,
+       cast(pow(2, bucket) as bigint) as min_degree,
+       cast(count(*) as bigint) as n_nodes,
+       cast(sum(n_neighbors) as bigint) as sum_degree
+from b group by bucket
+"""
+
+
 COOCCUR_TYPES = ("LOCATION", "ORGANIZATION", "PERSON")
 
 

@@ -180,3 +180,19 @@ def test_mask_is_single_projection_no_shuffle(spark):
     plan = _plan(mask_table(df, prof, "rid"))
     assert "Exchange" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_degree_histogram_hand_case(spark):
+    from nerpii_spark.operators.extract import degree_histogram
+
+    # star: hub has 3 distinct neighbors (bucket ilog2(3)=1), leaves 1
+    # neighbor each (bucket 0)
+    star = spark.createDataFrame(
+        [(f"l{i}", "p", "hub") for i in range(3)],
+        "subj string, pred string, obj string",
+    )
+    got = {r["bucket"]: r for r in degree_histogram(star).collect()}
+    assert got[0]["min_degree"] == 1 and got[0]["n_nodes"] == 3
+    assert got[0]["sum_degree"] == 3
+    assert got[1]["min_degree"] == 2 and got[1]["n_nodes"] == 1
+    assert got[1]["sum_degree"] == 3
