@@ -295,3 +295,50 @@ def test_stream_static_broadcast_enrich(spark, tmp_path):
     finally:
         q.stop()
     assert got == batch
+
+
+def test_stream_triple_factory_equal_batch(spark, tmp_path):
+    """The FUSED S1->S3 extractor (extract_triples_inline, one
+    Arrow-batched zero-shuffle pass) runs unchanged on a streaming
+    DataFrame — the incremental triple factory: new page files arriving
+    in the source directory become triples with no batch re-run, and the
+    stream emits exactly the batch result."""
+    from nerpii_spark.operators.extract import extract_triples_inline
+    from nerpii_spark.sources import pages as P
+    from test_corpus_and_detect import base_text
+
+    rows = [(i, base_text(i), "en") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    docs.createOrReplaceTempView("s3_documents")
+    pages = (
+        spark.sql(P.pages_sql("spark", doc_rel="s3_documents", with_html=True))
+        .drop("text")
+        .withColumn("text", F.lit(None).cast("string"))
+    )
+    src_dir = str(tmp_path / "pages_stream3")
+    pages.repartition(3).write.mode("overwrite").parquet(src_dir)
+
+    key = ["doc_id", "subj", "pred", "obj"]
+    batch = _collect_sorted(
+        extract_triples_inline(spark.read.parquet(src_dir)).select(*key), key
+    )
+    stream_pages = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        extract_triples_inline(stream_pages)
+        .select(*key)
+        .writeStream.format("memory")
+        .queryName("stream_triples")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = _collect_sorted(spark.sql("select * from stream_triples"), key)
+    finally:
+        q.stop()
+    assert got == batch and len(batch) > 0
+    shutil.rmtree(src_dir, ignore_errors=True)
