@@ -646,6 +646,14 @@ def q_mix_weights(spark, sf):
     return TS.mix_weights(_load(spark, sf, "documents"))
 
 
+def q_mix_sample(spark, sf):
+    """Materialized weight-driven training mixture: broadcast per-lang
+    hash rates derived from the alpha-smoothed targets; binding language
+    keeps 100%, the rest downsample to match — one zero-shuffle corpus
+    pass."""
+    return TS.mix_sample(_load(spark, sf, "documents"))
+
+
 def q_project_str(spark, sf):
     return _load(spark, sf, "customer").select("c_name", "c_mktsegment")
 
@@ -843,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sample": q_sample,
         "q_sample_stratified": q_sample_stratified,
         "q_mix_weights": q_mix_weights,
+        "q_mix_sample": q_mix_sample,
         "q_project_str": q_project_str,
         "q_nan_fill": q_nan_fill,
         "q_split_name": q_split_name,
@@ -1119,6 +1128,7 @@ def oracle_sql() -> dict[str, str]:
                   (case when lang = 'en' then 100 else 500 end)
         """,
         "q_mix_weights": TS.duck_mix_weights_sql(),
+        "q_mix_sample": TS.duck_mix_sample_sql(),
         "q_project_str": "select c_name, c_mktsegment from customer",
         "q_nan_fill": (
             "select doc_id, coalesce(nullif(source, 'src0'), '?')"

@@ -410,6 +410,71 @@ from p
 """
 
 
+MIX_SALT = 13  # hash-chain salt for mixture sampling (frozen with oracles)
+
+
+def mix_sample(docs: DataFrame, alpha: float = 0.3,
+               lang_col: str = "lang") -> DataFrame:
+    """Materialize the weight-driven training mixture: keep per-language
+    doc subsets so the OUTPUT corpus matches the alpha-smoothed target
+    shares from mix_weights(), at maximum corpus utilization (the
+    binding language — the one whose supply runs out first at its
+    target share — keeps 100%; every other language is hash-downsampled
+    to match). -> (doc_id, lang).
+
+    All arithmetic is bigint fixed-point (e6), mirrored exactly in
+    duck_mix_sample_sql():
+      ratio_l  = n_l * 1e6 div w_l_e6      (max total corpus lang l supports)
+      cap      = min_l ratio_l             (binding language's ratio)
+      rate_e6  = cap * 1e6 div ratio_l     (= 1e6 for the binding lang)
+    and membership is the portable keyed hash h1(doc_id, MIX_SALT) % 1e6
+    < rate_e6 — deterministic, join-key-free, resumable. A language whose
+    weight_e6 truncates to 0 (unrepresentable at e6 resolution) is
+    excluded in both engines.
+
+    Scale shape: mix_weights is one map-side-combined count per language;
+    the rate table is |langs| rows and is BROADCAST onto the corpus scan,
+    so the corpus-sized pass is scan + filter with zero shuffle. int64
+    headroom: cap * 1e6 stays < 2^63 up to ~9e12 docs per language.
+    """
+    w = mix_weights(docs, alpha, lang_col).where(F.col("weight_e6") > 0)
+    ratio = w.select(
+        "lang", F.expr("(n_docs * 1000000) div weight_e6").alias("ratio")
+    )
+    rates = ratio.select(
+        "lang",
+        F.expr(
+            "cast((min(ratio) over () * 1000000) div ratio as bigint)"
+        ).alias("rate_e6"),
+    )
+    from ..functions.hashing import sql_h1
+
+    return (
+        docs.select("doc_id", F.col(lang_col).alias("lang"))
+        .join(F.broadcast(rates), "lang")
+        .where(F.expr(f"{sql_h1('doc_id', MIX_SALT)} % 1000000 < rate_e6"))
+        .select("doc_id", "lang")
+    )
+
+
+def duck_mix_sample_sql(alpha: float = 0.3,
+                        doc_rel: str = "documents") -> str:
+    from ..functions.hashing import sql_h1
+
+    return f"""
+with w as ({duck_mix_weights_sql(alpha, doc_rel)}),
+r as (select lang, (n_docs * 1000000) // weight_e6 as ratio
+      from w where weight_e6 > 0),
+r2 as (select lang,
+              cast((min(ratio) over () * 1000000) // ratio as bigint)
+                as rate_e6
+       from r)
+select d.doc_id, d.lang
+from {doc_rel} d join r2 using (lang)
+where {sql_h1('d.doc_id', MIX_SALT)} % 1000000 < rate_e6
+"""
+
+
 def domain_stats(pages: DataFrame, url_col: str = "url",
                  text_col: str = "text") -> DataFrame:
     """Per-domain corpus stats: doc count + total text bytes. One

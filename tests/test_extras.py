@@ -423,6 +423,49 @@ def test_mix_weights_integer_exact(spark):
     assert got["de"]["weight_e6"] > 100_000  # doc share would be 100k exactly
 
 
+def test_mix_sample_binding_lang_and_shares(spark):
+    """mix_sample keeps 100% of the binding language (the one whose
+    supply runs out first at its target share) and downsamples the rest
+    so output shares track the alpha-smoothed targets; membership is the
+    keyed hash, so the sample is deterministic across runs."""
+    from nerpii_spark.functions.hashing import hn
+    from nerpii_spark.operators import textstats as TS
+
+    rows = [(i, "en" if i < 800 else ("it" if i < 900 else "de"), "x")
+            for i in range(1000)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, text string"
+    )
+    w = {r["lang"]: r for r in TS.mix_weights(df).collect()}
+    # binding lang = argmin n_l/w_l. alpha=0.3 UPSAMPLES the rare langs
+    # (their target share far exceeds their supply share), so a rare
+    # language runs out first — it and de tie (same n, same weight).
+    ratios = {l: w[l]["n_docs"] * 1_000_000 // w[l]["weight_e6"] for l in w}
+    cap = min(ratios.values())
+    assert ratios["it"] == ratios["de"] == cap < ratios["en"]
+    got = TS.mix_sample(df).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    # binding langs: rate_e6 == 1e6 -> every doc kept
+    assert len(by_lang["it"]) == len(by_lang["de"]) == 100
+    # the big lang is strictly downsampled to exactly the hash subset
+    rate = cap * 1_000_000 // ratios["en"]
+    expect = {i for i, l, _ in rows
+              if l == "en" and hn(i, TS.MIX_SALT) % 1_000_000 < rate}
+    assert by_lang["en"] == expect
+    assert 0 < len(by_lang["en"]) < 800
+    # output shares track target weights (hash noise ~ 1/sqrt(n))
+    n_out = len(got)
+    for lang in by_lang:
+        share = len(by_lang[lang]) / n_out
+        target = w[lang]["weight_e6"] / 1_000_000
+        assert abs(share - target) < 0.05
+    # the corpus-sized side joins the rate table via BROADCAST
+    plan = TS.mix_sample(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_lm_surprisal_hand_case_and_plan(spark):
     """Integer-log2 surprisal: hand-computed values on a 3-doc corpus
     (n_total=7, head={a:5}: s(a)=ilog2(1)=0, OOV s=ilog2(7)=2), and the
