@@ -754,6 +754,17 @@ def q_dedup_url(spark, sf):
     return D.url_dedup(crawl)
 
 
+def q_url_filter(spark, sf):
+    """UT1-style URL curation over the crawl log: domain-suffix
+    blocklist via bounded-depth broadcast joins (no explode, no per-doc
+    re-agg) + tracking-URL pattern rule; every row keeps a keep/reason
+    verdict."""
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_crawl")
+    crawl = spark.sql(P.crawl_sql("spark", doc_rel="nerpii_documents_crawl"))
+    return TS.url_filter(crawl)
+
+
 def q_dedup_lines(spark, sf):
     """Corpus-frequency line dedup (C4/RefinedWeb boilerplate removal):
     lines repeated across > df_cap documents — the planted nav / footer /
@@ -820,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile_it": q_profile_it,
         "q_mask_personal_info_it": q_mask_personal_info_it,
         "q_mask_triples": q_mask_triples,
+        "q_url_filter": q_url_filter,
         "q_dedup_url": q_dedup_url,
         "q_dedup_lines": q_dedup_lines,
         "q_dedup_exact": q_dedup_exact,
@@ -901,6 +913,9 @@ def _extras_oracles() -> dict[str, str]:
         select * from full_p where n_inter >= {D.JACCARD_TAU} * n_union
     """
     return {
+        "q_url_filter": TS.duck_url_filter_sql(
+            f"(select doc_id, url from ({P.crawl_sql('duck')}))"
+        ),
         "q_dedup_url": D.duck_url_dedup_sql(P.crawl_sql("duck")),
         "q_dedup_lines": D.duck_line_dedup_sql(P.pages_sql("duck")),
         "q_dedup_exact": (

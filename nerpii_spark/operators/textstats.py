@@ -475,6 +475,119 @@ where {sql_h1('d.doc_id', MIX_SALT)} % 1000000 < rate_e6
 """
 
 
+# UT1-style URL curation (frozen with the oracles): domain blocklist with
+# subdomain-suffix semantics + URL pattern rules. The planted corpus hosts
+# are site{N}.example (N = h1(doc_id,0) % 977), so these entries block a
+# small deterministic slice; 'tracker.example' matches nothing (negative
+# control); the utm pattern catches the crawl log's tracking re-captures.
+URL_DENY_DOMAINS = (
+    "site13.example", "site97.example", "site251.example",
+    "site397.example", "site509.example", "site641.example",
+    "site769.example", "site887.example", "site23.example",
+    "site121.example", "site333.example", "site449.example",
+    "site557.example", "site673.example", "site811.example",
+    "site911.example", "tracker.example",
+)
+URL_DENY_PATTERNS = ("[?&]utm_",)
+URL_HOST_DEPTH = 4  # max suffix depth checked (labels per host)
+
+
+def url_filter(
+    pages: DataFrame,
+    blocked_domains: tuple[str, ...] = URL_DENY_DOMAINS,
+    blocked_patterns: tuple[str, ...] = URL_DENY_PATTERNS,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    max_depth: int = URL_HOST_DEPTH,
+) -> DataFrame:
+    """UT1-blocklist-style URL curation: flag rows whose host (or any
+    parent domain, up to max_depth labels) is on the domain blocklist,
+    or whose URL matches a deny pattern. -> (doc_id, url, keep, reason);
+    reason = 'domain:<entry>' | 'pattern:<rx>' | NULL, domain hits win
+    over patterns, deeper (longer) suffixes over shallower.
+
+    Scale shape: real-world blocklists are millions of entries (UT1 is
+    ~4M domains), so membership is a JOIN, not an inlined literal list —
+    but NOT an explode + groupBy(doc) (that re-shuffles the corpus on
+    doc_id to re-assemble rows). Instead the host's suffix chain is
+    bounded (max_depth columns) and each depth is one BROADCAST left
+    join: corpus-sized data never crosses an exchange, and a blocked
+    mega-domain is just a repeated broadcast-hash probe, not a hot
+    reducer key. Blocklist entries must be unique (frozen list is).
+
+    The host is extracted from lower(url) so scheme/host case variants
+    (crawl re-captures like 'HTTPS://Site...') match the same entries.
+    duck_url_filter_sql() mirrors this row-for-row."""
+    spark = pages.sparkSession
+    bl = spark.createDataFrame(
+        [(d,) for d in blocked_domains], "bdom string"
+    )
+    host = f"regexp_extract(lower({url_col}), 'https?://([^/]+)', 1)"
+    df = pages.select(
+        id_col, url_col, F.expr(f"split({host}, '[.]')").alias("_hp")
+    )
+    for i in range(1, max_depth + 1):
+        # suffix at depth i ('' past the last label -> never matches)
+        df = df.withColumn(
+            f"_s{i}", F.expr(f"array_join(slice(_hp, {i}, 1000), '.')")
+        )
+    for i in range(1, max_depth + 1):
+        b = F.broadcast(bl.withColumnRenamed("bdom", f"_b{i}"))
+        df = df.join(b, F.col(f"_s{i}") == F.col(f"_b{i}"), "left")
+    dom_hits = [
+        F.when(F.col(f"_b{i}").isNotNull(),
+               F.concat(F.lit("domain:"), F.col(f"_b{i}")))
+        for i in range(1, max_depth + 1)
+    ]
+    pat = None
+    for rx in blocked_patterns:
+        hit = F.when(F.col(url_col).rlike(rx), F.lit(f"pattern:{rx}"))
+        pat = hit if pat is None else F.coalesce(pat, hit)
+    reason = F.coalesce(*dom_hits, *([pat] if pat is not None else []))
+    return df.select(
+        id_col,
+        url_col,
+        reason.isNull().alias("keep"),
+        reason.alias("reason"),
+    )
+
+
+def duck_url_filter_sql(
+    src_rel: str,
+    blocked_domains: tuple[str, ...] = URL_DENY_DOMAINS,
+    blocked_patterns: tuple[str, ...] = URL_DENY_PATTERNS,
+    max_depth: int = URL_HOST_DEPTH,
+) -> str:
+    vals = ", ".join(f"('{d}')" for d in blocked_domains)
+    sfx = ", ".join(
+        f"array_to_string(hp[{i}:], '.') as s{i}"
+        for i in range(1, max_depth + 1)
+    )
+    joins = " ".join(
+        f"left join b b{i} on s.s{i} = b{i}.bdom"
+        for i in range(1, max_depth + 1)
+    )
+    dom = ", ".join(
+        f"'domain:' || b{i}.bdom" for i in range(1, max_depth + 1)
+    )
+    pats = ", ".join(
+        f"case when regexp_matches(s.url, '{rx}') then 'pattern:{rx}' end"
+        for rx in blocked_patterns
+    )
+    reason = f"coalesce({dom}{', ' + pats if pats else ''})"
+    return f"""
+with b as (select * from (values {vals}) t(bdom)),
+h as (select doc_id, url,
+             string_split(regexp_extract(lower(url),
+                 'https?://([^/]+)', 1), '.') as hp
+      from {src_rel}),
+s as (select doc_id, url, {sfx} from h)
+select s.doc_id as doc_id, s.url as url,
+       ({reason}) is null as keep, {reason} as reason
+from s {joins}
+"""
+
+
 def domain_stats(pages: DataFrame, url_col: str = "url",
                  text_col: str = "text") -> DataFrame:
     """Per-domain corpus stats: doc count + total text bytes. One

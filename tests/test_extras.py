@@ -466,6 +466,39 @@ def test_mix_sample_binding_lang_and_shares(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_url_filter_suffix_patterns_and_plan(spark):
+    """UT1-style curation hand cases: exact host hit, subdomain hit via
+    parent-suffix, case-variant host, pattern hit, domain beats pattern,
+    clean URL survives; plan = broadcast joins only (no explode + re-agg
+    of the corpus)."""
+    from nerpii_spark.operators import textstats as TS
+
+    rows = [
+        (1, "https://site13.example/en/page/1"),        # exact domain
+        (2, "https://cdn.site13.example/asset/2"),      # subdomain suffix
+        (3, "HTTPS://Site97.example/it/page/3"),        # case variant
+        (4, "https://ok.example/en/page/4?utm_source=x"),  # pattern
+        (5, "https://site13.example/p?utm_source=x"),   # domain wins
+        (6, "https://ok.example/en/page/6"),            # clean
+        (7, "https://a.b.c.d.site13.example/deep"),     # beyond depth 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    out = {r["doc_id"]: r for r in TS.url_filter(df).collect()}
+    assert out[1]["reason"] == "domain:site13.example"
+    assert out[2]["reason"] == "domain:site13.example"
+    assert out[3]["reason"] == "domain:site97.example"
+    assert out[4]["reason"] == "pattern:[?&]utm_"
+    assert out[5]["reason"] == "domain:site13.example"
+    assert out[6]["keep"] and out[6]["reason"] is None
+    # suffix depth is bounded: a host nested deeper than URL_HOST_DEPTH
+    # labels above the entry is (documented) out of reach
+    assert out[7]["keep"]
+    assert all((r["reason"] is None) == r["keep"] for r in out.values())
+    plan = TS.url_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Generate" not in plan  # no explode of the corpus rows
+
+
 def test_lm_surprisal_hand_case_and_plan(spark):
     """Integer-log2 surprisal: hand-computed values on a 3-doc corpus
     (n_total=7, head={a:5}: s(a)=ilog2(1)=0, OOV s=ilog2(7)=2), and the
