@@ -434,6 +434,13 @@ def q_dedup_exact(spark, sf):
     return D.exact_dedup_groups(_dup_docs(spark, sf))
 
 
+def q_dedup_spans(spark, sf):
+    """Exact duplicated-span stats (Lee et al. ExactSubstr, distributed):
+    w-token window fingerprints, canonical-occurrence rule, island-merged
+    coverage — shuffles only (md5, bigint) pairs, never text."""
+    return D.span_dedup_stats(_dup_docs(spark, sf))
+
+
 def q_dedup_minhash(spark, sf):
     """MinHash-LSH near-dup pairs; oracle = planted ground-truth pairs,
     so a match certifies dedup P/R = 1.0."""
@@ -835,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_url": q_dedup_url,
         "q_dedup_lines": q_dedup_lines,
         "q_dedup_exact": q_dedup_exact,
+        "q_dedup_spans": q_dedup_spans,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_ngram": q_dedup_ngram,
         "q_dedup_survivors": q_dedup_survivors,
@@ -922,6 +930,7 @@ def _extras_oracles() -> dict[str, str]:
             f"select md5(text) as content_hash, count(*) as n_copies,"
             f" min(doc_id) as keep_id from ({dup}) group by 1"
         ),
+        "q_dedup_spans": D.duck_span_dedup_sql(dup),
         "q_dedup_minhash": (
             f"select id_a, id_b from ({exact_jaccard})"
         ),

@@ -693,3 +693,164 @@ select doc_id,
                   filter (where not is_bp), '') as text_kept
 from tagged group by doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-span dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr variant, re-expressed
+# distributed: the paper builds a single-node suffix array; here every
+# w-token window is fingerprinted and repeated fingerprints are resolved
+# relationally, which shards by window hash instead of needing the corpus
+# in one address space)
+
+SPAN_W = 20  # window width in whitespace tokens (paper uses 50 BPE tokens)
+
+
+def span_dedup_stats(
+    docs: DataFrame, w: int = SPAN_W,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span statistics: a w-token window whose
+    exact content appears anywhere else in the corpus (other doc OR
+    earlier in the same doc) is a duplicate unless it is the canonical
+    (lowest (doc_id, pos)) occurrence; overlapping duplicate windows are
+    merged into islands and the covered token count is reported.
+    -> (doc_id, n_tokens, n_removed): tokens a span-level dedup pass
+    would strip while keeping one canonical copy of every passage.
+
+    Scale shape: window generation is a zero-shuffle HOF explode (tokens
+    are materialized once per row; md5 runs over each w-slice — O(T*w)
+    hashing, the price of exactness without a corpus-wide suffix array).
+    The only corpus-sized shuffles carry (k, ordv) pairs — a 32-char md5
+    key plus one bigint, never text. The groupBy(k) pre-aggregates
+    map-side (count + min); only keys seen >= 2x join back. Island
+    merging windows over marked rows only (a tiny fraction of tokens).
+    ordv = doc_id * 1e6 + pos assumes < 1e6 tokens per doc and
+    doc_id < 9.2e12 (int64 headroom). Docs shorter than w tokens have
+    no windows and report n_removed = 0.
+
+    duck_span_dedup_sql() is the row-for-row oracle."""
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        id_col, F.split(F.col(text_col), " ").alias("t")
+    ).withColumn("n", F.size("t"))
+    wins = (
+        toks.where(F.col("n") >= w)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, n - {w} + 1),"
+                    f" i -> named_struct('pos', i,"
+                    f" 'k', md5(concat_ws(' ', slice(t, i, {w})))))"
+                )
+            ).alias("win"),
+        )
+        .select(
+            id_col,
+            F.col("win.pos").alias("pos"),
+            F.col("win.k").alias("k"),
+        )
+        .withColumn(
+            "ordv", F.col(id_col) * F.lit(1_000_000) + F.col("pos")
+        )
+    )
+    keys = (
+        wins.groupBy("k")
+        .agg(F.count("*").alias("cnt"), F.min("ordv").alias("min_ord"))
+        .where(F.col("cnt") >= 2)
+        .select("k", "min_ord")
+    )
+    marked = (
+        wins.join(keys, "k")
+        .where(F.col("ordv") != F.col("min_ord"))
+        .select(id_col, "pos")
+    )
+    wd = W.partitionBy(id_col).orderBy("pos")
+    isl = (
+        marked.withColumn("prev", F.lag("pos").over(wd))
+        .withColumn(
+            "new_isl",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > w),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "isl",
+            F.sum("new_isl").over(
+                wd.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+    )
+    per_doc = (
+        isl.groupBy(id_col, "isl")
+        .agg((F.max("pos") + w - F.min("pos")).alias("rm"))
+        .groupBy(id_col)
+        .agg(F.sum("rm").cast("bigint").alias("n_removed"))
+    )
+    return (
+        toks.select(id_col, F.col("n").cast("bigint").alias("n_tokens"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("n_removed"), F.lit(0))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
+def duck_span_dedup_sql(doc_rel_sql: str, w: int = SPAN_W) -> str:
+    """DuckDB oracle for span_dedup_stats: same window fingerprints,
+    canonical-occurrence rule, and gaps-and-islands coverage (the window
+    chain is staged through CTEs — DuckDB can't nest window calls)."""
+    return f"""
+with toks as (
+  select doc_id, string_split(text, ' ') as t from ({doc_rel_sql})
+),
+wins as (
+  select doc_id, i as pos,
+         md5(array_to_string(t[i:i+{w - 1}], ' ')) as k,
+         doc_id * 1000000 + i as ordv
+  from toks, unnest(generate_series(1, len(t) - {w} + 1)) as u(i)
+  where len(t) >= {w}
+),
+keys as (
+  select k, min(ordv) as min_ord from wins group by k
+  having count(*) >= 2
+),
+marked as (
+  select w.doc_id, w.pos from wins w
+  join keys on w.k = keys.k where w.ordv <> keys.min_ord
+),
+g as (
+  select doc_id, pos,
+         lag(pos) over (partition by doc_id order by pos) as prev
+  from marked
+),
+g2 as (
+  select doc_id, pos,
+         case when prev is null or pos - prev > {w} then 1 else 0 end
+           as new_isl
+  from g
+),
+g3 as (
+  select doc_id, pos,
+         sum(new_isl) over (partition by doc_id order by pos
+             rows between unbounded preceding and current row) as isl
+  from g2
+),
+pi as (
+  select doc_id, isl, max(pos) + {w} - min(pos) as rm
+  from g3 group by 1, 2
+),
+pd as (
+  select doc_id, cast(sum(rm) as bigint) as n_removed from pi group by 1
+)
+select t.doc_id as doc_id, cast(len(t.t) as bigint) as n_tokens,
+       cast(coalesce(pd.n_removed, 0) as bigint) as n_removed
+from toks t left join pd on t.doc_id = pd.doc_id
+"""

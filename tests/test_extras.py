@@ -466,6 +466,32 @@ def test_mix_sample_binding_lang_and_shares(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_span_dedup_hand_cases(spark):
+    """ExactSubstr span stats, hand-computed (w=20): full-copy doc loses
+    everything, an embedded 20-token passage loses exactly 20, internal
+    period-20 repetition loses its second period, the canonical doc and
+    a short doc lose nothing."""
+    from nerpii_spark.operators import dedup as D
+
+    A = [f"a{i}" for i in range(30)]
+    C = [f"c{i}" for i in range(5)] + A[:20] + [f"c{i}" for i in range(5, 10)]
+    X = [f"d{i}" for i in range(20)]
+    rows = [
+        (1, " ".join(A)),         # canonical: 11 windows, all firsts
+        (2, " ".join(A)),         # exact copy: one island covering all 30
+        (3, " ".join(C)),         # embeds A[0:20]: one window -> 20 tokens
+        (4, " ".join(X + X)),     # period-20 self-repeat: second X marked
+        (5, "too short"),         # < w tokens: no windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in D.span_dedup_stats(df).collect()}
+    assert (got[1]["n_tokens"], got[1]["n_removed"]) == (30, 0)
+    assert (got[2]["n_tokens"], got[2]["n_removed"]) == (30, 30)
+    assert (got[3]["n_tokens"], got[3]["n_removed"]) == (30, 20)
+    assert (got[4]["n_tokens"], got[4]["n_removed"]) == (40, 20)
+    assert (got[5]["n_tokens"], got[5]["n_removed"]) == (2, 0)
+
+
 def test_url_filter_suffix_patterns_and_plan(spark):
     """UT1-style curation hand cases: exact host hit, subdomain hit via
     parent-suffix, case-variant host, pattern hit, domain beats pattern,
