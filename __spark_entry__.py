@@ -661,6 +661,13 @@ def q_mix_sample(spark, sf):
     return TS.mix_sample(_load(spark, sf, "documents"))
 
 
+def q_pack_sequences(spark, sf):
+    """Deterministic concat-and-chunk sequence packing into bucketed
+    token streams: one shuffle by bucket, running-sum window per bucket,
+    layout a pure function of (doc_id, n_buckets, seq_len)."""
+    return TS.pack_sequences(_load(spark, sf, "documents"))
+
+
 def q_project_str(spark, sf):
     return _load(spark, sf, "customer").select("c_name", "c_mktsegment")
 
@@ -872,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sample_stratified": q_sample_stratified,
         "q_mix_weights": q_mix_weights,
         "q_mix_sample": q_mix_sample,
+        "q_pack_sequences": q_pack_sequences,
         "q_project_str": q_project_str,
         "q_nan_fill": q_nan_fill,
         "q_split_name": q_split_name,
@@ -1153,6 +1161,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_mix_weights": TS.duck_mix_weights_sql(),
         "q_mix_sample": TS.duck_mix_sample_sql(),
+        "q_pack_sequences": TS.duck_pack_sequences_sql(),
         "q_project_str": "select c_name, c_mktsegment from customer",
         "q_nan_fill": (
             "select doc_id, coalesce(nullif(source, 'src0'), '?')"

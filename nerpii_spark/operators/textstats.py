@@ -690,3 +690,87 @@ select doc_id,
          as score_milli
 from s group by 1
 """
+
+
+# --- sequence packing (training shard layout) -------------------------------
+PACK_SALT = 17
+PACK_SEQ_LEN = 2048
+PACK_BUCKETS = 64
+
+
+def pack_sequences(
+    docs: DataFrame, seq_len: int = PACK_SEQ_LEN,
+    n_buckets: int = PACK_BUCKETS,
+    text_col: str = "text", id_col: str = "doc_id", lang_col: str = "lang",
+) -> DataFrame:
+    """Deterministic concat-and-chunk sequence packing (GPT-style
+    pretraining shards): documents are hash-assigned to n_buckets
+    independent token streams, hash-ordered within their stream
+    (a reproducible shuffle), concatenated, and chunked every seq_len
+    tokens. -> (doc_id, lang, bucket, seq_id, offset_tok, n_tok):
+    the doc's stream, which context window its first token lands in,
+    and its offset inside that window (a doc may overflow into the next
+    window — concat semantics, no padding).
+
+    Scale shape: one shuffle by bucket, then a running-sum window per
+    bucket — n_buckets parallel sequential scans, sized to the cluster.
+    Every quantity is a pure function of (doc_id, n_buckets, seq_len)
+    through the portable hash chain: re-running on any partitioning of
+    the input yields the identical layout (resumable, and the DuckDB
+    oracle recomputes it exactly). n_buckets is part of the dataset
+    layout: changing it re-packs, like changing seq_len."""
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import sql_h1
+
+    d = docs.select(
+        id_col,
+        lang_col,
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tok"),
+        F.expr(f"{sql_h1('doc_id', PACK_SALT)} % {n_buckets}").alias(
+            "bucket"
+        ),
+        F.expr(sql_h1("doc_id", PACK_SALT + 1)).alias("ordv"),
+    )
+    wd = (
+        W.partitionBy("bucket")
+        .orderBy("ordv", id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tok").over(wd))
+    start = F.col("cum") - F.col("n_tok")
+    return c.select(
+        id_col,
+        lang_col,
+        "bucket",
+        (start / seq_len).cast("bigint").alias("seq_id"),
+        (start % seq_len).cast("bigint").alias("offset_tok"),
+        "n_tok",
+    )
+
+
+def duck_pack_sequences_sql(
+    seq_len: int = PACK_SEQ_LEN, n_buckets: int = PACK_BUCKETS,
+    doc_rel: str = "documents",
+) -> str:
+    from ..functions.hashing import sql_h1
+
+    return f"""
+with d as (
+  select doc_id, lang,
+         cast(len(string_split(text, ' ')) as bigint) as n_tok,
+         {sql_h1('doc_id', PACK_SALT)} % {n_buckets} as bucket,
+         {sql_h1('doc_id', PACK_SALT + 1)} as ordv
+  from {doc_rel}
+),
+c as (
+  select *, cast(sum(n_tok) over (partition by bucket order by ordv, doc_id
+              rows between unbounded preceding and current row) as bigint)
+            as cum
+  from d
+)
+select doc_id, lang, bucket,
+       cast((cum - n_tok) // {seq_len} as bigint) as seq_id,
+       cast((cum - n_tok) % {seq_len} as bigint) as offset_tok, n_tok
+from c
+"""

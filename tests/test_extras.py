@@ -466,6 +466,33 @@ def test_mix_sample_binding_lang_and_shares(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_pack_sequences_chunking_and_determinism(spark):
+    """Concat-and-chunk semantics with one bucket and seq_len=10: docs
+    fill the stream in hash order, a doc straddling a boundary keeps its
+    start-window assignment (overflow, no padding); the layout is
+    invariant to the input's partitioning."""
+    from nerpii_spark.functions.hashing import hn
+    from nerpii_spark.operators import textstats as TS
+
+    rows = [(i, "en", " ".join(["t"] * 4)) for i in range(1, 7)]  # 4 toks
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    out = TS.pack_sequences(df, seq_len=10, n_buckets=1).collect()
+    # expected stream order = hash order (salt PACK_SALT+1), ties by id
+    order = sorted(range(1, 7), key=lambda i: (hn(i, TS.PACK_SALT + 1), i))
+    starts = {d: 4 * k for k, d in enumerate(order)}
+    for r in out:
+        assert r["bucket"] == 0
+        assert r["seq_id"] == starts[r["doc_id"]] // 10
+        assert r["offset_tok"] == starts[r["doc_id"]] % 10
+    # doc at stream offset 8 straddles the window-0/1 boundary: seq 0
+    third = order[2]
+    assert starts[third] == 8
+    assert [r["seq_id"] for r in out if r["doc_id"] == third] == [0]
+    # repartitioning the input does not change the layout
+    again = TS.pack_sequences(df.repartition(7), seq_len=10, n_buckets=1)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out))
+
+
 def test_span_dedup_hand_cases(spark):
     """ExactSubstr span stats, hand-computed (w=20): full-copy doc loses
     everything, an embedded 20-token passage loses exactly 20, internal
