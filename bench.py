@@ -147,6 +147,9 @@ def main() -> int:
         "q_entities",
         "q_dedup_minhash",
         "q_dedup_lines",
+        "q_dedup_spans",
+        "q_url_filter",
+        "q_pack_sequences",
         "q_quality_lm",
         "q_agg_lineitem",
         "q_join_orders_customer",
