@@ -391,6 +391,27 @@ def q_session_window(spark, sf):
     )
 
 
+def q_interval_join(spark, sf):
+    """Banded interval-containment join: every event is matched to the
+    session window containing it — an equi-join on (user_id, hour
+    bucket) with an exact post-filter, never a per-user nested loop.
+    Oracle = inequality join over lag/cumsum sessions (independent
+    algorithm on both axes)."""
+    e = _load(spark, sf, "events")
+    sess = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+        )
+    )
+    return EV.interval_join(e, sess).select(
+        "event_id", "user_id", "session_start", "session_end"
+    )
+
+
 def q_rollup_lineitem(spark, sf):
     """ROLLUP aggregation (grand/sub-total rows) over lineitem."""
     li = _load(spark, sf, "lineitem")
@@ -839,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_asof": q_events_asof,
         "q_sessionize": q_sessionize,
         "q_session_window": q_session_window,
+        "q_interval_join": q_interval_join,
         "q_rollup_lineitem": q_rollup_lineitem,
         "q_mask_personal_info": q_mask_personal_info,
         "q_mask_marked": q_mask_marked,
@@ -1096,6 +1118,34 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) + interval '30 minutes' as session_end,
                    count(*) as n_events
             from s group by user_id, session_idx
+        """,
+        "q_interval_join": """
+            with g as (
+              select user_id, ts,
+                     case when date_diff('second',
+                              lag(ts) over (partition by user_id order by ts),
+                              ts) > 1800 then 1 else 0 end as is_new
+              from events
+            ),
+            s as (
+              select user_id, ts,
+                     sum(is_new) over (partition by user_id order by ts
+                         rows between unbounded preceding and current row)
+                       as session_idx
+              from g
+            ),
+            sess as (
+              select user_id,
+                     min(ts) as session_start,
+                     max(ts) + interval '30 minutes' as session_end
+              from s group by user_id, session_idx
+            )
+            select e.event_id as event_id, e.user_id as user_id,
+                   sess.session_start as session_start,
+                   sess.session_end as session_end
+            from events e join sess
+              on e.user_id = sess.user_id
+             and e.ts >= sess.session_start and e.ts <= sess.session_end
         """,
         "q_rollup_lineitem": """
             select l_returnflag, l_linestatus, count(*) as n_rows,

@@ -89,3 +89,51 @@ select p.event_id, p.user_id,
        cast(epoch_us(p.ts) - epoch_us(c.ts) as bigint) as gap_us
 from p asof left join c on p.user_id = c.user_id and p.ts >= c.ts
 """
+
+
+INTERVAL_BUCKET_S = 3600
+
+
+def interval_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    bucket_s: int = INTERVAL_BUCKET_S,
+) -> DataFrame:
+    """Interval-containment (range) join: attach to each left row the
+    interval of the same key that contains its timestamp
+    (start <= ts <= end, timestamps compared directly — no epoch math
+    in the predicate). Spark has no native range join; the naive
+    formulation (equi on key + inequality on ts) degenerates to a
+    per-key nested-loop scan. This is the banded rewrite: both sides
+    are bucketed into fixed windows of `bucket_s` seconds — a point
+    lands in exactly one bucket, an interval EXPLODES into every bucket
+    it overlaps — so the join becomes a pure equi-join on
+    (key, bucket) with the exact containment predicate as a cheap
+    post-filter, and Catalyst plans a shuffled hash/sort-merge join,
+    never a nested loop.
+
+    Fan-out bound: an interval adds ceil(len/bucket_s)+1 rows — size
+    bucket_s to the typical interval length (sessions here are
+    30-minute-gap-bounded, so 1h buckets mean ~1-2 rows each). A point
+    matching several overlapping intervals returns one row per match;
+    with disjoint intervals (sessions) the match is unique without any
+    dedup, because the point's single bucket occurs once per interval.
+    """
+    b = lambda c: f"(unix_timestamp(cast({c} as timestamp)) div {bucket_s})"
+    lb = left.withColumn("_b", F.expr(b(ts_col)))
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(F.expr(f"sequence({b(start_col)}, {b(end_col)})")),
+    )
+    return (
+        lb.join(iv, [key_col, "_b"])
+        .where(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("_b")
+    )

@@ -466,6 +466,43 @@ def test_mix_sample_binding_lang_and_shares(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_interval_join_banded_semantics_and_plan(spark):
+    """Banded range join hand cases: containment across bucket
+    boundaries, inclusive endpoints, non-contained point dropped,
+    overlapping intervals multi-match; plan is an equi-join (no
+    nested-loop/cartesian fallback)."""
+    from datetime import datetime as dt
+
+    from nerpii_spark.operators import events as EV
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", dt(2024, 1, 1, 0, 30)),   # inside iv A (same bucket)
+            (2, "u1", dt(2024, 1, 1, 1, 30)),   # inside iv A (next bucket)
+            (3, "u1", dt(2024, 1, 1, 2, 0)),    # == A end (inclusive)
+            (4, "u1", dt(2024, 1, 1, 5, 0)),    # outside all
+            (5, "u2", dt(2024, 1, 1, 0, 45)),   # in BOTH u2 overlaps
+        ],
+        "event_id bigint, user_id string, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            ("u1", dt(2024, 1, 1, 0, 0), dt(2024, 1, 1, 2, 0)),    # A
+            ("u2", dt(2024, 1, 1, 0, 0), dt(2024, 1, 1, 1, 0)),
+            ("u2", dt(2024, 1, 1, 0, 30), dt(2024, 1, 1, 1, 30)),
+        ],
+        "user_id string, session_start timestamp, session_end timestamp",
+    )
+    out = EV.interval_join(left, ivs)
+    got = sorted(
+        (r["event_id"], r["session_start"]) for r in out.collect()
+    )
+    assert [e for e, _ in got] == [1, 2, 3, 5, 5]  # 4 dropped, 5 twice
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_pack_sequences_chunking_and_determinism(spark):
     """Concat-and-chunk semantics with one bucket and seq_len=10: docs
     fill the stream in hash order, a doc straddling a boundary keeps its
