@@ -412,6 +412,13 @@ def q_interval_join(spark, sf):
     )
 
 
+def q_percentiles(spark, sf):
+    """Exact per-type value percentiles via the map-side value
+    histogram — reducer load bounded by value cardinality, not row
+    count; integer rank arithmetic, bit-exact oracle."""
+    return EV.grouped_percentiles(_load(spark, sf, "events"))
+
+
 def q_rollup_lineitem(spark, sf):
     """ROLLUP aggregation (grand/sub-total rows) over lineitem."""
     li = _load(spark, sf, "lineitem")
@@ -861,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_session_window": q_session_window,
         "q_interval_join": q_interval_join,
+        "q_percentiles": q_percentiles,
         "q_rollup_lineitem": q_rollup_lineitem,
         "q_mask_personal_info": q_mask_personal_info,
         "q_mask_marked": q_mask_marked,
@@ -1147,6 +1155,7 @@ def oracle_sql() -> dict[str, str]:
               on e.user_id = sess.user_id
              and e.ts >= sess.session_start and e.ts <= sess.session_end
         """,
+        "q_percentiles": EV.duck_percentiles_sql(),
         "q_rollup_lineitem": """
             select l_returnflag, l_linestatus, count(*) as n_rows,
                    cast(sum(cast(round(l_quantity * 100) as bigint)) as bigint)

@@ -137,3 +137,88 @@ def interval_join(
         )
         .drop("_b")
     )
+
+
+PCTS = (50, 90, 99)
+
+
+def grouped_percentiles(
+    events: DataFrame, ps: tuple[int, ...] = PCTS,
+    group_col: str = "event_type", value_expr: str =
+    "cast(round(value * 100) as bigint)",
+) -> DataFrame:
+    """Exact per-group percentiles (percentile_disc semantics: the
+    smallest value whose cumulative count reaches ceil(p% of n)),
+    computed the scale-correct way: the corpus collapses map-side into a
+    per-group VALUE HISTOGRAM (groupBy (group, value) count), and the
+    rank scan runs over distinct values only — reducer load is bounded
+    by value cardinality per group, not rows per group, so a group with
+    10^9 events and 10^4 distinct cents-values costs a 10^4-row window.
+    A naive per-group sort (window over raw rows) would put every row of
+    a hot group on one reducer.
+
+    All arithmetic is bigint (`cum * 100 >= p * tot` is the exact
+    integer form of cum >= ceil(p/100 * tot) because cum is integral),
+    so duck_percentiles_sql() matches bit-for-bit.
+    -> (group_col, n, p{p}_c ...)."""
+    from pyspark.sql import Window as W
+
+    h = (
+        events.groupBy(
+            group_col, F.expr(value_expr).alias("value_c")
+        ).agg(F.count("*").alias("cnt"))
+    )
+    w_run = (
+        W.partitionBy(group_col)
+        .orderBy("value_c")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy(group_col).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    h2 = h.withColumn("cum", F.sum("cnt").over(w_run)).withColumn(
+        "tot", F.sum("cnt").over(w_all)
+    )
+    return h2.groupBy(group_col).agg(
+        F.max("tot").cast("bigint").alias("n"),
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= p * F.col("tot"),
+                    F.col("value_c"),
+                )
+            )
+            .cast("bigint")
+            .alias(f"p{p}_c")
+            for p in ps
+        ],
+    )
+
+
+def duck_percentiles_sql(
+    ps: tuple[int, ...] = PCTS, rel: str = "events",
+    group_col: str = "event_type",
+    value_expr: str = "cast(round(value * 100) as bigint)",
+) -> str:
+    picks = ", ".join(
+        f"cast(min(case when cum * 100 >= {p} * tot then value_c end)"
+        f" as bigint) as p{p}_c"
+        for p in ps
+    )
+    return f"""
+with h as (
+  select {group_col}, {value_expr} as value_c,
+         cast(count(*) as bigint) as cnt
+  from {rel} group by 1, 2
+),
+c as (
+  select {group_col}, value_c,
+         cast(sum(cnt) over (partition by {group_col} order by value_c
+              rows between unbounded preceding and current row)
+           as bigint) as cum,
+         cast(sum(cnt) over (partition by {group_col}) as bigint) as tot
+  from h
+)
+select {group_col}, cast(max(tot) as bigint) as n, {picks}
+from c group by 1
+"""

@@ -466,6 +466,21 @@ def test_mix_sample_binding_lang_and_shares(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_grouped_percentiles_disc_semantics(spark):
+    """Hand-computed percentile_disc: smallest value whose cumulative
+    count reaches ceil(p% of n), exact under ties; singleton group
+    returns its value at every p."""
+    from nerpii_spark.operators import events as EV
+
+    rows = [("a", v) for v in (0.01, 0.02, 0.02, 0.03)] + [("b", 0.42)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {r["event_type"]: r for r in EV.grouped_percentiles(df).collect()}
+    # a: n=4 -> p50 = 2nd smallest (2), p90 = ceil(3.6)=4th (3), p99 = 4th
+    assert (got["a"]["n"], got["a"]["p50_c"], got["a"]["p90_c"],
+            got["a"]["p99_c"]) == (4, 2, 3, 3)
+    assert (got["b"]["n"], got["b"]["p50_c"], got["b"]["p99_c"]) == (1, 42, 42)
+
+
 def test_interval_join_banded_semantics_and_plan(spark):
     """Banded range join hand cases: containment across bucket
     boundaries, inclusive endpoints, non-contained point dropped,
