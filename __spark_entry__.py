@@ -62,6 +62,7 @@ from nerpii_spark.operators.link import (
 from nerpii_spark.operators import dedup as D
 from nerpii_spark.operators import events as EV
 from nerpii_spark.operators import multimodal as MM
+from nerpii_spark.operators import cluster as _CL
 from nerpii_spark.operators import similarity as SIM
 from nerpii_spark.operators import textstats as TS
 from nerpii_spark.operators.mask import (
@@ -541,6 +542,18 @@ def q_embed_dup_survivors(spark, sf):
     return SIM.embedding_dup_survivors(_dup_embs(spark, sf), tau=SIM.DUP_TAU)
 
 
+def q_kmeans(spark, sf):
+    """SemDeDup-style embedding clustering: 3 exact-integer Lloyd
+    iterations from a deterministic init; per iteration one Arrow-batch
+    numpy assignment pass + one map-side-combined K x d agg (only K x d
+    numbers reach the driver). All-bigint arithmetic, so the chained-CTE
+    DuckDB oracle replaying the full iteration matches bit-for-bit —
+    certifying the distributed iteration itself (pagerank pattern)."""
+    from nerpii_spark.operators import cluster as CL
+
+    return CL.kmeans_assign(_load(spark, sf, "embeddings"))
+
+
 def q_lang_id(spark, sf):
     return TS.lang_id(_load(spark, sf, "documents"))
 
@@ -890,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_topk_ivf": q_embed_topk_ivf,
         "q_embed_dup_pairs": q_embed_dup_pairs,
         "q_embed_dup_survivors": q_embed_dup_survivors,
+        "q_kmeans": q_kmeans,
         "q_lang_id": q_lang_id,
         "q_token_counts": q_token_counts,
         "q_quality": q_quality,
@@ -993,6 +1007,7 @@ def _extras_oracles() -> dict[str, str]:
         "q_embed_topk": SIM.duck_cosine_topk_sql("vec_id < 32", k=3),
         "q_embed_dup_pairs": SIM.duck_embedding_dup_pairs_sql(),
         "q_embed_dup_survivors": SIM.duck_embedding_dup_survivors_sql(),
+        "q_kmeans": _CL.duck_kmeans_sql(),
         "q_lang_id": (
             f"select doc_id, {TS.lang_id_sql('duck', 'text')} as lang_pred"
             " from documents"

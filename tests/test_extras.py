@@ -466,6 +466,62 @@ def test_mix_sample_binding_lang_and_shares(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_kmeans_matches_pure_python_lloyd(spark):
+    """kmeans_assign == a transparent pure-Python Lloyd replay (same
+    quantization, init, floor-div means, lowest-id tie-break, keep-centroid
+    empty-cluster rule) on a small deterministic corpus — independent of
+    both the Spark and the DuckDB implementations."""
+    from nerpii_spark.operators import cluster as CL
+
+    # 24 vectors, 4 dims, deterministic pseudo-random floats
+    vecs = [
+        [(((i * 37 + d * 101 + 13) % 997) - 498) / 997.0 for d in range(4)]
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in CL.kmeans_assign(df, k=3, n_iters=2).collect()
+    }
+
+    import struct as _s
+
+    def f32(x):  # the parquet/createDataFrame column is float32
+        return _s.unpack("f", _s.pack("f", x))[0]
+
+    def quant(v):
+        return [int(round(f32(x) * CL.QUANT)) for x in v]
+
+    xq = {i: quant(v) for i, v in enumerate(vecs)}
+    cents = [xq[i] for i in range(3)]
+
+    def assign(c):
+        out = {}
+        for i, x in xq.items():
+            dists = [sum((a - b) ** 2 for a, b in zip(x, cv)) for cv in c]
+            out[i] = dists.index(min(dists))
+        return out
+
+    for _ in range(2):
+        a = assign(cents)
+        new = []
+        for cid in range(3):
+            mem = [xq[i] for i in a if a[i] == cid]
+            if not mem:
+                new.append(cents[cid])
+            else:
+                new.append(
+                    [sum(col) // len(mem) for col in zip(*mem)]
+                )
+        cents = new
+    want = assign(cents)
+    assert got == want
+    assert len(set(got.values())) > 1  # the corpus actually splits
+
+
 def test_grouped_percentiles_disc_semantics(spark):
     """Hand-computed percentile_disc: smallest value whose cumulative
     count reaches ceil(p% of n), exact under ties; singleton group
