@@ -429,6 +429,69 @@ def q_rollup_lineitem(spark, sf):
     )
 
 
+def q_cube_lineitem(spark, sf):
+    """CUBE aggregation (all grouping-set combinations) over lineitem —
+    completes the grouping-sets family next to q_rollup_lineitem. One
+    shuffle; Spark expands the sets map-side so partials still combine."""
+    li = _load(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("sum_qty_c"),
+    )
+
+
+# fixed pivot column list: passing explicit values keeps the pivot a single
+# aggregation pass — Spark's values-less pivot first runs a driver-side
+# distinct scan over the whole table to discover the columns
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(spark, sf):
+    """Per-user event-type pivot (long -> wide counts). Explicit pivot
+    values, so the plan is exactly one shuffle-agg over user_id with
+    map-side combine — no discovery scan, no second job."""
+    e = _load(spark, sf, "events")
+    out = e.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    return out.na.fill(0, EVENT_TYPES)
+
+
+def q_events_rolling(spark, sf):
+    """Per-user rolling 3-event moving sum (ROWS frame): one user_id
+    shuffle + per-partition sort; the bounded frame is computed
+    incrementally during the window pass (state = 3 rows). Total order
+    (ts, event_id) makes the frame — and the oracle — deterministic."""
+    e = _load(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, W.currentRow)
+    )
+    value_c = F.round(F.col("value") * 100).cast("bigint")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(value_c).over(w).alias("roll_sum_c"),
+        F.count("*").over(w).alias("roll_n"),
+    )
+
+
+def q_split_assign(spark, sf):
+    """Deterministic train/val/test split assignment (training-data
+    prep): a seeded portable-hash range per doc keeps the split a pure
+    function of doc_id — join-free, resumable, identical on re-run, and
+    stratified in expectation within every language. 1% test, 1% val."""
+    d = _load(spark, sf, "documents")
+    r = F.expr(f"{sql_h1('doc_id', 23)} % 1000")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(r < 10, F.lit("test"))
+        .when(r < 20, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
 def q_mask_personal_info(spark, sf):
     """S5: full FakerGenerator-parity masking of the planted personal_info
     table; keyed deterministic synthetics, so the oracle recomputes the
@@ -882,7 +945,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_window": q_session_window,
         "q_interval_join": q_interval_join,
         "q_percentiles": q_percentiles,
+        "q_events_rolling": q_events_rolling,
+        "q_pivot_events": q_pivot_events,
         "q_rollup_lineitem": q_rollup_lineitem,
+        "q_cube_lineitem": q_cube_lineitem,
         "q_mask_personal_info": q_mask_personal_info,
         "q_mask_marked": q_mask_marked,
         "q_profile_it": q_profile_it,
@@ -921,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scan": q_scan,
         "q_sample": q_sample,
         "q_sample_stratified": q_sample_stratified,
+        "q_split_assign": q_split_assign,
         "q_mix_weights": q_mix_weights,
         "q_mix_sample": q_mix_sample,
         "q_pack_sequences": q_pack_sequences,
@@ -1176,6 +1243,36 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(cast(round(l_quantity * 100) as bigint)) as bigint)
                      as sum_qty_c
             from lineitem group by rollup (l_returnflag, l_linestatus)
+        """,
+        "q_cube_lineitem": """
+            select l_returnflag, l_linestatus, count(*) as n_rows,
+                   cast(sum(cast(round(l_quantity * 100) as bigint)) as bigint)
+                     as sum_qty_c
+            from lineitem group by cube (l_returnflag, l_linestatus)
+        """,
+        "q_pivot_events": (
+            "select user_id, "
+            + ", ".join(
+                f"count(*) filter (where event_type = '{t}') as {t}"
+                for t in EVENT_TYPES
+            )
+            + " from events group by user_id"
+        ),
+        "q_events_rolling": """
+            select event_id, user_id,
+                   cast(sum(cast(round(value * 100) as bigint)) over w
+                        as bigint) as roll_sum_c,
+                   cast(count(*) over w as bigint) as roll_n
+            from events
+            window w as (partition by user_id order by ts, event_id
+                         rows between 2 preceding and current row)
+        """,
+        "q_split_assign": f"""
+            select doc_id, lang,
+                   case when {sql_h1('doc_id', 23)} % 1000 < 10 then 'test'
+                        when {sql_h1('doc_id', 23)} % 1000 < 20 then 'val'
+                        else 'train' end as split
+            from documents
         """,
         "q_mask_personal_info": masked_select_sql(
             "duck",
