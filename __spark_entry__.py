@@ -63,6 +63,7 @@ from nerpii_spark.operators import dedup as D
 from nerpii_spark.operators import events as EV
 from nerpii_spark.operators import multimodal as MM
 from nerpii_spark.operators import cluster as _CL
+from nerpii_spark.operators import sketch as SK
 from nerpii_spark.operators import similarity as SIM
 from nerpii_spark.operators import textstats as TS
 from nerpii_spark.operators.mask import (
@@ -617,6 +618,21 @@ def q_kmeans(spark, sf):
     return CL.kmeans_assign(_load(spark, sf, "embeddings"))
 
 
+def q_distinct_hll(spark, sf):
+    """Per-language vocabulary-size estimate via the portable
+    64-register HLL sketch (operators/sketch.py): the token stream is
+    never shuffled by token — one groupBy(lang, register) MAX whose
+    map-side partial state is bounded at 64 rows per lang per task; the
+    sketch is mergeable across corpus shards. Every bit derives from the
+    frozen hash chain, so the DuckDB oracle replays the sketch
+    bit-for-bit (certifying the distributed computation); estimate
+    accuracy vs the exact distinct count is gated in pytest."""
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_hll")
+    pg = spark.sql(P.pages_sql("spark", doc_rel="nerpii_documents_hll"))
+    return SK.hll_distinct(pg)
+
+
 def q_lang_id(spark, sf):
     return TS.lang_id(_load(spark, sf, "documents"))
 
@@ -970,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_dup_pairs": q_embed_dup_pairs,
         "q_embed_dup_survivors": q_embed_dup_survivors,
         "q_kmeans": q_kmeans,
+        "q_distinct_hll": q_distinct_hll,
         "q_lang_id": q_lang_id,
         "q_token_counts": q_token_counts,
         "q_quality": q_quality,
@@ -1075,6 +1092,9 @@ def _extras_oracles() -> dict[str, str]:
         "q_embed_dup_pairs": SIM.duck_embedding_dup_pairs_sql(),
         "q_embed_dup_survivors": SIM.duck_embedding_dup_survivors_sql(),
         "q_kmeans": _CL.duck_kmeans_sql(),
+        "q_distinct_hll": SK.hll_distinct_sql(
+            "duck", doc_rel=f"({P.pages_sql('duck')})"
+        ),
         "q_lang_id": (
             f"select doc_id, {TS.lang_id_sql('duck', 'text')} as lang_pred"
             " from documents"

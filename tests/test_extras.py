@@ -678,3 +678,39 @@ def test_lm_surprisal_hand_case_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hll_sketch_accuracy(spark):
+    """The DuckDB oracle certifies the sketch computation bit-for-bit;
+    this gates what that cannot — that the estimate is a USEFUL
+    cardinality estimate vs the exact distinct count. sf0.01 puts the
+    per-lang vocab at 365-770 distinct token classes (n/m ~ 6-12x, raw
+    HLL's unbiased regime for m=64; expected stderr ~13%)."""
+    from nerpii_spark.functions.hashing import sql_strhash
+    from nerpii_spark.operators import sketch as SK
+    from nerpii_spark.sources import pages as P
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs.createOrReplaceTempView("hll_documents")
+    pg = spark.sql(P.pages_sql("spark", doc_rel="hll_documents")).cache()
+    est = {r["lang"]: r for r in SK.hll_distinct(pg).collect()}
+    exact = {
+        r["lang"]: r["n"]
+        for r in pg.select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct(F.expr(sql_strhash("tok"))).alias("n")
+        )
+        .collect()
+    }
+    pg.unpersist()
+    assert set(est) == set(exact)
+    for lang, n in exact.items():
+        r = est[lang]
+        assert 0 < r["n_regs_hit"] <= 64
+        rel_err = abs(r["est_distinct"] - n) / n
+        assert rel_err < 0.35, (lang, r["est_distinct"], n)
