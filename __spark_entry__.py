@@ -63,6 +63,7 @@ from nerpii_spark.operators import dedup as D
 from nerpii_spark.operators import events as EV
 from nerpii_spark.operators import multimodal as MM
 from nerpii_spark.operators import cluster as _CL
+from nerpii_spark.operators import layout as LAY
 from nerpii_spark.operators import sketch as SK
 from nerpii_spark.operators import similarity as SIM
 from nerpii_spark.operators import textstats as TS
@@ -412,6 +413,16 @@ def q_interval_join(spark, sf):
     return EV.interval_join(e, sess).select(
         "event_id", "user_id", "session_start", "session_end"
     )
+
+
+def q_zorder_stats(spark, sf):
+    """Z-order (Morton) layout key over (event-minute, user_id) +
+    per-bucket min/max pruning stats: every 1/256th of the key range
+    covers <= 1/16 of EACH dimension, the property that lets parquet
+    footer min/max prune on both dimensions at once (operators/layout.py;
+    the write path is one repartitionByRange(z) — range bounds from
+    reservoir-sampled z, so dimension skew cannot overload a writer)."""
+    return LAY.zorder_stats(_load(spark, sf, "events"))
 
 
 def q_percentiles(spark, sf):
@@ -961,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_window": q_session_window,
         "q_interval_join": q_interval_join,
         "q_percentiles": q_percentiles,
+        "q_zorder_stats": q_zorder_stats,
         "q_events_rolling": q_events_rolling,
         "q_pivot_events": q_pivot_events,
         "q_rollup_lineitem": q_rollup_lineitem,
@@ -1258,6 +1270,7 @@ def oracle_sql() -> dict[str, str]:
              and e.ts >= sess.session_start and e.ts <= sess.session_end
         """,
         "q_percentiles": EV.duck_percentiles_sql(),
+        "q_zorder_stats": LAY.zorder_stats_sql("duck"),
         "q_rollup_lineitem": """
             select l_returnflag, l_linestatus, count(*) as n_rows,
                    cast(sum(cast(round(l_quantity * 100) as bigint)) as bigint)
