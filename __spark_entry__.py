@@ -66,6 +66,7 @@ from nerpii_spark.operators import cluster as _CL
 from nerpii_spark.operators import layout as LAY
 from nerpii_spark.operators import sketch as SK
 from nerpii_spark.operators import similarity as SIM
+from nerpii_spark.operators import webgraph as WG
 from nerpii_spark.operators import textstats as TS
 from nerpii_spark.operators.mask import (
     mask_table,
@@ -177,6 +178,22 @@ def q_resolve_persons(spark, sf):
         F.lower(F.col("mention")).alias("mention_norm"),
         "canonical",
     )
+
+
+def q_web_graph(spark, sf):
+    """Host-level link graph extracted from page anchors (webgraph.py):
+    regexp over html bytes in codegen, one map-side-combined edge count;
+    oracle = planted link ground truth, so a match certifies extraction
+    P/R = 1.0. Hub hosts carry ~75x in-degree skew — absorbed by the
+    partial agg, never a hot reducer."""
+    return WG.web_graph(_pipeline(spark, sf)["pages"])
+
+
+def q_host_pagerank(spark, sf):
+    """PageRank over the extracted host graph — extract.pagerank reused
+    unchanged (integer fixed-point, chained-CTE oracle certifies the
+    distributed iteration bit-for-bit)."""
+    return pagerank(WG.host_edges_for_pagerank(_pipeline(spark, sf)["pages"]), n_iter=3)
 
 
 def q_column_profile(spark, sf):
@@ -960,6 +977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entities": q_entities,
         "q_entities_incremental": q_entities_incremental,
         "q_resolve_persons": q_resolve_persons,
+        "q_web_graph": q_web_graph,
+        "q_host_pagerank": q_host_pagerank,
         "q_column_profile": q_column_profile,
         "q_profile_presidio": q_profile_presidio,
         "q_conf_filter": q_conf_filter,
@@ -1166,6 +1185,12 @@ def oracle_sql() -> dict[str, str]:
         "q_entities": P.golden_entities_sql(),
         "q_entities_incremental": P.golden_entities_sql(),
         "q_resolve_persons": P.golden_resolved_persons_sql(),
+        "q_web_graph": WG.duck_web_graph_sql(pages),
+        "q_host_pagerank": duck_pagerank_sql(
+            f"select src_host as subj, dst_host as obj from"
+            f" ({WG.duck_planted_links_sql(pages)})",
+            n_iter=3,
+        ),
         "q_column_profile": column_profile_sql(
             "duck", P.personal_info_sql("duck"), P.PERSONAL_INFO_COLS
         ),

@@ -55,8 +55,11 @@ def materialize_pages(spark, sf_dir: str, reps: int) -> str:
     digest = hashlib.md5(
         os.path.abspath(sf_dir).encode()
     ).hexdigest()[:8]
+    # v2: corpus content version (bump when pages.py changes planted
+    # bytes — e.g. the anchor links added for web-graph extraction — so
+    # a stale /tmp materialization is never reused)
     path = (
-        f"/tmp/nerpii_bench_pages_{tag}_{digest}_x{reps}_p{N_CORPUS_BUCKETS}"
+        f"/tmp/nerpii_bench_pages_v2_{tag}_{digest}_x{reps}_p{N_CORPUS_BUCKETS}"
     )
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path

@@ -661,13 +661,11 @@ def duck_line_dedup_sql(
     reassembly. string_split_regex keeps empty segments like Java
     split(limit=-1); both sides drop them after trim, preserving
     relative order."""
-    from ..sources.pages import HTML_POST, HTML_PRE
+    from ..sources.pages import html_expr
 
-    pre = HTML_PRE.replace("'", "''")
-    post = HTML_POST.replace("'", "''")
     return f"""
 with p as (
-  select doc_id, '{pre}' || text || '{post}' as html
+  select doc_id, {html_expr('duck', 'text', 'doc_id')} as html
   from ({pages_sql_duck})
 ),
 raw as (

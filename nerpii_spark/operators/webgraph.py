@@ -1,0 +1,100 @@
+"""Host-level web-graph extraction from page anchors.
+
+Common-Crawl pages carry outlinks; the host graph built from them is the
+other graph a web-scale KG pipeline materializes next to the entity
+graph (crawl prioritization, spam/hub detection, domain authority as a
+quality prior). The planted corpus embeds two anchors per page
+(sources/pages.py link_hosts): one into a uniform 977-host pool and one
+into 13 hot hub hosts — in-degree skew ~75x.
+
+Scale shape: extraction is regexp_extract_all over the html bytes —
+whole-stage codegen, zero Python, zero shuffle; the only exchange is the
+(src_host, dst_host) count aggregation, which map-side combines (the
+hub hosts are hot keys, but a count partial is one row per (src, hub)
+pair per task — the skew arrives pre-aggregated). PageRank over the
+host graph reuses operators/extract.pagerank unchanged (integer
+fixed-point, bit-exact oracle).
+
+The DuckDB oracle recomputes the PLANTED link set from doc_id
+arithmetic — matching it certifies extraction precision/recall = 1.0
+against ground truth, not just plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nerpii_spark.functions.hashing import sql_h1
+from nerpii_spark.sources.pages import HUB_SALT, N_HUB_HOSTS, N_SITE_HOSTS
+
+_HOST_RE = "https?://([^/]+)"
+
+
+def host_links(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(src_host, dst_host) per anchor in each page's html."""
+    hrefs = F.expr(
+        f"regexp_extract_all(cast({html_col} as string),"
+        " 'href=\"([^\"]+)\"', 1)"
+    )
+    return (
+        pages.select(
+            F.expr(f"regexp_extract({url_col}, '{_HOST_RE}', 1)").alias(
+                "src_host"
+            ),
+            F.explode(hrefs).alias("href"),
+        )
+        .select(
+            "src_host",
+            F.expr(f"regexp_extract(href, '{_HOST_RE}', 1)").alias(
+                "dst_host"
+            ),
+        )
+        .where(F.col("dst_host") != "")
+    )
+
+
+def web_graph(pages: DataFrame) -> DataFrame:
+    """Host-level edge list with link multiplicity ->
+    (src_host, dst_host, n_links)."""
+    return host_links(pages).groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("n_links")
+    )
+
+
+def host_edges_for_pagerank(pages: DataFrame) -> DataFrame:
+    """Edges renamed to the (subj, obj) contract extract.pagerank
+    consumes (it de-duplicates multi-edges itself)."""
+    return host_links(pages).select(
+        F.col("src_host").alias("subj"), F.col("dst_host").alias("obj")
+    )
+
+
+def duck_planted_links_sql(pages_sql_duck: str) -> str:
+    """Planted ground-truth link set (src_host, dst_host) recomputed from
+    doc_id arithmetic — the oracle side of the extraction check."""
+    nxt = f"cast({sql_h1('(doc_id + 1)', 0)} % {N_SITE_HOSTS} as string)"
+    hub = f"cast({sql_h1('doc_id', HUB_SALT)} % {N_HUB_HOSTS} as string)"
+    return f"""
+with pg as (select doc_id, url from ({pages_sql_duck})),
+links as (
+  select regexp_extract(url, '{_HOST_RE}', 1) as src_host,
+         'site' || {nxt} || '.example' as dst_host
+  from pg
+  union all
+  select regexp_extract(url, '{_HOST_RE}', 1),
+         'hub' || {hub} || '.example'
+  from pg
+)
+select src_host, dst_host from links
+"""
+
+
+def duck_web_graph_sql(pages_sql_duck: str) -> str:
+    return f"""
+select src_host, dst_host, count(*) as n_links
+from ({duck_planted_links_sql(pages_sql_duck)})
+group by 1, 2
+"""

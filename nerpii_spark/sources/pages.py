@@ -183,13 +183,37 @@ def page_text(base_text: str, doc_id: int) -> str:
 
 HTML_PRE = (
     "<html><head><title>page</title><script>var x=1;</script></head>"
-    "<body><nav>Home | About | Legal</nav><article>"
+    "<body><nav>Home | About | Legal"
 )
+HTML_NAV_POST = "</nav><article>"
 HTML_POST = "</article><footer>(c) example footer</footer></body></html>"
 
+# planted outlinks (Common-Crawl pages carry anchors; the host-level link
+# graph is the web-graph extraction target): every page links to the next
+# page's host (a uniform 977-host pool) and to one of 13 hot "hub" hosts —
+# in-degree skew ~75x, the shape a host-graph aggregation must absorb.
+N_SITE_HOSTS = 977
+N_HUB_HOSTS = 13
+HUB_SALT = 41
 
-def page_html(text: str) -> bytes:
-    return (HTML_PRE + text + HTML_POST).encode("utf-8")
+
+def link_hosts(doc_id: int) -> tuple[str, str]:
+    """(next-page host, hub host) planted in page `doc_id`'s nav."""
+    return (
+        f"site{h1(doc_id + 1, 0) % N_SITE_HOSTS}.example",
+        f"hub{h1(doc_id, HUB_SALT) % N_HUB_HOSTS}.example",
+    )
+
+
+def page_html(text: str, doc_id: int) -> bytes:
+    nxt, hub = link_hosts(doc_id)
+    return (
+        HTML_PRE
+        + f' <a href="https://{nxt}/">n</a> <a href="https://{hub}/">h</a>'
+        + HTML_NAV_POST
+        + text
+        + HTML_POST
+    ).encode("utf-8")
 
 
 def page_url(doc_id: int, lang: str) -> str:
@@ -325,6 +349,22 @@ def sentence_expr() -> str:
     )
 
 
+def html_expr(dialect: str, text_expr: str, doc_id_expr: str) -> str:
+    """Page html as a SQL string expression — mirrors page_html() exactly
+    (asserted in tests); shared by pages_sql (spark, with_html) and the
+    DuckDB line-dedup oracle, so both engines see identical bytes."""
+    pre = HTML_PRE.replace("'", "''")
+    nav_post = HTML_NAV_POST.replace("'", "''")
+    post = HTML_POST.replace("'", "''")
+    nxt = _s(sql_h1(f"(({doc_id_expr}) + 1)", 0) + f" % {N_SITE_HOSTS}")
+    hub = _s(sql_h1(doc_id_expr, HUB_SALT) + f" % {N_HUB_HOSTS}")
+    return (
+        f"'{pre}' || ' <a href=\"https://site' || {nxt} ||"
+        f" '.example/\">n</a>' || ' <a href=\"https://hub' || {hub} ||"
+        f" '.example/\">h</a>' || '{nav_post}' || {text_expr} || '{post}'"
+    )
+
+
 def pages_sql(dialect: str, doc_rel: str = "documents", with_html: bool = False) -> str:
     """Full SELECT producing the pages table from `documents`."""
     if dialect == "spark":
@@ -340,10 +380,9 @@ def pages_sql(dialect: str, doc_rel: str = "documents", with_html: bool = False)
     if dialect == "spark":
         cols.append(f"timestamp_seconds({BASE_EPOCH} + d.doc_id) as warc_ts")
         if with_html:
-            html_pre = HTML_PRE.replace("'", "''")
-            html_post = HTML_POST.replace("'", "''")
             cols.append(
-                f"cast('{html_pre}' || {text} || '{html_post}' as binary) as html"
+                f"cast({html_expr(dialect, text, 'd.doc_id')} as binary)"
+                " as html"
             )
     cols.append(f"{text} as text")
     cols.append("d.lang as lang")

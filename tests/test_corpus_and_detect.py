@@ -196,3 +196,22 @@ def test_it_detectors_find_italian_entities(spark):
     assert ("PERSON", "Giulia Rossi") in rows
     assert ("LOCATION", "Milano") in rows
     assert ("ADDRESS", "Corso") in rows
+
+
+def test_page_html_python_sql_parity(spark):
+    """pages_sql(with_html) bytes == the page_html() python mirror for
+    every page — the invariant html_expr() claims; also pins the planted
+    anchor links the web-graph queries extract."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("hp_documents")
+    rows = (
+        spark.sql(P.pages_sql("spark", doc_rel="hp_documents", with_html=True))
+        .select("doc_id", "html", "text")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert bytes(r["html"]) == P.page_html(r["text"], r["doc_id"])
+        nxt, hub = P.link_hosts(r["doc_id"])
+        assert f'href="https://{nxt}/"'.encode() in bytes(r["html"])
+        assert f'href="https://{hub}/"'.encode() in bytes(r["html"])
