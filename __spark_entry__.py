@@ -45,7 +45,9 @@ from nerpii_spark.operators.extract import (
     entity_cooccur,
     entity_degree,
     extract_triples,
+    duck_kg_negative_samples_sql,
     duck_pagerank_sql,
+    kg_negative_samples,
     kg_triangles,
     pagerank,
     topk_objs_per_pred,
@@ -899,6 +901,15 @@ def q_pagerank(spark, sf):
     return pagerank(_pipeline(spark, sf)["triples"], n_iter=3)
 
 
+def q_kg_negatives(spark, sf):
+    """Deterministic negative sampling for KG-embedding training: each
+    triple's object corrupted by a hash-drawn representative from 64
+    bucketed entity-pool reps (one map-side agg + a broadcast join of 64
+    rows — no global entity index, no collect); draws replay bit-for-bit
+    in the DuckDB oracle."""
+    return kg_negative_samples(_pipeline(spark, sf)["triples"])
+
+
 def q_entity_cooccur(spark, sf):
     """Per-document entity co-occurrence with exact integer lift_e6
     scoring (PMI numerator/denominator without the log — bigint-only
@@ -1051,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_2hop": q_kg_2hop,
         "q_kg_triangles": q_kg_triangles,
         "q_pagerank": q_pagerank,
+        "q_kg_negatives": q_kg_negatives,
         "q_entity_cooccur": q_entity_cooccur,
         "q_anti_join": q_anti_join,
         "q_agg_lineitem": q_agg_lineitem,
@@ -1472,6 +1484,7 @@ def oracle_sql() -> dict[str, str]:
             from v, ne, tri
         """,
         "q_pagerank": duck_pagerank_sql(gt, n_iter=3),
+        "q_kg_negatives": duck_kg_negative_samples_sql(gt),
         "q_entity_cooccur": f"""
             with surf as (
               select distinct doc_id, mention from ({gm})

@@ -575,3 +575,77 @@ def entity_cooccur(
             ).alias("lift_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# negative sampling (training data for KG-embedding models)
+# ---------------------------------------------------------------------------
+
+NEG_BUCKETS = 64
+NEG_SALT = 47
+
+
+def kg_negative_samples(triples: DataFrame) -> DataFrame:
+    """One deterministic corrupted counterpart per triple (the negative
+    examples a TransE/DistMult-style KG-embedding trainer consumes):
+    the object is replaced by a pseudo-randomly drawn entity from the
+    triple set's own object pool -> (doc_id, subj, pred, obj, neg_obj),
+    rows where the draw collides with the true object dropped (both
+    engines apply the same filter).
+
+    Scale shape: no global entity index (a dense row_number over the
+    pool would be a single-partition sort at 1e9 entities) and no
+    .collect(). The pool is reduced to NEG_BUCKETS representatives
+    (min entity per hash bucket — one map-side-combined agg), the draw
+    is hn(strhash(subj), strhash(obj), pred-salt) % NEG_BUCKETS, and the
+    assignment is a broadcast join of 64 rows onto the triple stream.
+    Every value derives from the frozen hash chain, so the DuckDB
+    oracle replays draws bit-for-bit.
+    """
+    from nerpii_spark.functions.hashing import M, sql_h2, sql_strhash
+
+    pool = (
+        triples.select(F.col("obj").alias("cand"))
+        .groupBy(
+            F.expr(f"{sql_strhash('cand')} % {NEG_BUCKETS}").alias("b")
+        )
+        .agg(F.min("cand").alias("neg_obj"))
+    )
+    draw = sql_h2(
+        f"({sql_strhash('subj')} + {sql_strhash('obj')}"
+        f" + {sql_strhash('pred')}) % {M}",
+        NEG_SALT,
+    )
+    return (
+        triples.select(
+            "doc_id", "subj", "pred", "obj",
+            F.expr(f"{draw} % {NEG_BUCKETS}").alias("b"),
+        )
+        .join(F.broadcast(pool), "b")
+        .where(F.col("neg_obj") != F.col("obj"))
+        .select("doc_id", "subj", "pred", "obj", "neg_obj")
+    )
+
+
+def duck_kg_negative_samples_sql(triples_sql: str) -> str:
+    """Bit-for-bit DuckDB replay of kg_negative_samples."""
+    from nerpii_spark.functions.hashing import M, sql_h2, sql_strhash
+
+    draw = sql_h2(
+        f"({sql_strhash('subj')} + {sql_strhash('obj')}"
+        f" + {sql_strhash('pred')}) % {M}",
+        NEG_SALT,
+    )
+    return f"""
+with t as ({triples_sql}),
+pool as (
+  select {sql_strhash('obj')} % {NEG_BUCKETS} as b, min(obj) as neg_obj
+  from t group by 1
+),
+drawn as (
+  select doc_id, subj, pred, obj, {draw} % {NEG_BUCKETS} as b from t
+)
+select doc_id, subj, pred, obj, p.neg_obj as neg_obj
+from drawn d join pool p using (b)
+where p.neg_obj <> d.obj
+"""
