@@ -938,6 +938,17 @@ def q_url_filter(spark, sf):
     return TS.url_filter(crawl)
 
 
+def q_crawl_diff(spark, sf):
+    """Crawl snapshot diff: canonical URLs classified added / removed /
+    persisting across two capture windows — ONE map-side-combined
+    groupBy with conditional window counts (not two aggs + a full outer
+    join: the same key set would cross the wire twice)."""
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_crawl")
+    crawl = spark.sql(P.crawl_sql("spark", doc_rel="nerpii_documents_crawl"))
+    return D.crawl_diff(crawl, split_ts=P.BASE_EPOCH + 216000)
+
+
 def q_dedup_lines(spark, sf):
     """Corpus-frequency line dedup (C4/RefinedWeb boilerplate removal):
     lines repeated across > df_cap documents — the planted nav / footer /
@@ -1014,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mask_triples": q_mask_triples,
         "q_url_filter": q_url_filter,
         "q_dedup_url": q_dedup_url,
+        "q_crawl_diff": q_crawl_diff,
         "q_dedup_lines": q_dedup_lines,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_spans": q_dedup_spans,
@@ -1104,6 +1116,9 @@ def _extras_oracles() -> dict[str, str]:
             f"(select doc_id, url from ({P.crawl_sql('duck')}))"
         ),
         "q_dedup_url": D.duck_url_dedup_sql(P.crawl_sql("duck")),
+        "q_crawl_diff": D.duck_crawl_diff_sql(
+            P.crawl_sql("duck"), split_ts=P.BASE_EPOCH + 216000
+        ),
         "q_dedup_lines": D.duck_line_dedup_sql(P.pages_sql("duck")),
         "q_dedup_exact": (
             f"select md5(text) as content_hash, count(*) as n_copies,"

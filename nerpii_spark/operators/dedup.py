@@ -852,3 +852,68 @@ select t.doc_id as doc_id, cast(len(t.t) as bigint) as n_tokens,
        cast(coalesce(pd.n_removed, 0) as bigint) as n_removed
 from toks t left join pd on t.doc_id = pd.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# crawl snapshot diff (two capture windows -> added/removed/persisting)
+# ---------------------------------------------------------------------------
+
+
+def crawl_diff(
+    crawl: DataFrame, split_ts: int, url_col: str = "url",
+    ts_col: str = "ts_s",
+) -> DataFrame:
+    """Classify every canonical URL by its presence across two crawl
+    windows (captures before vs at/after `split_ts`) ->
+    (curl, status in {added, removed, persisting}, n_w1, n_w2).
+
+    The crawl-ops question this answers — what appeared, what vanished,
+    what persists between two crawl snapshots — is a set diff, but the
+    scale-right plan is NOT two aggregations + a full outer join (two
+    shuffles of the same key set plus a join exchange): it is ONE
+    map-side-combined groupBy on the canonical URL with conditional
+    counts, from which the set membership of both windows falls out.
+    Nothing corpus-sized crosses the wire twice."""
+    w1 = (F.col(ts_col) < split_ts).cast("bigint")
+    return (
+        crawl.select(
+            F.expr(canonical_url_expr(url_col)).alias("curl"),
+            w1.alias("in_w1"),
+        )
+        .groupBy("curl")
+        .agg(
+            F.sum("in_w1").cast("bigint").alias("n_w1"),
+            F.sum(1 - F.col("in_w1")).cast("bigint").alias("n_w2"),
+        )
+        .select(
+            "curl",
+            F.when((F.col("n_w1") > 0) & (F.col("n_w2") > 0), "persisting")
+            .when(F.col("n_w1") > 0, "removed")
+            .otherwise("added")
+            .alias("status"),
+            "n_w1",
+            "n_w2",
+        )
+    )
+
+
+def duck_crawl_diff_sql(crawl_sql_duck: str, split_ts: int) -> str:
+    return f"""
+with c as (
+  select {canonical_url_expr('url')} as curl,
+         case when ts_s < {split_ts} then 1 else 0 end as in_w1
+  from ({crawl_sql_duck})
+),
+g as (
+  select curl,
+         cast(sum(in_w1) as bigint) as n_w1,
+         cast(sum(1 - in_w1) as bigint) as n_w2
+  from c group by 1
+)
+select curl,
+       case when n_w1 > 0 and n_w2 > 0 then 'persisting'
+            when n_w1 > 0 then 'removed'
+            else 'added' end as status,
+       n_w1, n_w2
+from g
+"""

@@ -405,6 +405,9 @@ def crawl_sql(dialect: str, doc_rel: str = "documents") -> str:
       * doc_id % 5 = 0: fragment variant (#section-2), two days later
       * doc_id % 7 = 0: scheme/host case variant (HTTPS://Site...), +3d
       * doc_id % 11 = 0: trailing-slash variant, +4d
+      * doc_id % 13 = 1: a genuinely NEW page (distinct canonical path
+        '/extra'), +5d — appears only in the later crawl window, so the
+        snapshot-diff operator has 'added' rows to classify
 
     ts_s is epoch seconds as bigint (identical in both dialects; the
     Spark-side `warc_ts` timestamp is BASE_EPOCH + doc_id, so this is
@@ -427,6 +430,9 @@ select doc_id, replace(url, 'https://site', 'HTTPS://Site'),
 union all
 select doc_id, url || '/',
        cast({t} + 345600 as bigint) from cp where doc_id % 11 = 0
+union all
+select doc_id, url || '/extra',
+       cast({t} + 432000 as bigint) from cp where doc_id % 13 = 1
 """
 
 
