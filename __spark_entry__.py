@@ -64,6 +64,7 @@ from nerpii_spark.operators.link import (
 from nerpii_spark.operators import dedup as D
 from nerpii_spark.operators import events as EV
 from nerpii_spark.operators import multimodal as MM
+from nerpii_spark.operators import bpe as BPE
 from nerpii_spark.operators import cluster as _CL
 from nerpii_spark.operators import layout as LAY
 from nerpii_spark.operators import sketch as SK
@@ -648,6 +649,19 @@ def q_kmeans(spark, sf):
     return CL.kmeans_assign(_load(spark, sf, "embeddings"))
 
 
+def q_bpe_merges(spark, sf):
+    """Distributed BPE tokenizer training (operators/bpe.py): corpus
+    collapses to the vocabulary once; each merge iteration = pair
+    explode + map-side-combined weighted count + one argmax row to the
+    driver + a zero-shuffle Catalyst-fold rewrite. Oracle replays the
+    iterations with an INDEPENDENT merge algorithm (recursive-CTE
+    replace-first), cross-validating the semantics."""
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_bpe")
+    pg = spark.sql(P.pages_sql("spark", doc_rel="nerpii_documents_bpe"))
+    return BPE.bpe_merges(pg)
+
+
 def q_distinct_hll(spark, sf):
     """Per-language vocabulary-size estimate via the portable
     64-register HLL sketch (operators/sketch.py): the token stream is
@@ -1040,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_dup_pairs": q_embed_dup_pairs,
         "q_embed_dup_survivors": q_embed_dup_survivors,
         "q_kmeans": q_kmeans,
+        "q_bpe_merges": q_bpe_merges,
         "q_distinct_hll": q_distinct_hll,
         "q_lang_id": q_lang_id,
         "q_token_counts": q_token_counts,
@@ -1150,6 +1165,9 @@ def _extras_oracles() -> dict[str, str]:
         "q_embed_dup_pairs": SIM.duck_embedding_dup_pairs_sql(),
         "q_embed_dup_survivors": SIM.duck_embedding_dup_survivors_sql(),
         "q_kmeans": _CL.duck_kmeans_sql(),
+        "q_bpe_merges": BPE.duck_bpe_merges_sql(
+            docs_rel=f"({P.pages_sql('duck')})"
+        ),
         "q_distinct_hll": SK.hll_distinct_sql(
             "duck", doc_rel=f"({P.pages_sql('duck')})"
         ),

@@ -1,0 +1,192 @@
+"""Distributed BPE merge learning (Sennrich et al. 2016) — the tokenizer-
+training step of an LLM data pipeline, as a Spark iteration.
+
+Word-level BPE: the corpus collapses to a (word, freq) vocabulary table
+ONCE (the only corpus-sized shuffle); each merge iteration then runs on
+the vocabulary — explode adjacent symbol pairs, weight by word freq,
+take the global argmax pair (deterministic tie-break), and rewrite every
+word's symbol sequence with that pair merged (greedy left-to-right
+non-overlapping, the standard BPE scan). Exactly the structure of a real
+distributed tokenizer trainer: corpus-sized work happens once; the
+iteration loop touches only |vocab| rows.
+
+The merge rewrite is a pure Catalyst `aggregate` HOF (no Python): the
+fold state is the output symbol array; an element merges into the
+accumulator's tail when (tail, element) equals the chosen pair. A fold
+cannot re-merge its own output (the merged symbol a||b is strictly
+longer than a), so the fold is exactly the greedy single-pass scan.
+
+The DuckDB oracle replays the iterations with an INDEPENDENT merge
+algorithm — a recursive CTE splicing the first occurrence of
+' a b ' in the padded sequence string until none remains (replace-first
+iterated == greedy left-to-right; a merge cannot create an earlier
+occurrence of the same pair because a||b differs from both a and b) —
+so a bit-identical merge table cross-validates two implementations of
+the semantics, not one implementation against itself.
+
+Scale shape: pair counting is explode + map-side-combined sum over the
+vocabulary (pairs per word <= word length); the argmax crossing the
+driver is ONE row per iteration (like the CC/PageRank fixpoints); the
+rewrite is a zero-shuffle projection. Vocabulary tables (1e6-1e8 words)
+are orders smaller than a 10^12-doc corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_MERGES = 3
+
+
+def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    pairs = F.expr(
+        "transform(sequence(1, size(seq) - 1),"
+        " i -> struct(element_at(seq, i) as a, element_at(seq, i + 1) as b))"
+    )
+    return (
+        words.where(F.size("seq") >= 2)
+        .select(F.explode(pairs).alias("p"), "freq")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").cast("bigint").alias("n_weighted"))
+    )
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _merge_expr(a: str, b: str) -> str:
+    """Greedy left-to-right merge of the pair (a, b) in `seq` as a pure
+    fold: append, or fuse with the accumulator tail when it completes
+    the pair."""
+    qa, qb = _sql_quote(a), _sql_quote(b)
+    return f"""
+aggregate(
+  seq,
+  cast(array() as array<string>),
+  (acc, x) -> case
+    when size(acc) > 0 and element_at(acc, -1) = {qa} and x = {qb}
+      then concat(slice(acc, 1, size(acc) - 1), array({qa} || {qb}))
+    else concat(acc, array(x))
+  end
+)
+"""
+
+
+def bpe_merges(
+    docs: DataFrame, text_col: str = "text", n_merges: int = N_MERGES
+) -> DataFrame:
+    """Learn `n_merges` BPE merges -> (it, sym_a, sym_b, n_weighted),
+    one row per iteration in merge order. Tie-break: highest weighted
+    count, then (sym_a, sym_b) ascending — total order, deterministic."""
+    spark = docs.sparkSession
+    words = _word_counts(docs, text_col).withColumn(
+        "seq", F.split("word", "")
+    )
+    # |vocab| rows; each iteration rewrites seqs, so pin the lineage
+    words = words.localCheckpoint(eager=True)
+    out = []
+    for it in range(1, n_merges + 1):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.desc("n_weighted"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], top[0]["n_weighted"]
+        out.append((it, a, b, n))
+        words = words.withColumn(
+            "seq", F.expr(_merge_expr(a, b))
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out, "it bigint, sym_a string, sym_b string, n_weighted bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle: independent replay (recursive-CTE replace-first merge)
+# ---------------------------------------------------------------------------
+
+
+def duck_bpe_merges_sql(
+    docs_rel: str = "documents", text_col: str = "text",
+    n_merges: int = N_MERGES,
+) -> str:
+    """Chained-CTE replay: w0 = char-split vocabulary (seq = space-joined
+    symbols); per iteration k: pair counts from seq -> top-1 pair ->
+    recursive splice of ' a b ' -> ' ab ' (first occurrence per step)
+    until absent. Bit-identical output certifies the Spark iteration."""
+    ctes = [
+        f"""
+w0 as (
+  select seq, cast(count(*) as bigint) as freq from (
+    select array_to_string(string_split(word, ''), ' ') as seq
+    from (select unnest(string_split(lower({text_col}), ' ')) as word
+          from {docs_rel})
+    where word <> ''
+  ) group by 1
+)"""
+    ]
+    finals = []
+    for k in range(1, n_merges + 1):
+        prev = f"w{k - 1}"
+        ctes.append(
+            f"""
+p{k} as (
+  select l[i] as a, l[i + 1] as b,
+         cast(sum(freq) as bigint) as n_weighted
+  from (
+    select string_split(seq, ' ') as l,
+           unnest(range(1, len(string_split(seq, ' ')))) as i, freq
+    from {prev}
+  ) group by 1, 2
+),
+t{k} as (
+  select a, b, n_weighted from p{k}
+  order by n_weighted desc, a asc, b asc limit 1
+),
+m{k} as (
+  select ' ' || a || ' ' || b || ' ' as pat, ' ' || a || b || ' ' as rep
+  from t{k}
+),
+r{k} as (
+  select s.seq as orig, ' ' || s.seq || ' ' as cur, s.freq
+  from {prev} s
+  union all
+  select r.orig,
+         substring(r.cur, 1, position(m.pat in r.cur) - 1)
+           || m.rep
+           || substring(r.cur, position(m.pat in r.cur) + length(m.pat)),
+         r.freq
+  from r{k} r, m{k} m
+  where position(m.pat in r.cur) > 0
+),
+w{k} as (
+  select trim(cur) as seq, freq
+  from r{k} r
+  where not exists (
+    select 1 from m{k} m where position(m.pat in r.cur) > 0
+  )
+)"""
+        )
+        finals.append(
+            f"select {k} as it, a as sym_a, b as sym_b, n_weighted from t{k}"
+        )
+    return (
+        "with recursive " + ",".join(ctes) + " "
+        + " union all ".join(finals)
+    )

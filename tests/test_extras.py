@@ -714,3 +714,45 @@ def test_hll_sketch_accuracy(spark):
         assert 0 < r["n_regs_hit"] <= 64
         rel_err = abs(r["est_distinct"] - n) / n
         assert rel_err < 0.35, (lang, r["est_distinct"], n)
+
+
+def test_bpe_merge_greedy_semantics(spark):
+    """The Catalyst fold implements the standard greedy left-to-right
+    non-overlapping BPE scan: 'aaa' under pair (a, a) -> [aa, a] (the
+    merged symbol never re-merges within the same pass), and an
+    alternating overlap 'abab' under (a, b) merges BOTH occurrences."""
+    from nerpii_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [("aaa",), ("abab",), ("ba",), ("b",)], "word string"
+    ).withColumn("seq", F.split("word", ""))
+    got = {
+        r["word"]: r["m"]
+        for r in df.selectExpr(
+            "word", f"{bpe._merge_expr('a', 'b')} as m"
+        ).collect()
+    }
+    assert got["abab"] == ["ab", "ab"]
+    assert got["ba"] == ["b", "a"]
+    assert got["b"] == ["b"]
+    got_aa = {
+        r["word"]: r["m"]
+        for r in df.selectExpr(
+            "word", f"{bpe._merge_expr('a', 'a')} as m"
+        ).collect()
+    }
+    assert got_aa["aaa"] == ["aa", "a"]
+
+
+def test_bpe_merges_end_to_end(spark):
+    """3 learned merges on a corpus with a known dominant pair; also
+    pins that the output is ordered and weighted correctly."""
+    from nerpii_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [("zz zz zz qx",), ("zz qx qx",)], "text string"
+    )
+    rows = [tuple(r) for r in bpe.bpe_merges(df, n_merges=2).collect()]
+    # 'z z' pair occurs in 4 'zz' words; 'q x' in 3 'qx' words
+    assert rows[0] == (1, "z", "z", 4)
+    assert rows[1] == (2, "q", "x", 3)
