@@ -134,6 +134,18 @@ def main() -> int:
     extras["triples"] = n_triples
     extras["triples_per_sec"] = round(n_triples / timings["e2e_triples"], 1)
 
+    # --- corpus-scale web-graph extraction (anchors -> host edge counts) ---
+    from nerpii_spark.operators.webgraph import web_graph
+
+    best_wg, n_edges = None, 0
+    for _ in range(max(1, runs)):
+        t0 = time.perf_counter()
+        n_edges = web_graph(spark.read.parquet(pages_path)).count()
+        dt = time.perf_counter() - t0
+        best_wg = dt if best_wg is None else min(best_wg, dt)
+    timings["web_graph_corpus"] = round(best_wg, 3)
+    extras["host_edges"] = n_edges
+
     # --- untimed: materialize the __spark_entry__ stage cache so the
     #     per-query timings below measure the downstream operators, not the
     #     clean->detect->extract warm-up (reported separately) ---------------
@@ -154,6 +166,7 @@ def main() -> int:
         "q_url_filter",
         "q_pack_sequences",
         "q_quality_lm",
+        "q_bpe_merges",
         "q_agg_lineitem",
         "q_join_orders_customer",
         "q_anti_join",
