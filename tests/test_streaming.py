@@ -342,3 +342,57 @@ def test_stream_triple_factory_equal_batch(spark, tmp_path):
         q.stop()
     assert got == batch and len(batch) > 0
     shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_exactly_once_triple_sink(spark, tmp_path):
+    """The foreachBatch sink is exactly-once end to end: (1) the drained
+    stream's output equals the batch pipeline's, (2) replaying a
+    micro-batch (the at-least-once crash case) rewrites its partition
+    instead of duplicating, (3) re-running against the same checkpoint
+    ingests nothing new."""
+    from nerpii_spark.operators.extract import extract_triples_inline
+    from nerpii_spark.sources import pages as P
+    from nerpii_spark.streaming.sink import (
+        idempotent_batch_sink,
+        run_triple_stream,
+    )
+    from test_corpus_and_detect import base_text
+
+    rows = [(i, base_text(i), "en") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    docs.createOrReplaceTempView("sink_documents")
+    pages = (
+        spark.sql(P.pages_sql("spark", doc_rel="sink_documents", with_html=True))
+        .drop("text")
+        .withColumn("text", F.lit(None).cast("string"))
+    )
+    src_dir = str(tmp_path / "pages_src")
+    pages.repartition(3).write.mode("overwrite").parquet(src_dir)
+    out_root = str(tmp_path / "triples_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    key = ["doc_id", "subj", "pred", "obj"]
+    run_triple_stream(spark, src_dir, out_root, ckpt)
+    got = _collect_sorted(spark.read.parquet(out_root).select(*key), key)
+    want = _collect_sorted(
+        extract_triples_inline(spark.read.parquet(src_dir)).select(*key), key
+    )
+    assert got == want
+
+    # (2) crash-replay: re-deliver batch 0's data with the same batch_id
+    sink = idempotent_batch_sink(out_root)
+    replay = (
+        spark.read.parquet(out_root)
+        .where(F.col("batch_id") == 0)
+        .drop("batch_id")
+    )
+    n_before = spark.read.parquet(out_root).count()
+    sink(replay, 0)
+    assert spark.read.parquet(out_root).count() == n_before
+    assert _collect_sorted(
+        spark.read.parquet(out_root).select(*key), key
+    ) == want
+
+    # (3) resume with committed offsets: nothing re-ingested
+    run_triple_stream(spark, src_dir, out_root, ckpt)
+    assert spark.read.parquet(out_root).count() == n_before
