@@ -90,6 +90,67 @@ class TableCatalog:
         bucket spec lives in the table metadata, not the files)."""
         return spark.table(self._ident(name))
 
+    def compact(
+        self,
+        spark: SparkSession,
+        name: str,
+        target_bytes: int = 128 * 1024 * 1024,
+        partition_by: tuple[str, ...] = (),
+    ) -> dict:
+        """Small-file compaction (the Iceberg `rewrite_data_files` /
+        Delta OPTIMIZE maintenance job). Incremental micro-batch sinks
+        and high-parallelism writers fragment a table into files far
+        below the scan-efficient size; at 100 TB the resulting
+        per-file open/footer overhead and starved scan parallelism
+        dominate read cost. This rewrites the table into
+        ceil(total_bytes / target_bytes) files per partition.
+
+        Scale shape: sizing comes from file metadata (one listing, no
+        data read); the rewrite is one pass with NO shuffle when the
+        table is unpartitioned (coalesce only merges partitions) and one
+        hash exchange on the partition columns otherwise. The swap is
+        write-to-temp + atomic rename of the directory — readers see old
+        or new, never a mix (an Iceberg snapshot commit in the
+        config-swap story). Returns {files_before, files_after, bytes}.
+        """
+        import math
+        import shutil
+
+        path = self.path(name)
+        files = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        total = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, math.ceil(total / target_bytes))
+        df = spark.read.parquet(path)
+        tmp = path + ".__compact__"
+        w = (
+            df.repartition(n_out, *partition_by)
+            if partition_by
+            else df.coalesce(n_out)
+        ).write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+        old = path + ".__old__"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        after = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        return {
+            "files_before": len(files),
+            "files_after": len(after),
+            "bytes": total,
+        }
+
 
 def load_table(spark: SparkSession, source) -> DataFrame:
     """Reference O1 input coercion (named_entity_recognizer.py:310-311,

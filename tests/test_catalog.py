@@ -68,3 +68,47 @@ def test_bucketed_join_and_agg_skip_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         for t in ("tb_triples", "tb_ents"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compact_reduces_files_preserves_data(spark, tmp_path):
+    """Compaction merges a fragmented table to the metadata-computed
+    file count, preserves every row byte-for-byte, and swaps the
+    directory atomically (old layout fully replaced)."""
+    from nerpii_spark.sources.catalog import TableCatalog
+
+    cat = TableCatalog(root=str(tmp_path))
+    df = spark.range(0, 10000).selectExpr(
+        "id", "id % 7 as k", "cast(id * 3 as string) as v"
+    )
+    # fragment: 64 tiny files
+    df.repartition(64).write.parquet(cat.path("frag"))
+    import glob
+
+    before = glob.glob(f"{tmp_path}/frag/*.parquet")
+    assert len(before) == 64
+    stats = cat.compact(spark, "frag", target_bytes=1 << 40)
+    after = glob.glob(f"{tmp_path}/frag/*.parquet")
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == len(after) == 1
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(cat.path("frag")).collect()
+    )
+    want = sorted(tuple(r) for r in df.collect())
+    assert got == want
+
+
+def test_compact_partitioned_table(spark, tmp_path):
+    """Partitioned compaction keeps the partition layout (one exchange
+    on the partition key) and the data."""
+    from nerpii_spark.sources.catalog import TableCatalog
+
+    cat = TableCatalog(root=str(tmp_path))
+    df = spark.range(0, 5000).selectExpr("id", "id % 3 as p")
+    df.repartition(32).write.partitionBy("p").parquet(cat.path("pt"))
+    stats = cat.compact(
+        spark, "pt", target_bytes=1 << 40, partition_by=("p",)
+    )
+    assert stats["files_after"] < stats["files_before"]
+    out = spark.read.parquet(cat.path("pt"))
+    assert out.count() == 5000
+    assert sorted(r["p"] for r in out.select("p").distinct().collect()) == [0, 1, 2]
