@@ -47,7 +47,9 @@ def _shl(dialect: str, e: str, n: int) -> str:
 def spread16_sql(dialect: str, x: str) -> str:
     """Interleave-ready spread: 16-bit int -> its bits at even positions
     of a 32-bit word. Valid Spark SQL and DuckDB SQL (int64 & | ops)."""
-    e = f"(({x}) & {DIM_MASK})"
+    # bigint up-cast: an int32 input (or literal) would overflow the
+    # b30 << 1 step in engines with checked 32-bit shifts
+    e = f"(cast({x} as bigint) & {DIM_MASK})"
     for n, mask in _SPREAD:
         e = f"((({e} | {_shl(dialect, e, n)})) & {mask})"
     return e

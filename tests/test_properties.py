@@ -120,3 +120,30 @@ def test_survey_and_driver_contract_in_sync():
     assert listed - keys == set(), f"SURVEY lists unknown queries: {listed - keys}"
     no_oracle = keys - set(E.oracle_sql())
     assert no_oracle == {"q_embed_topk_lsh", "q_embed_topk_ivf"}, no_oracle
+
+
+def _py_spread16(x: int) -> int:
+    x &= 0xFFFF
+    for n, mask in [(8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                    (2, 0x33333333), (1, 0x55555555)]:
+        x = (x | (x << n)) & mask
+    return x
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.integers(0, 0xFFFF), st.integers(0, 0xFFFF))
+def test_zorder_morton_roundtrip(x, y):
+    """The Morton key is a bijection: de-interleaving the DuckDB-evaluated
+    key recovers (x, y) exactly, and the bucket prefix fixes the top bits
+    of both dimensions (the pruning guarantee test_layout relies on)."""
+    from nerpii_spark.operators.layout import zorder_sql
+
+    z = duckdb.sql(f"select {zorder_sql('duck', str(x), str(y))}").fetchone()[0]
+    assert z == _py_spread16(x) | (_py_spread16(y) << 1)
+    gx = gy = 0
+    for i in range(16):
+        gx |= ((z >> (2 * i)) & 1) << i
+        gy |= ((z >> (2 * i + 1)) & 1) << i
+    assert (gx, gy) == (x, y)
+    # top 8 z-bits = top 4 bits of each dimension
+    assert (z >> 24) == (_py_spread16(x >> 12) | (_py_spread16(y >> 12) << 1))
