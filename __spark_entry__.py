@@ -47,8 +47,10 @@ from nerpii_spark.operators.extract import (
     extract_triples,
     duck_kg_negative_samples_sql,
     duck_pagerank_sql,
+    duck_neighbor_sample_sql,
     kg_negative_samples,
     kg_triangles,
+    neighbor_sample,
     pagerank,
     topk_objs_per_pred,
     triples_by_pred_salted,
@@ -924,6 +926,14 @@ def q_kg_negatives(spark, sf):
     return kg_negative_samples(_pipeline(spark, sf)["triples"])
 
 
+def q_neighbor_sample(spark, sf):
+    """GraphSAGE-style deterministic neighbor sampling (fan-out cap 3):
+    sampling order = portable hash of (node, nbr), two-phase salted
+    windows so a hub never lands on one reducer unsharded; oracle
+    replays the sample with a single global window."""
+    return neighbor_sample(_pipeline(spark, sf)["triples"])
+
+
 def q_entity_cooccur(spark, sf):
     """Per-document entity co-occurrence with exact integer lift_e6
     scoring (PMI numerator/denominator without the log — bigint-only
@@ -1090,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_triangles": q_kg_triangles,
         "q_pagerank": q_pagerank,
         "q_kg_negatives": q_kg_negatives,
+        "q_neighbor_sample": q_neighbor_sample,
         "q_entity_cooccur": q_entity_cooccur,
         "q_anti_join": q_anti_join,
         "q_agg_lineitem": q_agg_lineitem,
@@ -1518,6 +1529,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_pagerank": duck_pagerank_sql(gt, n_iter=3),
         "q_kg_negatives": duck_kg_negative_samples_sql(gt),
+        "q_neighbor_sample": duck_neighbor_sample_sql(gt),
         "q_entity_cooccur": f"""
             with surf as (
               select distinct doc_id, mention from ({gm})

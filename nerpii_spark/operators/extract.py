@@ -649,3 +649,90 @@ select doc_id, subj, pred, obj, p.neg_obj as neg_obj
 from drawn d join pool p using (b)
 where p.neg_obj <> d.obj
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic neighbor sampling (GraphSAGE-style fan-out capping)
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 3
+SAMPLE_SALT = 53
+
+
+def neighbor_sample(
+    triples: DataFrame, k: int = SAMPLE_K, n_salt: int = 32
+) -> DataFrame:
+    """Per-node deterministic sample of up to `k` distinct neighbors ->
+    (node, nbr, rk) — the fan-out capping step of a graph-ML training
+    pipeline (GraphSAGE neighbor sampling), made reproducible: the
+    sampling order is the portable hash of (node, nbr), so the sample is
+    a pure function of the edge set (resumable, identical on re-run,
+    and replayable bit-for-bit by the DuckDB oracle).
+
+    Skew shape: same two-phase trick as topk_objs_per_pred — a pre-window
+    partitioned by (node, hash(nbr) % n_salt) keeps each shard's local
+    top-k in hash order (the global k smallest hashes survive any shard
+    split), then the node-only window ranks <= k * n_salt survivors; a
+    hub with 1e9 neighbors never lands on one reducer unsharded."""
+    from pyspark.sql import Window as W
+
+    from nerpii_spark.functions.hashing import M, sql_h2, sql_strhash
+
+    e = (
+        triples.select(F.col("subj").alias("node"), F.col("obj").alias("nbr"))
+        .unionByName(
+            triples.select(
+                F.col("obj").alias("node"), F.col("subj").alias("nbr")
+            )
+        )
+        .where(F.col("node") != F.col("nbr"))
+        .distinct()
+    )
+    hexpr = sql_h2(
+        f"({sql_strhash('node')} + {sql_strhash('nbr')}) % {M}",
+        SAMPLE_SALT,
+    )
+    e = e.withColumn("h", F.expr(hexpr))
+    w_shard = W.partitionBy(
+        "node", F.pmod(F.xxhash64("nbr"), F.lit(n_salt))
+    ).orderBy(F.asc("h"), F.asc("nbr"))
+    survivors = (
+        e.withColumn("prk", F.row_number().over(w_shard))
+        .where(F.col("prk") <= k)
+        .drop("prk")
+    )
+    w = W.partitionBy("node").orderBy(F.asc("h"), F.asc("nbr"))
+    return (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("node", "nbr", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+def duck_neighbor_sample_sql(triples_sql: str, k: int = SAMPLE_K) -> str:
+    """Single-window DuckDB replay (the two-phase Spark form is provably
+    identical: the union of shard top-ks is a superset of the global
+    top-k under any total order)."""
+    from nerpii_spark.functions.hashing import M, sql_h2, sql_strhash
+
+    hexpr = sql_h2(
+        f"({sql_strhash('node')} + {sql_strhash('nbr')}) % {M}",
+        SAMPLE_SALT,
+    )
+    return f"""
+with t as ({triples_sql}),
+e as (
+  select distinct node, nbr from (
+    select subj as node, obj as nbr from t
+    union all
+    select obj, subj from t
+  ) where node <> nbr
+),
+r as (
+  select node, nbr,
+         row_number() over (partition by node
+                            order by {hexpr} asc, nbr asc) as rk
+  from e
+)
+select node, nbr, cast(rk as bigint) as rk from r where rk <= {k}
+"""
