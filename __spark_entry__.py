@@ -48,6 +48,8 @@ from nerpii_spark.operators.extract import (
     duck_kg_negative_samples_sql,
     duck_pagerank_sql,
     duck_neighbor_sample_sql,
+    duck_random_walks_sql,
+    random_walks,
     kg_negative_samples,
     kg_triangles,
     neighbor_sample,
@@ -934,6 +936,15 @@ def q_neighbor_sample(spark, sf):
     return neighbor_sample(_pipeline(spark, sf)["triples"])
 
 
+def q_random_walks(spark, sf):
+    """Deterministic DeepWalk corpus: one 3-step walk per node, step t
+    moves to the neighbor minimizing the portable hash of (cur, nbr, t);
+    each step = one equi-join + map-side-combined min(struct) argmin
+    (never a window over a hub's neighbor list); chained-CTE oracle
+    replays the iteration with a row_number argmin."""
+    return random_walks(_pipeline(spark, sf)["triples"])
+
+
 def q_entity_cooccur(spark, sf):
     """Per-document entity co-occurrence with exact integer lift_e6
     scoring (PMI numerator/denominator without the log — bigint-only
@@ -1101,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": q_pagerank,
         "q_kg_negatives": q_kg_negatives,
         "q_neighbor_sample": q_neighbor_sample,
+        "q_random_walks": q_random_walks,
         "q_entity_cooccur": q_entity_cooccur,
         "q_anti_join": q_anti_join,
         "q_agg_lineitem": q_agg_lineitem,
@@ -1530,6 +1542,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pagerank": duck_pagerank_sql(gt, n_iter=3),
         "q_kg_negatives": duck_kg_negative_samples_sql(gt),
         "q_neighbor_sample": duck_neighbor_sample_sql(gt),
+        "q_random_walks": duck_random_walks_sql(gt),
         "q_entity_cooccur": f"""
             with surf as (
               select distinct doc_id, mention from ({gm})

@@ -736,3 +736,107 @@ r as (
 )
 select node, nbr, cast(rk as bigint) as rk from r where rk <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic random walks (node2vec-style corpus for embedding training)
+# ---------------------------------------------------------------------------
+
+WALK_STEPS = 3
+WALK_SALT = 59
+
+
+def _walk_h(cur: str, nbr: str, step: int) -> str:
+    from nerpii_spark.functions.hashing import M, sql_h2, sql_strhash
+
+    return sql_h2(
+        f"({sql_strhash(cur)} + {sql_strhash(nbr)} + {step * 31}) % {M}",
+        WALK_SALT,
+    )
+
+
+def random_walks(triples: DataFrame, n_steps: int = WALK_STEPS) -> DataFrame:
+    """One deterministic `n_steps` walk from every node of the entity
+    graph -> (root, step, cur) in long form — the walk corpus a
+    DeepWalk/node2vec embedding trainer consumes, made reproducible:
+    step t moves to the neighbor minimizing the portable hash of
+    (current, neighbor, t), so the walk set is a pure function of the
+    edge set (resumable, oracle-replayable).
+
+    Scale shape: each step is ONE equi-join of the N-row position table
+    against the edge list plus one min(struct) agg — the same
+    join-per-iteration discipline as the PageRank/CC fixpoints; the
+    argmin is computed as min(struct(h, nbr)) so it map-side combines
+    (no window over a hub's full neighbor list). The driver loop holds
+    no data, only the step counter."""
+    e = (
+        triples.select(F.col("subj").alias("node"), F.col("obj").alias("nbr"))
+        .unionByName(
+            triples.select(
+                F.col("obj").alias("node"), F.col("subj").alias("nbr")
+            )
+        )
+        .where(F.col("node") != F.col("nbr"))
+        .distinct()
+    )
+    pos = e.select(F.col("node").alias("root")).distinct().withColumn(
+        "cur", F.col("root")
+    )
+    out = None
+    for t in range(1, n_steps + 1):
+        stepped = (
+            pos.join(e, pos.cur == e.node)
+            .select(
+                "root",
+                F.struct(
+                    F.expr(_walk_h("cur", "nbr", t)).alias("h"),
+                    F.col("nbr").alias("n"),
+                ).alias("cand"),
+            )
+            .groupBy("root")
+            .agg(F.min("cand").alias("best"))
+            .select("root", F.col("best.n").alias("cur"))
+        )
+        step_rows = stepped.select(
+            "root", F.lit(t).cast("bigint").alias("step"), "cur"
+        )
+        out = step_rows if out is None else out.unionByName(step_rows)
+        pos = stepped
+    return out
+
+
+def duck_random_walks_sql(
+    triples_sql: str, n_steps: int = WALK_STEPS
+) -> str:
+    """Chained-CTE replay; the argmin is a row_number window (an
+    independent formulation of min(struct))."""
+    ctes = [
+        f"""
+t as ({triples_sql}),
+e as (
+  select distinct node, nbr from (
+    select subj as node, obj as nbr from t
+    union all
+    select obj, subj from t
+  ) where node <> nbr
+),
+w0 as (select distinct node as root, node as cur from e)"""
+    ]
+    finals = []
+    for t in range(1, n_steps + 1):
+        h = _walk_h("w.cur", "e.nbr", t)
+        ctes.append(
+            f"""
+w{t} as (
+  select root, cur from (
+    select w.root as root, e.nbr as cur,
+           row_number() over (partition by w.root
+                              order by {h} asc, e.nbr asc) as rk
+    from w{t - 1} w join e on w.cur = e.node
+  ) where rk = 1
+)"""
+        )
+        finals.append(
+            f"select root, cast({t} as bigint) as step, cur from w{t}"
+        )
+    return "with " + ",".join(ctes) + " " + " union all ".join(finals)
