@@ -557,6 +557,37 @@ def _dup_docs(spark, sf):
     return spark.sql(D.dup_docs_sql("spark", doc_rel="nerpii_documents_dup"))
 
 
+# curation per-mille keep rates: en 600, every other lang 900
+CURATION_SALT = 11
+
+
+def q_curation(spark, sf):
+    """The training-data curation pipeline END TO END as one declarative
+    dataflow: near-dedup survivors (MinHash-LSH -> CC -> min-id) ->
+    Gopher quality gates -> per-language stratified hash sample ->
+    token-counted manifest (doc_id, lang, ws_tokens). Every stage is an
+    operator certified on its own elsewhere; this query certifies their
+    COMPOSITION against an oracle that recomputes the full cascade from
+    exact ground truth (true-Jaccard clusters, not MinHash). No stage
+    materializes: Catalyst fuses the gates and the sample into the
+    survivor join's output pass."""
+    dup = _dup_docs(spark, sf)
+    surv = D.near_dedup_survivors(dup).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    kept = dup.join(surv, "doc_id", "left_semi")
+    g = TS.gopher_sql("spark", "text")
+    ws, _ = TS.token_count_sql("spark", "text")
+    rate = F.when(F.col("lang") == "en", F.lit(600)).otherwise(F.lit(900))
+    return (
+        kept.where(F.expr(g["keep"]))
+        .where(F.expr(f"{sql_h1('doc_id', CURATION_SALT)} % 1000") < rate)
+        .select(
+            "doc_id", "lang", F.expr(ws).cast("bigint").alias("ws_tokens")
+        )
+    )
+
+
 def q_dedup_exact(spark, sf):
     """Exact dedup: content-hash groupBy over the planted dup corpus."""
     return D.exact_dedup_groups(_dup_docs(spark, sf))
@@ -1062,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_url": q_dedup_url,
         "q_crawl_diff": q_crawl_diff,
         "q_dedup_lines": q_dedup_lines,
+        "q_curation": q_curation,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_spans": q_dedup_spans,
         "q_dedup_minhash": q_dedup_minhash,
@@ -1125,16 +1157,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
-def _extras_oracles() -> dict[str, str]:
+def _exact_jaccard_sql() -> str:
+    """Exact ground truth for near-dup pairs: shingle-set Jaccard >= tau
+    over ALL pairs (the corpus contains natural near-dups beyond the
+    planted ones) — computed by direct set intersection in DuckDB."""
     dup = D.dup_docs_sql("duck")
     sh = D.shingles_sql("duck", "text")
-    ws, bpe = TS.token_count_sql("duck", "text")
-    qual = TS.quality_sql("duck", "text")
-    qual_cols = ", ".join(f"{e} as {name}" for name, e in qual.items())
-    # exact ground truth for near-dup pairs: shingle-set Jaccard >= tau
-    # over ALL pairs (the corpus contains natural near-dups beyond the
-    # planted ones) — computed by direct set intersection in DuckDB
-    exact_jaccard = f"""
+    return f"""
         with dup as ({dup}),
         shs as (select doc_id, unnest({sh}) as s from dup),
         sz as (select doc_id, count(*) as n from shs group by 1),
@@ -1149,6 +1178,14 @@ def _extras_oracles() -> dict[str, str]:
         )
         select * from full_p where n_inter >= {D.JACCARD_TAU} * n_union
     """
+
+
+def _extras_oracles() -> dict[str, str]:
+    dup = D.dup_docs_sql("duck")
+    ws, bpe = TS.token_count_sql("duck", "text")
+    qual = TS.quality_sql("duck", "text")
+    qual_cols = ", ".join(f"{e} as {name}" for name, e in qual.items())
+    exact_jaccard = _exact_jaccard_sql()
     return {
         "q_url_filter": TS.duck_url_filter_sql(
             f"(select doc_id, url from ({P.crawl_sql('duck')}))"
@@ -1162,6 +1199,22 @@ def _extras_oracles() -> dict[str, str]:
             f"select md5(text) as content_hash, count(*) as n_copies,"
             f" min(doc_id) as keep_id from ({dup}) group by 1"
         ),
+        "q_curation": (
+            lambda g, ws: f"""
+            with surv as (
+              select keep_id from ({D.duck_near_dedup_survivors_sql(
+                  f"select id_a, id_b from ({_exact_jaccard_sql()})"
+              )})
+            ),
+            dupd as ({dup})
+            select d.doc_id as doc_id, d.lang as lang,
+                   cast({ws} as bigint) as ws_tokens
+            from dupd d join surv s on d.doc_id = s.keep_id
+            where {g['keep']}
+              and {sql_h1('d.doc_id', CURATION_SALT)} % 1000 <
+                  (case when d.lang = 'en' then 600 else 900 end)
+            """
+        )(TS.gopher_sql("duck", "d.text"), TS.token_count_sql("duck", "d.text")[0]),
         "q_dedup_spans": D.duck_span_dedup_sql(dup),
         "q_dedup_minhash": (
             f"select id_a, id_b from ({exact_jaccard})"
