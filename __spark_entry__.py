@@ -76,10 +76,12 @@ from nerpii_spark.operators import similarity as SIM
 from nerpii_spark.operators import webgraph as WG
 from nerpii_spark.operators import textstats as TS
 from nerpii_spark.operators.mask import (
+    duck_redact_text_sql,
     mask_table,
     mask_triples,
     masked_select_sql,
     masked_triples_exprs,
+    redact_text,
     route_columns,
 )
 from nerpii_spark.operators.profile import column_profile, column_profile_sql
@@ -537,6 +539,15 @@ def q_mask_personal_info(spark, sf):
     pi = spark.sql(P.personal_info_sql("spark", doc_rel="nerpii_documents_mask"))
     prof = column_profile(pi)
     return mask_table(pi, prof, "row_id")
+
+
+def q_redact_text(spark, sf):
+    """Corpus-level PII scrub: every detected mention replaced by its
+    typed placeholder, longest-first deterministic order; Catalyst fold,
+    zero Python; oracle replays the ordered replacement via an
+    independent recursive-CTE mechanism."""
+    p = _pipeline(spark, sf)
+    return redact_text(p["clean"], p["mentions"])
 
 
 def q_mask_triples(spark, sf):
@@ -1089,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile_it": q_profile_it,
         "q_mask_personal_info_it": q_mask_personal_info_it,
         "q_mask_triples": q_mask_triples,
+        "q_redact_text": q_redact_text,
         "q_url_filter": q_url_filter,
         "q_dedup_url": q_dedup_url,
         "q_crawl_diff": q_crawl_diff,
@@ -1489,6 +1501,7 @@ def oracle_sql() -> dict[str, str]:
                 f" from ({P.golden_triples_sql('duck')})"
             )
         )(masked_triples_exprs("duck")),
+        "q_redact_text": duck_redact_text_sql(pages, gm),
         **_extras_oracles(),
         "q_pii_by_domain": f"""
             with pg as ({pages}),

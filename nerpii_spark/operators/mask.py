@@ -359,3 +359,106 @@ def mask_triples(triples: DataFrame) -> DataFrame:
     return triples.select(
         *[repl.get(c, F.col(c)) for c in triples.columns]
     )
+
+
+# ---------------------------------------------------------------------------
+# text-level PII redaction (C4-style scrubbing of the raw corpus)
+# ---------------------------------------------------------------------------
+
+
+REDACT_TYPES = [
+    "PERSON", "ORGANIZATION", "LOCATION", "EMAIL_ADDRESS", "PHONE_NUMBER",
+    "URL", "ADDRESS", "ZIPCODE", "US_SSN", "CREDIT_CARD_NUMBER",
+]
+
+
+def redact_text(clean: DataFrame, mentions: DataFrame) -> DataFrame:
+    """Replace every detected mention in the page text with its typed
+    placeholder ('[EMAIL_ADDRESS]', ...) -> (doc_id, redacted) — the
+    corpus-level PII scrub an LLM data pipeline runs before training,
+    complementing the tabular (mask_table) and triple (mask_triples)
+    variants.
+
+    Two phases, both deterministic and engine-independent:
+
+      1. per doc, mentions apply longest-first (then mention,
+         entity_type ascending) and each is replaced by the sentinel
+         '[%i%]' (i = the type's index in REDACT_TYPES). The sentinel
+         alphabet {[, %, one digit, ]} is disjoint from every possible
+         mention (clean text has no '[' or '%', and no mention is a
+         bare single digit), so a later SHORT mention can never match
+         inside an earlier replacement — the failure mode a direct
+         '[LOCATION]' insertion has ('CA' in 'LOCATION').
+      2. the 10 sentinels expand to their typed placeholders; every
+         mention is already gone, so this cannot cascade.
+
+    Both phases are Catalyst folds over per-doc arrays — zero Python;
+    the only exchange is the per-doc mention collect (mentions per doc
+    bounded by page length). The DuckDB oracle replays the same ordered
+    replacement with an INDEPENDENT mechanism (recursive CTE applying
+    rank-k replacement at step k), cross-validating the semantics.
+    """
+    type_idx = F.array(*[F.lit(t) for t in REDACT_TYPES])
+    ms = (
+        mentions.select("doc_id", "mention", "entity_type")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.length("mention")).cast("int").alias("nl"),
+                        F.col("mention").alias("m"),
+                        F.col("entity_type").alias("e"),
+                    )
+                )
+            ).alias("ms")
+        )
+    )
+    types_sql = ", ".join(f"'{t}'" for t in REDACT_TYPES)
+    phase1 = (
+        "aggregate(coalesce(ms, cast(array() as"
+        " array<struct<nl:int,m:string,e:string>>)), text,"
+        f" (acc, x) -> replace(acc, x.m,"
+        f" '[%' || cast(array_position(array({types_sql}), x.e) - 1"
+        " as string) || '%]'))"
+    )
+    phase2 = phase1
+    for i, t in enumerate(REDACT_TYPES):
+        phase2 = f"replace({phase2}, '[%{i}%]', '[{t}]')"
+    return (
+        clean.select("doc_id", "text")
+        .join(ms, "doc_id", "left")
+        .select("doc_id", F.expr(phase2).alias("redacted"))
+    )
+
+
+def duck_redact_text_sql(pages_sql_duck: str, mentions_sql_duck: str) -> str:
+    types_sql = ", ".join(f"'{t}'" for t in REDACT_TYPES)
+    expand = "s.cur"
+    for i, t in enumerate(REDACT_TYPES):
+        expand = f"replace({expand}, '[%{i}%]', '[{t}]')"
+    return f"""
+with recursive
+m as (select distinct doc_id, mention, entity_type
+      from ({mentions_sql_duck})),
+r as (
+  select doc_id, mention,
+         '[%' || cast(list_position([{types_sql}], entity_type) - 1
+                      as varchar) || '%]' as sentinel,
+         row_number() over (partition by doc_id
+                            order by length(mention) desc, mention asc,
+                                     entity_type asc) as rn
+  from m
+),
+steps(doc_id, step, cur) as (
+  select doc_id, 0, text from ({pages_sql_duck})
+  union all
+  select s.doc_id, s.step + 1, replace(s.cur, r.mention, r.sentinel)
+  from steps s join r on r.doc_id = s.doc_id and r.rn = s.step + 1
+),
+cnt as (select doc_id, count(*) as n from m group by 1)
+select s.doc_id as doc_id, {expand} as redacted
+from steps s left join cnt on s.doc_id = cnt.doc_id
+where s.step = coalesce(cnt.n, 0)
+"""

@@ -333,3 +333,28 @@ def test_sql_strhash_null_matches_python(spark):
     assert duckdb.sql(
         f"select {sql_strhash('s')} from (select cast(null as varchar) as s)"
     ).fetchone()[0] == strhash(None)
+
+
+def test_redact_text_scrubs_pii(spark):
+    """Redaction removes every detected surface form: placeholders
+    appear, and no detected mention string survives in its doc."""
+    import __spark_entry__ as E
+    from nerpii_spark.operators.mask import redact_text
+
+    p = E._pipeline(spark, "/root/testdata/sf0.001")
+    red = {r["doc_id"]: r["redacted"]
+           for r in redact_text(p["clean"], p["mentions"]).collect()}
+    ms = p["mentions"].select("doc_id", "mention", "entity_type").collect()
+    assert any("[EMAIL_ADDRESS]" in t for t in red.values())
+    assert any("[PERSON]" in t for t in red.values())
+    # placeholders themselves contain letter runs ('CA' in '[LOCATION]');
+    # the guarantee is that no mention survives OUTSIDE a placeholder
+    import re as _re
+
+    from nerpii_spark.operators.mask import REDACT_TYPES
+
+    ph = _re.compile("|".join(_re.escape(f"[{t}]") for t in REDACT_TYPES))
+    stripped = {d: ph.sub("\x00", t) for d, t in red.items()}
+    for r in ms:
+        assert r["mention"] not in stripped[r["doc_id"]], (
+            r["doc_id"], r["mention"])
