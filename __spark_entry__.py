@@ -5,12 +5,17 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-71 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
-S1-S5 (incl. incremental S4 linking), KG analytics (degree / 2-hop
-inference / co-occurrence lift), tabular-mode profiling/masking
-(en + the it-locale dimension), scalar/relational/window/set ops, the
-training-data extras (dedup incl. crawl-URL canonicalization,
-decontamination, ANN similarity, text analysis incl. tf-idf,
+93 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
+KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
+triangles / negative sampling / neighbor sampling / random walks), the
+web graph (anchor extraction + host PageRank), tabular-mode
+profiling/masking (en + the it-locale dimension),
+scalar/relational/window/set ops (incl. rollup/cube/pivot/rolling
+frames/Z-order layout stats), the training-data extras (dedup incl.
+crawl-URL canonicalization + snapshot diff, decontamination, ANN
+similarity, k-means, text analysis incl. tf-idf + HLL sketch + BPE
+training, sequence packing, the end-to-end curation composition,
 multimodal), and events queries. Every query except
 q_embed_topk_lsh / q_embed_topk_ivf (approximate by design) carries a
 DuckDB oracle.
