@@ -147,3 +147,45 @@ def test_zorder_morton_roundtrip(x, y):
     assert (gx, gy) == (x, y)
     # top 8 z-bits = top 4 bits of each dimension
     assert (z >> 24) == (_py_spread16(x >> 12) | (_py_spread16(y >> 12) << 1))
+
+
+def _py_greedy_merge(seq: list[str], a: str, b: str) -> list[str]:
+    """Reference greedy left-to-right non-overlapping BPE merge."""
+    out, i = [], 0
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(st.sampled_from(["a", "b", "ab", "c"]), min_size=1, max_size=12),
+    st.sampled_from([("a", "b"), ("a", "a"), ("ab", "c"), ("b", "a")]),
+)
+def test_bpe_merge_duck_cte_matches_python_greedy(seq, pair):
+    """The DuckDB recursive-CTE replace-first merge (the oracle's
+    mechanism) equals the canonical greedy single-pass scan for
+    arbitrary symbol sequences — including overlap runs ('a a a') and
+    merged-symbol lookalikes ('ab' next to 'a b')."""
+    a, b = pair
+    want = _py_greedy_merge(seq, a, b)
+    pat = f" {a} {b} "
+    rep = f" {a}{b} "
+    got = duckdb.sql(f"""
+        with recursive s(cur) as (
+          select ' ' || '{' '.join(seq)}' || ' '
+          union all
+          select substring(cur, 1, position('{pat}' in cur) - 1)
+                 || '{rep}'
+                 || substring(cur, position('{pat}' in cur) + {len(pat)})
+          from s where position('{pat}' in cur) > 0
+        )
+        select trim(cur) from s
+        where position('{pat}' in cur) = 0
+    """).fetchone()[0]
+    assert got.split(" ") == want, (seq, pair, got, want)
