@@ -744,6 +744,7 @@ select node, nbr, cast(rk as bigint) as rk from r where rk <= {k}
 
 WALK_STEPS = 3
 WALK_SALT = 59
+WALK_DEGREE_CAP = 64
 
 
 def _walk_h(cur: str, nbr: str, step: int) -> str:
@@ -755,7 +756,11 @@ def _walk_h(cur: str, nbr: str, step: int) -> str:
     )
 
 
-def random_walks(triples: DataFrame, n_steps: int = WALK_STEPS) -> DataFrame:
+def random_walks(
+    triples: DataFrame,
+    n_steps: int = WALK_STEPS,
+    degree_cap: int = WALK_DEGREE_CAP,
+) -> DataFrame:
     """One deterministic `n_steps` walk from every node of the entity
     graph -> (root, step, cur) in long form — the walk corpus a
     DeepWalk/node2vec embedding trainer consumes, made reproducible:
@@ -763,22 +768,19 @@ def random_walks(triples: DataFrame, n_steps: int = WALK_STEPS) -> DataFrame:
     (current, neighbor, t), so the walk set is a pure function of the
     edge set (resumable, oracle-replayable).
 
-    Scale shape: each step is ONE equi-join of the N-row position table
-    against the edge list plus one min(struct) agg — the same
-    join-per-iteration discipline as the PageRank/CC fixpoints; the
-    argmin is computed as min(struct(h, nbr)) so it map-side combines
-    (no window over a hub's full neighbor list). The driver loop holds
-    no data, only the step counter."""
-    e = (
-        triples.select(F.col("subj").alias("node"), F.col("obj").alias("nbr"))
-        .unionByName(
-            triples.select(
-                F.col("obj").alias("node"), F.col("subj").alias("nbr")
-            )
-        )
-        .where(F.col("node") != F.col("nbr"))
-        .distinct()
-    )
+    Scale shape: the walk runs on the DEGREE-CAPPED adjacency
+    (neighbor_sample with k=degree_cap, itself skew-safe) — without the
+    cap, every walker sitting on a hub at step t joins against the
+    hub's FULL neighbor list (positions x degree rows for one key: the
+    classic walk-through-hub blowup at 1e9-degree hubs); with it, the
+    per-key join fan-out is bounded by degree_cap on every step, and
+    the capped adjacency is exactly what production walk engines
+    (GraphSAGE fan-out, node2vec on sampled adjacency) use. Each step
+    is then ONE equi-join + one min(struct) agg — the argmin
+    partial-aggregates map-side, the driver loop holds only the step
+    counter. The cap is part of the operator's deterministic semantics:
+    the DuckDB oracle applies the identical cap."""
+    e = neighbor_sample(triples, k=degree_cap).select("node", "nbr")
     pos = e.select(F.col("node").alias("root")).distinct().withColumn(
         "cur", F.col("root")
     )
@@ -806,33 +808,39 @@ def random_walks(triples: DataFrame, n_steps: int = WALK_STEPS) -> DataFrame:
 
 
 def duck_random_walks_sql(
-    triples_sql: str, n_steps: int = WALK_STEPS
+    triples_sql: str,
+    n_steps: int = WALK_STEPS,
+    degree_cap: int = WALK_DEGREE_CAP,
 ) -> str:
-    """Chained-CTE replay; the argmin is a row_number window (an
-    independent formulation of min(struct))."""
+    """Chained-CTE replay over the same degree-capped adjacency; the
+    argmin is a row_number window (an independent formulation of
+    min(struct))."""
+    # NB: the outer CTE must NOT be named like any CTE inside the nested
+    # neighbor-sample WITH (t/e/r) — DuckDB resolves a same-named inner
+    # reference against the outer CTE being defined, which turns it into
+    # an unbounded self-reference (observed as an OOM, not an error)
+    # AS MATERIALIZED: without it DuckDB inlines the (window + 26-term
+    # hash polynomial) subtree at every one of the n_steps+1 references
+    # and the planner's expression tree grows past the sandbox memory
+    # cap (observed as an OOM during planning, even on a 50-doc corpus)
     ctes = [
         f"""
-t as ({triples_sql}),
-e as (
-  select distinct node, nbr from (
-    select subj as node, obj as nbr from t
-    union all
-    select obj, subj from t
-  ) where node <> nbr
+adj as materialized (
+  select node, nbr from ({duck_neighbor_sample_sql(triples_sql, k=degree_cap)})
 ),
-w0 as (select distinct node as root, node as cur from e)"""
+w0 as (select distinct node as root, node as cur from adj)"""
     ]
     finals = []
     for t in range(1, n_steps + 1):
-        h = _walk_h("w.cur", "e.nbr", t)
+        h = _walk_h("w.cur", "adj.nbr", t)
         ctes.append(
             f"""
 w{t} as (
   select root, cur from (
-    select w.root as root, e.nbr as cur,
+    select w.root as root, adj.nbr as cur,
            row_number() over (partition by w.root
-                              order by {h} asc, e.nbr asc) as rk
-    from w{t - 1} w join e on w.cur = e.node
+                              order by {h} asc, adj.nbr asc) as rk
+    from w{t - 1} w join adj on w.cur = adj.node
   ) where rk = 1
 )"""
         )
