@@ -90,33 +90,23 @@ def hll_distinct_sql(
     rho = _rho_sql("u")
     div = "div" if dialect == "spark" else "//"
     toks = _tok_rel(dialect, doc_rel, text_col, group_col)
-    # DuckDB's string_split keeps '' tokens; filter in a uniform place
-    zero_regs = (
-        f"select g, j, 0 as rho from (select distinct {group_col} as g"
-        f" from {doc_rel}) "
-        + (
-            "lateral view explode(sequence(0, 63)) r as j"
-            if dialect == "spark"
-            else "cross join (select unnest(range(64)) as j)"
-        )
-    )
+    # unseen registers contribute 2^32 each, added in CLOSED FORM
+    # ((m - count) << 32) — no zero-register union (which would either
+    # rescan the corpus to enumerate groups or recompute the aggregate
+    # lineage twice). Observed registers always have rho >= 1, so
+    # n_regs_hit = count(*).
     return f"""
 with toks as ({toks}),
 hs as (select g, {w} as w from toks where tok <> ''),
 hs2 as (select g, w % {M_REGS} as j, {u} as u from hs),
 obs as (select g, j, max({rho}) as rho from hs2 group by g, j),
-regs as (
-  select g, j, max(rho) as rho
-  from (select * from obs union all {zero_regs})
-  group by g, j
-),
 s as (
   select g,
-         cast(sum({_pow2_sql(dialect, f"{RHO_CAP} - rho")}) as bigint)
-           as s_sum,
-         cast(sum(case when rho > 0 then 1 else 0 end) as bigint)
-           as n_regs_hit
-  from regs group by g
+         cast(sum({_pow2_sql(dialect, f"{RHO_CAP} - rho")})
+              + ({M_REGS} - count(*)) * {_pow2_sql(dialect, str(RHO_CAP))}
+              as bigint) as s_sum,
+         cast(count(*) as bigint) as n_regs_hit
+  from obs group by g
 )
 select g as {group_col},
        cast(({_EST_NUM} {div} ({_EST_DEN} * s_sum)) as bigint)
@@ -156,22 +146,14 @@ def hll_distinct(
     obs = hs2.groupBy("g", "j").agg(
         F.max(F.expr(_rho_sql("u"))).alias("rho")
     )
-    zero = (
-        docs.select(F.col(group_col).alias("g"))
-        .distinct()
-        .select("g", F.explode(F.expr("sequence(0, 63)")).alias("j"))
-        .withColumn("rho", F.lit(0))
-    )
-    regs = obs.unionByName(zero).groupBy("g", "j").agg(
-        F.max("rho").alias("rho")
-    )
-    s = regs.groupBy("g").agg(
-        F.sum(
-            F.expr(_pow2_sql("spark", f"{RHO_CAP} - rho"))
+    # unseen registers in closed form — no zero-union, no second pass
+    s = obs.groupBy("g").agg(
+        (
+            F.sum(F.expr(_pow2_sql("spark", f"{RHO_CAP} - rho")))
+            + (F.lit(M_REGS) - F.count("*"))
+            * F.expr(_pow2_sql("spark", str(RHO_CAP)))
         ).cast("bigint").alias("s_sum"),
-        F.sum(F.when(F.col("rho") > 0, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_regs_hit"),
+        F.count("*").cast("bigint").alias("n_regs_hit"),
     )
     return s.select(
         F.col("g").alias(group_col),
