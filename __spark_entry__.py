@@ -490,12 +490,20 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 def q_pivot_events(spark, sf):
-    """Per-user event-type pivot (long -> wide counts). Explicit pivot
-    values, so the plan is exactly one shuffle-agg over user_id with
-    map-side combine — no discovery scan, no second job."""
+    """Per-user event-type pivot (long -> wide counts) as ONE
+    conditional aggregation. Deliberately not DataFrame.pivot(): even
+    with explicit values its executed plan is TWO exchanges (a
+    (user, type) pre-agg, then a pivotfirst re-agg on user); the
+    count(when(...)) form is a single map-side-combined shuffle on
+    user_id — half the exchanges for identical output (locked in
+    tests/test_plans.py)."""
     e = _load(spark, sf, "events")
-    out = e.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
-    return out.na.fill(0, EVENT_TYPES)
+    return e.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+            for t in EVENT_TYPES
+        ]
+    )
 
 
 def q_events_rolling(spark, sf):

@@ -196,3 +196,54 @@ def test_degree_histogram_hand_case(spark):
     assert got[0]["sum_degree"] == 3
     assert got[1]["min_degree"] == 2 and got[1]["n_nodes"] == 1
     assert got[1]["sum_degree"] == 3
+
+
+def test_kg_negatives_pool_is_broadcast(spark):
+    plan = _plan(E.q_kg_negatives(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pivot_single_aggregation_pass(spark):
+    """The conditional-agg pivot is ONE shuffle; DataFrame.pivot() (even
+    with explicit values) plans two (pre-agg + pivotfirst re-agg)."""
+    plan = _plan(E.q_pivot_events(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan  # map-side combine
+    assert "pivotfirst" not in plan
+
+
+def test_web_graph_single_exchange_no_python(spark, tmp_path):
+    """Over a parquet pages table (the production input) the whole
+    extraction is scan -> codegen regexp -> partial count -> ONE
+    exchange. (Via _pipeline the plan shows extra exchanges that belong
+    to the in-SQL corpus construction, not the operator.)"""
+    from nerpii_spark.operators.webgraph import web_graph
+
+    pages = E._pipeline(spark, SF)["pages"]
+    path = str(tmp_path / "pages_pq")
+    pages.write.mode("overwrite").parquet(path)
+    plan = _plan(web_graph(spark.read.parquet(path)))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hll_sketch_partial_max(spark):
+    """The register agg combines map-side (bounded partial state)."""
+    plan = _plan(E.q_distinct_hll(spark, SF))
+    assert "partial_max" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zorder_stats_no_shuffle_before_agg(spark):
+    plan = _plan(E.q_zorder_stats(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan and "partial_max" in plan
+
+
+def test_random_walk_argmin_partial_agg(spark):
+    """The per-step argmin must map-side combine (min(struct)), never a
+    window over a hub's neighbor list in the Spark path."""
+    plan = _plan(E.q_random_walks(spark, SF))
+    assert "partial_min" in plan
