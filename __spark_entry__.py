@@ -736,6 +736,19 @@ def q_distinct_hll(spark, sf):
     return SK.hll_distinct(pg)
 
 
+def q_heavy_hitters_cms(spark, sf):
+    """Count-Min heavy-hitter estimates (operators/sketch.py): token
+    counts without a token-keyed shuffle — ONE groupBy over 4x256
+    mergeable counters (bounded map-side state, shards combine by +);
+    probe lookups are a broadcast join of the 1024-row matrix. Oracle
+    replays counters + lookups bit-for-bit; the CMS overestimate bound
+    vs exact counts is gated in pytest."""
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_cms")
+    pg = spark.sql(P.pages_sql("spark", doc_rel="nerpii_documents_cms"))
+    return SK.cms_counts(pg)
+
+
 def q_lang_id(spark, sf):
     return TS.lang_id(_load(spark, sf, "documents"))
 
@@ -1134,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans": q_kmeans,
         "q_bpe_merges": q_bpe_merges,
         "q_distinct_hll": q_distinct_hll,
+        "q_heavy_hitters_cms": q_heavy_hitters_cms,
         "q_lang_id": q_lang_id,
         "q_token_counts": q_token_counts,
         "q_quality": q_quality,
@@ -1271,6 +1285,9 @@ def _extras_oracles() -> dict[str, str]:
         ),
         "q_distinct_hll": SK.hll_distinct_sql(
             "duck", doc_rel=f"({P.pages_sql('duck')})"
+        ),
+        "q_heavy_hitters_cms": SK.duck_cms_counts_sql(
+            doc_rel=f"({P.pages_sql('duck')})"
         ),
         "q_lang_id": (
             f"select doc_id, {TS.lang_id_sql('duck', 'text')} as lang_pred"

@@ -163,3 +163,91 @@ def hll_distinct(
         "s_sum",
         "n_regs_hit",
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (heavy-hitter counts without a per-token shuffle)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4     # hash rows
+CMS_W = 256   # counters per row
+CMS_PROBES = ["works", "at", "in", "lives", "the", "zz-absent-zz"]
+
+
+def _cms_cell(tok_expr: str, r: str) -> str:
+    """Row-r counter index of a token (portable hash chain)."""
+    v = sql_strhash(tok_expr)
+    return f"({sql_h2(v, f'100 + {r}')} % {CMS_W})"
+
+
+def cms_counts(
+    docs: DataFrame,
+    probes: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-Min estimates for `probes` -> (token, est_count).
+
+    The exact count of every token needs a shuffle keyed by token (Zipf
+    head keys become hot); the CMS needs ONE groupBy over (row, cell) —
+    d x w = 1024 counters of bounded, mergeable state (map-side partial
+    state <= 1024 rows per task, shards combine by +). est = min over
+    the d rows of the token's cell; the classic guarantee (est >= true,
+    est <= true + N/w per row w.h.p.) is gated in pytest; the DuckDB
+    oracle replays the counter matrix and the probe lookups
+    bit-for-bit."""
+    probes = probes if probes is not None else CMS_PROBES
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    cells = toks.select(
+        F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("r"), "tok"
+    ).select("r", F.expr(_cms_cell("tok", "r")).alias("c"))
+    counters = cells.groupBy("r", "c").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    spark = docs.sparkSession
+    probe_df = spark.createDataFrame(
+        [(p,) for p in probes], "token string"
+    ).select(
+        "token", F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("r")
+    ).select(
+        "token", "r", F.expr(_cms_cell("token", "r")).alias("c")
+    )
+    return (
+        probe_df.join(F.broadcast(counters), ["r", "c"], "left")
+        .groupBy("token")
+        .agg(
+            F.min(F.coalesce(F.col("n"), F.lit(0)))
+            .cast("bigint")
+            .alias("est_count")
+        )
+    )
+
+
+def duck_cms_counts_sql(
+    doc_rel: str = "documents",
+    probes: list[str] | None = None,
+    text_col: str = "text",
+) -> str:
+    probes = probes if probes is not None else CMS_PROBES
+    plist = ", ".join("'" + p.replace("'", "''") + "'" for p in probes)
+    return f"""
+with toks as (
+  select unnest(string_split(lower({text_col}), ' ')) as tok from {doc_rel}
+),
+cells as (
+  select r, {_cms_cell('tok', 'r')} as c
+  from (select tok, unnest(range({CMS_D})) as r from toks where tok <> '')
+),
+counters as (select r, c, cast(count(*) as bigint) as n
+             from cells group by 1, 2),
+probe as (
+  select token, r, {_cms_cell('token', 'r')} as c
+  from (select unnest([{plist}]) as token)
+       cross join (select unnest(range({CMS_D})) as r)
+)
+select token,
+       cast(min(coalesce(n, 0)) as bigint) as est_count
+from probe left join counters using (r, c)
+group by token
+"""

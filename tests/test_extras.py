@@ -756,3 +756,35 @@ def test_bpe_merges_end_to_end(spark):
     # 'z z' pair occurs in 4 'zz' words; 'q x' in 3 'qx' words
     assert rows[0] == (1, "z", "z", 4)
     assert rows[1] == (2, "q", "x", 3)
+
+
+def test_cms_overestimate_bound(spark):
+    """CMS guarantees: est >= exact always (min of row counters, each an
+    overestimate), and the absent probe's estimate is bounded by the
+    collision mass N/w per row."""
+    from nerpii_spark.operators import sketch as SK
+    from nerpii_spark.sources import pages as P
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs.createOrReplaceTempView("cms_documents")
+    pg = spark.sql(P.pages_sql("spark", doc_rel="cms_documents")).cache()
+    est = {r["token"]: r["est_count"]
+           for r in SK.cms_counts(pg).collect()}
+    toks = pg.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    n_total = toks.count()
+    exact = {
+        r["tok"]: r["n"]
+        for r in toks.where(
+            F.col("tok").isin(SK.CMS_PROBES)
+        ).groupBy("tok").agg(F.count("*").alias("n")).collect()
+    }
+    pg.unpersist()
+    bound = n_total // SK.CMS_W + 1
+    for p in SK.CMS_PROBES:
+        true_n = exact.get(p, 0)
+        assert est[p] >= true_n, (p, est[p], true_n)
+        # probabilistic bound made generous (4 rows, min): 3x N/w
+        assert est[p] - true_n <= 3 * bound, (p, est[p], true_n, bound)
+    assert exact.get("zz-absent-zz", 0) == 0
