@@ -779,8 +779,18 @@ def random_walks(
     is then ONE equi-join + one min(struct) agg — the argmin
     partial-aggregates map-side, the driver loop holds only the step
     counter. The cap is part of the operator's deterministic semantics:
-    the DuckDB oracle applies the identical cap."""
-    e = neighbor_sample(triples, k=degree_cap).select("node", "nbr")
+    the DuckDB oracle applies the identical cap.
+
+    Lineage: the capped adjacency and each step's frontier are
+    localCheckpoint'ed (the CC/pagerank discipline, CLAUDE.md) —
+    otherwise step t's plan re-derives the two-window adjacency and
+    replays steps 1..t-1, an O(n_steps^2) recomputation of full
+    shuffle+window passes at corpus scale."""
+    e = (
+        neighbor_sample(triples, k=degree_cap)
+        .select("node", "nbr")
+        .localCheckpoint(eager=True)
+    )
     pos = e.select(F.col("node").alias("root")).distinct().withColumn(
         "cur", F.col("root")
     )
@@ -799,6 +809,7 @@ def random_walks(
             .agg(F.min("cand").alias("best"))
             .select("root", F.col("best.n").alias("cur"))
         )
+        stepped = stepped.localCheckpoint(eager=True)
         step_rows = stepped.select(
             "root", F.lit(t).cast("bigint").alias("step"), "cur"
         )

@@ -416,12 +416,21 @@ def redact_text(clean: DataFrame, mentions: DataFrame) -> DataFrame:
         )
     )
     types_sql = ", ".join(f"'{t}'" for t in REDACT_TYPES)
+    # a type outside REDACT_TYPES must fail LOUDLY: array_position = 0
+    # would otherwise emit the never-expanded sentinel '[%-1%]' into the
+    # redacted corpus, silently for every new detector type (and the
+    # oracle would replay the same bug, keeping the gate green)
+    idx = (
+        f"(case when array_position(array({types_sql}), x.e) = 0"
+        " then cast(raise_error('redact_text: unknown entity_type ' || x.e)"
+        " as bigint)"
+        f" else array_position(array({types_sql}), x.e) - 1 end)"
+    )
     phase1 = (
         "aggregate(coalesce(ms, cast(array() as"
         " array<struct<nl:int,m:string,e:string>>)), text,"
         f" (acc, x) -> replace(acc, x.m,"
-        f" '[%' || cast(array_position(array({types_sql}), x.e) - 1"
-        " as string) || '%]'))"
+        f" '[%' || cast({idx} as string) || '%]'))"
     )
     phase2 = phase1
     for i, t in enumerate(REDACT_TYPES):
@@ -444,7 +453,13 @@ m as (select distinct doc_id, mention, entity_type
       from ({mentions_sql_duck})),
 r as (
   select doc_id, mention,
-         '[%' || cast(list_position([{types_sql}], entity_type) - 1
+         '[%' || cast(case when list_position([{types_sql}], entity_type)
+                             is distinct from 0
+                            and list_position([{types_sql}], entity_type)
+                             is not null
+                       then list_position([{types_sql}], entity_type) - 1
+                       else cast(error('redact oracle: unknown entity_type '
+                                       || entity_type) as bigint) end
                       as varchar) || '%]' as sentinel,
          row_number() over (partition by doc_id
                             order by length(mention) desc, mention asc,

@@ -103,20 +103,49 @@ class TableCatalog:
         below the scan-efficient size; at 100 TB the resulting
         per-file open/footer overhead and starved scan parallelism
         dominate read cost. This rewrites the table into
-        ceil(total_bytes / target_bytes) files per partition.
+        ~ceil(total_bytes / target_bytes) files overall (spread across
+        partition values for a partitioned table).
 
         Scale shape: sizing comes from file metadata (one listing, no
         data read); the rewrite is one pass with NO shuffle when the
-        table is unpartitioned (coalesce only merges partitions) and one
-        hash exchange on the partition columns otherwise. The swap is
-        write-to-temp + atomic rename of the directory — readers see old
-        or new, never a mix (an Iceberg snapshot commit in the
-        config-swap story). Returns {files_before, files_after, bytes}.
+        table is unpartitioned (coalesce only merges partitions). For a
+        partitioned table, rows shuffle on (partition cols, row-hash
+        salt): hashing on the partition columns alone would collapse
+        EVERY partition value to one file/one task no matter its size —
+        the salt keeps oversized partitions split across
+        ~n_out/|partitions| files each.
+
+        Swap: write-to-temp, then two directory renames. On this local
+        FS the window between them is observable (an Iceberg/Delta
+        snapshot commit — the config-swap target — is atomic); stale
+        `.__compact__`/`.__old__` leftovers from a crashed run are
+        cleaned on entry, so a crash never wedges future compactions.
+
+        Refuses catalog-backed (bucketed) tables: rewriting their
+        directory with plain parquet files would break the bucket spec
+        the catalog still advertises (joins would then skip required
+        exchanges on wrong clustering assumptions). Returns
+        {files_before, files_after, bytes}.
         """
         import math
         import shutil
 
+        if spark.catalog.tableExists(self._ident(name)):
+            raise ValueError(
+                f"{name!r} is catalog-backed (bucketed); a plain-parquet"
+                " rewrite would orphan its bucket metadata — compact it"
+                " with a bucket-preserving write_bucketed instead"
+            )
         path = self.path(name)
+        tmp = path + ".__compact__"
+        old = path + ".__old__"
+        # recover from a previous crash: the table dir always exists here
+        # (a crash between the two renames is repaired by restoring old)
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)
+        for stale in (tmp, old):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
         files = [
             os.path.join(dp, f)
             for dp, _, fs in os.walk(path)
@@ -126,16 +155,31 @@ class TableCatalog:
         total = sum(os.path.getsize(f) for f in files)
         n_out = max(1, math.ceil(total / target_bytes))
         df = spark.read.parquet(path)
-        tmp = path + ".__compact__"
-        w = (
-            df.repartition(n_out, *partition_by)
-            if partition_by
-            else df.coalesce(n_out)
-        ).write.mode("overwrite")
         if partition_by:
-            w = w.partitionBy(*partition_by)
+            from pyspark.sql import functions as F
+
+            n_parts = max(
+                1,
+                len({
+                    os.path.relpath(dp, path)
+                    for dp, _, fs in os.walk(path)
+                    if any(f.endswith(".parquet") for f in fs)
+                }),
+            )
+            per_part = max(1, math.ceil(n_out / n_parts))
+            salt = F.pmod(
+                F.xxhash64(*[c for c in df.columns]), F.lit(per_part)
+            )
+            w = (
+                df.withColumn("__salt", salt)
+                .repartition(n_out, *partition_by, "__salt")
+                .drop("__salt")
+                .write.mode("overwrite")
+                .partitionBy(*partition_by)
+            )
+        else:
+            w = df.coalesce(n_out).write.mode("overwrite")
         w.parquet(tmp)
-        old = path + ".__old__"
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old)

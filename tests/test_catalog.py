@@ -112,3 +112,67 @@ def test_compact_partitioned_table(spark, tmp_path):
     out = spark.read.parquet(cat.path("pt"))
     assert out.count() == 5000
     assert sorted(r["p"] for r in out.select("p").distinct().collect()) == [0, 1, 2]
+
+
+def test_compact_splits_oversized_partition(spark, tmp_path):
+    """A single huge partition value must split across multiple files
+    (hashing on partition columns alone would collapse it to one file
+    and one writer task)."""
+    from nerpii_spark.sources.catalog import TableCatalog
+
+    cat = TableCatalog(root=str(tmp_path))
+    # one dominant partition value
+    df = spark.range(0, 20000).selectExpr(
+        "id", "0 as p", "repeat(cast(id as string), 50) as pad"
+    )
+    df.repartition(40).write.partitionBy("p").parquet(cat.path("big"))
+    import glob
+    import os
+
+    sz = sum(
+        os.path.getsize(f)
+        for f in glob.glob(f"{tmp_path}/big/**/*.parquet", recursive=True)
+    )
+    stats = cat.compact(
+        spark, "big", target_bytes=max(1, sz // 8), partition_by=("p",)
+    )
+    files = glob.glob(f"{tmp_path}/big/p=0/*.parquet")
+    assert len(files) > 1, stats  # split, not one straggler file
+    assert spark.read.parquet(cat.path("big")).count() == 20000
+
+
+def test_compact_refuses_bucketed_tables(spark, tmp_path):
+    from nerpii_spark.sources.catalog import TableCatalog
+
+    import pytest as _pytest
+
+    cat = TableCatalog(root=str(tmp_path))
+    df = spark.range(0, 100).selectExpr("id", "id % 5 as k")
+    cat.write_bucketed(df, "bkt_tbl", bucket_by="k", n_buckets=4)
+    try:
+        with _pytest.raises(ValueError, match="bucket"):
+            cat.compact(spark, "bkt_tbl")
+    finally:
+        spark.sql("drop table if exists bkt_tbl")
+
+
+def test_compact_recovers_from_crashed_swap(spark, tmp_path):
+    """A leftover .__old__/.__compact__ from a crash mid-swap must not
+    wedge the next compaction."""
+    import os
+    import shutil
+
+    from nerpii_spark.sources.catalog import TableCatalog
+
+    cat = TableCatalog(root=str(tmp_path))
+    df = spark.range(0, 1000).selectExpr("id")
+    df.repartition(8).write.parquet(cat.path("cr"))
+    path = cat.path("cr")
+    # simulate: crash after first rename (table dir missing, old present)
+    os.rename(path, path + ".__old__")
+    os.makedirs(path + ".__compact__")
+    stats = cat.compact(spark, "cr", target_bytes=1 << 40)
+    assert stats["files_after"] == 1
+    assert spark.read.parquet(path).count() == 1000
+    assert not os.path.exists(path + ".__old__")
+    assert not os.path.exists(path + ".__compact__")

