@@ -1,5 +1,9 @@
-"""Portable distinct-count sketch (HLL-style registers, bit-exact in
-Spark SQL / DuckDB SQL).
+"""Portable cardinality / frequency sketches (bit-exact in Spark SQL /
+DuckDB SQL): an HLL-style register sketch (Flajolet et al. 2007,
+"HyperLogLog: the analysis of a near-optimal cardinality estimation
+algorithm") and a Count-Min sketch (Cormode & Muthukrishnan 2005, "An
+improved data stream summary: the count-min sketch and its
+applications").
 
 Why a hand-rolled sketch instead of `approx_count_distinct`: Spark's
 HLL++ and DuckDB's HLL use different hash functions and register
