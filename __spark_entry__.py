@@ -996,6 +996,39 @@ def q_kg_negatives(spark, sf):
     return kg_negative_samples(_pipeline(spark, sf)["triples"])
 
 
+def q_kg_latest_facts(spark, sf):
+    """Temporal fact resolution (SCD-style 'current belief' table): per
+    (subj, pred) keep the object asserted by the LATEST capture —
+    warc_ts = BASE_EPOCH + doc_id on the planted corpus, so max_by over
+    doc_id IS the time order; one map-side-combined agg (max_by/count
+    partials), no window, no self-join."""
+    t = _pipeline(spark, sf)["triples"]
+    # tie-break key as a padded string: DuckDB's max_by cannot order by a
+    # struct, and two sentences in ONE doc can assert different objects
+    return t.groupBy("subj", "pred").agg(
+        F.expr(
+            "max_by(obj, lpad(cast(doc_id as string), 12, '0') || '|' || obj)"
+        ).alias("obj_latest"),
+        F.max("doc_id").alias("asserted_doc"),
+        F.countDistinct("obj").cast("bigint").alias("n_versions"),
+    )
+
+
+def q_kg_conflicts(spark, sf):
+    """KG quality gate: functional-dependency violations — subjects
+    asserting more than one object for the same predicate (multi-valued
+    facts a curation pass must adjudicate). Distinct pre-collapse then
+    one count agg; output bounded by violating keys only."""
+    t = _pipeline(spark, sf)["triples"]
+    return (
+        t.select("subj", "pred", "obj")
+        .distinct()
+        .groupBy("subj", "pred")
+        .agg(F.count("*").alias("n_objs"))
+        .where(F.col("n_objs") > 1)
+    )
+
+
 def q_neighbor_sample(spark, sf):
     """GraphSAGE-style deterministic neighbor sampling (fan-out cap 3):
     sampling order = portable hash of (node, nbr), two-phase salted
@@ -1184,6 +1217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_negatives": q_kg_negatives,
         "q_neighbor_sample": q_neighbor_sample,
         "q_random_walks": q_random_walks,
+        "q_kg_latest_facts": q_kg_latest_facts,
+        "q_kg_conflicts": q_kg_conflicts,
         "q_entity_cooccur": q_entity_cooccur,
         "q_anti_join": q_anti_join,
         "q_agg_lineitem": q_agg_lineitem,
@@ -1638,6 +1673,19 @@ def oracle_sql() -> dict[str, str]:
         "q_pagerank": duck_pagerank_sql(gt, n_iter=3),
         "q_kg_negatives": duck_kg_negative_samples_sql(gt),
         "q_neighbor_sample": duck_neighbor_sample_sql(gt),
+        "q_kg_latest_facts": f"""
+            select subj, pred,
+                   max_by(obj, lpad(cast(doc_id as varchar), 12, '0')
+                               || '|' || obj) as obj_latest,
+                   max(doc_id) as asserted_doc,
+                   cast(count(distinct obj) as bigint) as n_versions
+            from ({gt}) group by 1, 2
+        """,
+        "q_kg_conflicts": f"""
+            select subj, pred, count(*) as n_objs
+            from (select distinct subj, pred, obj from ({gt}))
+            group by 1, 2 having count(*) > 1
+        """,
         "q_random_walks": duck_random_walks_sql(gt),
         "q_entity_cooccur": f"""
             with surf as (
