@@ -159,12 +159,30 @@ def test_connected_components_chain(spark):
 
 
 def test_lsh_bucket_cap(spark):
-    """Degenerate hot buckets are dropped, not exploded (skew guard)."""
-    rows = [("PERSON", f"aaa {i:04d}") for i in range(100)]
+    """Over-cap hot buckets DEGRADE (salted sub-buckets + representative
+    links): candidate pairs stay linear in the bucket size — never the
+    n^2/2 cross product — while the bucket remains CONNECTED, so a true
+    cluster bigger than the cap is not fragmented by the skew guard
+    (the old drop behavior over-segmented real sf0.1 clusters)."""
+    n = 100
+    rows = [("PERSON", f"aaa {i:04d}") for i in range(n)]
     m = spark.createDataFrame(rows, "entity_type string, mention string")
     m = m.withColumn("doc_id", F.lit(1))
     nodes = surface_nodes(m.withColumnRenamed("mention", "mention"))
     pairs = lsh_candidate_pairs(nodes, max_bucket=8)
-    # every bucket shares min-shingle 'aaa' under most bands -> capped away;
-    # pair count must stay far below the 100*99/2 cross product
-    assert pairs.count() < 1000
+    got = [(r["sid_a"], r["sid_b"]) for r in pairs.collect()]
+    # linear bound: well below half the 4950-pair cross product
+    assert 0 < len(got) < (n * (n - 1) // 2) // 2
+    # connectivity: one component across all 100 surfaces
+    sids = [r["sid"] for r in nodes.select("sid").collect()]
+    parent = {s: s for s in sids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in got:
+        parent[find(a)] = find(b)
+    assert len({find(s) for s in sids}) == 1
