@@ -396,3 +396,36 @@ def test_exactly_once_triple_sink(spark, tmp_path):
     # (3) resume with committed offsets: nothing re-ingested
     run_triple_stream(spark, src_dir, out_root, ckpt)
     assert spark.read.parquet(out_root).count() == n_before
+
+
+def test_sink_output_compacts(spark, tmp_path):
+    """Composition: the micro-batch sink's many small batch_id files
+    compact into the metadata-derived count with rows intact — the
+    maintenance pass an incremental ingest runs periodically."""
+    from nerpii_spark.sources import pages as P
+    from nerpii_spark.sources.catalog import TableCatalog
+    from nerpii_spark.streaming.sink import run_triple_stream
+    from test_corpus_and_detect import base_text
+
+    rows = [(i, base_text(i), "en") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    docs.createOrReplaceTempView("sc_documents")
+    pages = (
+        spark.sql(P.pages_sql("spark", doc_rel="sc_documents", with_html=True))
+        .drop("text")
+        .withColumn("text", F.lit(None).cast("string"))
+    )
+    src = str(tmp_path / "src")
+    pages.repartition(4).write.mode("overwrite").parquet(src)
+    cat = TableCatalog(root=str(tmp_path))
+    out = cat.path("triples_stream")
+    run_triple_stream(spark, src, out, str(tmp_path / "ck"))
+    n_before = spark.read.parquet(out).count()
+    assert n_before > 0
+    # fold the accumulated per-batch partitions into the flat base
+    # layout (batch_id survives as a regular column = lineage)
+    stats = cat.compact(spark, "triples_stream", target_bytes=1 << 40)
+    assert stats["files_before"] > 1 and stats["files_after"] == 1
+    after = spark.read.parquet(out)
+    assert after.count() == n_before
+    assert "batch_id" in after.columns
