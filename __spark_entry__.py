@@ -526,6 +526,38 @@ def q_events_rolling(spark, sf):
     )
 
 
+def q_embed_coverage(spark, sf):
+    """Embedding-coverage audit (FULL OUTER reconciliation): the
+    training split (docs outside the test holdout) against the
+    embeddings actually computed (an embedding job that skipped shard
+    vec_id%5=0, planted deterministically) -> per-(status, lang) counts
+    of covered / missing_embedding / orphan_embedding. The one place a
+    full outer join IS the right plan: both sides are independently
+    filtered sets and every row of each must be classified; the join key
+    is unique on both sides, so the output is row-bounded by the union."""
+    d = _load(spark, sf, "documents")
+    train = d.where(
+        F.expr(f"{sql_h1('doc_id', 23)} % 1000") >= 10
+    ).select("doc_id", "lang")
+    emb = (
+        _load(spark, sf, "embeddings")
+        .where(F.col("vec_id") % 5 != 0)
+        .select(F.col("vec_id").alias("e_id"))
+    )
+    j = train.join(emb, train.doc_id == emb.e_id, "full_outer")
+    status = (
+        F.when(F.col("doc_id").isNotNull() & F.col("e_id").isNotNull(),
+               "covered")
+        .when(F.col("doc_id").isNotNull(), "missing_embedding")
+        .otherwise("orphan_embedding")
+    )
+    return (
+        j.select(status.alias("status"), F.col("lang"))
+        .groupBy("status", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_split_assign(spark, sf):
     """Deterministic train/val/test split assignment (training-data
     prep): a seeded portable-hash range per doc keeps the split a pure
@@ -1199,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sample": q_sample,
         "q_sample_stratified": q_sample_stratified,
         "q_split_assign": q_split_assign,
+        "q_embed_coverage": q_embed_coverage,
         "q_mix_weights": q_mix_weights,
         "q_mix_sample": q_mix_sample,
         "q_pack_sequences": q_pack_sequences,
@@ -1529,6 +1562,22 @@ def oracle_sql() -> dict[str, str]:
                         when {sql_h1('doc_id', 23)} % 1000 < 20 then 'val'
                         else 'train' end as split
             from documents
+        """,
+        "q_embed_coverage": f"""
+            with train as (
+              select doc_id, lang from documents
+              where {sql_h1('doc_id', 23)} % 1000 >= 10
+            ),
+            emb as (select vec_id as e_id from embeddings
+                    where vec_id % 5 <> 0)
+            select case
+                     when doc_id is not null and e_id is not null
+                       then 'covered'
+                     when doc_id is not null then 'missing_embedding'
+                     else 'orphan_embedding' end as status,
+                   lang, count(*) as n
+            from train full outer join emb on train.doc_id = emb.e_id
+            group by 1, 2
         """,
         "q_mask_personal_info": masked_select_sql(
             "duck",
