@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-96 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+97 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
