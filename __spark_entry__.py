@@ -430,7 +430,12 @@ def q_interval_join(spark, sf):
     session window containing it — an equi-join on (user_id, hour
     bucket) with an exact post-filter, never a per-user nested loop.
     Oracle = inequality join over lag/cumsum sessions (independent
-    algorithm on both axes)."""
+    algorithm on both axes). Boundary audit (ADVICE r2): Spark
+    session_window MERGES an event exactly gap seconds after the
+    previous one (measured — test_session_window_exact_gap_merges), so
+    the oracle's is_new rule is gap > 1800, and the inclusive `ts <=
+    session_end` containment cannot double-match: an event at a final
+    session_end would have merged into that session."""
     e = _load(spark, sf, "events")
     sess = (
         e.groupBy("user_id", F.session_window("ts", "30 minutes"))
@@ -1477,6 +1482,10 @@ def oracle_sql() -> dict[str, str]:
             from s group by 1
         """,
         "q_session_window": """
+            -- gap > 1800 matches Spark session_window's MERGE-at-boundary
+            -- rule: an event exactly 1800s after the previous one extends
+            -- the session (measured in tests/test_extras.py
+            -- test_session_window_exact_gap_merges)
             with g as (
               select user_id, ts,
                      case when date_diff('second',
@@ -1498,6 +1507,9 @@ def oracle_sql() -> dict[str, str]:
             from s group by user_id, session_idx
         """,
         "q_interval_join": """
+            -- gap > 1800 = Spark session_window's merge-at-boundary rule;
+            -- the inclusive end in the containment is safe because no
+            -- event can sit at a FINAL session_end (it would have merged)
             with g as (
               select user_id, ts,
                      case when date_diff('second',

@@ -166,6 +166,7 @@ def main() -> int:
         "q_url_filter",
         "q_pack_sequences",
         "q_quality_lm",
+        "q_quality_repetition",
         "q_bpe_merges",
         "q_agg_lineitem",
         "q_join_orders_customer",

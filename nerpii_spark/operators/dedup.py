@@ -255,7 +255,15 @@ def _bucket_pairs(
     map-side, no hot member list ever concentrates on one reducer, and
     there is no window. Callers should pass an already materialized
     (cached/checkpointed) `rows` if it is expensive: it is scanned
-    multiple times (count + self-join sides)."""
+    multiple times (count + self-join sides).
+
+    Observability: the function is lazy, so it cannot log which guard
+    fired without forcing a job. Call `bucket_degrade_stats(rows,
+    key_cols, max_bucket)` (one small aggregate over the per-key counts)
+    to count degraded and rep-skipped keys — a nonzero `over_cap2` means
+    some key's representative cross-links were skipped and a true
+    cluster that large WOULD fragment; tests and pipeline health checks
+    gate on it instead of trusting silence."""
     counts = rows.groupBy(*key_cols).agg(F.count("*").alias("n"))
     ok = counts.where(
         (F.col("n") >= 2) & (F.col("n") <= max_bucket)
@@ -300,6 +308,45 @@ def _bucket_pairs(
         .select("id_a", "id_b")
     )
     return base.unionByName(sub_pairs).unionByName(rep_pairs).distinct()
+
+
+def bucket_degrade_stats(
+    rows: DataFrame, key_cols: list[str], max_bucket: int
+) -> dict:
+    """Companion health check for _bucket_pairs' skew guard: one
+    aggregate job over the per-key counts ->
+      {'keys': total keys, 'over_cap': keys degraded to salted
+       sub-buckets (n > max_bucket — connectivity preserved via
+       representative links), 'over_cap2': keys past the degenerate
+       cutoff (n > max_bucket^2 — representative pairing skipped, a
+       true cluster that large WOULD fragment), 'max_n': largest
+       bucket}.
+    over_cap2 > 0 is the condition ADVICE flagged as silent; surface it
+    in pipeline logs/metrics rather than inferring it from output
+    shape. Cost: the counts aggregation combines map-side and the final
+    reduce is 1 row."""
+    counts = rows.groupBy(*key_cols).agg(F.count("*").alias("n"))
+    r = counts.agg(
+        F.count("*").alias("keys"),
+        F.sum((F.col("n") > max_bucket).cast("long")).alias("over_cap"),
+        F.sum((F.col("n") > max_bucket * max_bucket).cast("long")).alias(
+            "over_cap2"
+        ),
+        F.max("n").alias("max_n"),
+    ).collect()[0]
+    out = {k: int(r[k] or 0) for k in ("keys", "over_cap", "over_cap2", "max_n")}
+    if out["over_cap2"] > 0:
+        import warnings
+
+        warnings.warn(
+            f"_bucket_pairs degrade: {out['over_cap2']} key(s) exceed"
+            f" max_bucket^2={max_bucket * max_bucket} (max bucket"
+            f" {out['max_n']}); representative cross-links were skipped"
+            " for them — a true cluster that large fragments",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return out
 
 
 def minhash_dup_pairs(

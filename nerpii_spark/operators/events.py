@@ -32,24 +32,26 @@ def asof_join(
     sort-based window pass, so cost is linear in events per user, and
     user_id is a uniform high-cardinality key (no hot partition).
 
-    Determinism: ordering is (ts, event_id) — a total order — so the
-    result is unique even if timestamps collide. "At or before" is
-    inclusive; a right-type event sharing the exact timestamp counts
-    only if its event_id sorts first (the generated events table has
-    unique (user_id, ts), so the edge never fires there — the DuckDB
-    oracle's native ASOF JOIN, inclusive by definition, agrees).
+    Determinism: "at or before" is UNCONDITIONALLY inclusive — the sort
+    key is (ts, is_right desc, event_id), so every right-type event at
+    the probe's exact timestamp precedes it in the running frame
+    regardless of event_id order (ASOF `p.ts >= c.ts` semantics, not
+    just on data with unique (user_id, ts)). Among several right events
+    tied on (user_id, ts) the max event_id wins (last in frame order);
+    the oracle dedups its right side to the same representative, making
+    the pair a total, engine-independent definition.
 
     The DuckDB oracle is deliberately a DIFFERENT algorithm (native
     ASOF JOIN) — the comparison cross-validates two independent
     implementations of the semantics.
     """
     ev = events.where(F.col("event_type").isin([left_type, right_type]))
+    is_right = F.col("event_type") == right_type
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc("ts"), F.desc(is_right.cast("int")), F.asc("event_id"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    is_right = F.col("event_type") == right_type
     r_id = F.last(
         F.when(is_right, F.col("event_id")), ignorenulls=True
     ).over(w)
@@ -80,10 +82,19 @@ def duck_asof_sql(
     right_type: str = "click",
     rel: str = "events",
 ) -> str:
-    """Native-ASOF DuckDB twin of `asof_join`."""
+    """Native-ASOF DuckDB twin of `asof_join`. The right side is deduped
+    to max(event_id) per (user_id, ts) first so native ASOF (which picks
+    an arbitrary row among equal c.ts) lands on the same representative
+    the Spark window's frame order does — the tie rule that makes the
+    inclusive semantics total."""
     return f"""
 with p as (select * from {rel} where event_type = '{left_type}'),
-     c as (select * from {rel} where event_type = '{right_type}')
+     c as (select event_id, user_id, ts from (
+         select event_id, user_id, ts,
+                row_number() over (partition by user_id, ts
+                                   order by event_id desc) as rn
+         from {rel} where event_type = '{right_type}')
+       where rn = 1)
 select p.event_id, p.user_id,
        cast(c.event_id as bigint) as right_event_id,
        cast(epoch_us(p.ts) - epoch_us(c.ts) as bigint) as gap_us
@@ -102,11 +113,19 @@ def interval_join(
     start_col: str = "session_start",
     end_col: str = "session_end",
     bucket_s: int = INTERVAL_BUCKET_S,
+    end_inclusive: bool = True,
 ) -> DataFrame:
     """Interval-containment (range) join: attach to each left row the
     interval of the same key that contains its timestamp
     (start <= ts <= end, timestamps compared directly — no epoch math
-    in the predicate). Spark has no native range join; the naive
+    in the predicate). Pass `end_inclusive=False` for right-open
+    intervals (start <= ts < end). Sessions from Spark's session_window
+    are safe with the inclusive default: session_window MERGES an event
+    arriving exactly `gap` after the previous one (measured —
+    tests/test_extras.py::test_session_window_exact_gap_merges), so no
+    event of the same key can sit at a FINAL session_end and the
+    inclusive predicate never double-matches.
+    Spark has no native range join; the naive
     formulation (equi on key + inequality on ts) degenerates to a
     per-key nested-loop scan. This is the banded rewrite: both sides
     are bucketed into fixed windows of `bucket_s` seconds — a point
@@ -129,12 +148,14 @@ def interval_join(
         "_b",
         F.explode(F.expr(f"sequence({b(start_col)}, {b(end_col)})")),
     )
+    end_ok = (
+        F.col(ts_col) <= F.col(end_col)
+        if end_inclusive
+        else F.col(ts_col) < F.col(end_col)
+    )
     return (
         lb.join(iv, [key_col, "_b"])
-        .where(
-            (F.col(ts_col) >= F.col(start_col))
-            & (F.col(ts_col) <= F.col(end_col))
-        )
+        .where((F.col(ts_col) >= F.col(start_col)) & end_ok)
         .drop("_b")
     )
 

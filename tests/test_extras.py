@@ -788,3 +788,148 @@ def test_cms_overestimate_bound(spark):
         # probabilistic bound made generous (4 rows, min): 3x N/w
         assert est[p] - true_n <= 3 * bound, (p, est[p], true_n, bound)
     assert exact.get("zz-absent-zz", 0) == 0
+
+
+def test_asof_join_equal_timestamp_inclusive(spark):
+    """ADVICE r2: 'at or before' must be inclusive regardless of
+    event_id order (native-ASOF p.ts >= c.ts semantics), and several
+    right events tied on (user_id, ts) resolve to max event_id — the
+    rule the DuckDB oracle's deduped right side mirrors."""
+    from datetime import datetime as dt
+
+    import duckdb
+
+    from nerpii_spark.operators.events import asof_join, duck_asof_sql
+
+    rows = [
+        # purchase event_id SMALLER than the same-ts click: the old
+        # (ts, event_id) ordering missed this click
+        (5, dt(2024, 1, 1, 0, 0, 2), 1, "click", 0.0, "{}"),
+        (3, dt(2024, 1, 1, 0, 0, 2), 1, "purchase", 0.0, "{}"),
+        # two clicks tied on (user, ts): max event_id (42) must win
+        (41, dt(2024, 1, 1, 0, 0, 1), 2, "click", 0.0, "{}"),
+        (42, dt(2024, 1, 1, 0, 0, 1), 2, "click", 0.0, "{}"),
+        (50, dt(2024, 1, 1, 0, 0, 1), 2, "purchase", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp_ntz, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    got = {r["event_id"]: r for r in asof_join(ev).collect()}
+    assert (got[3]["right_event_id"], got[3]["gap_us"]) == (5, 0)
+    assert (got[50]["right_event_id"], got[50]["gap_us"]) == (42, 0)
+
+    # the DuckDB oracle agrees row-for-row on the tie data
+    con = duckdb.connect()
+    con.execute(
+        "create table events(event_id bigint, ts timestamp, user_id bigint,"
+        " event_type varchar, value double, props varchar)"
+    )
+    con.executemany("insert into events values (?, ?, ?, ?, ?, ?)", rows)
+    oracle = {
+        r[0]: r for r in con.execute(duck_asof_sql()).fetchall()
+    }
+    for eid, r in got.items():
+        assert oracle[eid][2] == r["right_event_id"], eid
+        assert oracle[eid][3] == r["gap_us"], eid
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Boundary audit of ADVICE r2's q_interval_join finding: Spark's
+    session_window MERGES an event arriving exactly `gap` after the
+    previous one (the divergence ADVICE hypothesized would require it to
+    split). Locked here so the `> 1800` is_new rule in the q_sessionize /
+    q_session_window / q_interval_join oracles — and the safety of the
+    inclusive ts <= session_end containment — rest on a measured fact,
+    not an assumption; a Spark upgrade that flips the convention fails
+    this test instead of silently diverging from the oracles."""
+    from datetime import datetime as dt
+
+    from nerpii_spark.operators.events import interval_join
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, dt(2024, 1, 1, 10, 0, 0), 1, "view", 0.0, "{}"),
+        # exactly 1800s later: MERGES (Spark extends the session)
+        (2, dt(2024, 1, 1, 10, 30, 0), 1, "view", 0.0, "{}"),
+        # 1801s later: splits
+        (3, dt(2024, 1, 1, 11, 0, 1), 1, "view", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp_ntz, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    sess = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    got = sorted(
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in sess.collect()
+    )
+    assert got == [
+        (dt(2024, 1, 1, 10, 0, 0), dt(2024, 1, 1, 11, 0, 0), 2),
+        (dt(2024, 1, 1, 11, 0, 1), dt(2024, 1, 1, 11, 30, 1), 1),
+    ]
+    # inclusive containment matches every event to exactly ONE session —
+    # no event can sit at a final session_end (it would have merged)
+    out = interval_join(ev, sess).collect()
+    assert sorted(r["event_id"] for r in out) == [1, 2, 3]
+    # right-open variant for genuinely right-open interval tables
+    out_ro = interval_join(ev, sess, end_inclusive=False).collect()
+    assert sorted(r["event_id"] for r in out_ro) == [1, 2, 3]
+
+
+def test_bucket_degrade_stats_observability(spark):
+    """ADVICE r2: the reps>max_bucket cutoff must be observable.
+    bucket_degrade_stats counts degraded keys and warns when a key
+    crosses max_bucket^2 (representative links skipped)."""
+    import warnings
+
+    from nerpii_spark.operators.dedup import (
+        _bucket_pairs,
+        bucket_degrade_stats,
+    )
+
+    rows = spark.createDataFrame(
+        [("hot", i) for i in range(10)] + [("cold", 100 + i) for i in range(2)],
+        "k string, id bigint",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        st = bucket_degrade_stats(rows, ["k"], max_bucket=3)
+    assert st == {"keys": 2, "over_cap": 1, "over_cap2": 1, "max_n": 10}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        bucket_degrade_stats(rows, ["k"], max_bucket=3)
+        assert any("representative cross-links" in str(x.message) for x in w)
+    # under-cap corpus: silent, zero counters
+    st2 = bucket_degrade_stats(rows, ["k"], max_bucket=32)
+    assert st2["over_cap"] == 0 and st2["over_cap2"] == 0
+    # within cap..cap^2 (max_bucket=4: 4 < 10 <= 16) the degrade path
+    # keeps the hot bucket CC-connected via representative links — only
+    # past cap^2 (the warned case above) does it fragment
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in _bucket_pairs(rows, ["k"], "id", max_bucket=4).collect()
+    ]
+    parent = {i: i for i in range(10)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        if a < 10 and b < 10:
+            parent[find(a)] = find(b)
+    assert len({find(i) for i in range(10)}) == 1

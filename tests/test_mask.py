@@ -358,3 +358,22 @@ def test_redact_text_scrubs_pii(spark):
     for r in ms:
         assert r["mention"] not in stripped[r["doc_id"]], (
             r["doc_id"], r["mention"])
+
+
+def test_mask_table_keyless_errors_loudly(spark):
+    """VERDICT r2 #6: the keyless fallback probed state columns with an
+    unordered limit(1) — run-order-dependent — and could never complete
+    anyway (every keyed synthetic draws from key_col). It must now fail
+    fast with actionable guidance instead of silently varying."""
+    rows = [(f"Name{i}", "Texas" if i else "TX") for i in range(6)]
+    df = spark.createDataFrame(rows, "first_name string, state string")
+    prof_src = spark.createDataFrame(
+        [("first_name", "PERSON", 1.0), ("state", "LOCATION", 1.0)],
+        "col string, entity string, confidence double",
+    )
+    with pytest.raises(ValueError, match="content"):
+        mask_table(df, prof_src, key_col="rid")
+    # the documented remedy works: a content-hash surrogate key
+    keyed = df.withColumn("rid", F.xxhash64(*df.columns))
+    out = mask_table(keyed, prof_src, key_col="rid")
+    assert out.count() == 6

@@ -274,3 +274,29 @@ def test_random_walk_argmin_partial_agg(spark):
     # derivation upstream legitimately contains neighbor_sample's
     # shard-salted windows)
     assert "partial_min" in plan
+
+
+def test_url_filter_single_broadcast_reused(spark):
+    """The per-depth blocklist probes share ONE broadcast: after
+    execution, AQE's exchange reuse leaves exactly one materialized
+    BroadcastExchange and (depth-1) ReusedExchange nodes in the final
+    plan — at UT1 scale (~4M domains) that is one ~100 MB hashed
+    relation instead of `max_depth` copies."""
+    from nerpii_spark.operators.textstats import URL_HOST_DEPTH
+
+    out = E.q_url_filter(spark, SF)
+    out.collect()  # finalize THIS DataFrame's adaptive plan (count()
+    # would execute a different QueryExecution and leave ours initial)
+    plan = _plan(out)
+    assert "isFinalPlan=true" in plan
+    final = plan.split("+- == Initial Plan ==")[0]
+    # a ReusedExchange line embeds the reused exchange's description, so
+    # count materialized exchanges per line, not by substring
+    lines = final.splitlines()
+    reused = [l for l in lines if "ReusedExchange" in l]
+    built = [
+        l for l in lines
+        if "BroadcastExchange" in l and "ReusedExchange" not in l
+    ]
+    assert len(reused) == URL_HOST_DEPTH - 1, final
+    assert len(built) == 1, final
