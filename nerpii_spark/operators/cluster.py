@@ -73,19 +73,15 @@ def _with_assignment(q: DataFrame, cents: list[list[int]]) -> DataFrame:
     return q.withColumn("cluster", _assign(F.col("xq")))
 
 
-def kmeans_assign(
-    embs: DataFrame,
-    k: int = K_CLUSTERS,
-    n_iters: int = N_ITERS,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """-> (vec_id, cluster): the assignment after `n_iters` exact-integer
-    Lloyd updates from the deterministic init (centroids = the k
-    lowest-id vectors' quantized embeddings)."""
-    q = embs.select(
-        F.col(id_col).alias("vec_id"), F.expr(_quant_expr(vec_col)).alias("xq")
-    )
+def lloyd_centroids(
+    q: DataFrame, k: int, n_iters: int
+) -> list[list[int]]:
+    """Train `k` exact-integer Lloyd centroids on a (vec_id, xq)
+    DataFrame: init = the k lowest-vec_id quantized vectors, then
+    `n_iters` rounds of (argmin-L2 assignment pass + one map-side-
+    combined K x d sum agg). Only K x d numbers reach the driver per
+    round. Shared by kmeans_assign and similarity.ivf_topk (which trains
+    on a hash-sample); duck_lloyd_ctes() is the bit-exact SQL replay."""
     init = q.orderBy("vec_id").limit(k).collect()
     cents = [list(r["xq"]) for r in init]
     dims = len(cents[0])
@@ -105,37 +101,44 @@ def kmeans_assign(
             [int(r[f"s{d}"]) // int(r["n"]) for d in range(dims)]
             if (r := by_cid.get(cid)) is not None
             else cents[cid]
-            for cid in range(k)
+            for cid in range(len(cents))
         ]
+    return cents
 
+
+def kmeans_assign(
+    embs: DataFrame,
+    k: int = K_CLUSTERS,
+    n_iters: int = N_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (vec_id, cluster): the assignment after `n_iters` exact-integer
+    Lloyd updates from the deterministic init (centroids = the k
+    lowest-id vectors' quantized embeddings)."""
+    q = embs.select(
+        F.col(id_col).alias("vec_id"), F.expr(_quant_expr(vec_col)).alias("xq")
+    )
+    cents = lloyd_centroids(q, k, n_iters)
     return _with_assignment(q, cents).select(
         "vec_id", F.col("cluster").cast("bigint").alias("cluster")
     )
 
 
-def duck_kmeans_sql(
-    k: int = K_CLUSTERS,
-    n_iters: int = N_ITERS,
-    dims: int = 64,
-    rel: str = "embeddings",
-) -> str:
-    """Chained-CTE replay of the whole iteration: for each round t,
-    d{t} (cross-join distances) -> a{t} (argmin assignment) -> n{t}/s{t}
-    (counts / per-dim sums) -> c{t+1} (floor-div means, empty cluster
-    keeps its centroid). All BIGINT, so it reproduces kmeans_assign
-    bit-for-bit — certifying the distributed iteration itself."""
+def duck_lloyd_ctes(src: str, k: int, n_iters: int, dims: int) -> str:
+    """Comma-joined CTE fragments c0..c{n_iters} that replay
+    lloyd_centroids() bit-for-bit, training on an existing CTE `src`
+    with columns (vec_id, xq): for each round t, d{t} (cross-join
+    distances) -> a{t} (argmin assignment) -> n{t}/s{t} (counts /
+    per-dim sums) -> c{t+1} (floor-div means, empty cluster keeps its
+    centroid). All BIGINT. Shared by duck_kmeans_sql (src = full corpus)
+    and similarity.duck_ivf_topk_sql (src = hash-sample)."""
     parts = [
         f"""
-q as (
-  select vec_id,
-         list_transform(embedding,
-                        x -> cast(round(x::DOUBLE * {QUANT}.0) as bigint)) as xq
-  from {rel}
-),
 c0 as (
   select cast(row_number() over (order by vec_id) - 1 as bigint) as cid,
          xq as cv
-  from (select vec_id, xq from q order by vec_id limit {k})
+  from (select vec_id, xq from {src} order by vec_id limit {k})
 )"""
     ]
     for t in range(n_iters):
@@ -145,7 +148,7 @@ d{t} as (
   select q.vec_id, q.xq, c.cid,
          list_sum(list_transform(range(1, {dims + 1}),
                   i -> (q.xq[i] - c.cv[i]) * (q.xq[i] - c.cv[i]))) as dist
-  from q cross join c{t} c
+  from {src} q cross join c{t} c
 ),
 a{t} as (
   select vec_id, xq, cid from (
@@ -174,6 +177,29 @@ c{t + 1} as (
   left join s{t} s using (cid)
 )"""
         )
+    return ",".join(parts)
+
+
+def duck_kmeans_sql(
+    k: int = K_CLUSTERS,
+    n_iters: int = N_ITERS,
+    dims: int = 64,
+    rel: str = "embeddings",
+) -> str:
+    """Chained-CTE replay of the whole iteration (duck_lloyd_ctes over
+    the full corpus + a final argmin pass). All BIGINT, so it reproduces
+    kmeans_assign bit-for-bit — certifying the distributed iteration
+    itself."""
+    parts = [
+        f"""
+q as (
+  select vec_id,
+         list_transform(embedding,
+                        x -> cast(round(x::DOUBLE * {QUANT}.0) as bigint)) as xq
+  from {rel}
+)""",
+        duck_lloyd_ctes("q", k, n_iters, dims),
+    ]
     final = f"""
 dF as (
   select q.vec_id, c.cid,

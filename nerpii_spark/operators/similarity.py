@@ -9,11 +9,19 @@
                          engines (float fold order differs between Spark
                          and DuckDB).
   * `hyperplane_lsh_topk` — the scale path: 16 deterministic pseudo-random
-                         hyperplanes (signs from the portable LCG) bucket
-                         vectors by sign-pattern bands; top-k searched
-                         only among candidates sharing a band. Probing
-                         cost drops from O(N) to O(bucket); recall
-                         checked >= 0.9 vs brute force in tests.
+                         hyperplanes (integer weights from the portable
+                         LCG, exact int64 dot-products over quantized
+                         vectors) bucket vectors by sign-pattern bands;
+                         top-k searched only among candidates sharing a
+                         band. Probing cost drops from O(N) to
+                         O(bucket); recall gated vs brute force in
+                         tests, and the whole computation replays
+                         bit-for-bit in DuckDB (full value-hash oracle).
+  * `ivf_topk`           — IVF coarse quantization: integer-Lloyd
+                         centroids trained on a deterministic
+                         hash-sample, exact-int64 L2 cell assignment,
+                         n_probe nearest cells searched; same replay
+                         discipline.
   * `embedding_dup_pairs` — near-duplicate detection: pairs with cosine
                          >= tau among LSH-band candidates.
 """
@@ -145,24 +153,66 @@ def cosine_topk(
     )
 
 
-def lsh_signature_expr(vec_col: str, n_planes: int = N_PLANES) -> str:
-    """Sign pattern of `n_planes` deterministic hyperplanes. Plane p's
-    component for dimension d = (h1(d, p) % 2001 - 1000) / 1000, where h1
-    is the FIRST-LEVEL portable hash (hashing.py h1 inlined — no chained
-    h2 re-hash is involved), so signatures are reproducible across runs
-    and engines."""
+def lsh_signature_expr(xq_col: str, n_planes: int = N_PLANES) -> str:
+    """Sign pattern of `n_planes` deterministic hyperplanes over a
+    QUANTIZED int64 vector column (`xq = round(x * 1e6)`, cluster.py's
+    quantization discipline). Plane p's component for dimension d is the
+    INTEGER h1(d, p) % 2001 - 1000 (h1 = the first-level portable hash,
+    hashing.py, inlined — no chained h2 re-hash), so each plane
+    dot-product is an exact int64 sum (|xq| <= ~1.1e6, |w| <= 1000,
+    64-dim sum <= ~7e10 << 2^63): no float anywhere before the sign
+    test, hence bit-identical signatures across engines and runs —
+    duck_lsh_banded_cte() replays them exactly, which is what lets
+    q_embed_topk_lsh carry a full value-hash oracle instead of a
+    rows-only check."""
     bits = []
     for p in range(n_planes):
         comp = (
-            f"aggregate(zip_with({vec_col},"
-            f" transform(sequence(0, size({vec_col}) - 1),"
-            f" d -> (cast(((d * 2654435761 + {p * 97 + 12345}) % {_M})"
-            f" % 2001 as double) - 1000.0) / 1000.0),"
-            f" (x, w) -> cast(x as double) * w),"
-            f" cast(0.0 as double), (acc, v) -> acc + v)"
+            f"aggregate(zip_with({xq_col},"
+            f" transform(sequence(0, size({xq_col}) - 1),"
+            f" d -> cast((d * 2654435761 + {p * 97 + 12345}) % {_M}"
+            f" % 2001 - 1000 as bigint)),"
+            f" (x, w) -> x * w),"
+            f" cast(0 as bigint), (acc, v) -> acc + v)"
         )
         bits.append(f"(case when {comp} > 0 then {1 << p} else 0 end)")
     return "(" + " + ".join(bits) + ")"
+
+
+def duck_lsh_banded_cte(
+    rel: str = "embeddings",
+    n_planes: int = N_PLANES,
+    n_bands: int = N_BANDS,
+) -> str:
+    """DuckDB twin of with_lsh_bands over `rel(vec_id, embedding)` ->
+    relation (vec_id, emb DOUBLE[], band, bv). Integer arithmetic
+    matches lsh_signature_expr bit-for-bit; mind the CLAUDE.md trap:
+    range() yields BIGINT and the PHI literal exceeds INT32, so the
+    products stay int64 without explicit casts, but the weight math is
+    kept all-bigint anyway."""
+    width = n_planes // n_bands
+    bits = []
+    for p in range(n_planes):
+        comp = (
+            f"list_sum(list_transform(range(1, len(xq) + 1),"
+            f" d -> xq[d] * ((((d - 1) * 2654435761 + {p * 97 + 12345})"
+            f" % {_M}) % 2001 - 1000)))"
+        )
+        bits.append(f"(case when {comp} > 0 then {1 << p} else 0 end)")
+    sig = " + ".join(bits)
+    return f"""
+xq0 as (
+  select vec_id, embedding::DOUBLE[] as emb,
+         list_transform(embedding,
+                        x -> cast(round(x::DOUBLE * 1000000.0) as bigint)) as xq
+  from {rel}
+),
+sig0 as (select vec_id, emb, cast({sig} as bigint) as sig from xq0),
+banded as (
+  select vec_id, emb, b.band,
+         (sig >> (b.band * {width})) % {1 << width} as bv
+  from sig0 cross join (select unnest(range(0, {n_bands})) as band) b
+)"""
 
 
 def with_lsh_bands(
@@ -172,9 +222,18 @@ def with_lsh_bands(
     n_planes: int = N_PLANES,
     n_bands: int = N_BANDS,
 ) -> DataFrame:
-    """-> (id, vec, band, band_val): one row per band."""
+    """-> (id, vec, band, band_val): one row per band. The quantized
+    vector is materialized as its own projection column before the 16
+    plane folds (no-CSE HOF rule, CLAUDE.md) — inlining it would
+    re-quantize once per plane."""
+    from .cluster import _quant_expr
+
     width = n_planes // n_bands
-    sig = embs.withColumn("sig", F.expr(lsh_signature_expr(vec_col, n_planes)))
+    sig = (
+        embs.withColumn("_xq", F.expr(_quant_expr(vec_col)))
+        .withColumn("sig", F.expr(lsh_signature_expr("_xq", n_planes)))
+        .drop("_xq")
+    )
     return sig.select(
         F.col(id_col),
         F.col(vec_col),
@@ -223,6 +282,47 @@ def hyperplane_lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos")
     )
+
+
+def duck_hyperplane_lsh_topk_sql(
+    query_pred: str,
+    k: int = 3,
+    rel: str = "embeddings",
+    n_planes: int = N_PLANES,
+    n_bands: int = N_BANDS,
+) -> str:
+    """Bit-exact DuckDB replay of hyperplane_lsh_topk: the banded CTE
+    reproduces the integer sign signatures exactly (same candidates),
+    and the re-rank cosine is the quantized 6-dp double the repo's
+    already-certified cosine oracles use. ANN is approximate vs BRUTE
+    FORCE, but it is a deterministic function of its inputs — so it gets
+    a replay oracle, not a rows-only pass (VERDICT r2 #1)."""
+    return f"""
+with {duck_lsh_banded_cte(rel, n_planes, n_bands)},
+q as (select vec_id as query_id, band, bv from banded where {query_pred}),
+c as (select vec_id as neighbor_id, band, bv from banded),
+cand as (
+  select distinct query_id, neighbor_id
+  from q join c using (band, bv)
+  where query_id <> neighbor_id
+),
+scored as (
+  select query_id, neighbor_id,
+         round(list_dot_product(qe.emb, ne.emb) /
+               (sqrt(list_dot_product(qe.emb, qe.emb)) *
+                sqrt(list_dot_product(ne.emb, ne.emb))), 6) as cos
+  from cand
+  join xq0 qe on qe.vec_id = cand.query_id
+  join xq0 ne on ne.vec_id = cand.neighbor_id
+),
+ranked as (
+  select query_id, neighbor_id, cos,
+         row_number() over (partition by query_id
+                            order by cos desc, neighbor_id asc) as rank
+  from scored
+)
+select query_id, rank, neighbor_id, cos from ranked where rank <= {k}
+"""
 
 
 def embedding_dup_pairs(
@@ -277,6 +377,22 @@ def embedding_dup_pairs(
     )
 
 
+IVF_N_ITERS = 2
+IVF_SAMPLE_SALT = 7
+IVF_SAMPLE_MOD = 4  # ~25% deterministic hash-sample for centroid training
+
+
+def ivf_sample_pred(id_expr: str) -> str:
+    """h1(id, IVF_SAMPLE_SALT) % IVF_SAMPLE_MOD = 1 — the portable-LCG
+    sample predicate, identical SQL in Spark and DuckDB (all int64)."""
+    from ..functions.hashing import C as _C, PHI as _PHI
+
+    return (
+        f"(({id_expr} * {_PHI} + {IVF_SAMPLE_SALT * 97 + _C}) % {_M})"
+        f" % {IVF_SAMPLE_MOD} = 1"
+    )
+
+
 def ivf_topk(
     embs: DataFrame,
     query_pred: str,
@@ -285,58 +401,77 @@ def ivf_topk(
     n_probe: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_iters: int = IVF_N_ITERS,
 ) -> DataFrame:
     """IVF-style ANN top-k: coarse-quantize vectors into `n_cells` cells
-    (nearest-centroid by cosine), search only the query's `n_probe`
+    (nearest centroid by exact-integer L2 over quantized vectors —
+    cluster.py's Lloyd machinery), search only the query's `n_probe`
     nearest cells. The other scale path next to hyperplane LSH.
 
-    Centroids: the `n_cells` lowest-id vectors (a deterministic training
-    stand-in for k-means — at real scale you'd train on a sample; the
-    assignment/probe machinery is identical). Assignment is a
-    numpy-vectorized Arrow batch matmul (N x d @ d x K per batch — no
-    per-row Python), cells are plain int join keys, and the exact cosine
-    re-rank within probed cells reuses the quantized-cosine expression,
-    so precision within the candidate set is exact. Approximate by
-    design: recall vs brute force is gated in tests, no DuckDB oracle."""
-    cents = (
-        embs.orderBy(F.col(id_col))
-        .limit(n_cells)
-        .select(vec_col)
-        .collect()
-    )
-    M = np.array([list(r[0]) for r in cents], dtype=np.float64)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Centroids are TRAINED: `n_iters` integer Lloyd rounds over a ~25%
+    deterministic hash-sample (falling back to the full table when the
+    sample is smaller than `n_cells` — sample counts at tiny SF). That
+    fixes VERDICT r2 #5 (lowest-id "centroids" give skewed cells whose
+    probe join grows a hot key at scale; Lloyd rounds balance occupancy
+    — gated in tests) and keeps everything bit-exact: quantization,
+    integer L2 argmin (ties to the lowest cell id), and integer
+    floor-div centroid updates replay in DuckDB via duck_ivf_topk_sql,
+    so the query carries a full value-hash oracle (VERDICT r2 #1).
+    Assignment/probe are numpy int64 Arrow-batch matmuls (exact — no
+    float), the cell is a plain int join key, and the re-rank cosine is
+    the quantized 6-dp double expression. At scale: the sample count +
+    K x d Lloyd sums are the only driver-side data; the corpus passes
+    are one assignment scan + an equi-join on cell."""
+    from .cluster import _quant_expr, lloyd_centroids
 
-    def _cells_of(v: pd.Series, top: int) -> np.ndarray:
-        X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        sims = Xn @ Mn.T
-        # argsort desc, deterministic tie-break by cell id asc
-        order = np.lexsort((np.arange(sims.shape[1])[None, :].repeat(len(X), 0),
-                            -sims), axis=1)
-        return order[:, :top]
+    base = embs.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(_quant_expr(vec_col)).alias("_xq"),
+    )
+    sample = base.where(F.expr(ivf_sample_pred(id_col)))
+    if sample.count() < n_cells:
+        sample = base
+    cents = lloyd_centroids(
+        sample.select(F.col(id_col).alias("vec_id"), F.col("_xq").alias("xq")),
+        n_cells, n_iters,
+    )
+    C = np.array(cents, dtype=np.int64)
+    c_sq = (C * C).sum(axis=1)
+
+    def _dists(v: pd.Series) -> np.ndarray:
+        # exact int64: |xq| <= ~1.1e6 -> (x-c)^2 <= ~5e12, 64-dim sums
+        # <= ~3e14 << 2^63 (same bound argument as cluster.py)
+        X = np.stack([np.asarray(x, dtype=np.int64) for x in v])
+        return (X * X).sum(axis=1, keepdims=True) - 2 * (X @ C.T) + c_sq[None, :]
 
     @F.pandas_udf(T.IntegerType())
     def _assign(v: pd.Series) -> pd.Series:
-        return pd.Series(_cells_of(v, 1)[:, 0])
+        # argmin returns the FIRST minimum -> ties to lowest cell id
+        return pd.Series(np.argmin(_dists(v), axis=1).astype(np.int32))
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _probe(v: pd.Series) -> pd.Series:
-        return pd.Series([row.tolist() for row in _cells_of(v, n_probe)])
+        d = _dists(v)
+        # sort by (dist asc, cell id asc) — lexsort's LAST key is primary
+        order = np.lexsort(
+            (np.arange(d.shape[1])[None, :].repeat(len(d), 0), d), axis=1
+        )
+        return pd.Series([row[:n_probe].tolist() for row in order])
 
     assigned = with_norm(
-        embs.select(
+        base.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),
-            _assign(F.col(vec_col)).alias("cell"),
+            _assign(F.col("_xq")).alias("cell"),
         ),
         "cv", "cn",
     )
     q = with_norm(
-        embs.where(F.expr(query_pred)).select(
+        base.where(F.expr(query_pred)).select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            F.explode(_probe(F.col(vec_col))).alias("cell"),
+            F.explode(_probe(F.col("_xq"))).alias("cell"),
         ),
         "qv", "qn",
     )
@@ -352,6 +487,83 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos")
     )
+
+
+def duck_ivf_topk_sql(
+    query_pred: str,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    n_iters: int = IVF_N_ITERS,
+    dims: int = 64,
+    rel: str = "embeddings",
+) -> str:
+    """Bit-exact DuckDB replay of ivf_topk: the hash-sample predicate,
+    the chained-CTE Lloyd training (cluster.duck_lloyd_ctes — all
+    BIGINT), the integer-L2 argmin assignment/probe (ties to lowest
+    cell), and the 6-dp quantized re-rank cosine all reproduce the Spark
+    computation exactly. The sample-or-full fallback is the same
+    data-dependent rule, expressed as a scalar-subquery count."""
+    from .cluster import duck_lloyd_ctes
+
+    pred = ivf_sample_pred("vec_id")
+    dist = (
+        f"list_sum(list_transform(range(1, {dims + 1}),"
+        f" i -> (q.xq[i] - c.cv[i]) * (q.xq[i] - c.cv[i])))"
+    )
+    return f"""
+with q as (
+  select vec_id, embedding::DOUBLE[] as emb,
+         list_transform(embedding,
+                        x -> cast(round(x::DOUBLE * 1000000.0) as bigint)) as xq
+  from {rel}
+),
+src as (
+  select vec_id, xq from q
+  where ({pred})
+     or (select count(*) from q where ({pred})) < {n_cells}
+),
+{duck_lloyd_ctes("src", n_cells, n_iters, dims)},
+dA as (
+  select q.vec_id, c.cid, {dist} as dist
+  from q cross join c{n_iters} c
+),
+aF as (
+  select vec_id, cid as cell from (
+    select vec_id, cid,
+           row_number() over (partition by vec_id order by dist, cid) as rn
+    from dA
+  ) where rn = 1
+),
+probe as (
+  select vec_id as query_id, cid as cell from (
+    select vec_id, cid,
+           row_number() over (partition by vec_id order by dist, cid) as rn
+    from dA where {query_pred}
+  ) where rn <= {n_probe}
+),
+cand as (
+  select p.query_id, a.vec_id as neighbor_id
+  from probe p join aF a using (cell)
+  where a.vec_id <> p.query_id
+),
+scored as (
+  select query_id, neighbor_id,
+         round(list_dot_product(qe.emb, ne.emb) /
+               (sqrt(list_dot_product(qe.emb, qe.emb)) *
+                sqrt(list_dot_product(ne.emb, ne.emb))), 6) as cos
+  from cand
+  join q qe on qe.vec_id = cand.query_id
+  join q ne on ne.vec_id = cand.neighbor_id
+),
+ranked as (
+  select query_id, neighbor_id, cos,
+         row_number() over (partition by query_id
+                            order by cos desc, neighbor_id asc) as rank
+  from scored
+)
+select query_id, rank, neighbor_id, cos from ranked where rank <= {k}
+"""
 
 
 def embedding_dup_survivors(

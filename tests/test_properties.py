@@ -106,9 +106,10 @@ def test_trie_alt_matches_length_sorted_alternation(words, text):
 
 def test_survey_and_driver_contract_in_sync():
     """SURVEY.md §2 is the judge's coverage checklist: every registered
-    driver query must appear there and vice versa, and every query needs
-    an oracle_sql twin except the documented approximate-by-design ones
-    (rows-only checked; recall gated in pytest)."""
+    driver query must appear there and vice versa, and EVERY query needs
+    an oracle_sql twin — since r3 even the approximate ANN queries carry
+    bit-exact replay oracles (recall vs brute force stays pytest-gated,
+    but determinism is driver-certified)."""
     import re
 
     import __spark_entry__ as E
@@ -119,7 +120,7 @@ def test_survey_and_driver_contract_in_sync():
     assert keys - listed == set(), f"queries missing from SURVEY: {keys - listed}"
     assert listed - keys == set(), f"SURVEY lists unknown queries: {listed - keys}"
     no_oracle = keys - set(E.oracle_sql())
-    assert no_oracle == {"q_embed_topk_lsh", "q_embed_topk_ivf"}, no_oracle
+    assert no_oracle == set(), no_oracle
 
 
 def _py_spread16(x: int) -> int:
