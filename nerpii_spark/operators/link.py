@@ -281,17 +281,10 @@ def _with_node_features(rows: DataFrame) -> DataFrame:
     )
 
 
-def _incremental_candidate_pairs(
-    all_nodes: DataFrame, n_bands: int, max_bucket: int
-) -> DataFrame:
-    """(sid_a, sid_b) candidate pairs with >= 1 NEW endpoint, from the
-    same banding as lsh_candidate_pairs. `all_nodes` carries `is_new`.
-    The bucket-count skew guard is computed over the FULL band table
-    (old + new members — identical population to a from-scratch run),
-    but pair expansion only ever joins the new side against its
-    buckets: old-old pairs are never generated, which is what makes the
-    delta cost O(|new| x bucket) instead of O(corpus)."""
-    bands = all_nodes.select(
+def _band_index(all_nodes: DataFrame, n_bands: int) -> DataFrame:
+    """(entity_type, sid, is_new, band, mh) — the same banding as
+    lsh_candidate_pairs, carrying the is_new flag."""
+    return all_nodes.select(
         "entity_type",
         "sid",
         "is_new",
@@ -302,28 +295,75 @@ def _incremental_candidate_pairs(
                 " array_min(transform(shingles, s -> xxhash64(s, b)))))"
             )
         ).alias("bk"),
-    ).select("entity_type", "sid", "is_new", "bk.band", "bk.mh").localCheckpoint(
-        eager=False
-    )
-    keys = ["entity_type", "band", "mh"]
-    counts = bands.groupBy(*keys).agg(
+    ).select("entity_type", "sid", "is_new", "bk.band", "bk.mh")
+
+
+_BAND_KEYS = ["entity_type", "band", "mh"]
+
+
+def _pulled_sids(bands: DataFrame, old_labels: DataFrame, max_bucket: int) -> DataFrame:
+    """Old-member sids whose COMPONENT must be de-contracted for the
+    incremental fold to equal a from-scratch relink (VERDICT r2 #2).
+
+    A bucket that is over `max_bucket` in the current population and
+    contains a new member is paired by the degrade guard (salted
+    sub-buckets + representative links), and that partitioning is a
+    function of the bucket's FULL current member set — so the old run
+    (which paired the smaller bucket, possibly all-pairs) may hold
+    merges the full run would not make, and vice versa. Contracting
+    those components to their old label would bake the old decision in.
+    Instead, every component with >= 1 member in such a bucket re-enters
+    CC as individual surfaces, with its complete candidate-edge set
+    regenerated (see _incremental_candidate_pairs). Buckets the delta
+    does not touch have bit-identical membership (surfaces only
+    accumulate) and therefore bit-identical pairs, so nothing else can
+    differ — equality is by construction, not by low collision odds.
+    -> one column `sid`."""
+    counts = bands.groupBy(*_BAND_KEYS).agg(
         F.count("*").alias("n"),
         F.max(F.col("is_new").cast("int")).alias("has_new"),
     )
-    ok = counts.where(
-        (F.col("n") >= 2) & (F.col("n") <= max_bucket) & (F.col("has_new") == 1)
-    ).select(*keys)
-    r = bands.join(ok, keys)
-    a = r.where("is_new").select(*keys, F.col("sid").alias("sid_x"))
-    b = r.select(*keys, F.col("sid").alias("sid_y"))
-    return (
-        a.join(b, keys)
-        .where(F.col("sid_x") != F.col("sid_y"))
-        .select(
-            F.least("sid_x", "sid_y").alias("sid_a"),
-            F.greatest("sid_x", "sid_y").alias("sid_b"),
-        )
+    hot_touched = counts.where(
+        (F.col("n") > max_bucket) & (F.col("has_new") == 1)
+    ).select(*_BAND_KEYS)
+    seed = (
+        bands.where(~F.col("is_new"))
+        .join(hot_touched, _BAND_KEYS)
+        .select("sid")
         .distinct()
+    )
+    pulled_labels = old_labels.join(seed, "sid").select("label").distinct()
+    return old_labels.join(pulled_labels, "label").select("sid")
+
+
+def _incremental_candidate_pairs(
+    bands: DataFrame, max_bucket: int
+) -> DataFrame:
+    """(sid_a, sid_b) candidate pairs from every bucket containing an
+    ACTIVE member (`bands` carries `is_active` = brand-new surface or
+    member of a pulled component). Buckets are paired by the SAME
+    _bucket_pairs degrade as a from-scratch run — crucially over the
+    bucket's FULL membership (the key filter keeps every member of a
+    qualifying bucket, so per-bucket counts and the salted sub-bucket
+    partitioning are bit-identical to the full run). Old-old pairs
+    inside active buckets are regenerated too: they either re-score into
+    an edge between two contracted bases that already share a label
+    (dropped), or fail scoring exactly as they did before — while
+    pulled members get exactly the full run's edge set. Buckets with no
+    active member never expand, keeping the delta cost
+    O((|new| + |pulled|) x bucket), not O(corpus)."""
+    from .dedup import _bucket_pairs
+
+    active_keys = (
+        bands.where(F.col("is_active"))
+        .select(*_BAND_KEYS)
+        .distinct()
+    )
+    act = bands.join(active_keys, _BAND_KEYS).select(
+        *_BAND_KEYS, "sid"
+    ).localCheckpoint(eager=False)
+    return _bucket_pairs(act, _BAND_KEYS, "sid", max_bucket).select(
+        F.col("id_a").alias("sid_a"), F.col("id_b").alias("sid_b")
     )
 
 
@@ -345,22 +385,33 @@ def incremental_members(
       1. New mentions collapse to surface nodes; surfaces already known
          just add mention counts (same norm => same features => same
          component — no relink needed).
-      2. Brand-new surfaces band-join against the old + new band index;
-         old-old pairs are never generated (their features are
-         unchanged, so no new old-old edge can exist).
-      3. Old components contract to super-nodes keyed by their label
-         (= min member sid, so contracted CC labels coincide with a
-         from-scratch run's), and the CC fixpoint runs only over bases
-         touched by a new edge; every other component passes through.
+      2. Candidate pairs come from buckets with an active (brand-new or
+         pulled, see 3.) member only, paired exactly as a from-scratch
+         run would pair the current bucket population; buckets without
+         an active member never expand (their membership — and hence
+         pair set — is bit-identical to the old run's).
+      3. Buckets the delta pushes over `max_bucket` are paired by a
+         membership-dependent degrade (salted sub-buckets), so every
+         old component with a member in one is PULLED — de-contracted
+         back to individual surfaces with its full candidate-edge set
+         regenerated over the current bucket populations (VERDICT r2
+         #2). All other old components contract to super-nodes keyed by
+         their label (= min member sid, so contracted CC labels coincide
+         with a from-scratch run's), and the CC fixpoint runs only over
+         bases touched by an edge; every other component passes through.
       4. Canonicals are recomputed only for touched components (merged,
-         or containing a surface whose count changed); untouched rows
-         keep their stored canonical.
+         split, pulled, or containing a surface whose count changed);
+         untouched rows keep their stored canonical.
 
-    Equals a from-scratch relink whenever no LSH bucket crosses
-    `max_bucket` BETWEEN the runs (asserted on the planted corpus); if
-    new members push a bucket over the cap, the incremental result
-    keeps previously found merges a from-scratch run would now skip —
-    strictly closer to the true clustering, never behind it."""
+    EQUALS a from-scratch relink by construction at any density:
+    surfaces only accumulate, so a bucket the delta does not touch has
+    bit-identical membership (hence bit-identical pairs) to the old
+    run, touched under-cap buckets add only new-endpoint pairs to an
+    already-complete old pair set, and touched over-cap buckets have
+    all their components pulled and recomputed on full-run candidates
+    (asserted against the from-scratch linker on the planted corpus at
+    sf0.001/0.01/0.1 — the r2 cap-boundary divergence, 6/758 clusters
+    at sf0.1, is gone)."""
     from pyspark.sql import Window as W
 
     new_nodes = surface_nodes(new_mentions, types).localCheckpoint(eager=True)
@@ -380,13 +431,27 @@ def incremental_members(
         )
     )
 
-    pairs = _incremental_candidate_pairs(all_nodes, n_bands, max_bucket)
+    bands = _band_index(all_nodes, n_bands).localCheckpoint(eager=True)
+    pulled = _pulled_sids(
+        bands, old_nodes.select("sid", "label"), max_bucket
+    ).withColumn("is_pulled", F.lit(True)).localCheckpoint(eager=True)
+
+    bands_active = bands.join(pulled, "sid", "left").withColumn(
+        "is_active", F.col("is_new") | F.coalesce("is_pulled", F.lit(False))
+    )
+    pairs = _incremental_candidate_pairs(bands_active, max_bucket)
     edges = score_pairs(pairs, all_nodes, tau_string=tau_string)
 
-    # contract: old surfaces stand in as their component label; new
-    # surfaces as themselves
-    base = old_nodes.select("sid", F.col("label").alias("base")).unionByName(
-        brand_new.select("sid", F.col("sid").alias("base"))
+    # contract: unpulled old surfaces stand in as their component label;
+    # pulled old surfaces and new surfaces as themselves
+    base = (
+        old_nodes.join(pulled, "sid", "left")
+        .select(
+            "sid",
+            F.when(F.coalesce("is_pulled", F.lit(False)), F.col("sid"))
+            .otherwise(F.col("label")).alias("base"),
+        )
+        .unionByName(brand_new.select("sid", F.col("sid").alias("base")))
     )
     e = (
         edges.join(base.withColumnRenamed("sid", "sid_a")
@@ -410,18 +475,26 @@ def incremental_members(
         "sid", "base"
     ).withColumnRenamed("label", "new_label")
 
-    # merge counts for surfaces seen again, append brand-new surfaces
+    # merge counts for surfaces seen again, append brand-new surfaces.
+    # count_changed doubles as the needs-canonical-recompute flag: pulled
+    # surfaces set it too (their label may have changed — even split —
+    # without any count change).
     known_inc = new_nodes.join(old_sids, "sid", "left_semi").select(
         "sid", F.col("n_mentions").alias("n_inc")
     )
     old_rows = (
         old_nodes.join(known_inc, "sid", "left")
+        .join(pulled, "sid", "left")
         .select(
             "entity_type", "norm", "sid",
             (F.col("n_mentions") + F.coalesce(F.col("n_inc"), F.lit(0)))
             .alias("n_mentions"),
-            F.col("label").alias("base"),
-            (F.col("n_inc").isNotNull()).alias("count_changed"),
+            F.when(F.coalesce("is_pulled", F.lit(False)), F.col("sid"))
+            .otherwise(F.col("label")).alias("base"),
+            (
+                F.col("n_inc").isNotNull()
+                | F.coalesce("is_pulled", F.lit(False))
+            ).alias("count_changed"),
         )
     )
     new_rows = brand_new.select(
@@ -477,12 +550,12 @@ def incremental_link_entities(
     tau_string: float = TAU_STRING,
 ) -> DataFrame:
     """Incremental S4 -> entities table (same schema/contract as
-    link_entities; equal output on bucket-cap-stable corpora — when a
-    band bucket crosses MAX_BUCKET, the degrade-to-sub-buckets guard
-    (dedup._bucket_pairs) partitions by the members present in THAT
-    pass, so candidate edges inside over-cap buckets can differ between
-    the incremental and from-scratch runs; measured at sf0.1 the
-    divergence is 6 of 758 clusters, zero at the sf0.01 gate)."""
+    link_entities; equal output BY CONSTRUCTION at any density — when a
+    delta pushes a band bucket over MAX_BUCKET, every component with a
+    member in it is de-contracted and recomputed over the full run's
+    candidate set; see incremental_members. The r2 cap-boundary
+    divergence, 6 of 758 clusters at sf0.1, is fixed and the equality
+    is asserted at sf0.001/0.01/0.1)."""
     return _entities_from_members(
         incremental_members(
             old_members, new_mentions, types,
