@@ -172,6 +172,13 @@ IT_STREET_TYPES = ["Via", "Corso", "Piazza", "Strada", "Vico"]
 
 # small per-language stopword lists for the lang-id heuristic / quality
 # scoring over `documents` (training-data-pipeline extras).
+# 12 languages (r3 widened from 6 — the O(L) lang_id_sql rewrite makes
+# the marginal language two scalar expressions; VERDICT r2 #8). Lists
+# are the highest-frequency function words of each language, ASCII-
+# romanized where the orthography needs it (zh pinyin, pl/tr diacritics
+# stripped) so tokenization stays byte-identical across engines.
+# Extending further is additive: new keys only — existing lists are
+# FROZEN (CLAUDE.md: oracles and goldens derive from them).
 LANG_STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
     "de": ["der", "die", "und", "das", "ist", "von", "mit", "auf", "ein", "zu"],
@@ -179,6 +186,13 @@ LANG_STOPWORDS = {
     "es": ["el", "la", "de", "que", "los", "una", "por", "con", "para", "las"],
     "zh": ["de", "shi", "zai", "le", "you", "wo", "ta", "men", "zhe", "na"],
     "it": ["il", "la", "di", "che", "e", "un", "per", "con", "non", "una"],
+    "pt": ["de", "a", "o", "que", "e", "do", "da", "em", "um", "para"],
+    "nl": ["de", "het", "een", "en", "van", "ik", "te", "dat", "die", "op"],
+    "sv": ["och", "att", "det", "som", "en", "av", "den", "till", "med", "han"],
+    "pl": ["i", "w", "na", "z", "do", "to", "sie", "nie", "jest", "ze"],
+    "tr": ["bir", "ve", "bu", "da", "ne", "icin", "ile", "ama", "cok", "gibi"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini",
+           "dari", "akan"],
 }
 
 EN_STOPWORDS = LANG_STOPWORDS["en"] + [

@@ -96,21 +96,33 @@ _DENY_WORDS = [w for w in G.ADDRESS_DENY_LIST if w != "C/"]
 RE_ADDRESS = re.compile(rf"\b{_trie_alt(_DENY_WORDS)}\b|C/")
 
 # --- detector registry ------------------------------------------------------
-# A detector is DATA: (entity_type, regex | pattern string, score,
-# detector_name, needs_luhn[, guard]). The optional `guard` names a cheap
-# per-segment necessary condition ('at' = contains '@', 'http', 'dig' =
-# contains a digit, 'up' = contains an uppercase letter) that lets
-# scan_text skip the regex entirely on segments that cannot match —
-# measured 1.25x on the fused e2e scan with byte-identical output.
+# A detector is DATA: (entity_type, matcher, score, detector_name,
+# needs_luhn[, guard]) where `matcher` is one of
+#   * a regex (re.Pattern) or pattern string (compiled lazily
+#     executor-side) — the vectorizable fast path;
+#   * a zero-arg FACTORY returning a span function
+#     `fn(segment: str) -> iterable[(start, end)]` — the model seam:
+#     the factory runs ONCE PER EXECUTOR PYTHON PROCESS (cached by
+#     detector name, never pickled pre-built), which is exactly how a
+#     real Presidio AnalyzerEngine / spaCy nlp / HF pipeline must be
+#     held (load the weights per worker, ship only the recipe).
+# The optional `guard` names a cheap per-segment necessary condition
+# ('at' = contains '@', 'http', 'dig' = contains a digit, 'up' =
+# contains an uppercase letter) that lets scan_text skip the matcher
+# entirely on segments that cannot match — measured 1.25x on the fused
+# e2e scan with byte-identical output.
 # The analyzer is BUILT from registrations —
 # the seam the reference exposes via set_presidio_analyzer(
 # add_addresses_recognizer, additional_addresses) and set_model
 # (named_entity_recognizer.py:343-405): swapping in a real Presidio/spaCy/
 # HF engine (or a user's custom recognizer) is a registration, not a
-# module edit. Pattern strings compile lazily inside the executor task
-# (per-partition, trivial cost), so specs ship cleanly through closures.
+# module edit.
 
-DetectorSpec = tuple  # (entity_type, re.Pattern | str, float, str, bool)
+DetectorSpec = tuple  # (entity_type, re.Pattern | str | factory, float, str, bool)
+
+# per-executor-process cache of constructed callable matchers, keyed by
+# detector name (unique per registry; validated in compile_detectors)
+_MATCHER_CACHE: dict[str, object] = {}
 
 
 def build_detectors(
@@ -128,7 +140,11 @@ def build_detectors(
     PERSON/LOCATION (en_core_web_lg vs it_core_news_lg, :359-376), the
     per-lang ORG model stand-in (dslim/bert-base-NER vs
     osiria/bert-italian-uncased-ner, :387-405), and `extra` custom
-    registrations appended last (analyzer.registry.add_recognizer)."""
+    registrations appended last (analyzer.registry.add_recognizer) —
+    regex specs OR callable-backed model specs (a zero-arg factory
+    returning fn(segment) -> [(start, end)], constructed once per
+    executor; see the registry comment), so a real Presidio/spaCy/HF
+    engine rides the same seam as the stand-ins."""
     from ..functions.text import address_pattern
 
     dets: list[DetectorSpec] = [
@@ -180,10 +196,15 @@ _HAS_DIGIT = re.compile(r"\d")
 
 def compile_detectors(dets: list[DetectorSpec]) -> list[DetectorSpec]:
     """Compile pattern strings; normalize 5-tuples (no guard) to 6.
-    Validates guard tags so a typo'd registration fails fast with a
-    clear message instead of a KeyError deep inside an executor task
-    (detect_mentions also runs this once driver-side for that reason)."""
+    Validates guard tags and matcher types so a typo'd registration
+    fails fast with a clear message instead of a KeyError deep inside an
+    executor task (detect_mentions also runs this once driver-side for
+    that reason). Callable matchers (factories) are passed through
+    UNCALLED — construction happens lazily executor-side (scan_text's
+    _MATCHER_CACHE), so a heavyweight model is never built on the
+    driver nor pickled."""
     out = []
+    names = set()
     for d in dets:
         e, p, s, n, luhn = d[:5]
         guard = d[5] if len(d) > 5 else None
@@ -192,6 +213,18 @@ def compile_detectors(dets: list[DetectorSpec]) -> list[DetectorSpec]:
                 f"detector {n!r} ({e}): unknown guard {guard!r};"
                 f" valid guards: {VALID_GUARDS}"
             )
+        if not isinstance(p, (str, re.Pattern)) and not callable(p):
+            raise ValueError(
+                f"detector {n!r} ({e}): matcher must be a regex, a"
+                " pattern string, or a zero-arg factory returning"
+                f" fn(segment) -> [(start, end)]; got {type(p).__name__}"
+            )
+        if callable(p) and not isinstance(p, re.Pattern) and n in names:
+            raise ValueError(
+                f"detector name {n!r} is not unique — callable matchers"
+                " are cached per executor by name"
+            )
+        names.add(n)
         out.append(
             (e, re.compile(p) if isinstance(p, str) else p, s, n, luhn, guard)
         )
@@ -247,13 +280,28 @@ def scan_text(text: str, detectors: list[DetectorSpec] | None = None) -> list[tu
         ):
             if not guard_ok[guard]:
                 continue
-            for m in rx.finditer(seg):
-                if needs_luhn and not luhn_valid(m.group(0)):
-                    continue
-                out.append(
-                    (sid, etype, m.group(0), start + m.start(), start + m.end(),
-                     score, det, m_works, m_lives, m_in)
-                )
+            if isinstance(rx, re.Pattern):  # hot path — untouched
+                for m in rx.finditer(seg):
+                    if needs_luhn and not luhn_valid(m.group(0)):
+                        continue
+                    out.append(
+                        (sid, etype, m.group(0), start + m.start(),
+                         start + m.end(), score, det, m_works, m_lives, m_in)
+                    )
+            else:
+                # model seam: rx is a zero-arg factory; the constructed
+                # matcher lives once per executor Python process
+                fn = _MATCHER_CACHE.get(det)
+                if fn is None:
+                    fn = _MATCHER_CACHE.setdefault(det, rx())
+                for ms, me in fn(seg):
+                    mtext = seg[ms:me]
+                    if needs_luhn and not luhn_valid(mtext):
+                        continue
+                    out.append(
+                        (sid, etype, mtext, start + ms, start + me,
+                         score, det, m_works, m_lives, m_in)
+                    )
     return out
 
 

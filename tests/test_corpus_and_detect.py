@@ -215,3 +215,62 @@ def test_page_html_python_sql_parity(spark):
         nxt, hub = P.link_hosts(r["doc_id"])
         assert f'href="https://{nxt}/"'.encode() in bytes(r["html"])
         assert f'href="https://{hub}/"'.encode() in bytes(r["html"])
+
+
+def test_callable_detector_rides_registry(spark):
+    """VERDICT r2 #4: a callable (model-backed) detector must ride the
+    same registry as regex specs — registered via build_detectors'
+    `extra`, constructed lazily per executor (never pickled pre-built),
+    and surfacing its mentions in S2 output with detector provenance.
+    The factory is a nested function so cloudpickle ships it by VALUE —
+    exactly how a user registers one from their own driver script."""
+    from nerpii_spark.operators.detect import (
+        build_detectors,
+        detect_mentions,
+        scan_text,
+        compile_detectors,
+    )
+
+    def _planet_model_factory():
+        # stand-in for a heavyweight NER engine: 'loads the model'
+        # (builds a closure) once per executor Python process and
+        # returns fn(segment) -> [(start, end)] spans
+        import re as _re
+
+        rx = _re.compile(r"\bZorblat(?: Prime)?\b")
+        return lambda seg: [(m.start(), m.end()) for m in rx.finditer(seg)]
+
+    dets = build_detectors(
+        extra=[("PLANET", _planet_model_factory, 0.9, "model_planet", False)],
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "Karen Kemp arrived from Zorblat Prime yesterday."),
+            (2, "Nothing here. The Zorblat embassy on Main St was shut."),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = detect_mentions(df, id_cols=("doc_id",), detectors=dets).collect()
+    planets = {
+        (r["doc_id"], r["mention"], r["detector"], r["score"])
+        for r in got if r["entity_type"] == "PLANET"
+    }
+    assert planets == {
+        (1, "Zorblat Prime", "model_planet", 0.9),
+        (2, "Zorblat", "model_planet", 0.9),
+    }
+    # spans are document-absolute (segment offset applied), same as regex
+    p1 = next(r for r in got if r["entity_type"] == "PLANET" and r["doc_id"] == 2)
+    text2 = "Nothing here. The Zorblat embassy on Main St was shut."
+    assert text2[p1["begin"]:p1["end"]] == "Zorblat"
+    # regex detectors still fire alongside (PERSON from the gazetteer)
+    assert any(r["entity_type"] == "PERSON" and r["doc_id"] == 1 for r in got)
+    # direct scan_text path + the luhn post-filter applies to callables too
+    cd = compile_detectors(dets)
+    assert [m[1] for m in scan_text("Zorblat calling.", cd) if m[1] == "PLANET"]
+    # a non-matcher registration fails fast driver-side
+    with pytest.raises(ValueError, match="zero-arg factory"):
+        detect_mentions(
+            df, id_cols=("doc_id",),
+            detectors=[("X", 42, 1.0, "bad", False)],
+        )

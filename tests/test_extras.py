@@ -981,3 +981,42 @@ def test_ivf_cell_occupancy_bounded_on_skewed_corpus(spark):
         .groupBy("cluster").count().agg(F.max("count")).collect()[0][0]
     )
     assert occ < deg_occ, (occ, deg_occ)
+
+
+def test_lang_id_twelve_languages_and_mix(spark):
+    """VERDICT r2 #8: the O(L) lang_id expression at L=12 — a planted
+    corpus slice with 3 docs per language (stopword-bearing sentences
+    plus shared filler) must classify every doc, and mix_weights over
+    the PREDICTIONS reproduces the alpha-smoothed mixture on a
+    realistic 12-way split."""
+    from nerpii_spark.functions.gazetteers import LANG_STOPWORDS
+    from nerpii_spark.operators import textstats as TS2
+
+    assert len(LANG_STOPWORDS) == 12
+    rows = []
+    for li, (lang, sw) in enumerate(sorted(LANG_STOPWORDS.items())):
+        for j in range(3):
+            # 6 of the language's own stopwords + neutral filler tokens
+            # no other language list contains
+            words = sw[j : j + 6] + ["zqx1", "zqx2", "zqx3"]
+            rows.append((li * 10 + j, " ".join(words), lang))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    pred = {r["doc_id"]: r["lang_pred"] for r in TS2.lang_id(df).collect()}
+    truth = {r[0]: r[2] for r in rows}
+    # every doc classified as its own language: 6 in-lang stopwords
+    # always beat cross-lang collisions (lists overlap by at most 2-3
+    # words), so this also guards new lists against collision drift
+    assert pred == truth
+    # realistic mixture: weights over predictions, alpha-upsampling a
+    # deliberately skewed corpus (en x9 extra docs)
+    extra = [(900 + k, "the and of to in is that for with on", "en")
+             for k in range(9)]
+    df2 = spark.createDataFrame(rows + extra,
+                                "doc_id bigint, text string, lang string")
+    preds = TS2.lang_id(df2).withColumnRenamed("lang_pred", "lang")
+    w = {r["lang"]: r for r in TS2.mix_weights(preds).collect()}
+    assert w["en"]["n_docs"] == 12 and all(
+        w[lang]["n_docs"] == 3 for lang in LANG_STOPWORDS if lang != "en"
+    )
+    # alpha=0.3 compresses the 4x doc skew to ~1.5x in sampling weight
+    assert 1.4 < w["en"]["weight_e6"] / w["de"]["weight_e6"] < 1.6
