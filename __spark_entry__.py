@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-97 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+99 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -90,7 +90,11 @@ from nerpii_spark.operators.mask import (
     redact_text,
     route_columns,
 )
-from nerpii_spark.operators.profile import column_profile, column_profile_sql
+from nerpii_spark.operators.profile import (
+    column_profile,
+    column_profile_sql,
+    duck_k_anonymity_sql,
+)
 from nerpii_spark.sources import pages as P
 
 _CACHE: dict = {}
@@ -861,6 +865,39 @@ def q_decontaminate(spark, sf):
     return D.decontaminate(train, ev)
 
 
+def q_decontaminate_bloom(spark, sf):
+    """Bloom-filter decontamination — the fixed-size-broadcast scale
+    path (bitmap size set by FP budget, independent of eval-corpus
+    size). Same planted eval/train split and output contract as
+    q_decontaminate; oracle replays the bitmap and every probe
+    bit-for-bit (the sketch itself is certified, like HLL/CMS)."""
+    dup = _dup_docs(spark, sf)
+    docs = _load(spark, sf, "documents")
+    train = dup.where(F.expr(f"doc_id % {D.EVAL_MOD} <> {D.EVAL_RES}"))
+    ev = docs.where(F.expr(f"doc_id % {D.EVAL_MOD} = {D.EVAL_RES}"))
+    return D.decontaminate_bloom(train, ev)
+
+
+K_ANON_QUASI = ["c_nationkey", "c_mktsegment"]
+K_ANON_SENS = "cast(floor(c_acctbal / 1000) as bigint)"
+K_ANON_K, K_ANON_L = 12, 3
+
+
+def q_k_anonymity(spark, sf):
+    """Privacy-risk report the reference's masking workflow implies but
+    never computes: k-anonymity / l-diversity per quasi-identifier
+    equivalence class of the customer table (nation x market segment;
+    sensitive = account-balance band). One map-side-combined agg pass;
+    the same report over mask_table output verifies the synthesis broke
+    quasi-identifier linkage."""
+    from nerpii_spark.operators.profile import k_anonymity_report
+
+    return k_anonymity_report(
+        _load(spark, sf, "customer"), K_ANON_QUASI, K_ANON_SENS,
+        k=K_ANON_K, l_div=K_ANON_L,
+    )
+
+
 def q_pii_by_domain(spark, sf):
     """PII density rollup: mentions per domain over the cleaned pages —
     the prioritization signal a masking stage consumes. Mention counts
@@ -1187,6 +1224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_topk": q_vocab_topk,
         "q_tfidf_topk": q_tfidf_topk,
         "q_decontaminate": q_decontaminate,
+        "q_decontaminate_bloom": q_decontaminate_bloom,
+        "q_k_anonymity": q_k_anonymity,
         "q_pii_by_domain": q_pii_by_domain,
         "q_domain_stats": q_domain_stats,
         "q_sample_stratified": q_sample_stratified,
@@ -1398,6 +1437,10 @@ def _extras_oracles() -> dict[str, str]:
         "q_vocab_topk": TS.duck_vocab_topk_sql(10),
         "q_tfidf_topk": TS.duck_tfidf_topk_sql(5),
         "q_decontaminate": D.duck_decontaminate_sql(),
+        "q_decontaminate_bloom": D.duck_decontaminate_bloom_sql(),
+        "q_k_anonymity": duck_k_anonymity_sql(
+            "customer", K_ANON_QUASI, K_ANON_SENS, k=K_ANON_K, l_div=K_ANON_L
+        ),
         "q_domain_stats": f"""
             select {TS.domain_expr('duck', 'url')} as domain,
                    count(*) as n_docs,

@@ -96,6 +96,47 @@ def strhash(s: str) -> int:
     return v % M
 
 
+def fullhash(s: str | None) -> int:
+    """Portable FULL-string hash: modular 31-polynomial fold over every
+    char of '#' || s (the sentinel makes the empty string a 1-char fold,
+    so the Spark/DuckDB sequence bounds never go descending), seeded
+    with the length. Unlike strhash (first 12 chars + length — right for
+    short masking keys, structurally collision-prone on long
+    shared-prefix strings like word shingles), this distinguishes any
+    two distinct ASCII strings up to the 2^31 modulus. Python mirror of
+    sql_fullhash."""
+    t = "#" + (s or "")
+    v = (len(t) * 97) % M
+    for ch in t:
+        v = (v * 31 + ord(ch)) % M
+    return v
+
+
+def sql_fullhash(expr: str, dialect: str = "spark") -> str:
+    """fullhash() as SQL. Dialect-specific (the char fold needs each
+    engine's HOF spelling): Spark `aggregate` over a char-index
+    sequence, DuckDB `list_reduce` over a seed-prepended codepoint list.
+    NULL-safe like the mirror. PERF NOTE (Spark): the prefixed string is
+    inlined in the lambda body, which interpreted HOFs re-evaluate per
+    element (CLAUDE.md no-CSE) — concat of a column ref is cheap, but
+    callers hashing a long/derived text expression should project it to
+    a plain column first and pass that column's name."""
+    e = f"concat('#', coalesce({expr}, ''))"
+    if dialect == "spark":
+        return (
+            f"aggregate(sequence(1, length({e})),"
+            f" cast(length({e}) * 97 % {M} as bigint),"
+            f" (acc, i) -> (acc * 31 + ascii(substring({e}, i, 1))) % {M})"
+        )
+    e = f"('#' || coalesce({expr}, ''))"
+    return (
+        f"list_reduce(list_prepend(cast(length({e}) * 97 % {M} as bigint),"
+        f" list_transform(range(1, length({e}) + 1),"
+        f" i -> ascii(substring({e}, i::INT, 1))::BIGINT)),"
+        f" (acc, c) -> (acc * 31 + c) % {M})"
+    )
+
+
 def sql_strhash(expr: str) -> str:
     """Same polynomial as strhash(), valid in Spark SQL and DuckDB SQL.
     Terms stay < 2^42, safe for int64 ANSI arithmetic. NULL-safe like the

@@ -551,6 +551,200 @@ from tr left join m using (doc_id)
 """
 
 
+BLOOM_BITS = 1 << 16
+BLOOM_K = 4
+BLOOM_SALT = 11
+
+
+def _bloom_key(s_expr: str, dialect: str = "spark") -> str:
+    """Portable string key for Bloom probes: the FULL-string fold hash
+    (hashing.sql_fullhash). strhash would cover only the first 12 chars
+    + length — fine for short masking keys, but the word-soup shingle
+    corpus collides structurally on shared prefixes (measured 3-5x
+    n_matched overcounts), and even first-12 + reversed-12 chaining left
+    residual collisions on >= 24-char shingles."""
+    from ..functions.hashing import sql_fullhash
+
+    return sql_fullhash(s_expr, dialect)
+
+
+def _bloom_pos(key_expr: str, j_expr: str) -> str:
+    """Bit position of probe j for a key: h2(h1(key, BLOOM_SALT), j)
+    reduced mod BLOOM_BITS. The CHAINED h2 matters: with plain
+    h1(key, salt + j) the j probes of every key are parallel stride-97
+    translates of each other, so the k probes are not independent and
+    the filter's FP rate degrades to a single 16-bit position collision
+    (~1/BLOOM_BITS per eval key — measured ~20 spurious shingle matches
+    on the planted corpus). h2's prev-dependent cross term
+    ((prev % 3037) * salt * 97 — the exact property its docstring
+    freezes) decorrelates the probes, restoring the (load)^k bound.
+    Prime-M LCG, so the even modulus still mixes all bits. Valid in
+    both dialects (int64 arithmetic only)."""
+    from ..functions.hashing import sql_h1, sql_h2
+
+    return (
+        f"({sql_h2(sql_h1(key_expr, BLOOM_SALT), j_expr)}) % {BLOOM_BITS}"
+    )
+
+
+def bloom_build(
+    eval_docs: DataFrame, k: int = BLOOM_K, text_col: str = "text"
+) -> DataFrame:
+    """-> (word int64, bits int64): the Bloom bitmap of the eval corpus'
+    distinct shingles, packed 32 bits per word (NOT 64: DuckDB's checked
+    `<<` rejects 1 << 63, and 32-bit masks keep every mask/or/and inside
+    unsigned-safe int64 in both engines). Built with one map-side-
+    combined bit_or groupBy to <= BLOOM_BITS/32 rows — the reduce state
+    is the bitmap itself, mergeable across any partitioning (the same
+    property HLL/CMS exploit)."""
+    ev = (
+        with_shingles(eval_docs, text_col)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+        .withColumn("skey", F.expr(_bloom_key("s")))
+    )
+    pos = _bloom_pos("skey", "j")
+    return (
+        ev.select("skey", F.explode(F.expr(f"sequence(0, {k - 1})")).alias("j"))
+        .withColumn("p", F.expr(pos))
+        .select(
+            F.expr("cast(p div 32 as bigint)").alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    tau: float = DECONTAM_TAU,
+    id_col: str = "doc_id",
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Bloom-filter decontamination — `decontaminate`'s scale path when
+    the eval corpus itself is large. Same contract and columns
+    (doc_id, n_matched, n_shingles, contaminated), but the broadcast is
+    a FIXED-SIZE bitmap (BLOOM_BITS/32 int64 words — size chosen by FP
+    budget, independent of eval-corpus size) instead of the full
+    distinct-shingle hash union (8 B x |eval shingles|, which at a
+    10^9-shingle eval suite is an 8 GB broadcast — past the practical
+    ceiling the url_filter threshold note documents). No false
+    negatives by construction (every planted contaminated doc still
+    flags); false positives are bounded by (|eval shingles| * k /
+    BLOOM_BITS)^k and only ever ADD to n_matched.
+
+    Everything is the frozen portable hash chain (strhash -> h1 per
+    probe), so the bitmap and every probe replay bit-for-bit in DuckDB
+    (duck_decontaminate_bloom_sql) — the sketch itself is certified,
+    like HLL/CMS. Train-side cost: shingle explode x k probes,
+    broadcast-hash join against the bitmap words, two map-side-combined
+    aggs keyed by (sid, skey int64) then (sid) — the training corpus is
+    never shuffled by shingle string and never self-joined."""
+    bloom = bloom_build(eval_docs, k)
+    nodes = with_shingles(train).select(
+        F.col(id_col).alias("sid"), "shingles"
+    ).localCheckpoint(eager=False)
+    pos = _bloom_pos("skey", "j")
+    probes = (
+        nodes.select("sid", F.explode("shingles").alias("s"))
+        .withColumn("skey", F.expr(_bloom_key("s")))
+        .select(
+            "sid", "skey",
+            F.explode(F.expr(f"sequence(0, {k - 1})")).alias("j"),
+        )
+        .withColumn("p", F.expr(pos))
+        .select(
+            "sid", "skey",
+            F.expr("cast(p div 32 as bigint)").alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").alias(
+                "mask"
+            ),
+        )
+        .join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "hit",
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+             != 0).cast("int"),
+        )
+    )
+    matched = (
+        probes.groupBy("sid", "skey")
+        .agg(F.min("hit").alias("all_hit"))  # shingle "maybe present" iff
+        .groupBy("sid")                       # ALL k probed bits are set
+        .agg(F.sum("all_hit").cast("bigint").alias("n_matched"))
+    )
+    return (
+        nodes.select("sid", F.size("shingles").cast("bigint").alias("n_shingles"))
+        .join(matched, "sid", "left")
+        .select(
+            F.col("sid").alias(id_col),
+            F.coalesce(F.col("n_matched"), F.lit(0)).cast("bigint").alias(
+                "n_matched"
+            ),
+            "n_shingles",
+            (
+                F.coalesce(F.col("n_matched"), F.lit(0))
+                >= F.lit(tau) * F.col("n_shingles")
+            ).alias("contaminated"),
+        )
+    )
+
+
+def duck_decontaminate_bloom_sql(
+    doc_rel: str = "documents", tau: float = DECONTAM_TAU, k: int = BLOOM_K
+) -> str:
+    """Bit-exact DuckDB replay of decontaminate_bloom over the planted
+    dup corpus (same eval/train split as duck_decontaminate_sql):
+    bitmap construction, per-probe positions, masks, AND-of-k rule."""
+    dup = dup_docs_sql("duck", doc_rel)
+    sh = shingles_sql("duck", "text")
+    key = _bloom_key("s", "duck")
+    pos = _bloom_pos("skey", "j")
+    return f"""
+with ev as (
+  select distinct unnest({sh}) as s from {doc_rel}
+  where doc_id % {EVAL_MOD} = {EVAL_RES}
+),
+evp as (
+  select ({pos}) as p
+  from (select {key} as skey from ev) cross join range(0, {k}) t(j)
+),
+bloom as (
+  select p // 32 as word,
+         bit_or(1::BIGINT << cast(p % 32 as int)) as bits
+  from evp group by 1
+),
+tr as (
+  select doc_id as sid, {sh} as shingles from ({dup})
+  where doc_id % {EVAL_MOD} <> {EVAL_RES}
+),
+trp as (
+  select sid, skey, ({pos}) // 32 as word,
+         1::BIGINT << cast(({pos}) % 32 as int) as mask
+  from (select sid, {key} as skey
+        from (select sid, unnest(shingles) as s from tr))
+  cross join range(0, {k}) t(j)
+),
+hits as (
+  select sid, skey,
+         min(case when (coalesce(b.bits, 0) & mask) <> 0 then 1 else 0 end)
+           as all_hit
+  from trp left join bloom b using (word)
+  group by 1, 2
+),
+m as (select sid, sum(all_hit) as n_matched from hits group by 1)
+select tr.sid as doc_id,
+       cast(coalesce(m.n_matched, 0) as bigint) as n_matched,
+       cast(len(tr.shingles) as bigint) as n_shingles,
+       coalesce(m.n_matched, 0) >= {tau} * len(tr.shingles) as contaminated
+from tr left join m using (sid)
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -376,3 +376,72 @@ left join manual mn on a.col = mn.col
 left join presidio p on a.col = p.col
 left join model mo on a.col = mo.col
 """
+
+
+# ---------------------------------------------------------------------------
+# privacy risk: k-anonymity / l-diversity (beyond-the-reference extra)
+# ---------------------------------------------------------------------------
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_expr: str,
+    k: int = 10,
+    l_div: int = 3,
+) -> DataFrame:
+    """Per equivalence class of the quasi-identifier columns:
+    (quasi..., n_rows, n_sensitive, k_anonymous, l_diverse) — the
+    standard re-identification risk report (Sweeney k-anonymity;
+    Machanavajjhala et al. l-diversity) a PII pipeline runs over a
+    table BEFORE releasing it, and again over mask_table's output to
+    verify the synthesis actually broke the quasi-identifier linkage.
+    A class is k-anonymous when it hides each member among >= k rows,
+    l-diverse when the sensitive attribute (any SQL expression — pass a
+    bucketing expression for continuous values, else every class is
+    trivially diverse) takes >= l_div distinct values inside it.
+
+    Scale shape: ONE aggregation pass keyed by the quasi tuple —
+    count(*) combines map-side and count(distinct) is Spark's two-phase
+    expand-aggregate, so the table is read once and the shuffle carries
+    only (quasi, sensitive-bucket) keys; quasi-identifier combinations
+    are bounded-cardinality by definition (that is what makes them
+    quasi-identifiers), so no hot reducer. Row-level risk (which rows
+    sit in a sub-k class) is a broadcast join of this report back to
+    the table."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct(F.expr(sensitive_expr))
+            .cast("bigint")
+            .alias("n_sensitive"),
+        )
+        .select(
+            *quasi_cols,
+            "n_rows",
+            "n_sensitive",
+            (F.col("n_rows") >= k).alias("k_anonymous"),
+            (F.col("n_sensitive") >= l_div).alias("l_diverse"),
+        )
+    )
+
+
+def duck_k_anonymity_sql(
+    rel: str,
+    quasi_cols: list[str],
+    sensitive_expr: str,
+    k: int = 10,
+    l_div: int = 3,
+) -> str:
+    """DuckDB twin of k_anonymity_report (exact SQL semantics — counts
+    and thresholds only, nothing engine-specific)."""
+    q = ", ".join(quasi_cols)
+    return f"""
+select {q},
+       cast(count(*) as bigint) as n_rows,
+       cast(count(distinct {sensitive_expr}) as bigint) as n_sensitive,
+       count(*) >= {k} as k_anonymous,
+       count(distinct {sensitive_expr}) >= {l_div} as l_diverse
+from {rel} group by {q}
+"""

@@ -1020,3 +1020,29 @@ def test_lang_id_twelve_languages_and_mix(spark):
     )
     # alpha=0.3 compresses the 4x doc skew to ~1.5x in sampling weight
     assert 1.4 < w["en"]["weight_e6"] / w["de"]["weight_e6"] < 1.6
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """decontaminate_bloom is the fixed-size-broadcast scale path of
+    decontaminate: Bloom membership can only overcount (no false
+    negatives), so every exactly-contaminated doc must flag, n_matched
+    >= exact n_matched per doc, and at the sandbox bitmap load
+    (~500 eval shingles in 2^16 bits, k=4 -> FP ~ 1e-6) the two reports
+    coincide row-for-row on the planted corpus."""
+    import __spark_entry__ as E
+
+    exact = {r["doc_id"]: r for r in E.q_decontaminate(spark, SF).collect()}
+    bloom = {
+        r["doc_id"]: r for r in E.q_decontaminate_bloom(spark, SF).collect()
+    }
+    assert set(exact) == set(bloom)
+    for d, r in exact.items():
+        b = bloom[d]
+        assert b["n_shingles"] == r["n_shingles"], d
+        assert b["n_matched"] >= r["n_matched"], d
+        if r["contaminated"]:
+            assert b["contaminated"], d
+    assert sum(r["contaminated"] for r in exact.values()) > 0
+    # at this load the approximation is exact
+    assert {d: (r["n_matched"], r["contaminated"]) for d, r in bloom.items()} \
+        == {d: (r["n_matched"], r["contaminated"]) for d, r in exact.items()}

@@ -408,3 +408,51 @@ def test_gender_lookup_extension_point(spark):
     # typo'd class fails fast
     with pytest.raises(ValueError, match="unknown gender class"):
         with_gender(df, "first_name", extra=[("x", "woman")])
+
+
+def test_k_anonymity_before_and_after_masking(spark):
+    """The risk report a PII pipeline runs around masking: a table whose
+    quasi-identifiers (zip, state) isolate individuals fails k-anonymity;
+    after mask_table synthesizes the identifying columns keyed by row id
+    (breaking the real-world linkage), the report still runs unchanged
+    on the output schema. Classes and thresholds are exact counts."""
+    from nerpii_spark.operators.mask import mask_table
+    from nerpii_spark.operators.profile import k_anonymity_report
+
+    rows = [
+        # one isolated person in 90210 + a k-anonymous crowd in 10001
+        (1, "Ada Smith", "90210", "CA", 55.0),
+        *[(10 + i, f"Bob{i} Jones", "10001", "NY", 10.0 + i % 3)
+          for i in range(6)],
+    ]
+    df = spark.createDataFrame(
+        rows, "rid bigint, full_name string, zip string, state string,"
+        " balance double"
+    )
+    rep = {
+        (r["zip"], r["state"]): r
+        for r in k_anonymity_report(
+            df, ["zip", "state"], "cast(floor(balance) as bigint)",
+            k=3, l_div=2,
+        ).collect()
+    }
+    assert not rep[("90210", "CA")]["k_anonymous"]
+    assert rep[("90210", "CA")]["n_rows"] == 1
+    assert rep[("10001", "NY")]["k_anonymous"]
+    assert rep[("10001", "NY")]["l_diverse"]
+    # after masking the quasi-identifiers, the same report runs on the
+    # synthesized output (columns keep their names) — and the lone
+    # 90210 row no longer carries its real zip/state
+    prof = spark.createDataFrame(
+        [("zip", "ZIPCODE", 1.0), ("state", "LOCATION", 1.0)],
+        "col string, entity string, confidence double",
+    )
+    masked = mask_table(df, prof, key_col="rid")
+    out = k_anonymity_report(
+        masked, ["zip", "state"], "cast(floor(balance) as bigint)",
+        k=3, l_div=2,
+    )
+    assert out.columns == ["zip", "state", "n_rows", "n_sensitive",
+                           "k_anonymous", "l_diverse"]
+    mrows = {r["rid"]: r for r in masked.collect()}
+    assert (mrows[1]["zip"], mrows[1]["state"]) != ("90210", "CA")

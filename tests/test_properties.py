@@ -190,3 +190,42 @@ def test_bpe_merge_duck_cte_matches_python_greedy(seq, pair):
         where position('{pat}' in cur) = 0
     """).fetchone()[0]
     assert got.split(" ") == want, (seq, pair, got, want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               max_size=60))
+def test_fullhash_python_duckdb_parity(s):
+    """The full-string fold hash (Bloom keys) mirrors across engines —
+    incl. the strings strhash cannot separate (shared 12-char prefix +
+    equal length)."""
+    from nerpii_spark.functions.hashing import fullhash, sql_fullhash
+
+    py = fullhash(s)
+    assert 0 <= py < M
+    lit = s.replace("'", "''")
+    duck = duckdb.sql(
+        f"select {sql_fullhash('s', 'duck')} from (select '{lit}' as s)"
+    ).fetchone()[0]
+    assert duck == py
+
+
+def test_fullhash_separates_strhash_collisions(spark):
+    """Same first 12 chars + same length collide under strhash but not
+    under fullhash; Spark evaluates the same values as Python."""
+    from pyspark.sql import functions as F
+
+    from nerpii_spark.functions.hashing import (
+        fullhash,
+        sql_fullhash,
+        strhash,
+    )
+
+    a, b = "customer table value", "customer table vblue"
+    assert strhash(a) == strhash(b)
+    assert fullhash(a) != fullhash(b)
+    rows = spark.createDataFrame([(a,), (b,), ("",), (None,)], "s string")
+    got = [
+        r[0] for r in rows.select(F.expr(sql_fullhash("s"))).collect()
+    ]
+    assert got == [fullhash(a), fullhash(b), fullhash(""), fullhash(None)]
