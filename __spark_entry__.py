@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-99 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+100 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -769,6 +769,19 @@ def q_bpe_merges(spark, sf):
     return BPE.bpe_merges(pg)
 
 
+def q_bpe_encode(spark, sf):
+    """Tokenizer APPLY: encode the pages corpus with the merges trained
+    on it (q_bpe_merges) — vocabulary-level merge folds + broadcast
+    word->tokens join + one doc-keyed reassembly. tokens_str carries the
+    full token stream, so the oracle hash certifies the encoding itself;
+    the oracle re-trains AND re-encodes with independent algorithms
+    (recursive replace-first splice vs Catalyst fold)."""
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_bpe_enc")
+    pg = spark.sql(P.pages_sql("spark", doc_rel="nerpii_documents_bpe_enc"))
+    return BPE.bpe_encode(pg)
+
+
 def q_distinct_hll(spark, sf):
     """Per-language vocabulary-size estimate via the portable
     64-register HLL sketch (operators/sketch.py): the token stream is
@@ -1216,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unchanged — tools/check_oracle.py runs all of them.
         "q_kmeans": q_kmeans,
         "q_bpe_merges": q_bpe_merges,
+        "q_bpe_encode": q_bpe_encode,
         "q_distinct_hll": q_distinct_hll,
         "q_heavy_hitters_cms": q_heavy_hitters_cms,
         "q_quality_gopher": q_quality_gopher,
@@ -1410,6 +1424,9 @@ def _extras_oracles() -> dict[str, str]:
         "q_embed_dup_survivors": SIM.duck_embedding_dup_survivors_sql(),
         "q_kmeans": _CL.duck_kmeans_sql(),
         "q_bpe_merges": BPE.duck_bpe_merges_sql(
+            docs_rel=f"({P.pages_sql('duck')})"
+        ),
+        "q_bpe_encode": BPE.duck_bpe_encode_sql(
             docs_rel=f"({P.pages_sql('duck')})"
         ),
         "q_distinct_hll": SK.hll_distinct_sql(

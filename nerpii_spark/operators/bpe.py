@@ -122,14 +122,12 @@ def bpe_merges(
 # ---------------------------------------------------------------------------
 
 
-def duck_bpe_merges_sql(
-    docs_rel: str = "documents", text_col: str = "text",
-    n_merges: int = N_MERGES,
-) -> str:
-    """Chained-CTE replay: w0 = char-split vocabulary (seq = space-joined
-    symbols); per iteration k: pair counts from seq -> top-1 pair ->
-    recursive splice of ' a b ' -> ' ab ' (first occurrence per step)
-    until absent. Bit-identical output certifies the Spark iteration."""
+def _duck_training_ctes(
+    docs_rel: str, text_col: str, n_merges: int
+) -> tuple[list[str], list[str]]:
+    """The training CTE chain (w0..w{n}, p/t/m/r per iteration) and the
+    per-iteration SELECTs for the merge table. Shared by
+    duck_bpe_merges_sql and duck_bpe_encode_sql."""
     ctes = [
         f"""
 w0 as (
@@ -186,7 +184,148 @@ w{k} as (
         finals.append(
             f"select {k} as it, a as sym_a, b as sym_b, n_weighted from t{k}"
         )
+    return ctes, finals
+
+
+def duck_bpe_merges_sql(
+    docs_rel: str = "documents", text_col: str = "text",
+    n_merges: int = N_MERGES,
+) -> str:
+    """Chained-CTE replay: w0 = char-split vocabulary (seq = space-joined
+    symbols); per iteration k: pair counts from seq -> top-1 pair ->
+    recursive splice of ' a b ' -> ' ab ' (first occurrence per step)
+    until absent. Bit-identical output certifies the Spark iteration."""
+    ctes, finals = _duck_training_ctes(docs_rel, text_col, n_merges)
     return (
         "with recursive " + ",".join(ctes) + " "
         + " union all ".join(finals)
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = N_MERGES,
+) -> DataFrame:
+    """Apply trained BPE merges to the corpus — the tokenizer-APPLY step
+    that pairs with bpe_merges' training step.
+    -> (doc_id, n_tokens, tokens_str) where tokens_str is the full
+    '|'-joined token stream (string output so the oracle hash certifies
+    the actual encoding, not just counts).
+
+    Scale shape mirrors training: merges are applied over the DISTINCT
+    WORD VOCABULARY (a chain of `n_merges` pure-Catalyst fold
+    projections — the same greedy-scan aggregate HOF the trainer uses,
+    so encode(word) reproduces the trainer's final symbol sequence by
+    construction), and the corpus is touched only by a split + a
+    BROADCAST word->tokens join + one (doc_id)-keyed reassembly agg.
+    At 10^12 docs the vocabulary (1e6-1e8 rows) is the only thing the
+    merge chain evaluates; per-doc HOF encoding would interpret the
+    fold over every corpus token instead (CLAUDE.md: interpreted HOF
+    lambdas anti-scale with cores).
+
+    `merges=None` trains on `docs` first (bpe_merges — one driver row
+    per merge)."""
+    if merges is None:
+        merges = [
+            (r["sym_a"], r["sym_b"])
+            for r in bpe_merges(docs, text_col, n_merges).collect()
+        ]
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .distinct()
+        .withColumn("seq", F.split("word", ""))
+    )
+    for a, b in merges:
+        vocab = vocab.withColumn("seq", F.expr(_merge_expr(a, b)))
+    wmap = vocab.select(
+        "word",
+        F.expr("array_join(seq, '|')").alias("wtok"),
+        F.size("seq").cast("bigint").alias("ntok"),
+    )
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+                "pos", "word"
+            ),
+        )
+        .where(F.col("word") != "")
+        .join(F.broadcast(wmap), "word")
+    )
+    return toks.groupBy(id_col).agg(
+        F.sum("ntok").cast("bigint").alias("n_tokens"),
+        F.expr(
+            "concat_ws('|', transform(sort_array(collect_list("
+            "struct(pos, wtok))), x -> x.wtok))"
+        ).alias("tokens_str"),
+    )
+
+
+def duck_bpe_encode_sql(
+    docs_rel: str = "documents", text_col: str = "text",
+    n_merges: int = N_MERGES,
+) -> str:
+    """Independent DuckDB replay of train-then-encode: the training CTE
+    chain produces m1..m{n} (recursive replace-first splice — a different
+    merge algorithm than Spark's fold), then the distinct-word vocabulary
+    is encoded through the same m{k} patterns and the corpus reassembled
+    with positional unnest (generate_subscripts — DuckDB 1.0 lacks WITH
+    ORDINALITY) + ordered string_agg."""
+    ctes, _ = _duck_training_ctes(docs_rel, text_col, n_merges)
+    enc = [
+        f"""
+e0 as (
+  select word, array_to_string(string_split(word, ''), ' ') as seq
+  from (select distinct word from (
+    select unnest(string_split(lower({text_col}), ' ')) as word
+    from {docs_rel}) where word <> '')
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        enc.append(
+            f"""
+er{k} as (
+  select e.word, ' ' || e.seq || ' ' as cur from e{k - 1} e
+  union all
+  select r.word,
+         substring(r.cur, 1, position(m.pat in r.cur) - 1)
+           || m.rep
+           || substring(r.cur, position(m.pat in r.cur) + length(m.pat))
+  from er{k} r, m{k} m
+  where position(m.pat in r.cur) > 0
+),
+e{k} as (
+  select word, trim(cur) as seq
+  from er{k} r
+  where not exists (
+    select 1 from m{k} m where position(m.pat in r.cur) > 0
+  )
+)"""
+        )
+    return (
+        "with recursive " + ",".join(ctes + enc) + f""",
+corpus as (
+  select doc_id,
+         unnest(string_split(lower({text_col}), ' ')) as word,
+         generate_subscripts(string_split(lower({text_col}), ' '), 1) as pos
+  from {docs_rel}
+),
+wt as (
+  select word, replace(seq, ' ', '|') as wtok,
+         cast(len(string_split(seq, ' ')) as bigint) as ntok
+  from e{n_merges}
+)
+select c.doc_id,
+       cast(sum(wt.ntok) as bigint) as n_tokens,
+       string_agg(wt.wtok, '|' order by c.pos) as tokens_str
+from corpus c join wt using (word)
+where c.word <> ''
+group by c.doc_id
+"""
     )

@@ -1046,3 +1046,29 @@ def test_bloom_decontaminate_no_false_negatives(spark):
     # at this load the approximation is exact
     assert {d: (r["n_matched"], r["contaminated"]) for d, r in bloom.items()} \
         == {d: (r["n_matched"], r["contaminated"]) for d, r in exact.items()}
+
+
+def test_bpe_encode_end_to_end(spark):
+    """Tokenizer APPLY: encoding with the trained merges reproduces the
+    trainer's final symbol sequences per word, stitched back in document
+    order. Corpus from test_bpe_merges_end_to_end: merges (z,z) then
+    (q,x) -> 'zz' encodes to one token 'zz', 'qx' to 'qx'."""
+    from nerpii_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(1, "zz zz zz qx"), (2, "zz qx qx"), (3, "zzz azq")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in bpe.bpe_encode(df, n_merges=2).collect()}
+    assert got[1]["tokens_str"] == "zz|zz|zz|qx"
+    assert got[1]["n_tokens"] == 4
+    assert got[2]["tokens_str"] == "zz|qx|qx"
+    # greedy scan inside longer words: 'zzz' -> [zz, z]; 'azq' has no
+    # adjacent trained pair -> stays char-split
+    assert got[3]["tokens_str"] == "zz|z|a|z|q"
+    assert got[3]["n_tokens"] == 5
+    # explicit merges skip training entirely
+    pre = {r["doc_id"]: r["tokens_str"]
+           for r in bpe.bpe_encode(df, merges=[("z", "z")]).collect()}
+    assert pre[3] == "zz|z|a|z|q"
+    assert pre[1] == "zz|zz|zz|q|x"

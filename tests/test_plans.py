@@ -300,3 +300,29 @@ def test_url_filter_single_broadcast_reused(spark):
     ]
     assert len(reused) == URL_HOST_DEPTH - 1, final
     assert len(built) == 1, final
+
+
+def test_k_anonymity_single_agg_pass(spark):
+    """The risk report is ONE aggregation dataflow over the table: every
+    HashAggregate pair is map-side partial + final (count-distinct adds
+    the standard second phase), no join, no window, and column pruning
+    drops the unused customer columns from the scan."""
+    plan = _plan(E.q_k_anonymity(spark, SF))
+    assert "Join" not in plan and "Window" not in plan
+    assert "HashAggregate" in plan
+    assert "c_name" not in plan  # pruned: only quasi + sensitive read
+    assert plan.count("Exchange") <= 2  # expand-phase + final, nothing else
+
+
+def test_bloom_decontaminate_bitmap_is_broadcast(spark):
+    """The train side probes the Bloom bitmap through a BROADCAST hash
+    join (the bitmap is <= BLOOM_BITS/32 rows by construction) — the
+    corpus is never shuffled against the eval side."""
+    df = E.q_decontaminate_bloom(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge join anywhere: every join in the dataflow is the
+    # bitmap probe (broadcast) — corpus rows only cross hash-agg
+    # exchanges keyed by (sid, skey)/(sid)
+    assert "SortMergeJoin" not in plan
