@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-100 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+101 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -991,6 +991,13 @@ def q_mix_sample(spark, sf):
     return TS.mix_sample(_load(spark, sf, "documents"))
 
 
+def q_chunk_text(spark, sf):
+    """RAG sliding-window chunking of the documents table: one
+    zero-shuffle explode projection; every token covered, consecutive
+    chunks share CHUNK_OVERLAP tokens."""
+    return TS.chunk_text(_load(spark, sf, "documents"))
+
+
 def q_pack_sequences(spark, sf):
     """Deterministic concat-and-chunk sequence packing into bucketed
     token streams: one shuffle by bucket, running-sum window per bucket,
@@ -1248,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mix_weights": q_mix_weights,
         "q_mix_sample": q_mix_sample,
         "q_pack_sequences": q_pack_sequences,
+        "q_chunk_text": q_chunk_text,
         "q_entity_degree": q_entity_degree,
         "q_degree_hist": q_degree_hist,
         "q_kg_2hop": q_kg_2hop,
@@ -1728,6 +1736,7 @@ def oracle_sql() -> dict[str, str]:
         "q_mix_weights": TS.duck_mix_weights_sql(),
         "q_mix_sample": TS.duck_mix_sample_sql(),
         "q_pack_sequences": TS.duck_pack_sequences_sql(),
+        "q_chunk_text": TS.duck_chunk_text_sql(),
         "q_project_str": "select c_name, c_mktsegment from customer",
         "q_nan_fill": (
             "select doc_id, coalesce(nullif(source, 'src0'), '?')"

@@ -731,6 +731,79 @@ PACK_SEQ_LEN = 2048
 PACK_BUCKETS = 64
 
 
+CHUNK_WINDOW = 32
+CHUNK_OVERLAP = 8
+
+
+def chunk_text(
+    docs: DataFrame,
+    window: int = CHUNK_WINDOW,
+    overlap: int = CHUNK_OVERLAP,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-style sliding-window chunking: split each document into
+    overlapping token windows -> (doc_id, chunk_id, n_tokens, chunk).
+    Chunk k covers tokens [k*stride + 1, k*stride + window] with
+    stride = window - overlap; the last chunk may be shorter and a doc
+    shorter than one window yields exactly one chunk, so every token is
+    covered and consecutive chunks share `overlap` tokens (the retrieval
+    -index layout that keeps sentence context across boundaries).
+
+    Zero-shuffle: the whole operator is one explode projection — chunk
+    count and spans are pure functions of the token count, so it scales
+    like a map and partition pruning/pushdown pass straight through.
+    Integer chunk arithmetic ((n - window + stride - 1) div stride —
+    no float ceil), identical in the DuckDB twin."""
+    stride = window - overlap
+    if stride <= 0:
+        raise ValueError("chunk_text: overlap must be < window")
+    toks = f"split({text_col}, ' ')"
+    chunks = (
+        f"transform(sequence(0, 1 + (greatest(size({toks}) - {window}, 0)"
+        f" + {stride} - 1) div {stride} - 1),"
+        f" k -> struct(cast(k as bigint) as chunk_id,"
+        f" slice({toks}, k * {stride} + 1, {window}) as w))"
+    )
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.expr(chunks)).alias("c"),
+    ).select(
+        id_col,
+        F.col("c.chunk_id"),
+        F.expr("cast(size(c.w) as bigint)").alias("n_tokens"),
+        F.expr("concat_ws(' ', c.w)").alias("chunk"),
+    )
+
+
+def duck_chunk_text_sql(
+    rel: str = "documents",
+    window: int = CHUNK_WINDOW,
+    overlap: int = CHUNK_OVERLAP,
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of chunk_text (1-based inclusive list slicing)."""
+    stride = window - overlap
+    toks = f"string_split({text_col}, ' ')"
+    return f"""
+with base as (
+  select doc_id, {toks} as toks, len({toks}) as n from {rel}
+),
+ks as (
+  select doc_id, toks, n,
+         unnest(range(0, 1 + (greatest(n - {window}, 0) + {stride} - 1)
+                         // {stride})) as k
+  from base
+)
+select doc_id,
+       cast(k as bigint) as chunk_id,
+       cast(least({window}, n - k * {stride}) as bigint) as n_tokens,
+       array_to_string(toks[(k * {stride} + 1):least(k * {stride} + {window}, n)],
+                       ' ') as chunk
+from ks
+"""
+
+
 def pack_sequences(
     docs: DataFrame, seq_len: int = PACK_SEQ_LEN,
     n_buckets: int = PACK_BUCKETS,

@@ -1072,3 +1072,41 @@ def test_bpe_encode_end_to_end(spark):
            for r in bpe.bpe_encode(df, merges=[("z", "z")]).collect()}
     assert pre[3] == "zz|z|a|z|q"
     assert pre[1] == "zz|zz|zz|q|x"
+
+
+def test_chunk_text_boundary_semantics(spark):
+    """Sliding-window chunking invariants: full coverage, exact overlap,
+    short-doc single chunk, and the final-partial-window rule."""
+    from nerpii_spark.operators.textstats import chunk_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks
+            (2, "a b c"),                                # shorter than window
+            (3, " ".join(f"u{i}" for i in range(8))),    # exactly window+stride? 8
+        ],
+        "doc_id bigint, text string",
+    )
+    out = chunk_text(docs, window=4, overlap=2).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(r)
+    for rows in by.values():
+        rows.sort(key=lambda r: r["chunk_id"])
+    # doc1: stride 2, 10 tokens -> chunks start 1,3,5,7 -> 4 chunks
+    c1 = [r["chunk"] for r in by[1]]
+    assert c1[0] == "t0 t1 t2 t3" and c1[1] == "t2 t3 t4 t5"
+    assert c1[-1] == "t6 t7 t8 t9" and len(c1) == 4
+    # consecutive chunks share exactly `overlap` tokens
+    for a, b in zip(c1, c1[1:]):
+        assert a.split()[-2:] == b.split()[:2]
+    # full coverage in order
+    assert [t for i, c in enumerate(c1) for t in c.split()[2 * (i > 0):]] \
+        == [f"t{i}" for i in range(10)]
+    # doc2: one short chunk
+    assert [(r["chunk"], r["n_tokens"]) for r in by[2]] == [("a b c", 3)]
+    # doc3: 8 tokens -> starts 1,3,5 -> last chunk partial ("u6 u7")? n=8,
+    # window=4, stride=2: n_chunks = 1 + ceil(4/2) = 3 -> starts 1,3,5
+    assert [r["chunk"] for r in by[3]] == [
+        "u0 u1 u2 u3", "u2 u3 u4 u5", "u4 u5 u6 u7",
+    ]
