@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-101 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+103 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -51,8 +51,10 @@ from nerpii_spark.operators.extract import (
     entity_cooccur,
     entity_degree,
     extract_triples,
+    duck_hits_sql,
     duck_kg_negative_samples_sql,
     duck_pagerank_sql,
+    hits,
     duck_neighbor_sample_sql,
     duck_random_walks_sql,
     random_walks,
@@ -213,6 +215,26 @@ def q_host_pagerank(spark, sf):
     unchanged (integer fixed-point, chained-CTE oracle certifies the
     distributed iteration bit-for-bit)."""
     return pagerank(WG.host_edges_for_pagerank(_pipeline(spark, sf)["pages"]), n_iter=3)
+
+
+def q_hits(spark, sf):
+    """HITS hubs/authorities over the extracted host graph — the crawl
+    -prioritization complement to PageRank (extract.hits: integer L1
+    -normalized mutual reinforcement; chained-CTE oracle certifies the
+    distributed iteration bit-for-bit). The planted 13 hub{k}.example
+    hosts surface as the authority head (~75x in-degree skew)."""
+    return hits(
+        WG.host_edges_for_pagerank(_pipeline(spark, sf)["pages"]), n_iter=2
+    )
+
+
+def q_cocitation(spark, sf):
+    """Host co-citation counts from per-page outlinks (webgraph
+    .cocitation): per-page distinct + fan-out cap bounds the pair
+    blow-up, map-side-combined pair counts absorb the hub skew; oracle
+    recomputes pairs from the planted link arithmetic, certifying
+    extraction + pairing P/R = 1.0."""
+    return WG.cocitation(_pipeline(spark, sf)["pages"])
 
 
 def q_column_profile(spark, sf):
@@ -1279,6 +1301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_resolve_persons": q_resolve_persons,
         "q_web_graph": q_web_graph,
         "q_host_pagerank": q_host_pagerank,
+        "q_hits": q_hits,
+        "q_cocitation": q_cocitation,
         "q_column_profile": q_column_profile,
         "q_profile_presidio": q_profile_presidio,
         "q_conf_filter": q_conf_filter,
@@ -1511,6 +1535,12 @@ def oracle_sql() -> dict[str, str]:
             f"select src_host as subj, dst_host as obj from"
             f" ({WG.duck_planted_links_sql(pages)})",
             n_iter=3,
+        ),
+        "q_cocitation": WG.duck_cocitation_sql(pages),
+        "q_hits": duck_hits_sql(
+            f"select src_host as subj, dst_host as obj from"
+            f" ({WG.duck_planted_links_sql(pages)})",
+            n_iter=2,
         ),
         "q_column_profile": column_profile_sql(
             "duck", P.personal_info_sql("duck"), P.PERSONAL_INFO_COLS

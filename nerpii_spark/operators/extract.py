@@ -463,6 +463,142 @@ r{i} as (select nodes.node,
     )
 
 
+HITS_SCALE = 10**6  # fixed-point hub/authority unit (auth_e6 / hub_e6)
+
+
+def hits(triples: DataFrame, n_iter: int = 2) -> DataFrame:
+    """HITS hubs-and-authorities over the directed graph ->
+    (node, auth_e6, hub_e6). Kleinberg's mutual-reinforcement update
+    with L1 (sum) normalization, in pure bigint fixed-point so Spark
+    and the DuckDB chained-CTE oracle agree bit-for-bit:
+
+        a_raw(v) = sum over in-edges (u,v) of h(u)
+        a(v)     = a_raw(v) * HITS_SCALE div sum(a_raw)
+        h_raw(u) = sum over out-edges (u,v) of a(v)
+        h(u)     = h_raw(u) * HITS_SCALE div sum(h_raw)
+
+    Complements PageRank on the host graph: hubs (directory pages that
+    link to many authorities) and authorities (pages linked by many
+    hubs) are the two crawl-prioritization signals PageRank conflates.
+
+    Scale shape: each half-iteration is one edges|>scores equi-join +
+    one map-side-combined groupBy, plus a ONE-ROW sum broadcast back
+    via crossJoin — no driver collect in the loop; per-round
+    localCheckpoint truncates the iterative lineage (same discipline
+    as pagerank/CC). Overflow bound: a_raw <= max_indeg * HITS_SCALE,
+    and normalization multiplies by HITS_SCALE again, so the bigint
+    ceiling requires max_indeg < 2^63 / HITS_SCALE^2 ~ 9.2e6; a graph
+    with hotter in-degree than that needs a pre-scaled (div-first)
+    normalization, documented here rather than silently wrong."""
+    edges = (
+        triples.where(F.col("subj") != F.col("obj"))
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.select(
+        "node", F.lit(HITS_SCALE).cast("bigint").alias("hub")
+    ).localCheckpoint(eager=True)
+    auth = None
+    for _ in range(n_iter):
+        a_raw = (
+            edges.join(
+                hub.select(F.col("node").alias("src"), "hub"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").cast("bigint").alias("a_raw"))
+        )
+        a_sum = a_raw.agg(
+            F.sum("a_raw").cast("bigint").alias("a_sum")
+        )
+        auth = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_sum))
+            .select(
+                "node",
+                F.expr(
+                    f"coalesce(a_raw, cast(0 as bigint))"
+                    f" * cast({HITS_SCALE} as bigint) div a_sum"
+                ).alias("auth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            edges.join(
+                auth.select(F.col("node").alias("dst"), "auth"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").cast("bigint").alias("h_raw"))
+        )
+        h_sum = h_raw.agg(
+            F.sum("h_raw").cast("bigint").alias("h_sum")
+        )
+        hub = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_sum))
+            .select(
+                "node",
+                F.expr(
+                    f"coalesce(h_raw, cast(0 as bigint))"
+                    f" * cast({HITS_SCALE} as bigint) div h_sum"
+                ).alias("hub"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        auth.join(hub, "node")
+        .select(
+            "node",
+            F.col("auth").alias("auth_e6"),
+            F.col("hub").alias("hub_e6"),
+        )
+    )
+
+
+def duck_hits_sql(triples_sql: str, n_iter: int = 2) -> str:
+    """DuckDB oracle for hits(): the same integer update unrolled as
+    chained CTEs (h0 -> a1 -> h1 -> ... -> aN -> hN) — an independent
+    implementation whose bit-identical result certifies the distributed
+    iteration. sum() outputs are cast back from HUGEINT at every level
+    (the CLAUDE.md trap), and the normalizing sums are scalar
+    subqueries, matching the one-row broadcast on the Spark side."""
+    head = f"""
+with
+e as (select distinct subj as src, obj as dst
+      from ({triples_sql}) where subj <> obj),
+nodes as (select src as node from e union select dst from e),
+h0 as (select node, cast({HITS_SCALE} as bigint) as hub from nodes)"""
+    steps = []
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        steps.append(f"""
+ar{i} as (select e.dst as node, cast(sum(h.hub) as bigint) as a_raw
+      from e join h{p} h on h.node = e.src group by 1),
+a{i} as (select nodes.node,
+      cast(coalesce(ar.a_raw, 0) as bigint) * cast({HITS_SCALE} as bigint)
+          // (select cast(sum(a_raw) as bigint) from ar{i}) as auth
+      from nodes left join ar{i} ar using (node)),
+hr{i} as (select e.src as node, cast(sum(a.auth) as bigint) as h_raw
+      from e join a{i} a on a.node = e.dst group by 1),
+h{i} as (select nodes.node,
+      cast(coalesce(hr.h_raw, 0) as bigint) * cast({HITS_SCALE} as bigint)
+          // (select cast(sum(h_raw) as bigint) from hr{i}) as hub
+      from nodes left join hr{i} hr using (node))""")
+    return (
+        head + "," + ",".join(steps)
+        + f"""
+select a.node, cast(a.auth as bigint) as auth_e6,
+       cast(h.hub as bigint) as hub_e6
+from a{n_iter} a join h{n_iter} h using (node)"""
+    )
+
+
 def degree_histogram(triples: DataFrame) -> DataFrame:
     """Log2-bucketed degree distribution of the entity graph:
     (bucket, min_degree, n_nodes, sum_degree) where bucket =

@@ -72,6 +72,72 @@ def host_edges_for_pagerank(pages: DataFrame) -> DataFrame:
     )
 
 
+def cocitation(pages: DataFrame, max_per_page: int = 16) -> DataFrame:
+    """Co-citation counts over the page-level link graph: for every
+    unordered pair of hosts linked FROM THE SAME PAGE,
+    (a, b, n_pages) — the classic relatedness signal (Small 1973)
+    a web-scale KG uses as an entity-relatedness prior next to
+    anchor-text and PageRank.
+
+    Scale shape (same discipline as extract.entity_cooccur): outlinks
+    are DISTINCT per (page, host) first, then a window count drops
+    degenerate pages with > max_per_page distinct outlink hosts — a
+    directory page linking thousands of hosts would otherwise emit
+    O(L^2) pairs. The pair self-join keys on the page url (uniform,
+    high-cardinality; fan-out bounded by the cap) and reuses the
+    window's hash partitioning on both sides; the final (a, b) count
+    map-side combines, so the hot hub-host pairs arrive at the
+    reducer pre-aggregated."""
+    from pyspark.sql import Window as W
+
+    hrefs = F.expr(
+        "regexp_extract_all(cast(html as string), 'href=\"([^\"]+)\"', 1)"
+    )
+    links = (
+        pages.select(F.col("url"), F.explode(hrefs).alias("href"))
+        .select(
+            "url",
+            F.expr(f"regexp_extract(href, '{_HOST_RE}', 1)").alias("host"),
+        )
+        .where(F.col("host") != "")
+        .distinct()
+    )
+    links = (
+        links.withColumn("nl", F.count("*").over(W.partitionBy("url")))
+        .where(F.col("nl") <= max_per_page)
+        .drop("nl")
+    )
+    b = links.select(
+        F.col("url").alias("b_url"), F.col("host").alias("b_host")
+    )
+    return (
+        links.join(
+            b, (links.url == b.b_url) & (links.host < b.b_host)
+        )
+        .groupBy(F.col("host").alias("a"), F.col("b_host").alias("b"))
+        .agg(F.count("*").cast("bigint").alias("n_pages"))
+    )
+
+
+def duck_cocitation_sql(pages_sql_duck: str) -> str:
+    """Oracle: pair counts recomputed from the planted per-page link
+    arithmetic (each page links exactly its next-site host and one hub
+    host, so every page contributes one pair)."""
+    nxt = f"cast({sql_h1('(doc_id + 1)', 0)} % {N_SITE_HOSTS} as string)"
+    hub = f"cast({sql_h1('doc_id', HUB_SALT)} % {N_HUB_HOSTS} as string)"
+    return f"""
+with pg as (select doc_id from ({pages_sql_duck})),
+p as (
+  select least('site' || {nxt} || '.example',
+               'hub' || {hub} || '.example') as a,
+         greatest('site' || {nxt} || '.example',
+                  'hub' || {hub} || '.example') as b
+  from pg
+)
+select a, b, cast(count(*) as bigint) as n_pages from p group by 1, 2
+"""
+
+
 def duck_planted_links_sql(pages_sql_duck: str) -> str:
     """Planted ground-truth link set (src_host, dst_host) recomputed from
     doc_id arithmetic — the oracle side of the extraction check."""

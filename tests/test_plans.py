@@ -164,6 +164,46 @@ def test_pagerank_hand_cases(spark):
     assert sum(got.values()) == 10**12
 
 
+def test_hits_hand_cases(spark):
+    """HITS hand cases: a pure hub/authority bipartite star separates
+    the two roles exactly; a 2-cycle is symmetric and stationary."""
+    from nerpii_spark.operators.extract import hits
+
+    # h -> {a1, a2}: h is the only hub, a1/a2 split authority equally
+    star = spark.createDataFrame(
+        [("h", "p", "a1"), ("h", "p", "a2")],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        r["node"]: (r["auth_e6"], r["hub_e6"])
+        for r in hits(star, n_iter=2).collect()
+    }
+    assert got["h"] == (0, 1_000_000)
+    assert got["a1"] == (500_000, 0) and got["a2"] == (500_000, 0)
+    # 2-cycle: every node is half hub, half authority, every iteration
+    cyc = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "a")],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        r["node"]: (r["auth_e6"], r["hub_e6"])
+        for r in hits(cyc, n_iter=3).collect()
+    }
+    assert got == {"a": (500_000, 500_000), "b": (500_000, 500_000)}
+    # two hubs of unequal fan-out: the wider hub wins hub mass and its
+    # exclusive authority inherits the ordering (b1 shared, b2 exclusive)
+    g = spark.createDataFrame(
+        [("h1", "p", "b1"), ("h2", "p", "b1"), ("h2", "p", "b2")],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        r["node"]: (r["auth_e6"], r["hub_e6"])
+        for r in hits(g, n_iter=2).collect()
+    }
+    assert got["h2"][1] > got["h1"][1] > 0
+    assert got["b1"][0] > got["b2"][0] > 0
+
+
 def test_mask_is_single_projection_no_shuffle(spark):
     """Masking is one Catalyst projection over the input — no exchange,
     no Python in the plan."""
@@ -227,6 +267,32 @@ def test_web_graph_single_exchange_no_python(spark, tmp_path):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cocitation_cap_and_dedup(spark):
+    """Per-page distinct collapses repeated links; a degenerate page
+    over the fan-out cap contributes NO pairs (drop-not-degrade is
+    right here: a directory page is boilerplate, not relatedness)."""
+    from nerpii_spark.operators.webgraph import cocitation
+
+    def pg(url, hosts):
+        html = "".join(f'<a href="https://{h}/">x</a>' for h in hosts)
+        return (url, html.encode("utf-8"))
+
+    pages = spark.createDataFrame(
+        [
+            pg("https://s1.x/p1", ["a.x", "b.x", "a.x"]),  # dup link
+            pg("https://s2.x/p2", ["a.x", "b.x"]),
+            pg("https://s3.x/p3", ["c.x", "a.x"]),
+            pg("https://s4.x/dir", [f"d{i}.x" for i in range(20)]),  # > cap
+        ],
+        "url string, html binary",
+    )
+    got = {
+        (r["a"], r["b"]): r["n_pages"]
+        for r in cocitation(pages, max_per_page=16).collect()
+    }
+    assert got == {("a.x", "b.x"): 2, ("a.x", "c.x"): 1}
 
 
 def test_hll_sketch_partial_max(spark):
