@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-103 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+104 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -235,6 +235,13 @@ def q_cocitation(spark, sf):
     recomputes pairs from the planted link arithmetic, certifying
     extraction + pairing P/R = 1.0."""
     return WG.cocitation(_pipeline(spark, sf)["pages"])
+
+
+def q_frontier(spark, sf):
+    """Politeness-capped recrawl frontier: per host the k stalest pages
+    via the two-phase salted window (webgraph.crawl_frontier); oracle =
+    the single-window form, certifying the skew-safe plan is exact."""
+    return WG.crawl_frontier(_pipeline(spark, sf)["pages"], k=4)
 
 
 def q_column_profile(spark, sf):
@@ -1303,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_pagerank": q_host_pagerank,
         "q_hits": q_hits,
         "q_cocitation": q_cocitation,
+        "q_frontier": q_frontier,
         "q_column_profile": q_column_profile,
         "q_profile_presidio": q_profile_presidio,
         "q_conf_filter": q_conf_filter,
@@ -1537,6 +1545,7 @@ def oracle_sql() -> dict[str, str]:
             n_iter=3,
         ),
         "q_cocitation": WG.duck_cocitation_sql(pages),
+        "q_frontier": WG.duck_crawl_frontier_sql(pages, k=4),
         "q_hits": duck_hits_sql(
             f"select src_host as subj, dst_host as obj from"
             f" ({WG.duck_planted_links_sql(pages)})",

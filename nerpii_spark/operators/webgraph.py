@@ -119,6 +119,70 @@ def cocitation(pages: DataFrame, max_per_page: int = 16) -> DataFrame:
     )
 
 
+def crawl_frontier(
+    pages: DataFrame, k: int = 4, n_salt: int = 32
+) -> DataFrame:
+    """Politeness-capped recrawl frontier: per source host, the k
+    STALEST pages -> (host, url, warc_ts, rk). A crawl scheduler's
+    per-cycle work list: politeness limits fetches per host per cycle,
+    and staleness (oldest warc_ts first) is the refresh priority.
+
+    Skew shape (same two-phase trick as extract.topk_objs_per_pred): a
+    single row_number window partitioned by host alone puts EVERY page
+    of a giant host on one reducer (a wiki-sized host at crawl scale is
+    10^8 rows); the pre-window partitions by (host, hash(url) % n_salt)
+    and keeps each shard's local top-k — a superset of the global
+    top-k — so the final host-only window ranks <= k * n_salt
+    survivors per host. Ordering (ts_s asc, url asc) is total, so the
+    result is deterministic and identical to the single-window form.
+    The fetch time is emitted as integer epoch seconds ts_s via
+    unix_micros — an instant, not a session-timezone rendering (the
+    layout.X_SQL tz trap)."""
+    from pyspark.sql import Window as W
+
+    cand = pages.select(
+        F.expr(f"regexp_extract(url, '{_HOST_RE}', 1)").alias("host"),
+        "url",
+        F.expr("unix_micros(warc_ts) div 1000000").alias("ts_s"),
+    )
+    w_shard = W.partitionBy(
+        "host", F.pmod(F.xxhash64("url"), F.lit(n_salt))
+    ).orderBy(F.asc("ts_s"), F.asc("url"))
+    survivors = (
+        cand.withColumn("prk", F.row_number().over(w_shard))
+        .where(F.col("prk") <= k)
+        .drop("prk")
+    )
+    w = W.partitionBy("host").orderBy(F.asc("ts_s"), F.asc("url"))
+    return (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .withColumn("rk", F.col("rk").cast("bigint"))
+    )
+
+
+def duck_crawl_frontier_sql(pages_sql_duck: str, k: int = 4) -> str:
+    """Oracle: the single-window form the two-phase plan must equal.
+    The duck pages builder carries no warc_ts column; ts_s is recomputed
+    from the planted BASE_EPOCH + doc_id arithmetic."""
+    from nerpii_spark.sources.pages import BASE_EPOCH
+
+    return f"""
+with c as (
+  select regexp_extract(url, '{_HOST_RE}', 1) as host, url,
+         cast({BASE_EPOCH} + doc_id as bigint) as ts_s
+  from ({pages_sql_duck})
+),
+r as (
+  select host, url, ts_s,
+         row_number() over (partition by host
+                            order by ts_s asc, url asc) as rk
+  from c
+)
+select host, url, ts_s, cast(rk as bigint) as rk from r where rk <= {k}
+"""
+
+
 def duck_cocitation_sql(pages_sql_duck: str) -> str:
     """Oracle: pair counts recomputed from the planted per-page link
     arithmetic (each page links exactly its next-site host and one hub

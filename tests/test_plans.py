@@ -295,6 +295,47 @@ def test_cocitation_cap_and_dedup(spark):
     assert got == {("a.x", "b.x"): 2, ("a.x", "c.x"): 1}
 
 
+def test_crawl_frontier_two_phase_equals_single_window(spark):
+    """On a skewed corpus (one giant host), the salted two-phase top-k
+    equals the plain single-window form row-for-row."""
+    from pyspark.sql import Window as W
+
+    from nerpii_spark.operators.webgraph import crawl_frontier
+
+    rows = [
+        (f"https://big.x/p{i}", 1_000_000 + (i * 7919) % 997)
+        for i in range(400)
+    ] + [(f"https://s{j}.x/p", 1_000_123 + j) for j in range(5)]
+    pages = spark.createDataFrame(
+        rows, "url string, ts bigint"
+    ).select("url", F.expr("timestamp_seconds(ts)").alias("warc_ts"))
+    got = {
+        (r["host"], r["url"], r["ts_s"], r["rk"])
+        for r in crawl_frontier(pages, k=3, n_salt=8).collect()
+    }
+    plain = (
+        pages.select(
+            F.expr("regexp_extract(url, 'https?://([^/]+)', 1)").alias(
+                "host"
+            ),
+            "url",
+            F.expr("unix_micros(warc_ts) div 1000000").alias("ts_s"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("host").orderBy(F.asc("ts_s"), F.asc("url"))
+            ).cast("bigint"),
+        )
+        .where(F.col("rk") <= 3)
+    )
+    want = {
+        (r["host"], r["url"], r["ts_s"], r["rk"]) for r in plain.collect()
+    }
+    assert got == want
+    assert sum(1 for h, *_ in got if h == "big.x") == 3
+
+
 def test_hll_sketch_partial_max(spark):
     """The register agg combines map-side (bounded partial state)."""
     plan = _plan(E.q_distinct_hll(spark, SF))
