@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-104 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+105 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -67,6 +67,7 @@ from nerpii_spark.operators.extract import (
     two_hop_locations,
 )
 from nerpii_spark.operators.link import (
+    entity_aliases,
     entity_members,
     incremental_link_entities,
     link_entities,
@@ -199,6 +200,15 @@ def q_resolve_persons(spark, sf):
         F.lower(F.col("mention")).alias("mention_norm"),
         "canonical",
     )
+
+
+def q_entity_aliases(spark, sf):
+    """Alias table per canonical entity (link.entity_aliases) — the KG
+    analog of anchor-text aggregation: sorted, cap-truncated distinct
+    surface set with the true alias count; oracle = planted cluster
+    ground truth, so a match certifies alias P/R = 1.0."""
+    m = _pipeline(spark, sf)["mentions"]
+    return entity_aliases(m)
 
 
 def q_web_graph(spark, sf):
@@ -1311,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hits": q_hits,
         "q_cocitation": q_cocitation,
         "q_frontier": q_frontier,
+        "q_entity_aliases": q_entity_aliases,
         "q_column_profile": q_column_profile,
         "q_profile_presidio": q_profile_presidio,
         "q_conf_filter": q_conf_filter,
@@ -1538,6 +1549,7 @@ def oracle_sql() -> dict[str, str]:
         "q_entities": P.golden_entities_sql(),
         "q_entities_incremental": P.golden_entities_sql(),
         "q_resolve_persons": P.golden_resolved_persons_sql(),
+        "q_entity_aliases": P.golden_entity_aliases_sql(),
         "q_web_graph": WG.duck_web_graph_sql(pages),
         "q_host_pagerank": duck_pagerank_sql(
             f"select src_host as subj, dst_host as obj from"

@@ -584,3 +584,37 @@ def resolve_mentions(mentions: DataFrame, entities_members: DataFrame) -> DataFr
     return m.join(
         F.broadcast(entities_members), ["entity_type", "norm"], "left"
     )
+
+
+ALIAS_CAP = 8
+
+
+def entity_aliases(
+    mentions: DataFrame,
+    types: list[str] | None = None,
+    max_aliases: int = ALIAS_CAP,
+) -> DataFrame:
+    """Alias table per canonical entity — the KG analog of anchor-text
+    aggregation: (entity_type, canonical, n_aliases, aliases) where
+    aliases is the '|'-joined, sorted, CAP-truncated distinct surface
+    set of the cluster. This is the lookup a downstream consumer (query
+    expansion, mention matching, embedding-alias training pairs) reads
+    instead of re-running the linker.
+
+    Scale shape: one map-side-combined groupBy over the members table
+    (already one row per DISTINCT (type, surface) — corpus dedup
+    happened inside the linker), so the reducer state per canonical is
+    the cluster's alias set, truncated deterministically to
+    max_aliases AFTER sorting (sort_array + slice): a degenerate
+    million-alias entity emits a bounded row, while n_aliases keeps
+    the true count so the truncation is observable, not silent."""
+    members = entity_members(mentions, types)
+    return members.groupBy("entity_type", "canonical").agg(
+        F.count("*").cast("bigint").alias("n_aliases"),
+        F.array_join(
+            F.slice(
+                F.sort_array(F.collect_set("norm")), 1, max_aliases
+            ),
+            "|",
+        ).alias("aliases"),
+    )

@@ -609,6 +609,34 @@ join canon c on s.entity_type = c.entity_type and s.k = c.k and c.rk = 1
 """
 
 
+def golden_entity_aliases_sql(
+    doc_rel: str = "documents", max_aliases: int = 8
+) -> str:
+    """(entity_type, canonical, n_aliases, aliases) ground truth for
+    link.entity_aliases: per planted cluster, the sorted distinct
+    surface set truncated to max_aliases ('|'-joined), with the TRUE
+    alias count alongside."""
+    return f"""
+{golden_entity_mentions_cte(doc_rel)}
+, ranked as (
+  select entity_type, k, norm,
+         row_number() over (partition by entity_type, k
+                            order by norm asc) as ark,
+         count(*) over (partition by entity_type, k) as na
+  from counts
+),
+agg as (
+  select entity_type, k, cast(max(na) as bigint) as n_aliases,
+         string_agg(norm, '|' order by norm) filter (ark <= {max_aliases})
+             as aliases
+  from ranked group by 1, 2
+)
+select a.entity_type, c.canonical, a.n_aliases, a.aliases
+from agg a
+join canon c on c.entity_type = a.entity_type and c.k = a.k and c.rk = 1
+"""
+
+
 def golden_resolved_persons_sql(doc_rel: str = "documents") -> str:
     """(doc_id, mention, canonical) for every planted PERSON mention."""
     return f"""

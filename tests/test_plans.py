@@ -295,6 +295,30 @@ def test_cocitation_cap_and_dedup(spark):
     assert got == {("a.x", "b.x"): 2, ("a.x", "c.x"): 1}
 
 
+def test_entity_aliases_cap_truncates_but_counts_all(spark):
+    """With a tiny cap, the aliases string is truncated to the cap's
+    sorted prefix while n_aliases keeps the true cluster count."""
+    from nerpii_spark.operators.link import entity_aliases
+
+    m = E._pipeline(spark, SF)["mentions"]
+    full = {
+        (r["entity_type"], r["canonical"]): (r["n_aliases"], r["aliases"])
+        for r in entity_aliases(m).collect()
+    }
+    capped = {
+        (r["entity_type"], r["canonical"]): (r["n_aliases"], r["aliases"])
+        for r in entity_aliases(m, max_aliases=2).collect()
+    }
+    assert full.keys() == capped.keys()
+    multi = [k for k, (n, _) in full.items() if n >= 3]
+    assert multi, "planted corpus should have multi-alias clusters"
+    for k in multi:
+        n_full, al_full = full[k]
+        n_cap, al_cap = capped[k]
+        assert n_cap == n_full  # true count survives truncation
+        assert al_cap == "|".join(al_full.split("|")[:2])
+
+
 def test_crawl_frontier_two_phase_equals_single_window(spark):
     """On a skewed corpus (one giant host), the salted two-phase top-k
     equals the plain single-window form row-for-row."""
