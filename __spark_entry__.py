@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-105 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+106 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -1030,6 +1030,14 @@ def q_mix_sample(spark, sf):
     return TS.mix_sample(_load(spark, sf, "documents"))
 
 
+def q_quality_classifier(spark, sf):
+    """Hashed-feature linear classifier scoring over documents — the
+    model-inference-at-scale shape: the model is a fixed-size broadcast
+    (hashing trick), scoring is explode+join+map-side-combined agg,
+    all codegen SQL."""
+    return TS.quality_classifier(_load(spark, sf, "documents"))
+
+
 def q_chunk_text(spark, sf):
     """RAG sliding-window chunking of the documents table: one
     zero-shuffle explode projection; every token covered, consecutive
@@ -1295,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mix_sample": q_mix_sample,
         "q_pack_sequences": q_pack_sequences,
         "q_chunk_text": q_chunk_text,
+        "q_quality_classifier": q_quality_classifier,
         "q_entity_degree": q_entity_degree,
         "q_degree_hist": q_degree_hist,
         "q_kg_2hop": q_kg_2hop,
@@ -1788,6 +1797,7 @@ def oracle_sql() -> dict[str, str]:
         "q_mix_sample": TS.duck_mix_sample_sql(),
         "q_pack_sequences": TS.duck_pack_sequences_sql(),
         "q_chunk_text": TS.duck_chunk_text_sql(),
+        "q_quality_classifier": TS.duck_quality_classifier_sql(),
         "q_project_str": "select c_name, c_mktsegment from customer",
         "q_nan_fill": (
             "select doc_id, coalesce(nullif(source, 'src0'), '?')"

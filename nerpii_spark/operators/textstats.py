@@ -731,6 +731,85 @@ PACK_SEQ_LEN = 2048
 PACK_BUCKETS = 64
 
 
+CLS_BUCKETS = 256
+CLS_SALT = 53
+
+
+def quality_classifier(
+    docs: DataFrame, n_buckets: int = CLS_BUCKETS
+) -> DataFrame:
+    """Hashed-feature linear quality classifier (the fastText-style
+    model-inference-at-scale shape): tokens hash into n_buckets feature
+    buckets, each bucket carries a learned weight, a document's score
+    is the weight sum over its tokens (with multiplicity) ->
+    (doc_id, margin_e6, label). The weight table here is a
+    deterministic stand-in derived from the frozen portable hash (a
+    trained artifact would be loaded instead — same plan either way);
+    label = 1 iff margin > 0.
+
+    Scale shape: the MODEL IS A BROADCAST — n_buckets rows regardless
+    of vocabulary (the hashing trick bounds the artifact), joined to
+    the exploded token stream with zero shuffle on the corpus side;
+    the only exchange is the per-doc margin sum, which map-side
+    combines. Everything is codegen SQL (fixed 12-char polynomial
+    token hash) — no Python in the plan."""
+    from ..functions.hashing import sql_h1, sql_strhash
+
+    spark = docs.sparkSession
+    weights = spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        F.expr(
+            f"{sql_h1('id', CLS_SALT)} % 2000001 - 1000000"
+        ).alias("weight_e6"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).select(
+        "doc_id",
+        F.expr(f"{sql_strhash('token')} % {n_buckets}").alias("bucket"),
+    )
+    # No join-back needed for total coverage: split('') yields [''],
+    # so every doc contributes >= 1 token and survives the inner agg —
+    # one exchange total (the margin sum), not two.
+    return (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("weight_e6").cast("bigint").alias("margin_e6"))
+        .select(
+            "doc_id",
+            "margin_e6",
+            F.expr("cast(margin_e6 > 0 as bigint)").alias("label"),
+        )
+    )
+
+
+def duck_quality_classifier_sql(
+    rel: str = "documents", n_buckets: int = CLS_BUCKETS
+) -> str:
+    """DuckDB twin: the same weight derivation over range(n_buckets)
+    and the same token-bucket join; sum cast back from HUGEINT."""
+    from ..functions.hashing import sql_h1, sql_strhash
+
+    return f"""
+with w as (
+  select range as bucket,
+         {sql_h1('range', CLS_SALT)} % 2000001 - 1000000 as weight_e6
+  from range({n_buckets})
+),
+toks as (
+  select doc_id, unnest(string_split(text, ' ')) as token from {rel}
+),
+tb as (
+  select doc_id, {sql_strhash('token')} % {n_buckets} as bucket from toks
+),
+s as (
+  select doc_id, cast(sum(w.weight_e6) as bigint) as margin_e6
+  from tb join w using (bucket) group by 1
+)
+select doc_id, margin_e6, cast(margin_e6 > 0 as bigint) as label from s
+"""
+
+
 CHUNK_WINDOW = 32
 CHUNK_OVERLAP = 8
 

@@ -295,6 +295,38 @@ def test_cocitation_cap_and_dedup(spark):
     assert got == {("a.x", "b.x"): 2, ("a.x", "c.x"): 1}
 
 
+def test_quality_classifier_python_mirror_and_plan(spark):
+    """Margins equal the Python h1/strhash mirror token-by-token; the
+    plan broadcasts the weight table and keeps Python out."""
+    from nerpii_spark.functions.hashing import h1, strhash
+    from nerpii_spark.operators.textstats import (
+        CLS_BUCKETS,
+        CLS_SALT,
+        quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "gamma"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["margin_e6"], r["label"])
+        for r in quality_classifier(docs).collect()
+    }
+
+    def w(tok):
+        return h1(strhash(tok) % CLS_BUCKETS, CLS_SALT) % 2000001 - 1000000
+
+    for doc_id, text in [(1, "alpha beta alpha"), (2, "gamma"), (3, "")]:
+        m = sum(w(t) for t in text.split(" "))
+        assert got[doc_id] == (m, int(m > 0))
+    plan = _plan(quality_classifier(docs))
+    assert "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the margin agg
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_entity_aliases_cap_truncates_but_counts_all(spark):
     """With a tiny cap, the aliases string is truncated to the cap's
     sorted prefix while n_aliases keeps the true cluster count."""
