@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-106 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+107 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -252,6 +252,17 @@ def q_frontier(spark, sf):
     via the two-phase salted window (webgraph.crawl_frontier); oracle =
     the single-window form, certifying the skew-safe plan is exact."""
     return WG.crawl_frontier(_pipeline(spark, sf)["pages"], k=4)
+
+
+def q_resolve_redirects(spark, sf):
+    """Redirect-chain resolution by pointer doubling (webgraph
+    .resolve_redirects): chains of length 1..3 planted per doc_id % 4;
+    oracle = closed-form 3-hop fold, an independent implementation, so
+    a match certifies the doubling iteration itself."""
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_rd")
+    edges = spark.sql(P.redirects_sql("spark", doc_rel="nerpii_documents_rd"))
+    return WG.resolve_redirects(edges)
 
 
 def q_column_profile(spark, sf):
@@ -1331,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cocitation": q_cocitation,
         "q_frontier": q_frontier,
         "q_entity_aliases": q_entity_aliases,
+        "q_resolve_redirects": q_resolve_redirects,
         "q_column_profile": q_column_profile,
         "q_profile_presidio": q_profile_presidio,
         "q_conf_filter": q_conf_filter,
@@ -1567,6 +1579,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_cocitation": WG.duck_cocitation_sql(pages),
         "q_frontier": WG.duck_crawl_frontier_sql(pages, k=4),
+        "q_resolve_redirects": WG.duck_resolve_redirects_sql(
+            P.redirects_sql("duck")
+        ),
         "q_hits": duck_hits_sql(
             f"select src_host as subj, dst_host as obj from"
             f" ({WG.duck_planted_links_sql(pages)})",

@@ -202,6 +202,75 @@ select a, b, cast(count(*) as bigint) as n_pages from p group by 1, 2
 """
 
 
+def resolve_redirects(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """Redirect-chain resolution by POINTER DOUBLING: given the
+    (src_url, dst_url) 3xx/rel=canonical edge set, map every source to
+    its terminal target -> (src_url, final_url, hops).
+
+    Each round composes the mapping with itself (u->v, v->w  =>  u->w,
+    hops added), so a chain of length L resolves in ceil(log2 L)
+    rounds — the textbook trick that turns an O(L)-step sequential
+    walk into a handful of corpus-sized equi-joins (L can be 10^2 on
+    real crawls; sequential per-hop joins would be 100 passes, this is
+    7). Each round is one self-join + one convergence semi-join count;
+    per-round localCheckpoint truncates the lineage (same discipline
+    as CC/PageRank). A redirect CYCLE never terminates under doubling;
+    max_rounds bounds the loop at 2^max_rounds hops (crawlers cap
+    redirect chains far lower), leaving cycle members mapped to a
+    cycle node rather than looping forever."""
+    m = (
+        edges.select(
+            F.col("src_url").alias("u"),
+            F.col("dst_url").alias("v"),
+            F.lit(1).cast("bigint").alias("hops"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    srcs = m.select(F.col("u").alias("s_u")).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        j = m.select(
+            F.col("u").alias("ju"),
+            F.col("v").alias("jv"),
+            F.col("hops").alias("jh"),
+        )
+        m = (
+            m.join(j, m.v == j.ju, "left")
+            .select(
+                "u",
+                F.coalesce("jv", "v").alias("v"),
+                (
+                    F.col("hops")
+                    + F.coalesce(F.col("jh"), F.lit(0).cast("bigint"))
+                ).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        pending = m.join(srcs, m.v == srcs.s_u, "left_semi").count()
+        if pending == 0:
+            break
+    return m.select(
+        F.col("u").alias("src_url"),
+        F.col("v").alias("final_url"),
+        "hops",
+    )
+
+
+def duck_resolve_redirects_sql(redirects_sql_duck: str) -> str:
+    """Oracle: closed-form 3-hop fold (the planted chains are <= 3
+    edges), independent of the doubling iteration."""
+    return f"""
+with e as ({redirects_sql_duck})
+select a.src_url,
+       coalesce(c.dst_url, b.dst_url, a.dst_url) as final_url,
+       cast(1 + cast(b.src_url is not null as int)
+              + cast(c.src_url is not null as int) as bigint) as hops
+from e a
+left join e b on b.src_url = a.dst_url
+left join e c on c.src_url = b.dst_url
+"""
+
+
 def duck_planted_links_sql(pages_sql_duck: str) -> str:
     """Planted ground-truth link set (src_host, dst_host) recomputed from
     doc_id arithmetic — the oracle side of the extraction check."""

@@ -436,7 +436,30 @@ select doc_id, url || '/extra',
 """
 
 
+def redirects_sql(dialect: str, doc_rel: str = "documents") -> str:
+    """Planted redirect edge table (src_url, dst_url) — the 3xx/
+    rel=canonical graph a crawler accumulates. Each page with
+    doc_id % 4 = L > 0 carries a chain of L redirects
+
+        url?r=L -> url?r=L-1 -> ... -> url?r=1 -> url
+
+    so chain lengths 1..3 are all present (and L=0 pages have no
+    redirect at all). Deterministic, identical in both dialects."""
+    p = f"(select doc_id, url from ({pages_sql(dialect, doc_rel)}))"
+    rows = []
+    for i in (1, 2, 3):
+        dst = "url" if i == 1 else f"url || '?r={i - 1}'"
+        rows.append(
+            f"select url || '?r={i}' as src_url, {dst} as dst_url"
+            f" from cp where doc_id % 4 >= {i}"
+        )
+    return f"with cp as {p}\n" + "\nunion all\n".join(rows)
+
+
 def _mention_struct(dialect: str, etype: str, m_expr: str) -> str:
+    if dialect == "spark":
+        return f"named_struct('e', '{etype}', 'm', {m_expr})"
+    return f"struct_pack(e := '{etype}', m := {m_expr})"
     if dialect == "spark":
         return f"named_struct('e', '{etype}', 'm', {m_expr})"
     return f"struct_pack(e := '{etype}', m := {m_expr})"

@@ -295,6 +295,34 @@ def test_cocitation_cap_and_dedup(spark):
     assert got == {("a.x", "b.x"): 2, ("a.x", "c.x"): 1}
 
 
+def test_resolve_redirects_long_chain_and_cycle(spark):
+    """Pointer doubling resolves a length-9 chain (4 rounds, not 9) with
+    exact hop counts, and a 3-cycle terminates bounded instead of
+    spinning (every cycle member maps to SOME cycle node)."""
+    from nerpii_spark.operators.webgraph import resolve_redirects
+
+    chain = spark.createDataFrame(
+        [(f"u{i}", f"u{i + 1}") for i in range(9)],
+        "src_url string, dst_url string",
+    )
+    got = {
+        r["src_url"]: (r["final_url"], r["hops"])
+        for r in resolve_redirects(chain).collect()
+    }
+    assert got == {f"u{i}": ("u9", 9 - i) for i in range(9)}
+
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("x", "a")],
+        "src_url string, dst_url string",
+    )
+    out = {
+        r["src_url"]: r["final_url"]
+        for r in resolve_redirects(cyc, max_rounds=4).collect()
+    }
+    assert set(out) == {"a", "b", "c", "x"}
+    assert all(v in {"a", "b", "c"} for v in out.values())
+
+
 def test_quality_classifier_python_mirror_and_plan(spark):
     """Margins equal the Python h1/strhash mirror token-by-token; the
     plan broadcasts the weight table and keeps Python out."""
