@@ -149,6 +149,11 @@ def main() -> int:
         "q_pack_sequences",
         "q_quality_lm",
         "q_quality_repetition",
+        "q_quality_classifier",
+        "q_chunk_text",
+        "q_cocitation",
+        "q_frontier",
+        "q_resolve_redirects",
         "q_bpe_merges",
         "q_agg_lineitem",
         "q_join_orders_customer",

@@ -833,18 +833,25 @@ def chunk_text(
     count and spans are pure functions of the token count, so it scales
     like a map and partition pruning/pushdown pass straight through.
     Integer chunk arithmetic ((n - window + stride - 1) div stride —
-    no float ceil), identical in the DuckDB twin."""
+    no float ceil), identical in the DuckDB twin.
+
+    The token array is materialized as its own projection column BEFORE
+    the transform lambda slices it: interpreted HOF lambdas do not CSE,
+    so an inlined split({text_col}) in the lambda body would re-split
+    the document once per chunk — O(n_chunks * n_tokens), the measured
+    13x trap from CLAUDE.md."""
     stride = window - overlap
     if stride <= 0:
         raise ValueError("chunk_text: overlap must be < window")
-    toks = f"split({text_col}, ' ')"
     chunks = (
-        f"transform(sequence(0, 1 + (greatest(size({toks}) - {window}, 0)"
+        f"transform(sequence(0, 1 + (greatest(size(toks) - {window}, 0)"
         f" + {stride} - 1) div {stride} - 1),"
         f" k -> struct(cast(k as bigint) as chunk_id,"
-        f" slice({toks}, k * {stride} + 1, {window}) as w))"
+        f" slice(toks, k * {stride} + 1, {window}) as w))"
     )
     return docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
+    ).select(
         F.col(id_col),
         F.explode(F.expr(chunks)).alias("c"),
     ).select(
