@@ -179,25 +179,35 @@ IT_STREET_TYPES = ["Via", "Corso", "Piazza", "Strada", "Vico"]
 # stripped) so tokenization stays byte-identical across engines.
 # Extending further is additive: new keys only — existing lists are
 # FROZEN (CLAUDE.md: oracles and goldens derive from them).
+# Cross-language collision guards (r3 code-review finding): lang_id is
+# an argmax over raw hit counts, so a high-frequency ENGLISH token that
+# appears only in ANOTHER language's list flips short English docs to
+# that language ('a' was pt-only, 'i' (lowercased "I") pl-only). Two
+# defenses: (1) no single-letter entries in non-en lists — they are
+# weak, collision-prone features ('a' -> 'uma', 'i' -> 'ale'); (2) the
+# en list carries the top English function words OTHER lists collide
+# with ('do' pt/pl, 'you'/'na' zh, 'to' pl, 'a', 'i'), so genuine
+# English text always outscores its cross-lang hits.
 LANG_STOPWORDS = {
-    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on",
+           "a", "i", "it", "you", "do", "be", "as", "at", "was", "an"],
     "de": ["der", "die", "und", "das", "ist", "von", "mit", "auf", "ein", "zu"],
     "fr": ["le", "la", "et", "les", "des", "est", "pour", "dans", "une", "sur"],
     "es": ["el", "la", "de", "que", "los", "una", "por", "con", "para", "las"],
     "zh": ["de", "shi", "zai", "le", "you", "wo", "ta", "men", "zhe", "na"],
     "it": ["il", "la", "di", "che", "e", "un", "per", "con", "non", "una"],
-    "pt": ["de", "a", "o", "que", "e", "do", "da", "em", "um", "para"],
+    "pt": ["de", "uma", "o", "que", "e", "do", "da", "em", "um", "para"],
     "nl": ["de", "het", "een", "en", "van", "ik", "te", "dat", "die", "op"],
     "sv": ["och", "att", "det", "som", "en", "av", "den", "till", "med", "han"],
-    "pl": ["i", "w", "na", "z", "do", "to", "sie", "nie", "jest", "ze"],
+    "pl": ["ale", "w", "na", "z", "do", "to", "sie", "nie", "jest", "ze"],
     "tr": ["bir", "ve", "bu", "da", "ne", "icin", "ile", "ama", "cok", "gibi"],
     "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini",
            "dari", "akan"],
 }
 
-EN_STOPWORDS = LANG_STOPWORDS["en"] + [
-    "a", "an", "it", "as", "at", "by", "be", "or", "are", "was", "this",
-]
+EN_STOPWORDS = list(dict.fromkeys(LANG_STOPWORDS["en"] + [
+    "an", "by", "or", "are", "this",
+]))
 
 
 def sql_str_list(values: list[str]) -> str:

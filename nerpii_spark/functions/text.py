@@ -101,12 +101,44 @@ def gender_lookup_df(
                 f"gender_lookup_df extra: unknown gender class(es) {bad!r};"
                 f" valid: {GENDER_CLASSES}"
             )
+        # last entry wins per lowercased key (dict semantics) — case
+        # variants like ('Kim', ...), ('kim', ...) must not BOTH survive
+        # into the lookup or the downstream broadcast join duplicates
+        # every matching input row
+        dedup = {n.lower(): g for n, g in extra}
         extra = spark.createDataFrame(
-            [(n.lower(), g) for n, g in extra], "name_key string, gender string"
+            list(dedup.items()), "name_key string, gender string"
         )
     extra = extra.select(
         F.lower(F.col("name_key")).alias("name_key"), "gender"
+    ).distinct()
+    # a DataFrame-typed dictionary is validated the same way as the
+    # list path: the lookup is broadcast-sized by contract, so these
+    # driver-bounded checks are cheap — and a key mapped to two
+    # DIFFERENT genders has no deterministic resolution, so it is an
+    # error, not a silent pick
+    bad_rows = (
+        extra.where(~F.col("gender").isin(*GENDER_CLASSES))
+        .select("gender").distinct().limit(5).collect()
     )
+    if bad_rows:
+        raise ValueError(
+            "gender_lookup_df extra: unknown gender class(es)"
+            f" {sorted(r['gender'] for r in bad_rows)!r};"
+            f" valid: {GENDER_CLASSES}"
+        )
+    dups = (
+        extra.groupBy("name_key")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dups:
+        raise ValueError(
+            "gender_lookup_df extra: conflicting genders for name_key(s)"
+            f" {sorted(r['name_key'] for r in dups)!r}"
+        )
     return base.join(extra, "name_key", "left_anti").unionByName(extra)
 
 

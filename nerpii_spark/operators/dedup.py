@@ -637,8 +637,10 @@ def decontaminate_bloom(
     flags); false positives are bounded by (|eval shingles| * k /
     BLOOM_BITS)^k and only ever ADD to n_matched.
 
-    Everything is the frozen portable hash chain (strhash -> h1 per
-    probe), so the bitmap and every probe replay bit-for-bit in DuckDB
+    Everything is the frozen portable hash chain (fullhash -> h1 ->
+    chained h2 per probe — fullhash, NOT strhash, which collides
+    structurally on shared-prefix shingles; see _bloom_key), so the
+    bitmap and every probe replay bit-for-bit in DuckDB
     (duck_decontaminate_bloom_sql) — the sketch itself is certified,
     like HLL/CMS. Train-side cost: shingle explode x k probes,
     broadcast-hash join against the bitmap words, two map-side-combined

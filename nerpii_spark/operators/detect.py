@@ -121,8 +121,13 @@ RE_ADDRESS = re.compile(rf"\b{_trie_alt(_DENY_WORDS)}\b|C/")
 DetectorSpec = tuple  # (entity_type, re.Pattern | str | factory, float, str, bool)
 
 # per-executor-process cache of constructed callable matchers, keyed by
-# detector name (unique per registry; validated in compile_detectors)
-_MATCHER_CACHE: dict[str, object] = {}
+# (detector name, factory module, factory qualname) — name uniqueness
+# per registry is validated in compile_detectors; the factory identity
+# fields guard against worker-reuse serving a stale matcher after a
+# model is re-registered under the same name (see scan_text). A model
+# VERSION change must come with a new detector name or a new factory
+# function — that convention is part of the registry contract.
+_MATCHER_CACHE: dict[tuple, object] = {}
 
 
 def build_detectors(
@@ -290,10 +295,25 @@ def scan_text(text: str, detectors: list[DetectorSpec] | None = None) -> list[tu
                     )
             else:
                 # model seam: rx is a zero-arg factory; the constructed
-                # matcher lives once per executor Python process
-                fn = _MATCHER_CACHE.get(det)
+                # matcher lives once per executor Python process.
+                # Cache key = (detector name, factory identity): worker
+                # reuse (spark.python.worker.reuse) keeps this dict
+                # alive ACROSS jobs, so name alone would silently serve
+                # a stale matcher after the user re-registers a changed
+                # model under the same name. The qualname/module pair
+                # catches the realistic case (factory_v1 vs factory_v2
+                # are different functions); re-DEFINING the same
+                # function name with new behavior is not detectable
+                # from here — the documented convention is that the
+                # detector NAME identifies the model version.
+                ck = (
+                    det,
+                    getattr(rx, "__module__", None),
+                    getattr(rx, "__qualname__", repr(type(rx))),
+                )
+                fn = _MATCHER_CACHE.get(ck)
                 if fn is None:
-                    fn = _MATCHER_CACHE.setdefault(det, rx())
+                    fn = _MATCHER_CACHE.setdefault(ck, rx())
                 for ms, me in fn(seg):
                     mtext = seg[ms:me]
                     if needs_luhn and not luhn_valid(mtext):

@@ -189,7 +189,11 @@ def duck_lsh_banded_cte(
     matches lsh_signature_expr bit-for-bit; mind the CLAUDE.md trap:
     range() yields BIGINT and the PHI literal exceeds INT32, so the
     products stay int64 without explicit casts, but the weight math is
-    kept all-bigint anyway."""
+    kept all-bigint anyway. The quantization unit is cluster.QUANT —
+    the same constant the Spark side's _quant_expr uses — so a tune
+    there cannot silently desync this replay oracle."""
+    from .cluster import QUANT as Q
+
     width = n_planes // n_bands
     bits = []
     for p in range(n_planes):
@@ -204,7 +208,7 @@ def duck_lsh_banded_cte(
 xq0 as (
   select vec_id, embedding::DOUBLE[] as emb,
          list_transform(embedding,
-                        x -> cast(round(x::DOUBLE * 1000000.0) as bigint)) as xq
+                        x -> cast(round(x::DOUBLE * {Q}.0) as bigint)) as xq
   from {rel}
 ),
 sig0 as (select vec_id, emb, cast({sig} as bigint) as sig from xq0),
@@ -503,8 +507,9 @@ def duck_ivf_topk_sql(
     BIGINT), the integer-L2 argmin assignment/probe (ties to lowest
     cell), and the 6-dp quantized re-rank cosine all reproduce the Spark
     computation exactly. The sample-or-full fallback is the same
-    data-dependent rule, expressed as a scalar-subquery count."""
-    from .cluster import duck_lloyd_ctes
+    data-dependent rule, expressed as a scalar-subquery count. The
+    quantization unit is cluster.QUANT, matching _quant_expr."""
+    from .cluster import QUANT as Q, duck_lloyd_ctes
 
     pred = ivf_sample_pred("vec_id")
     dist = (
@@ -515,7 +520,7 @@ def duck_ivf_topk_sql(
 with q as (
   select vec_id, embedding::DOUBLE[] as emb,
          list_transform(embedding,
-                        x -> cast(round(x::DOUBLE * 1000000.0) as bigint)) as xq
+                        x -> cast(round(x::DOUBLE * {Q}.0) as bigint)) as xq
   from {rel}
 ),
 src as (

@@ -217,14 +217,20 @@ def resolve_redirects(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     as CC/PageRank). A redirect CYCLE never terminates under doubling;
     max_rounds bounds the loop at 2^max_rounds hops (crawlers cap
     redirect chains far lower), leaving cycle members mapped to a
-    cycle node rather than looping forever."""
+    cycle node rather than looping forever.
+
+    Doubling requires a FUNCTIONAL map: a source recorded with two
+    different targets (real crawl logs do this when a redirect changed
+    between captures) would otherwise fan out multiplicatively each
+    round — 2^r rows per source over r ambiguous hops. The map is
+    therefore collapsed to one target per source up front
+    (deterministic min(dst_url); a production resolver would pick
+    latest-capture-wins by fetch timestamp BEFORE calling this, the
+    same rule dedup.canonical_urls applies)."""
     m = (
-        edges.select(
-            F.col("src_url").alias("u"),
-            F.col("dst_url").alias("v"),
-            F.lit(1).cast("bigint").alias("hops"),
-        )
-        .distinct()
+        edges.groupBy(F.col("src_url").alias("u"))
+        .agg(F.min("dst_url").alias("v"))
+        .select("u", "v", F.lit(1).cast("bigint").alias("hops"))
         .localCheckpoint(eager=True)
     )
     srcs = m.select(F.col("u").alias("s_u")).localCheckpoint(eager=True)

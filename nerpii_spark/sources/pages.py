@@ -460,9 +460,6 @@ def _mention_struct(dialect: str, etype: str, m_expr: str) -> str:
     if dialect == "spark":
         return f"named_struct('e', '{etype}', 'm', {m_expr})"
     return f"struct_pack(e := '{etype}', m := {m_expr})"
-    if dialect == "spark":
-        return f"named_struct('e', '{etype}', 'm', {m_expr})"
-    return f"struct_pack(e := '{etype}', m := {m_expr})"
 
 
 def golden_mentions_sql(dialect: str, doc_rel: str = "documents") -> str:

@@ -408,6 +408,33 @@ def test_gender_lookup_extension_point(spark):
     # typo'd class fails fast
     with pytest.raises(ValueError, match="unknown gender class"):
         with_gender(df, "first_name", extra=[("x", "woman")])
+    # case-variant duplicate keys collapse (last wins) instead of
+    # duplicating every matching input row through the broadcast join
+    dup = [("Kim", "female"), ("kim", "mostly_female")]
+    rows = with_gender(df, "first_name", extra=dup).collect()
+    assert len(rows) == df.count()
+    lk = {
+        r["first_name"]: r["first_name_gender"]
+        for r in with_gender(
+            spark.createDataFrame([("Kim",)], "first_name string"),
+            "first_name",
+            extra=dup,
+        ).collect()
+    }
+    assert lk["Kim"] == "mostly_female"
+    # a DataFrame dictionary mapping one key to two genders is an error
+    from nerpii_spark.functions.text import gender_lookup_df
+
+    conflict = spark.createDataFrame(
+        [("kim", "female"), ("Kim", "male")], "name_key string, gender string"
+    )
+    with pytest.raises(ValueError, match="conflicting genders"):
+        gender_lookup_df(spark, extra=conflict)
+    baddf = spark.createDataFrame(
+        [("kim", "woman")], "name_key string, gender string"
+    )
+    with pytest.raises(ValueError, match="unknown gender class"):
+        gender_lookup_df(spark, extra=baddf)
 
 
 def test_k_anonymity_before_and_after_masking(spark):

@@ -322,6 +322,17 @@ def test_resolve_redirects_long_chain_and_cycle(spark):
     assert set(out) == {"a", "b", "c", "x"}
     assert all(v in {"a", "b", "c"} for v in out.values())
 
+    # an ambiguous source (two recorded targets) collapses to ONE
+    # deterministic mapping instead of fanning out 2^r rows
+    amb = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("b", "d")],
+        "src_url string, dst_url string",
+    )
+    rows = resolve_redirects(amb).collect()
+    assert len(rows) == 2  # one row per distinct source
+    amb_out = {r["src_url"]: r["final_url"] for r in rows}
+    assert amb_out == {"a": "c", "b": "c"}  # min(dst) = 'c' wins
+
 
 def test_quality_classifier_python_mirror_and_plan(spark):
     """Margins equal the Python h1/strhash mirror token-by-token; the
