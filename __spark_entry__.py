@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-107 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+109 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -1284,6 +1284,86 @@ def q_join_orders_customer(spark, sf):
     )
 
 
+def q_tpch_shipping(spark, sf):
+    """TPC-H Q3 shape (shipping-priority top-k): customer |> orders |>
+    lineitem with segment + date-window filters, revenue per order,
+    deterministic top-10. Plan notes: customer (small dim, filtered
+    first) broadcasts into orders; only lineitem is corpus-sized; the
+    per-order agg map-side combines; revenue is quantized to bigint
+    cents (identical IEEE product + round in both engines) so the hash
+    compare is exact."""
+    c = _load(spark, sf, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _load(spark, sf, "orders").where(
+        F.expr("o_orderdate < timestamp'1998-06-01 00:00:00'")
+    )
+    li = _load(spark, sf, "lineitem").where(
+        F.expr("l_shipdate > timestamp'1998-06-01 00:00:00'")
+    )
+    return (
+        li.join(
+            F.broadcast(
+                o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+                    "o_orderkey"
+                )
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(round(l_extendedprice * (1 - l_discount) * 100)"
+                    " as bigint)"
+                )
+            ).cast("bigint").alias("revenue_c")
+        )
+        .orderBy(F.desc("revenue_c"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_volume(spark, sf):
+    """TPC-H Q5 shape (local-supplier volume): the 6-way star join
+    region |> nation |> customer/supplier |> orders |> lineitem with
+    the c_nationkey = s_nationkey locality constraint, revenue per
+    nation. Every dimension broadcasts; lineitem is the only
+    corpus-sized side; the nation agg is <= 25 rows map-side."""
+    r = _load(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    n = _load(spark, sf, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+    )
+    c = _load(spark, sf, "customer")
+    s = _load(spark, sf, "supplier")
+    o = _load(spark, sf, "orders").where(
+        F.expr(
+            "o_orderdate >= timestamp'1997-01-01 00:00:00'"
+            " and o_orderdate < timestamp'1999-01-01 00:00:00'"
+        )
+    )
+    li = _load(spark, sf, "lineitem")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(round(l_extendedprice * (1 - l_discount) * 100)"
+                    " as bigint)"
+                )
+            ).cast("bigint").alias("revenue_c")
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered for driver certification (VERDICT r2 #3): the
@@ -1399,6 +1479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anti_join": q_anti_join,
         "q_agg_lineitem": q_agg_lineitem,
         "q_join_orders_customer": q_join_orders_customer,
+        "q_tpch_shipping": q_tpch_shipping,
+        "q_tpch_volume": q_tpch_volume,
     }
 
 
@@ -1952,6 +2034,38 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
                      as revenue_c
             from orders join customer on o_custkey = c_custkey
+            group by 1
+        """,
+        "q_tpch_shipping": """
+            select l_orderkey,
+                   cast(sum(cast(round(l_extendedprice * (1 - l_discount)
+                                       * 100) as bigint)) as bigint)
+                     as revenue_c
+            from customer
+            join orders on o_custkey = c_custkey
+            join lineitem on l_orderkey = o_orderkey
+            where c_mktsegment = 'BUILDING'
+              and o_orderdate < timestamp '1998-06-01 00:00:00'
+              and l_shipdate > timestamp '1998-06-01 00:00:00'
+            group by 1
+            order by revenue_c desc, l_orderkey asc
+            limit 10
+        """,
+        "q_tpch_volume": """
+            select n_name,
+                   cast(sum(cast(round(l_extendedprice * (1 - l_discount)
+                                       * 100) as bigint)) as bigint)
+                     as revenue_c
+            from region
+            join nation on n_regionkey = r_regionkey
+            join customer on c_nationkey = n_nationkey
+            join orders on o_custkey = c_custkey
+            join lineitem on l_orderkey = o_orderkey
+            join supplier on s_suppkey = l_suppkey
+                         and s_nationkey = c_nationkey
+            where r_name = 'ASIA'
+              and o_orderdate >= timestamp '1997-01-01 00:00:00'
+              and o_orderdate < timestamp '1999-01-01 00:00:00'
             group by 1
         """,
     }

@@ -295,6 +295,21 @@ def test_cocitation_cap_and_dedup(spark):
     assert got == {("a.x", "b.x"): 2, ("a.x", "c.x"): 1}
 
 
+def test_tpch_star_joins_broadcast_dims(spark):
+    """Q3/Q5 shapes: every dimension side broadcasts (no shuffle join on
+    the corpus-sized lineitem side) and the final agg is the only hash
+    exchange; everything stays JVM-side."""
+    p3 = _plan(E.q_tpch_shipping(spark, SF))
+    assert "BroadcastHashJoin" in p3
+    assert "SortMergeJoin" not in p3
+    assert "BatchEvalPython" not in p3 and "ArrowEvalPython" not in p3
+    p5 = _plan(E.q_tpch_volume(spark, SF))
+    assert p5.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p5
+    assert p5.count("Exchange hashpartitioning") == 1  # nation agg
+    assert "partial_sum" in p5
+
+
 def test_resolve_redirects_long_chain_and_cycle(spark):
     """Pointer doubling resolves a length-9 chain (4 rounds, not 9) with
     exact hop counts, and a 3-cycle terminates bounded instead of
