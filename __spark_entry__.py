@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-109 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+110 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -209,6 +209,53 @@ def q_entity_aliases(spark, sf):
     ground truth, so a match certifies alias P/R = 1.0."""
     m = _pipeline(spark, sf)["mentions"]
     return entity_aliases(m)
+
+
+def q_entity_summary(spark, sf):
+    """The KG 'entity page' a serving layer materializes per canonical
+    PERSON: mention count, doc coverage, alias count, and triple count
+    — a star composition over S2/S3/S4 outputs. Scale shape: the
+    surface->canonical members map broadcasts into both the mention
+    stream and the triple stream (corpus-sized sides never shuffle to
+    meet each other); the three per-canonical aggs map-side combine and
+    join on the entity-table-sized keys. Oracle recomputes every leg
+    from planted ground truth."""
+    m = _pipeline(spark, sf)["mentions"]
+    t = _pipeline(spark, sf)["triples"]
+    persons = m.where(F.col("entity_type") == "PERSON")
+    members = entity_members(persons).localCheckpoint(eager=True)
+    resolved = resolve_mentions(persons, members)
+    stats = resolved.groupBy("canonical").agg(
+        F.count("*").cast("bigint").alias("n_mentions"),
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    aliases = members.groupBy("canonical").agg(
+        F.count("*").cast("bigint").alias("n_aliases")
+    )
+    norm_map = members.select("norm", "canonical")
+    trips = (
+        t.select(
+            F.expr(
+                "lower(regexp_replace(trim(subj), '\\\\s+', ' '))"
+            ).alias("norm")
+        )
+        .join(F.broadcast(norm_map), "norm")
+        .groupBy("canonical")
+        .agg(F.count("*").cast("bigint").alias("n_triples"))
+    )
+    return (
+        stats.join(aliases, "canonical")
+        .join(trips, "canonical", "left")
+        .select(
+            "canonical",
+            "n_aliases",
+            "n_mentions",
+            "n_docs",
+            F.expr("coalesce(n_triples, cast(0 as bigint))").alias(
+                "n_triples"
+            ),
+        )
+    )
 
 
 def q_web_graph(spark, sf):
@@ -1422,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cocitation": q_cocitation,
         "q_frontier": q_frontier,
         "q_entity_aliases": q_entity_aliases,
+        "q_entity_summary": q_entity_summary,
         "q_resolve_redirects": q_resolve_redirects,
         "q_column_profile": q_column_profile,
         "q_profile_presidio": q_profile_presidio,
@@ -1653,6 +1701,7 @@ def oracle_sql() -> dict[str, str]:
         "q_entities_incremental": P.golden_entities_sql(),
         "q_resolve_persons": P.golden_resolved_persons_sql(),
         "q_entity_aliases": P.golden_entity_aliases_sql(),
+        "q_entity_summary": P.golden_entity_summary_sql(gt),
         "q_web_graph": WG.duck_web_graph_sql(pages),
         "q_host_pagerank": duck_pagerank_sql(
             f"select src_host as subj, dst_host as obj from"

@@ -657,6 +657,45 @@ join canon c on c.entity_type = a.entity_type and c.k = a.k and c.rk = 1
 """
 
 
+def golden_entity_summary_sql(
+    dialect_triples_sql: str, doc_rel: str = "documents"
+) -> str:
+    """(canonical, n_aliases, n_mentions, n_docs, n_triples) ground
+    truth for the PERSON entity-page composition: mention/doc counts
+    from the planted mention stream, alias counts from the distinct
+    surface sets, triple counts by joining the planted triples' subject
+    surfaces (normalized the same way the linker normalizes) to the
+    PERSON surface->cluster map."""
+    return f"""
+{golden_entity_mentions_cte(doc_rel)}
+, pstats as (
+  select k, cast(count(*) as bigint) as n_mentions,
+         cast(count(distinct doc_id) as bigint) as n_docs
+  from ment where entity_type = 'PERSON' group by 1
+),
+palias as (
+  select k, cast(count(*) as bigint) as n_aliases
+  from counts where entity_type = 'PERSON' group by 1
+),
+pnorms as (
+  select distinct k, norm from counts where entity_type = 'PERSON'
+),
+ptrip as (
+  select p.k, cast(count(*) as bigint) as n_triples
+  from ({dialect_triples_sql}) gt
+  join pnorms p
+    on p.norm = lower(regexp_replace(trim(gt.subj), '\\s+', ' ', 'g'))
+  group by 1
+)
+select c.canonical, a.n_aliases, s.n_mentions, s.n_docs,
+       coalesce(t.n_triples, 0) as n_triples
+from pstats s
+join palias a using (k)
+left join ptrip t using (k)
+join canon c on c.entity_type = 'PERSON' and c.k = s.k and c.rk = 1
+"""
+
+
 def golden_resolved_persons_sql(doc_rel: str = "documents") -> str:
     """(doc_id, mention, canonical) for every planted PERSON mention."""
     return f"""
