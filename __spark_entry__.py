@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-110 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+111 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -58,6 +58,8 @@ from nerpii_spark.operators.extract import (
     duck_neighbor_sample_sql,
     duck_random_walks_sql,
     random_walks,
+    walk_pairs,
+    duck_walk_pairs_sql,
     kg_negative_samples,
     kg_triangles,
     neighbor_sample,
@@ -1243,6 +1245,14 @@ def q_neighbor_sample(spark, sf):
     return neighbor_sample(_pipeline(spark, sf)["triples"])
 
 
+def q_walk_pairs(spark, sf):
+    """Skip-gram (center, context) pairs from the deterministic walk
+    corpus — the actual embedding-trainer input: bounded self-join on
+    the walk key ((n_steps+1)^2 fan-out per walk), map-side-combined
+    pair counts; oracle replays walks + pairing bit-for-bit."""
+    return walk_pairs(_pipeline(spark, sf)["triples"])
+
+
 def q_random_walks(spark, sf):
     """Deterministic DeepWalk corpus: one 3-step walk per node, step t
     moves to the neighbor minimizing the portable hash of (cur, nbr, t);
@@ -1450,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_negatives": q_kg_negatives,
         "q_neighbor_sample": q_neighbor_sample,
         "q_random_walks": q_random_walks,
+        "q_walk_pairs": q_walk_pairs,
         "q_kg_latest_facts": q_kg_latest_facts,
         "q_kg_conflicts": q_kg_conflicts,
         "q_entity_cooccur": q_entity_cooccur,
@@ -2041,6 +2052,7 @@ def oracle_sql() -> dict[str, str]:
             group by 1, 2 having count(*) > 1
         """,
         "q_random_walks": duck_random_walks_sql(gt),
+        "q_walk_pairs": duck_walk_pairs_sql(gt),
         "q_entity_cooccur": f"""
             with surf as (
               select distinct doc_id, mention from ({gm})

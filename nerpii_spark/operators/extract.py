@@ -954,6 +954,84 @@ def random_walks(
     return out
 
 
+WALK_PAIR_WINDOW = 2
+
+
+def walk_pairs(
+    triples: DataFrame,
+    window: int = WALK_PAIR_WINDOW,
+    n_steps: int = WALK_STEPS,
+    degree_cap: int = WALK_DEGREE_CAP,
+) -> DataFrame:
+    """Skip-gram (center, context) training pairs from the deterministic
+    walk corpus -> (center, context, n_pairs) — the input a
+    DeepWalk/node2vec embedding trainer actually consumes (walks are
+    the intermediate). Every ordered pair of positions within `window`
+    steps of each other in the same walk contributes one pair; counts
+    aggregate multiplicity across walks.
+
+    Scale shape: the walk table (including the step-0 root position)
+    self-joins on the walk key with the |step delta| <= window
+    predicate — fan-out per walk is bounded by (n_steps+1)^2, a
+    constant, so the join is linear in the walk corpus; the pair count
+    map-side combines (hub pairs arrive pre-aggregated). Determinism is
+    inherited from random_walks, so the oracle replays bit-for-bit."""
+    w = random_walks(triples, n_steps, degree_cap).localCheckpoint(
+        eager=True
+    )
+    full = w.unionByName(
+        w.select("root")
+        .distinct()
+        .select(
+            "root",
+            F.lit(0).cast("bigint").alias("step"),
+            F.col("root").alias("cur"),
+        )
+    )
+    b = full.select(
+        F.col("root").alias("b_root"),
+        F.col("step").alias("b_step"),
+        F.col("cur").alias("b_cur"),
+    )
+    return (
+        full.join(
+            b,
+            (full.root == b.b_root)
+            & (full.step != b.b_step)
+            & (F.abs(full.step - b.b_step) <= window),
+        )
+        .groupBy(
+            F.col("cur").alias("center"), F.col("b_cur").alias("context")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+
+
+def duck_walk_pairs_sql(
+    triples_sql: str,
+    window: int = WALK_PAIR_WINDOW,
+    n_steps: int = WALK_STEPS,
+    degree_cap: int = WALK_DEGREE_CAP,
+) -> str:
+    """Oracle: the same pair window over the replayed walk corpus."""
+    walks = duck_random_walks_sql(triples_sql, n_steps, degree_cap)
+    return f"""
+with walks as ({walks}),
+fullw as (
+  select root, step, cur from walks
+  union all
+  select distinct root, cast(0 as bigint), root from walks
+)
+select a.cur as center, b.cur as context,
+       cast(count(*) as bigint) as n_pairs
+from fullw a
+join fullw b
+  on a.root = b.root and a.step <> b.step
+ and abs(a.step - b.step) <= {window}
+group by 1, 2
+"""
+
+
 def duck_random_walks_sql(
     triples_sql: str,
     n_steps: int = WALK_STEPS,

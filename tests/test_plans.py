@@ -295,6 +295,38 @@ def test_cocitation_cap_and_dedup(spark):
     assert got == {("a.x", "b.x"): 2, ("a.x", "c.x"): 1}
 
 
+def test_walk_pairs_window_semantics(spark):
+    """The pairing stage certified independently of the walks: expected
+    pairs recomputed in Python from the walk corpus (step-0 root
+    included, ordered pairs both directions, |step delta| <= window)
+    must equal walk_pairs' distributed self-join exactly."""
+    from collections import Counter
+
+    from nerpii_spark.operators.extract import random_walks, walk_pairs
+
+    chain = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d")],
+        "subj string, pred string, obj string",
+    )
+    seqs: dict[str, dict[int, str]] = {}
+    for r in random_walks(chain).collect():
+        seqs.setdefault(r["root"], {0: r["root"]})[r["step"]] = r["cur"]
+    want: Counter = Counter()
+    for steps in seqs.values():
+        pos = sorted(steps.items())
+        for i, (si, ci) in enumerate(pos):
+            for j, (sj, cj) in enumerate(pos):
+                if i != j and abs(si - sj) <= 2:
+                    want[(ci, cj)] += 1
+    got = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in walk_pairs(chain, window=2).collect()
+    }
+    assert got == dict(want) and len(got) > 0
+    # ordered-pair symmetry holds by construction
+    assert all(got[(y, x)] == n for (x, y), n in got.items())
+
+
 def test_tpch_star_joins_broadcast_dims(spark):
     """Q3/Q5 shapes: every dimension side broadcasts (no shuffle join on
     the corpus-sized lineitem side) and the final agg is the only hash
