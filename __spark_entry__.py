@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-111 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+112 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -77,6 +77,7 @@ from nerpii_spark.operators.link import (
     resolve_mentions,
 )
 from nerpii_spark.operators import dedup as D
+from nerpii_spark.operators import diagnose as DG
 from nerpii_spark.operators import events as EV
 from nerpii_spark.operators import multimodal as MM
 from nerpii_spark.operators import bpe as BPE
@@ -1253,6 +1254,14 @@ def q_walk_pairs(spark, sf):
     return walk_pairs(_pipeline(spark, sf)["triples"])
 
 
+def q_skew_report(spark, sf):
+    """Pre-shuffle skew diagnostic over the triple table's hot key
+    (pred): log2 row-count histogram + per-bucket hottest key
+    (diagnose.skew_report) — the <= 64-row report that decides between
+    plain shuffle / broadcast / salting before the expensive stage."""
+    return DG.skew_report(_pipeline(spark, sf)["triples"], ["pred"])
+
+
 def q_random_walks(spark, sf):
     """Deterministic DeepWalk corpus: one 3-step walk per node, step t
     moves to the neighbor minimizing the portable hash of (cur, nbr, t);
@@ -1461,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_neighbor_sample": q_neighbor_sample,
         "q_random_walks": q_random_walks,
         "q_walk_pairs": q_walk_pairs,
+        "q_skew_report": q_skew_report,
         "q_kg_latest_facts": q_kg_latest_facts,
         "q_kg_conflicts": q_kg_conflicts,
         "q_entity_cooccur": q_entity_cooccur,
@@ -2053,6 +2063,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_random_walks": duck_random_walks_sql(gt),
         "q_walk_pairs": duck_walk_pairs_sql(gt),
+        "q_skew_report": DG.duck_skew_report_sql(gt, ["pred"]),
         "q_entity_cooccur": f"""
             with surf as (
               select distinct doc_id, mention from ({gm})

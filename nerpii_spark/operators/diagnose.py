@@ -1,0 +1,92 @@
+"""Distribution diagnostics a 100 TB pipeline publishes per build.
+
+`skew_report` is the pre-flight check before any shuffle-heavy stage:
+given the intended join/agg key, it reports the per-key row-count
+distribution as a log2 histogram plus each bucket's hottest key — the
+numbers that decide between a plain shuffle, a broadcast, salting, or
+an AQE skew-join hint. At web scale the HISTOGRAM is what is small
+enough to look at (<= 64 rows), not the per-key table; the hot-key
+column names the offender so the fix (salt that key, filter that
+boilerplate) is actionable without a second scan.
+
+Scale shape: one map-side-combined count per key, then a <= 64-row
+groupBy(bucket) whose argmax partial-aggregates as min/max of a struct
+— nothing driver-side, no window, no sort. ilog2 via integer
+bit-length (length(bin(x)) - 1), exact in both engines (float
+floor(log2) misrounds near powers of two; see textstats.lm_surprisal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def skew_report(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(bucket, min_rows, n_keys, n_rows, hot_key, hot_rows) per log2
+    bucket of per-key row count. `hot_key` is the bucket's
+    highest-count key (ties broken key-desc via struct max — total
+    order, deterministic). NULL key parts fold to '' inside a
+    '|'-joined composite, matching the oracle."""
+    key = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in key_cols]
+    )
+    counts = df.groupBy(key.alias("key")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return (
+        counts.withColumn(
+            "bucket", F.expr("cast(length(bin(n)) - 1 as bigint)")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.expr("cast(pow(2, bucket) as bigint)").alias("min_rows"),
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.max(F.struct("n", "key")).alias("_hot"),
+        )
+        .select(
+            "bucket",
+            "min_rows",
+            "n_keys",
+            "n_rows",
+            F.col("_hot.key").alias("hot_key"),
+            F.col("_hot.n").alias("hot_rows"),
+        )
+    )
+
+
+def duck_skew_report_sql(rel_sql: str, key_cols: list[str]) -> str:
+    """DuckDB twin over `rel_sql` with the same composite key, bucket
+    arithmetic (to_base bit-length) and struct-max hot-key rule
+    (arg_max on the (n, key) pair via max_by over a row() is not
+    portable — replayed as a row_number pick, an independent
+    formulation)."""
+    key = " || '|' || ".join(
+        f"coalesce(cast({c} as varchar), '')" for c in key_cols
+    )
+    return f"""
+with counts as (
+  select {key} as key, cast(count(*) as bigint) as n
+  from ({rel_sql}) group by 1
+),
+b as (
+  select key, n, cast(length(to_base(n, 2)) - 1 as bigint) as bucket
+  from counts
+),
+hot as (
+  select bucket, key, n,
+         row_number() over (partition by bucket
+                            order by n desc, key desc) as rk
+  from b
+)
+select b.bucket,
+       cast(pow(2, b.bucket) as bigint) as min_rows,
+       cast(count(*) as bigint) as n_keys,
+       cast(sum(b.n) as bigint) as n_rows,
+       max(case when h.rk = 1 then h.key end) as hot_key,
+       cast(max(case when h.rk = 1 then h.n end) as bigint) as hot_rows
+from b
+join hot h on h.bucket = b.bucket and h.key = b.key and h.n = b.n
+group by 1
+"""

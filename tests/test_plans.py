@@ -295,6 +295,27 @@ def test_cocitation_cap_and_dedup(spark):
     assert got == {("a.x", "b.x"): 2, ("a.x", "c.x"): 1}
 
 
+def test_skew_report_hand_case_and_plan(spark):
+    """Hand-checkable buckets and hot keys; nulls fold to '' in the
+    composite key; the whole report is two map-side-combined aggs (no
+    window, no Python)."""
+    from nerpii_spark.operators.diagnose import skew_report
+
+    df = spark.createDataFrame(
+        [("hot", i) for i in range(9)]
+        + [("warm", 0), ("warm", 1), ("cool", 0), (None, 0)],
+        "k string, v bigint",
+    )
+    got = {r["bucket"]: r for r in skew_report(df, ["k"]).collect()}
+    assert got[3]["hot_key"] == "hot" and got[3]["hot_rows"] == 9
+    assert got[1]["n_keys"] == 1 and got[1]["hot_key"] == "warm"
+    assert got[0]["n_keys"] == 2  # 'cool' and the null->'' key
+    assert sum(r["n_rows"] for r in got.values()) == 13
+    plan = _plan(skew_report(df, ["k"]))
+    assert "partial_count" in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_walk_pairs_window_semantics(spark):
     """The pairing stage certified independently of the walks: expected
     pairs recomputed in Python from the walk corpus (step-0 root
