@@ -229,3 +229,41 @@ def test_fullhash_separates_strhash_collisions(spark):
         r[0] for r in rows.select(F.expr(sql_fullhash("s"))).collect()
     ]
     assert got == [fullhash(a), fullhash(b), fullhash(""), fullhash(None)]
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),   # n tokens
+    st.integers(min_value=2, max_value=12),   # window
+    st.integers(min_value=1, max_value=11),   # overlap (clamped < window)
+)
+def test_chunk_text_duckdb_invariants(n, window, overlap):
+    """The sliding-window chunk arithmetic holds for ARBITRARY
+    (n_tokens, window, overlap), replayed through the DuckDB twin
+    (Spark parity is oracle-certified separately): full in-order
+    coverage, exact overlap between consecutive chunks, every chunk
+    <= window tokens, and the closed-form chunk count."""
+    from nerpii_spark.operators.textstats import duck_chunk_text_sql
+
+    overlap = min(overlap, window - 1)
+    stride = window - overlap
+    toks = [f"t{i}" for i in range(n)]
+    text = " ".join(toks).replace("'", "''")
+    rel = f"(select 1 as doc_id, '{text}' as text)"
+    rows = duckdb.sql(
+        duck_chunk_text_sql(rel=rel, window=window, overlap=overlap)
+    ).fetchall()
+    rows.sort(key=lambda r: r[1])
+    chunks = [r[3].split(" ") for r in rows]
+    n_chunks = 1 + max(0, -(-(n - window) // stride)) if n > window else 1
+    assert len(chunks) == n_chunks
+    assert all(len(c) <= window for c in chunks)
+    assert all(r[2] == len(c) for r, c in zip(rows, chunks))
+    # full in-order coverage: drop each chunk's overlapping prefix
+    flat = chunks[0] + [t for c in chunks[1:] for t in c[overlap:]]
+    assert flat == toks
+    # consecutive chunks share exactly `overlap` tokens (when the next
+    # chunk is long enough to carry them)
+    for a, b in zip(chunks, chunks[1:]):
+        k = min(overlap, len(b))
+        assert a[stride:stride + k] == b[:k]
