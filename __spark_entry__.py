@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-112 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+113 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -777,6 +777,15 @@ def q_dedup_ngram(spark, sf):
     return D.ngram_jaccard_pairs(_dup_docs(spark, sf))
 
 
+def q_dedup_prefix(spark, sf):
+    """Exact Jaccard pairs via PPJoin-style prefix filtering — the
+    cap-free exact near-dup join whose candidate completeness is a
+    theorem (dedup.prefix_filter_pairs); oracle = the same brute-force
+    exact-Jaccard truth as minhash/ngram, so all three strategies are
+    certified against one ground truth."""
+    return D.prefix_filter_pairs(_dup_docs(spark, sf))
+
+
 def q_dedup_survivors(spark, sf):
     """Full near-dedup materialization: MinHash pairs -> connected
     components -> min-id survivor per cluster; oracle recomputes the
@@ -1524,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_spans": q_dedup_spans,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_ngram": q_dedup_ngram,
+        "q_dedup_prefix": q_dedup_prefix,
         "q_dedup_survivors": q_dedup_survivors,
         "q_simhash": q_simhash,
         "q_dedup_simhash": q_dedup_simhash,
@@ -1621,6 +1631,7 @@ def _extras_oracles() -> dict[str, str]:
             f"select id_a, id_b from ({exact_jaccard})"
         ),
         "q_dedup_ngram": exact_jaccard,
+        "q_dedup_prefix": exact_jaccard,
         "q_dedup_survivors": D.duck_near_dedup_survivors_sql(
             f"select id_a, id_b from ({exact_jaccard})"
         ),

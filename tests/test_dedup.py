@@ -39,3 +39,42 @@ def test_line_dedup_plan_broadcasts_drop_list(spark):
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "j#" in line and "< (" in line, line
+
+
+def test_prefix_filter_exact_where_df_cap_drops(spark):
+    """The theorem-backed contrast between the two exact strategies: a
+    cluster of docs whose EVERY shingle is hotter than max_df yields
+    zero candidates under the df-capped join (documented drop
+    semantics) but the complete pair set under prefix filtering —
+    and prefix results equal brute-force truth on a mixed corpus."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from nerpii_spark.operators.dedup import (
+        ngram_candidate_pairs,
+        prefix_filter_pairs,
+        with_hashed_shingles,
+    )
+
+    same = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(i, same) for i in range(70)]
+        + [(100, "totally unrelated content here"),
+           (101, "another disjoint document body")],
+        "doc_id bigint, text string",
+    )
+    assert ngram_candidate_pairs(docs, max_df=64).count() == 0
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_pairs(docs).collect()
+    }
+    assert got == set(combinations(range(70), 2))
+    # exactness on the mixed corpus: every reported pair is J >= tau
+    # with true counts (identical docs -> n_inter == n_union)
+    full = prefix_filter_pairs(docs).collect()
+    assert all(r["n_inter"] == r["n_union"] for r in full)
+    n_sh = with_hashed_shingles(docs).where(
+        F.col("doc_id") == 0
+    ).select(F.expr("size(hsh)")).collect()[0][0]
+    assert all(r["n_union"] == n_sh for r in full)
