@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-113 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+114 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -1232,6 +1232,39 @@ def q_kg_latest_facts(spark, sf):
     )
 
 
+_CHURN_KEY = "lpad(cast(doc_id as string), 12, '0') || '|' || obj"
+
+
+def q_fact_churn(spark, sf):
+    """KG maintenance diff between two crawl windows (the triple-table
+    analog of q_crawl_diff): per (subj, pred), the latest asserted
+    object in the OLD window (doc_id % 4 != 0) vs the NEW delta batch
+    (doc_id % 4 = 0 — the same split q_entities_incremental folds), and
+    a status in {added, removed, changed, stable}. ONE map-side-combined
+    groupBy with FILTER-clause max_by on both windows — no self-join,
+    no window function, single scan of the triple table; the
+    per-window tie-break key is the same padded (doc, obj) string
+    kg_latest_facts uses."""
+    t = _pipeline(spark, sf)["triples"]
+    return t.groupBy("subj", "pred").agg(
+        F.expr(
+            f"max_by(obj, {_CHURN_KEY}) filter (where doc_id % 4 != 0)"
+        ).alias("obj_old"),
+        F.expr(
+            f"max_by(obj, {_CHURN_KEY}) filter (where doc_id % 4 = 0)"
+        ).alias("obj_new"),
+        F.expr(
+            "case when count(*) filter (where doc_id % 4 != 0) = 0"
+            " then 'added'"
+            " when count(*) filter (where doc_id % 4 = 0) = 0"
+            " then 'removed'"
+            f" when max_by(obj, {_CHURN_KEY}) filter (where doc_id % 4 != 0)"
+            f"   != max_by(obj, {_CHURN_KEY}) filter (where doc_id % 4 = 0)"
+            " then 'changed' else 'stable' end"
+        ).alias("status"),
+    )
+
+
 def q_kg_conflicts(spark, sf):
     """KG quality gate: functional-dependency violations — subjects
     asserting more than one object for the same predicate (multi-valued
@@ -1482,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skew_report": q_skew_report,
         "q_kg_latest_facts": q_kg_latest_facts,
         "q_kg_conflicts": q_kg_conflicts,
+        "q_fact_churn": q_fact_churn,
         "q_entity_cooccur": q_entity_cooccur,
         "q_embed_topk_lsh": q_embed_topk_lsh,
         "q_embed_topk_ivf": q_embed_topk_ivf,
@@ -2072,6 +2106,21 @@ def oracle_sql() -> dict[str, str]:
             from (select distinct subj, pred, obj from ({gt}))
             group by 1, 2 having count(*) > 1
         """,
+        "q_fact_churn": (
+            lambda k: f"""
+            select subj, pred,
+                   max_by(obj, {k}) filter (doc_id % 4 != 0) as obj_old,
+                   max_by(obj, {k}) filter (doc_id % 4 = 0) as obj_new,
+                   case when count(*) filter (doc_id % 4 != 0) = 0
+                        then 'added'
+                        when count(*) filter (doc_id % 4 = 0) = 0
+                        then 'removed'
+                        when max_by(obj, {k}) filter (doc_id % 4 != 0)
+                          != max_by(obj, {k}) filter (doc_id % 4 = 0)
+                        then 'changed' else 'stable' end as status
+            from ({gt}) group by 1, 2
+            """
+        )("lpad(cast(doc_id as varchar), 12, '0') || '|' || obj"),
         "q_random_walks": duck_random_walks_sql(gt),
         "q_walk_pairs": duck_walk_pairs_sql(gt),
         "q_skew_report": DG.duck_skew_report_sql(gt, ["pred"]),
