@@ -1015,9 +1015,15 @@ def duck_walk_pairs_sql(
 ) -> str:
     """Oracle: the same pair window over the replayed walk corpus."""
     walks = duck_random_walks_sql(triples_sql, n_steps, degree_cap)
+    # AS MATERIALIZED on BOTH outer CTEs: `walks` is referenced twice by
+    # fullw and fullw twice by the self-join; without it DuckDB inlines
+    # the whole chained-walk subtree (itself n_steps CTEs deep) at every
+    # reference — the plan quadruples and the buffer pool hits the cap
+    # (observed: OOM here, and a connection whose buffer pool stays
+    # saturated afterwards, failing every later 8-byte allocation)
     return f"""
-with walks as ({walks}),
-fullw as (
+with walks as materialized ({walks}),
+fullw as materialized (
   select root, step, cur from walks
   union all
   select distinct root, cast(0 as bigint), root from walks
@@ -1044,10 +1050,12 @@ def duck_random_walks_sql(
     # neighbor-sample WITH (t/e/r) — DuckDB resolves a same-named inner
     # reference against the outer CTE being defined, which turns it into
     # an unbounded self-reference (observed as an OOM, not an error)
-    # AS MATERIALIZED: without it DuckDB inlines the (window + 26-term
-    # hash polynomial) subtree at every one of the n_steps+1 references
-    # and the planner's expression tree grows past the sandbox memory
-    # cap (observed as an OOM during planning, even on a 50-doc corpus)
+    # AS MATERIALIZED (adj AND every w{t}): without it DuckDB inlines the
+    # (window + 26-term hash polynomial) subtree at every reference —
+    # each w{t} expands w{t-1}, so the plan grows multiplicatively and
+    # blows the memory cap during planning (observed as an OOM even on a
+    # 50-doc corpus, and again at sf0.01 when walk_pairs references the
+    # chain four times)
     ctes = [
         f"""
 adj as materialized (
@@ -1060,7 +1068,7 @@ w0 as (select distinct node as root, node as cur from adj)"""
         h = _walk_h("w.cur", "adj.nbr", t)
         ctes.append(
             f"""
-w{t} as (
+w{t} as materialized (
   select root, cur from (
     select w.root as root, adj.nbr as cur,
            row_number() over (partition by w.root
