@@ -433,25 +433,30 @@ def duck_pagerank_sql(triples_sql: str, n_iter: int = 3) -> str:
     CTEs (r0 -> r1 -> ... -> rN) — an independent implementation whose
     bit-identical result certifies the Spark iteration. sum() outputs
     are cast back from HUGEINT at every level."""
+    # AS MATERIALIZED throughout: e/nodes/od are referenced O(n_iter)
+    # times and each r{{i}} references r{{i-1}} — without it DuckDB
+    # inlines the full (triples_sql + prior rounds) subtree at every
+    # reference and plan size grows multiplicatively (the walk-oracle
+    # OOM class; here it was "only" an 8.4s plan at sf0.01)
     head = f"""
 with
-e as (select distinct subj as src, obj as dst
+e as materialized (select distinct subj as src, obj as dst
       from ({triples_sql}) where subj <> obj),
-nodes as (select src as node from e union select dst from e),
-meta as (select count(*) as n from nodes),
-od as (select src, count(*) as odeg from e group by 1),
-r0 as (select node, cast({PR_SCALE} // (select n from meta) as bigint) as rank
+nodes as materialized (select src as node from e union select dst from e),
+meta as materialized (select count(*) as n from nodes),
+od as materialized (select src, count(*) as odeg from e group by 1),
+r0 as materialized (select node, cast({PR_SCALE} // (select n from meta) as bigint) as rank
        from nodes)"""
     steps = []
     for i in range(1, n_iter + 1):
         p = i - 1
         steps.append(f"""
-c{i} as (select e.dst as node, cast(sum(r.rank // od.odeg) as bigint) as c
+c{i} as materialized (select e.dst as node, cast(sum(r.rank // od.odeg) as bigint) as c
      from e join r{p} r on r.node = e.src join od on od.src = e.src
      group by 1),
-d{i} as (select cast(coalesce(sum(r.rank), 0) as bigint) as dang
+d{i} as materialized (select cast(coalesce(sum(r.rank), 0) as bigint) as dang
      from r{p} r left join od on od.src = r.node where od.src is null),
-r{i} as (select nodes.node,
+r{i} as materialized (select nodes.node,
        cast((150 * cast({PR_SCALE} // (select n from meta) as bigint)
              + {PR_DAMP} * (coalesce(c.c, cast(0 as bigint))
                  + (select dang from d{i}) // (select n from meta)))
@@ -568,25 +573,28 @@ def duck_hits_sql(triples_sql: str, n_iter: int = 2) -> str:
     iteration. sum() outputs are cast back from HUGEINT at every level
     (the CLAUDE.md trap), and the normalizing sums are scalar
     subqueries, matching the one-row broadcast on the Spark side."""
+    # AS MATERIALIZED throughout — same multiplicative-inlining hazard
+    # as duck_pagerank_sql (e is referenced 2x per iteration, each
+    # h{{i}}/a{{i}} chains the prior round); measured 13.8s -> fast
     head = f"""
 with
-e as (select distinct subj as src, obj as dst
+e as materialized (select distinct subj as src, obj as dst
       from ({triples_sql}) where subj <> obj),
-nodes as (select src as node from e union select dst from e),
-h0 as (select node, cast({HITS_SCALE} as bigint) as hub from nodes)"""
+nodes as materialized (select src as node from e union select dst from e),
+h0 as materialized (select node, cast({HITS_SCALE} as bigint) as hub from nodes)"""
     steps = []
     for i in range(1, n_iter + 1):
         p = i - 1
         steps.append(f"""
-ar{i} as (select e.dst as node, cast(sum(h.hub) as bigint) as a_raw
+ar{i} as materialized (select e.dst as node, cast(sum(h.hub) as bigint) as a_raw
       from e join h{p} h on h.node = e.src group by 1),
-a{i} as (select nodes.node,
+a{i} as materialized (select nodes.node,
       cast(coalesce(ar.a_raw, 0) as bigint) * cast({HITS_SCALE} as bigint)
           // (select cast(sum(a_raw) as bigint) from ar{i}) as auth
       from nodes left join ar{i} ar using (node)),
-hr{i} as (select e.src as node, cast(sum(a.auth) as bigint) as h_raw
+hr{i} as materialized (select e.src as node, cast(sum(a.auth) as bigint) as h_raw
       from e join a{i} a on a.node = e.dst group by 1),
-h{i} as (select nodes.node,
+h{i} as materialized (select nodes.node,
       cast(coalesce(hr.h_raw, 0) as bigint) * cast({HITS_SCALE} as bigint)
           // (select cast(sum(h_raw) as bigint) from hr{i}) as hub
       from nodes left join hr{i} hr using (node))""")

@@ -325,10 +325,16 @@ def column_profile_sql(
         if dialect == "spark"
         else "len(string_split(val, ' '))"
     )
+    # DuckDB inlines non-materialized CTEs at every reference: `rel` is
+    # referenced once per stacked column (~14x) and `typed` carries the
+    # full regex battery — materialize both there (measured 6.5s -> fast
+    # at sf0.01). Spark SQL has no MATERIALIZED keyword; its optimizer
+    # handles the reuse, so the spark dialect emits plain CTEs.
+    mat = "materialized " if dialect == "duckdb" else ""
     return f"""
-with rel as ({rel_sql}),
+with rel as {mat}({rel_sql}),
 long as ({stack_rows}),
-typed as (select col, val, {value_entity_sql(dialect, 'val', lang)} as entity from long),
+typed as {mat}(select col, val, {value_entity_sql(dialect, 'val', lang)} as entity from long),
 nrows as (select count(*) as n from rel),
 counts as (select col, entity, count(*) as c from typed
            where entity is not null group by 1, 2),
