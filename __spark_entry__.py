@@ -71,12 +71,14 @@ from nerpii_spark.operators.extract import (
 from nerpii_spark.operators.link import (
     entity_aliases,
     entity_members,
+    fuzzy_surface_pairs,
     incremental_link_entities,
     link_entities,
     linked_members,
     resolve_mentions,
 )
 from nerpii_spark.operators import dedup as D
+from nerpii_spark.operators import link as L
 from nerpii_spark.operators import diagnose as DG
 from nerpii_spark.operators import events as EV
 from nerpii_spark.operators import multimodal as MM
@@ -295,6 +297,34 @@ def q_cocitation(spark, sf):
     recomputes pairs from the planted link arithmetic, certifying
     extraction + pairing P/R = 1.0."""
     return WG.cocitation(_pipeline(spark, sf)["pages"])
+
+
+def q_host_components(spark, sf):
+    """Weakly-connected components of the extracted host graph
+    (webgraph.host_components): min-label propagation over the
+    small-diameter host graph, per-round localCheckpoint; oracle = true
+    WCC over the planted link set via a recursive min-label CTE — an
+    independent formulation, so a split or merged component fails."""
+    return WG.host_components(_pipeline(spark, sf)["pages"])
+
+
+def q_communities(spark, sf):
+    """Bounded-round synchronous label propagation communities over the
+    host graph (webgraph.lpa_communities): per round one equi-join + two
+    map-side-combined aggs, deterministic majority vote with
+    lexicographic tie-break; fixed rounds (not convergence) so the
+    chained-CTE oracle replays the rounds exactly."""
+    return WG.lpa_communities(_pipeline(spark, sf)["pages"])
+
+
+def q_fuzzy_match(spark, sf):
+    """Edit-distance-1 PERSON surface pairs via FastSS deletion
+    neighborhoods (link.fuzzy_surface_pairs): vocabulary-level variant
+    explode + equi-join + built-in levenshtein verify — the typo-capture
+    blocking strategy MinHash misses; oracle = brute-force exact
+    levenshtein over the planted surfaces (no blocking), certifying
+    candidate completeness."""
+    return fuzzy_surface_pairs(_pipeline(spark, sf)["mentions"])
 
 
 def q_frontier(spark, sf):
@@ -1525,6 +1555,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # through q_tpch_volume)
         "q_hits": q_hits,
         "q_cocitation": q_cocitation,
+        "q_host_components": q_host_components,
+        "q_communities": q_communities,
+        "q_fuzzy_match": q_fuzzy_match,
         "q_frontier": q_frontier,
         "q_entity_aliases": q_entity_aliases,
         "q_entity_summary": q_entity_summary,
@@ -1780,6 +1813,9 @@ def oracle_sql() -> dict[str, str]:
             n_iter=3,
         ),
         "q_cocitation": WG.duck_cocitation_sql(pages),
+        "q_host_components": WG.duck_host_components_sql(pages),
+        "q_communities": WG.duck_lpa_communities_sql(pages),
+        "q_fuzzy_match": L.duck_fuzzy_pairs_sql(gm),
         "q_frontier": WG.duck_crawl_frontier_sql(pages, k=4),
         "q_resolve_redirects": WG.duck_resolve_redirects_sql(
             P.redirects_sql("duck")

@@ -618,3 +618,86 @@ def entity_aliases(
             "|",
         ).alias("aliases"),
     )
+
+
+FUZZY_MAX_LEN = 40
+
+
+def fuzzy_surface_pairs(
+    mentions: DataFrame,
+    entity_type: str = "PERSON",
+    max_len: int = FUZZY_MAX_LEN,
+) -> DataFrame:
+    """Edit-distance-1 surface pairs via FastSS deletion neighborhoods
+    (Bocek et al. 2007) -> (a, b, dist): the linking candidate generator
+    that catches single-character TYPOS, which shingle-based MinHash
+    blocking structurally misses (one edit flips w shingles, so a short
+    surface's Jaccard collapses below any usable threshold).
+
+    Candidate completeness is a theorem, not a heuristic: for distinct
+    s, t with lev(s,t) <= 1, either |s| = |t| and deleting the single
+    substituted position from each yields the same string, or they
+    differ by one insertion and the shorter IS a deletion variant of the
+    longer — so joining on the deletion-variant set (self included)
+    covers every true pair, and the exact levenshtein post-filter drops
+    the rare spurious collisions (e.g. transpositions, dist 2).
+
+    Scale shape: each distinct surface (corpus-deduped FIRST — the
+    explode runs on the vocabulary of surfaces, not the corpus) emits
+    len+1 variants, so the join input is O(V * L) with L <= max_len
+    bounded up front; variant keys are near-unique full-name strings
+    (no hot keys: a variant is shared only by surfaces one edit apart),
+    and the verify is Catalyst's built-in levenshtein — zero Python.
+    This is the third blocking strategy next to MinHash-LSH (dedup) and
+    prefix filtering (PPJoin): deletion neighborhoods are exact for
+    edit distance, the others for set overlap."""
+    s = (
+        mentions.where(F.col("entity_type") == entity_type)
+        .select(F.col("mention").alias("s"))
+        .distinct()
+        .where(F.length("s") <= max_len)
+    )
+    variants = s.select(
+        "s",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(s)), i -> case when i = 0"
+                " then s else concat(substring(s, 1, i-1),"
+                " substring(s, i+1)) end)"
+            )
+        ).alias("var"),
+    )
+    b = variants.select(F.col("s").alias("t"), "var")
+    cand = (
+        variants.join(b, "var")
+        .where(F.col("s") < F.col("t"))
+        .select("s", "t")
+        .distinct()
+    )
+    return (
+        cand.where(F.levenshtein("s", "t") <= 1)
+        .select(
+            F.col("s").alias("a"),
+            F.col("t").alias("b"),
+            F.levenshtein("s", "t").cast("bigint").alias("dist"),
+        )
+    )
+
+
+def duck_fuzzy_pairs_sql(
+    golden_mentions_sql: str,
+    entity_type: str = "PERSON",
+    max_len: int = FUZZY_MAX_LEN,
+) -> str:
+    """Oracle: brute-force exact levenshtein over the distinct planted
+    surfaces — an independent implementation with NO blocking, so a
+    candidate the deletion-neighborhood join missed fails the gate
+    (certifying the completeness theorem, not just the verify)."""
+    return f"""
+with s as materialized (
+  select distinct mention as s from ({golden_mentions_sql})
+  where entity_type = '{entity_type}' and length(mention) <= {max_len}
+)
+select a.s as a, b.s as b, cast(levenshtein(a.s, b.s) as bigint) as dist
+from s a join s b on a.s < b.s and levenshtein(a.s, b.s) <= 1
+"""

@@ -277,6 +277,182 @@ left join e c on c.src_url = b.dst_url
 """
 
 
+def host_components(pages: DataFrame) -> DataFrame:
+    """Weakly-connected components of the host graph -> (host, component);
+    component = lexicographic-min host label. The crawl-health diagnostic
+    a web-scale pipeline runs before graph analytics: PageRank/HITS
+    numbers are only comparable within a component, and a crawl whose
+    host graph fragments into many components usually lost a seed list.
+
+    Scale shape: reuses link.connected_components (min-label propagation,
+    one join + one map-side-combined agg per round, per-round
+    localCheckpoint). Propagation converges in O(diameter) rounds — on
+    HOST graphs that is small by construction (the web's host graph is
+    small-world; here every page links one of 13 hub hosts, so the
+    planted diameter is ~4). For a graph with unbounded diameter the
+    right tool is the pointer-doubling shape (resolve_redirects);
+    min-label is the cheaper plan when diameter is known-small.
+
+    The DuckDB oracle recomputes true components over the PLANTED link
+    set via a recursive min-label CTE — an independent formulation, so a
+    split or merged component fails the gate."""
+    from nerpii_spark.operators.link import connected_components
+
+    links = host_links(pages).where(F.col("src_host") != F.col("dst_host"))
+    edges = links.select(
+        F.col("src_host").alias("sid_a"), F.col("dst_host").alias("sid_b")
+    ).distinct()
+    nodes = (
+        links.select(F.col("src_host").alias("sid"))
+        .union(links.select("dst_host"))
+        .distinct()
+    )
+    return connected_components(nodes, edges).select(
+        F.col("sid").alias("host"), F.col("label").alias("component")
+    )
+
+
+def duck_host_components_sql(pages_sql_duck: str) -> str:
+    """Oracle: true WCC over the planted link set (recursive CTE, the
+    dedup-survivors pattern)."""
+    return f"""
+with recursive
+links as materialized (
+  select src_host, dst_host from ({duck_planted_links_sql(pages_sql_duck)})
+  where src_host <> dst_host
+),
+nodes as materialized (
+  select src_host as host from links union select dst_host from links
+),
+sym as materialized (
+  select src_host as src, dst_host as dst from links
+  union select dst_host, src_host from links
+),
+reach(id, lbl) as (
+  select host, host from nodes
+  union
+  select s.dst, r.lbl
+  from reach r join sym s on s.src = r.id
+  where r.lbl < s.dst
+)
+select id as host, min(lbl) as component from reach group by 1
+"""
+
+
+LPA_ROUNDS = 2
+
+
+def lpa_communities(pages: DataFrame, n_rounds: int = LPA_ROUNDS) -> DataFrame:
+    """Bounded-round synchronous label propagation (Raghavan et al. 2007)
+    over the undirected host graph -> (host, community). The cheap
+    community detector a web pipeline uses for mirror-farm / link-ring
+    grouping where CC is too coarse (everything is one component through
+    the hubs) and modularity methods are too expensive.
+
+    Semantics (deterministic by construction, so the oracle replays it
+    exactly): labels start as the host itself; each round every node
+    adopts the most frequent label among its neighbors, ties broken by
+    lexicographic-min label, all nodes updating synchronously from the
+    previous round's labels; a FIXED n_rounds (not convergence) — classic
+    LPA oscillates on bipartite structures, so bounded rounds is the
+    reproducible variant.
+
+    Scale shape: per round ONE equi-join (neighbor labels) + one
+    (node, label) count that map-side combines + one min(struct(-count,
+    label)) argmax that also combines — hub nodes' votes arrive
+    pre-aggregated; localCheckpoint per round truncates the iterative
+    lineage (the CC/PageRank discipline)."""
+    links = host_links(pages).where(F.col("src_host") != F.col("dst_host"))
+    e = links.select(
+        F.col("src_host").alias("u"), F.col("dst_host").alias("v")
+    ).distinct()
+    sym = (
+        e.union(e.select(F.col("v"), F.col("u")))
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select("node")
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    lab = labels
+    for _ in range(n_rounds):
+        nl = lab.select(F.col("node").alias("l_node"), "label")
+        votes = (
+            sym.join(nl, sym.nbr == nl.l_node)
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        best = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("label").alias("l")
+                    )
+                ).alias("b")
+            )
+            .select("node", F.col("b.l").alias("new_label"))
+        )
+        lab = (
+            lab.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return lab.select(F.col("node").alias("host"), F.col("label").alias("community"))
+
+
+def duck_lpa_communities_sql(
+    pages_sql_duck: str, n_rounds: int = LPA_ROUNDS
+) -> str:
+    """Oracle: the same synchronous rounds as chained MATERIALIZED CTEs;
+    the argmax is a row_number window — an independent formulation of
+    min(struct(-count, label))."""
+    ctes = [
+        f"""
+links as materialized (
+  select distinct src_host as u, dst_host as v
+  from ({duck_planted_links_sql(pages_sql_duck)})
+  where src_host <> dst_host
+),
+sym as materialized (
+  select u as node, v as nbr from links union select v, u from links
+),
+l0 as materialized (select distinct node as host, node as label from sym)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""
+v{r} as materialized (
+  select s.node, l.label, count(*) as c
+  from sym s join l{p} l on l.host = s.nbr
+  group by 1, 2
+),
+r{r} as materialized (
+  select node, label,
+         row_number() over (partition by node
+                            order by c desc, label asc) as rk
+  from v{r}
+),
+l{r} as materialized (
+  select l{p}.host, coalesce(r.label, l{p}.label) as label
+  from l{p} left join (select * from r{r} where rk = 1) r
+    on r.node = l{p}.host
+)"""
+        )
+    return (
+        "with " + ",".join(ctes)
+        + f"\nselect host, label as community from l{n_rounds}"
+    )
+
+
 def duck_planted_links_sql(pages_sql_duck: str) -> str:
     """Planted ground-truth link set (src_host, dst_host) recomputed from
     doc_id arithmetic — the oracle side of the extraction check."""

@@ -1,0 +1,123 @@
+"""Hand-crafted-graph goldens for the round-3 web-graph/link additions:
+host components (WCC), bounded-round LPA communities, and FastSS
+deletion-neighborhood fuzzy pairs — each checked against an
+independently hand-computed (or brute-forced in Python) expectation,
+not against the operator's own DuckDB oracle."""
+
+from pyspark.sql import functions as F
+
+from nerpii_spark.operators.link import fuzzy_surface_pairs
+from nerpii_spark.operators.webgraph import host_components, lpa_communities
+
+
+def _pages(spark, edges):
+    """Fake pages whose html plants exactly the given (src, dst) host
+    edges — one page per src host carrying all its outlinks."""
+    by_src = {}
+    for s, d in edges:
+        by_src.setdefault(s, []).append(d)
+    rows = [
+        (
+            f"https://{s}/p",
+            (
+                "<html><body>"
+                + "".join(f'<a href="https://{d}/">x</a>' for d in ds)
+                + "</body></html>"
+            ).encode(),
+        )
+        for s, ds in by_src.items()
+    ]
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_host_components_two_islands(spark):
+    # path a-b-c plus isolated pair x-y: two components, min-label roots
+    pages = _pages(
+        spark,
+        [("a.io", "b.io"), ("b.io", "c.io"), ("x.io", "y.io")],
+    )
+    got = {
+        (r["host"], r["component"])
+        for r in host_components(pages).collect()
+    }
+    assert got == {
+        ("a.io", "a.io"),
+        ("b.io", "a.io"),
+        ("c.io", "a.io"),
+        ("x.io", "x.io"),
+        ("y.io", "x.io"),
+    }
+
+
+def test_lpa_majority_and_tiebreak(spark):
+    # star: center z linked to a, b, c. Round 1 (synchronous): z sees
+    # {a, b, c} -> min-tie 'a'; each leaf sees {z} -> 'z'. Round 2:
+    # z sees the leaves' round-1 labels {z, z, z} -> 'z'; each leaf
+    # sees z's round-1 label 'a'.
+    pages = _pages(
+        spark, [("z.io", "a.io"), ("z.io", "b.io"), ("z.io", "c.io")]
+    )
+    got = {
+        (r["host"], r["community"])
+        for r in lpa_communities(pages, n_rounds=2).collect()
+    }
+    assert got == {
+        ("z.io", "z.io"),
+        ("a.io", "a.io"),
+        ("b.io", "a.io"),
+        ("c.io", "a.io"),
+    }
+
+
+def _lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, len(b) + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[len(b)]
+
+
+def test_fuzzy_pairs_equal_python_bruteforce(spark):
+    # substitution (Dawson/Lawson), deletion (David/Davide), a
+    # transposition at distance 2 (Mark/Makr - must NOT pair), and an
+    # unrelated surface
+    surfaces = [
+        "David Dawson",
+        "David Lawson",
+        "Davide Dawson",
+        "Mark Webb",
+        "Makr Webb",
+        "Alice Stone",
+    ]
+    mentions = spark.createDataFrame(
+        [("PERSON", s) for s in surfaces] + [("ORGANIZATION", "Davide Dawson Inc")],
+        "entity_type string, mention string",
+    )
+    want = {
+        (a, b, _lev(a, b))
+        for i, a in enumerate(surfaces)
+        for b in surfaces[i + 1 :]
+        if _lev(a, b) <= 1
+    }
+    # normalize to (min, max) ordering like the operator's s < t
+    want = {(min(a, b), max(a, b), d) for a, b, d in want}
+    got = {
+        (r["a"], r["b"], r["dist"])
+        for r in fuzzy_surface_pairs(mentions).collect()
+    }
+    assert got == want
+    assert ("Makr Webb", "Mark Webb", 2) not in got  # transposition excluded
+    assert any(d == 1 for *_, d in got)  # non-degenerate
+
+
+def test_fuzzy_max_len_bounds_explode(spark):
+    long_s = "X" * 60
+    mentions = spark.createDataFrame(
+        [("PERSON", long_s), ("PERSON", long_s[:-1])],
+        "entity_type string, mention string",
+    )
+    assert fuzzy_surface_pairs(mentions, max_len=40).count() == 0
+    assert fuzzy_surface_pairs(mentions, max_len=80).count() == 1
