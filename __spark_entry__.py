@@ -317,6 +317,16 @@ def q_communities(spark, sf):
     return WG.lpa_communities(_pipeline(spark, sf)["pages"])
 
 
+def q_crawl_depth(spark, sf):
+    """Multi-source BFS hop distance from the authority core
+    (webgraph.crawl_depth): seeds = top-16 in-degree hosts (deterministic
+    tie-break), bounded frontier expansion — per round one equi-join +
+    one distinct + one anti-join, per-round localCheckpoint; chained-CTE
+    oracle replays the same bounded expansion with an independent
+    row_number seed selection."""
+    return WG.crawl_depth(_pipeline(spark, sf)["pages"])
+
+
 def q_fuzzy_match(spark, sf):
     """Edit-distance-1 PERSON surface pairs via FastSS deletion
     neighborhoods (link.fuzzy_surface_pairs): vocabulary-level variant
@@ -1557,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cocitation": q_cocitation,
         "q_host_components": q_host_components,
         "q_communities": q_communities,
+        "q_crawl_depth": q_crawl_depth,
         "q_fuzzy_match": q_fuzzy_match,
         "q_frontier": q_frontier,
         "q_entity_aliases": q_entity_aliases,
@@ -1815,6 +1826,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cocitation": WG.duck_cocitation_sql(pages),
         "q_host_components": WG.duck_host_components_sql(pages),
         "q_communities": WG.duck_lpa_communities_sql(pages),
+        "q_crawl_depth": WG.duck_crawl_depth_sql(pages),
         "q_fuzzy_match": L.duck_fuzzy_pairs_sql(gm),
         "q_frontier": WG.duck_crawl_frontier_sql(pages, k=4),
         "q_resolve_redirects": WG.duck_resolve_redirects_sql(

@@ -479,3 +479,113 @@ select src_host, dst_host, count(*) as n_links
 from ({duck_planted_links_sql(pages_sql_duck)})
 group by 1, 2
 """
+
+
+BFS_SEEDS = 16
+BFS_MAX_DEPTH = 4
+
+
+def crawl_depth(
+    pages: DataFrame,
+    n_seeds: int = BFS_SEEDS,
+    max_depth: int = BFS_MAX_DEPTH,
+) -> DataFrame:
+    """Multi-source BFS hop distance from the authority core ->
+    (host, depth): seeds are the top `n_seeds` hosts by in-degree
+    (deterministic tie-break by host name), depth = undirected hops to
+    the nearest seed, hosts beyond max_depth omitted. The crawl-planning
+    metric behind "how far is this host from the well-connected core" —
+    frontier scheduling and spam heuristics both key on it.
+
+    Scale shape: the seed selection is a map-side-combined in-degree
+    count + a TakeOrdered of n_seeds rows (driver holds n_seeds keys,
+    never the degree table); each BFS round is ONE equi-join of the
+    frontier against the symmetric edge list + one min agg that
+    map-side combines, with per-round localCheckpoint (the CC/PageRank
+    discipline). Rounds are FIXED (max_depth), not convergence-tested —
+    depth beyond the horizon is "not reachable in budget", which is the
+    semantics a crawl budget actually has; the chained-CTE oracle
+    replays the same bounded expansion."""
+    links = host_links(pages).where(F.col("src_host") != F.col("dst_host"))
+    e = links.select(
+        F.col("src_host").alias("u"), F.col("dst_host").alias("v")
+    ).distinct()
+    sym = (
+        e.union(e.select("v", "u"))
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .localCheckpoint(eager=True)
+    )
+    indeg = e.groupBy(F.col("v").alias("host")).agg(
+        F.count("*").alias("indeg")
+    )
+    seeds = (
+        indeg.orderBy(F.desc("indeg"), F.asc("host"))
+        .limit(n_seeds)
+        .select("host")
+    )
+    dist = seeds.select(
+        "host", F.lit(0).cast("bigint").alias("depth")
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for d in range(1, max_depth + 1):
+        reached = (
+            sym.join(frontier, sym.node == frontier.host)
+            .select(F.col("nbr").alias("host"))
+            .distinct()
+        )
+        new = (
+            reached.join(dist, "host", "left_anti")
+            .select("host", F.lit(d).cast("bigint").alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return dist
+
+
+def duck_crawl_depth_sql(
+    pages_sql_duck: str,
+    n_seeds: int = BFS_SEEDS,
+    max_depth: int = BFS_MAX_DEPTH,
+) -> str:
+    """Oracle: the same bounded expansion as chained MATERIALIZED CTEs;
+    seed selection is an independent row_number formulation of the
+    TakeOrdered."""
+    ctes = [
+        f"""
+links as materialized (
+  select distinct src_host as u, dst_host as v
+  from ({duck_planted_links_sql(pages_sql_duck)})
+  where src_host <> dst_host
+),
+sym as materialized (
+  select u as node, v as nbr from links union select v, u from links
+),
+indeg as materialized (select v as host, count(*) as c from links group by 1),
+seeds as materialized (
+  select host from (
+    select host, row_number() over (order by c desc, host asc) as rk
+    from indeg
+  ) where rk <= {n_seeds}
+),
+d0 as materialized (select host, cast(0 as bigint) as depth from seeds)"""
+    ]
+    acc = "d0"
+    for d in range(1, max_depth + 1):
+        ctes.append(
+            f"""
+f{d} as materialized (
+  select distinct s.nbr as host, cast({d} as bigint) as depth
+  from sym s join {acc} a on a.host = s.node and a.depth = {d - 1}
+  where s.nbr not in (select host from {acc})
+),
+d{d} as materialized (
+  select host, depth from {acc} union all select host, depth from f{d}
+)"""
+        )
+        acc = f"d{d}"
+    return (
+        "with " + ",".join(ctes)
+        + f"\nselect host, depth from {acc}"
+    )

@@ -121,3 +121,37 @@ def test_fuzzy_max_len_bounds_explode(spark):
     )
     assert fuzzy_surface_pairs(mentions, max_len=40).count() == 0
     assert fuzzy_surface_pairs(mentions, max_len=80).count() == 1
+
+
+def test_crawl_depth_bounded_bfs(spark):
+    from nerpii_spark.operators.webgraph import crawl_depth
+
+    # path s-a-b-c-d-e; with n_seeds=1 the seed is the max-in-degree
+    # host. Edges all point INTO s's chain start so in-degree picks 's'.
+    # Graph: x1->s, x2->s (s indeg 2), s->a, a->b, b->c, c->d, d->e.
+    pages = _pages(
+        spark,
+        [
+            ("x1.io", "s.io"),
+            ("x2.io", "s.io"),
+            ("s.io", "a.io"),
+            ("a.io", "b.io"),
+            ("b.io", "c.io"),
+            ("c.io", "d.io"),
+            ("d.io", "e.io"),
+        ],
+    )
+    got = {
+        (r["host"], r["depth"])
+        for r in crawl_depth(pages, n_seeds=1, max_depth=3).collect()
+    }
+    # seed s at 0; undirected hops: x1/x2/a at 1, b at 2, c at 3;
+    # d, e beyond the horizon -> omitted
+    assert got == {
+        ("s.io", 0),
+        ("x1.io", 1),
+        ("x2.io", 1),
+        ("a.io", 1),
+        ("b.io", 2),
+        ("c.io", 3),
+    }
