@@ -154,6 +154,10 @@ def main() -> int:
         "q_cocitation",
         "q_frontier",
         "q_resolve_redirects",
+        "q_host_components",
+        "q_communities",
+        "q_crawl_depth",
+        "q_fuzzy_match",
         "q_bpe_merges",
         "q_agg_lineitem",
         "q_join_orders_customer",
