@@ -317,6 +317,17 @@ def q_communities(spark, sf):
     return WG.lpa_communities(_pipeline(spark, sf)["pages"])
 
 
+def q_trustrank(spark, sf):
+    """TrustRank over the extracted host graph (webgraph.trustrank):
+    PageRank with the teleport vector concentrated on the top-in-degree
+    trusted seed set and dangling mass returned to the seeds — the
+    web-spam demotion signal; bigint fixed-point throughout, so the
+    chained-CTE oracle certifies the distributed iteration bit-for-bit."""
+    return WG.trustrank(
+        WG.host_edges_for_pagerank(_pipeline(spark, sf)["pages"]), n_iter=3
+    )
+
+
 def q_crawl_depth(spark, sf):
     """Multi-source BFS hop distance from the authority core
     (webgraph.crawl_depth): seeds = top-16 in-degree hosts (deterministic
@@ -1568,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_components": q_host_components,
         "q_communities": q_communities,
         "q_crawl_depth": q_crawl_depth,
+        "q_trustrank": q_trustrank,
         "q_fuzzy_match": q_fuzzy_match,
         "q_frontier": q_frontier,
         "q_entity_aliases": q_entity_aliases,
@@ -1827,6 +1839,11 @@ def oracle_sql() -> dict[str, str]:
         "q_host_components": WG.duck_host_components_sql(pages),
         "q_communities": WG.duck_lpa_communities_sql(pages),
         "q_crawl_depth": WG.duck_crawl_depth_sql(pages),
+        "q_trustrank": WG.duck_trustrank_sql(
+            f"select src_host as subj, dst_host as obj from"
+            f" ({WG.duck_planted_links_sql(pages)})",
+            n_iter=3,
+        ),
         "q_fuzzy_match": L.duck_fuzzy_pairs_sql(gm),
         "q_frontier": WG.duck_crawl_frontier_sql(pages, k=4),
         "q_resolve_redirects": WG.duck_resolve_redirects_sql(

@@ -589,3 +589,165 @@ d{d} as materialized (
         "with " + ",".join(ctes)
         + f"\nselect host, depth from {acc}"
     )
+
+
+TRUST_SEEDS = 16
+
+
+def trustrank(
+    edges: DataFrame, n_iter: int = 3, n_seeds: int = TRUST_SEEDS
+) -> DataFrame:
+    """TrustRank (Gyongyi et al. 2004) over a directed (subj, obj) edge
+    list -> (node, trust_e12): PageRank with the teleport vector
+    CONCENTRATED on a trusted seed set instead of uniform — trust flows
+    out from the seeds along links, so link-farm islands that inflate
+    plain PageRank score ~zero. The classic web-spam demotion signal a
+    crawl pipeline computes next to PageRank.
+
+    Seeds here are the top n_seeds hosts by in-degree (deterministic
+    tie-break by name) — the stand-in for a human-vetted whitelist; the
+    operator takes any seed rule that yields a DataFrame.
+
+    All arithmetic is bigint fixed-point with a fixed evaluation order
+    (the extract.pagerank discipline), so the chained-CTE DuckDB oracle
+    replays the distributed iteration bit-for-bit:
+
+      r'(v) = (150*seed_base(v) + 850*(contrib(v)
+               + [v in seeds] * (dang div n_actual))) div 1000
+
+    where seed_base(v) = PR_SCALE div n_actual on seeds else 0, and
+    dangling mass teleports BACK TO THE SEEDS (uniform redistribution
+    would leak trust to spam sinks — the differentiator vs pagerank).
+
+    Scale shape: identical to pagerank — per iteration one edges|>ranks
+    equi-join + one map-side-combined groupBy(dst), a ONE-ROW dangling
+    agg broadcast back, per-iteration localCheckpoint; the seed flag is
+    an n_seeds-row broadcast join."""
+    from nerpii_spark.operators.extract import PR_DAMP, PR_SCALE
+
+    e = (
+        edges.where(F.col("subj") != F.col("obj"))
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    indeg = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").alias("indeg")
+    )
+    seeds = (
+        indeg.orderBy(F.desc("indeg"), F.asc("node"))
+        .limit(n_seeds)
+        .select("node", F.lit(True).alias("is_seed"))
+        .localCheckpoint(eager=True)
+    )
+    n_actual = seeds.count()
+    base = PR_SCALE // n_actual
+    outdeg = e.groupBy("src").agg(F.count("*").alias("odeg"))
+    ranks = (
+        nodes.join(F.broadcast(seeds), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("is_seed"), F.lit(base).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("rank div odeg")).cast("bigint").alias("c"))
+        )
+        dang = ranks.join(
+            outdeg, ranks.node == outdeg.src, "left_anti"
+        ).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).cast("bigint").alias("dang")
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .join(F.broadcast(seeds), "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                F.expr(
+                    f"cast((150 * (case when is_seed then"
+                    f" cast({base} as bigint) else cast(0 as bigint) end)"
+                    f" + {PR_DAMP} * (coalesce(c, cast(0 as bigint))"
+                    f" + (case when is_seed then dang div"
+                    f" cast({n_actual} as bigint) else cast(0 as bigint)"
+                    f" end))) div 1000 as bigint)"
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("rank").alias("trust_e12"))
+
+
+def duck_trustrank_sql(
+    edges_sql: str, n_iter: int = 3, n_seeds: int = TRUST_SEEDS
+) -> str:
+    """Oracle: the same seeded integer fixed-point unrolled as chained
+    MATERIALIZED CTEs; seed selection is an independent row_number
+    formulation of the TakeOrdered."""
+    from nerpii_spark.operators.extract import PR_DAMP, PR_SCALE
+
+    head = f"""
+with
+e as materialized (select distinct subj as src, obj as dst
+      from ({edges_sql}) where subj <> obj),
+nodes as materialized (select src as node from e union select dst from e),
+indeg as materialized (select dst as node, count(*) as c from e group by 1),
+seeds as materialized (
+  select node from (
+    select node, row_number() over (order by c desc, node asc) as rk
+    from indeg
+  ) where rk <= {n_seeds}
+),
+meta as materialized (select count(*) as ns from seeds),
+sbase as materialized (
+  select cast({PR_SCALE} // (select ns from meta) as bigint) as b
+),
+od as materialized (select src, count(*) as odeg from e group by 1),
+r0 as materialized (
+  select n.node,
+         case when s.node is not null then (select b from sbase)
+              else cast(0 as bigint) end as rank
+  from nodes n left join seeds s on s.node = n.node
+)"""
+    steps = []
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        steps.append(f"""
+c{i} as materialized (
+  select e.dst as node, cast(sum(r.rank // od.odeg) as bigint) as c
+  from e join r{p} r on r.node = e.src join od on od.src = e.src
+  group by 1),
+d{i} as materialized (
+  select cast(coalesce(sum(r.rank), 0) as bigint) as dang
+  from r{p} r left join od on od.src = r.node where od.src is null),
+r{i} as materialized (
+  select n.node,
+         cast((150 * (case when s.node is not null
+                           then (select b from sbase)
+                           else cast(0 as bigint) end)
+               + {PR_DAMP} * (coalesce(c.c, cast(0 as bigint))
+                   + (case when s.node is not null
+                      then (select dang from d{i})
+                           // (select cast(ns as bigint) from meta)
+                      else cast(0 as bigint) end)))
+              // 1000 as bigint) as rank
+  from nodes n
+  left join c{i} c on c.node = n.node
+  left join seeds s on s.node = n.node)""")
+    return (
+        head + "," + ",".join(steps)
+        + f"\nselect node, rank as trust_e12 from r{n_iter}"
+    )

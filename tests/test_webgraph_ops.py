@@ -155,3 +155,38 @@ def test_crawl_depth_bounded_bfs(spark):
         ("b.io", 2),
         ("c.io", 3),
     }
+
+
+def test_trustrank_demotes_unreachable_spam_island(spark):
+    from nerpii_spark.operators.extract import pagerank
+    from nerpii_spark.operators.webgraph import (
+        host_edges_for_pagerank,
+        trustrank,
+    )
+
+    # good core: g is linked by 3 hosts (top in-degree -> the seed);
+    # g links onward to t. Spam island: s1 <-> s2 mutual links, never
+    # linked from the good side.
+    pages = _pages(
+        spark,
+        [
+            ("a.io", "g.io"),
+            ("b.io", "g.io"),
+            ("c.io", "g.io"),
+            ("g.io", "t.io"),
+            ("s1.spam", "s2.spam"),
+            ("s2.spam", "s1.spam"),
+        ],
+    )
+    edges = host_edges_for_pagerank(pages)
+    trust = {r["node"]: r["trust_e12"] for r in trustrank(edges, n_seeds=1).collect()}
+    pr = {r["node"]: r["rank_e12"] for r in pagerank(edges).collect()}
+    # plain PageRank pays the mutually-linking island real rank;
+    # TrustRank gives it exactly zero (no path from the seed)
+    assert pr["s1.spam"] > 0 and pr["s2.spam"] > 0
+    assert trust["s1.spam"] == 0 and trust["s2.spam"] == 0
+    # trust flows seed -> t.io along links (g forwards 85% of its mass
+    # per round, so the downstream sink can legitimately exceed the seed)
+    assert trust["g.io"] > 0 and trust["t.io"] > 0
+    # hosts with no in-path from the seed hold no trust at all
+    assert trust["a.io"] == 0 and trust["b.io"] == 0 and trust["c.io"] == 0
