@@ -317,6 +317,17 @@ def q_communities(spark, sf):
     return WG.lpa_communities(_pipeline(spark, sf)["pages"])
 
 
+def q_anf(spark, sf):
+    """ANF/HyperBall neighborhood function over the host graph
+    (webgraph.neighborhood_function): per-node HLL balls propagated as
+    sparse (node, register, rho) rows — register merge is MAX, so each
+    round is one equi-join + one map-side-combined groupBy; integer
+    estimate arithmetic from the frozen hash chain, so the oracle
+    replays the distributed sketch bit-for-bit; accuracy vs exact BFS
+    balls gated in pytest."""
+    return WG.neighborhood_function(_pipeline(spark, sf)["pages"])
+
+
 def q_trustrank(spark, sf):
     """TrustRank over the extracted host graph (webgraph.trustrank):
     PageRank with the teleport vector concentrated on the top-in-degree
@@ -1580,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_communities": q_communities,
         "q_crawl_depth": q_crawl_depth,
         "q_trustrank": q_trustrank,
+        "q_anf": q_anf,
         "q_fuzzy_match": q_fuzzy_match,
         "q_frontier": q_frontier,
         "q_entity_aliases": q_entity_aliases,
@@ -1839,6 +1851,7 @@ def oracle_sql() -> dict[str, str]:
         "q_host_components": WG.duck_host_components_sql(pages),
         "q_communities": WG.duck_lpa_communities_sql(pages),
         "q_crawl_depth": WG.duck_crawl_depth_sql(pages),
+        "q_anf": WG.duck_neighborhood_function_sql(pages),
         "q_trustrank": WG.duck_trustrank_sql(
             f"select src_host as subj, dst_host as obj from"
             f" ({WG.duck_planted_links_sql(pages)})",

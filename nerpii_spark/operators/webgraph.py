@@ -751,3 +751,163 @@ r{i} as materialized (
         head + "," + ",".join(steps)
         + f"\nselect node, rank as trust_e12 from r{n_iter}"
     )
+
+
+ANF_ROUNDS = 3
+
+
+def neighborhood_function(
+    pages: DataFrame, n_rounds: int = ANF_ROUNDS
+) -> DataFrame:
+    """ANF / HyperBall (Palmer et al. 2002; Boldi et al. 2011): the
+    neighborhood function N(r) = sum over nodes of |ball(v, r)| estimated
+    with per-node HLL register sketches propagated along edges ->
+    (r, est_pairs) for r = 0..n_rounds. THE scalable way to measure a
+    graph's effective diameter: exact per-node balls need O(n^2) state,
+    the sketch needs <= 64 registers per node, and register MERGE is MAX
+    — associative, commutative, idempotent — so ball growth is one
+    groupBy-MAX per round.
+
+    Every bit derives from the repo's frozen portable hash chain exactly
+    as operators/sketch.hll_distinct does (same register count, rho, and
+    integer estimate arithmetic), so the DuckDB oracle replays the
+    DISTRIBUTED SKETCH ITSELF bit-for-bit; a pytest gates estimate
+    accuracy against exact BFS ball sizes (the part an identical
+    recomputation cannot certify). Raw HLL has no small-range
+    correction, so the r=0 row (every ball = 1) reads ~alpha*m — kept
+    anyway because the oracle must replay all rounds and the row
+    documents the small-range regime honestly.
+
+    Scale shape: registers live as SPARSE (node, j, rho) rows — at most
+    min(|ball|, 64) per node; each round is ONE equi-join of the
+    symmetric edge list against the register table + one groupBy(node,
+    j) MAX whose map-side partial state is bounded by 64 rows per node
+    per task (hub skew arrives pre-combined), then a <= 2-level sum for
+    the estimate row; per-round localCheckpoint truncates lineage.
+    Undirected balls (the crawl_depth convention)."""
+    from nerpii_spark.functions.hashing import sql_h2, sql_strhash
+    from nerpii_spark.operators.sketch import (
+        M_REGS,
+        RHO_CAP,
+        _EST_NUM,
+        _EST_DEN,
+        _pow2_sql,
+        _rho_sql,
+    )
+
+    links = host_links(pages).where(F.col("src_host") != F.col("dst_host"))
+    e = links.select(
+        F.col("src_host").alias("u"), F.col("dst_host").alias("v")
+    ).distinct()
+    sym = (
+        e.union(e.select("v", "u"))
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .localCheckpoint(eager=True)
+    )
+    w = sql_h2(sql_strhash("node"), 5)
+    u_expr = sql_h2("w", 7)
+    regs = (
+        sym.select("node")
+        .distinct()
+        .selectExpr("node", f"{w} as w")
+        .selectExpr(
+            "node",
+            f"w % {M_REGS} as j",
+            f"cast({_rho_sql(u_expr)} as bigint) as rho",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def est_row(regs_df: DataFrame, r: int) -> DataFrame:
+        per_node = regs_df.groupBy("node").agg(
+            F.expr(
+                f"cast(sum({_pow2_sql('spark', f'{RHO_CAP} - rho')})"
+                f" + ({M_REGS} - count(*))"
+                f" * {_pow2_sql('spark', str(RHO_CAP))} as bigint)"
+            ).alias("s_sum")
+        )
+        return per_node.agg(
+            F.lit(r).cast("bigint").alias("r"),
+            F.sum(
+                F.expr(f"{_EST_NUM} div ({_EST_DEN} * s_sum)")
+            )
+            .cast("bigint")
+            .alias("est_pairs"),
+        )
+
+    out = est_row(regs, 0)
+    for r in range(1, n_rounds + 1):
+        nbr_regs = sym.join(regs.withColumnRenamed("node", "nbr"), "nbr").select(
+            "node", "j", "rho"
+        )
+        regs = (
+            regs.unionByName(nbr_regs)
+            .groupBy("node", "j")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(est_row(regs, r))
+    return out
+
+
+def duck_neighborhood_function_sql(
+    pages_sql_duck: str, n_rounds: int = ANF_ROUNDS
+) -> str:
+    """Oracle: the same register propagation + integer estimate as
+    chained MATERIALIZED CTEs (sum(bigint) is HUGEINT in DuckDB — cast
+    at every level, the CLAUDE.md trap)."""
+    from nerpii_spark.functions.hashing import sql_h2, sql_strhash
+    from nerpii_spark.operators.sketch import (
+        M_REGS,
+        RHO_CAP,
+        _EST_NUM,
+        _EST_DEN,
+        _pow2_sql,
+        _rho_sql,
+    )
+
+    w = sql_h2(sql_strhash("node"), 5)
+    u_expr = sql_h2("w", 7)
+    p2 = lambda ex: _pow2_sql("duckdb", ex)
+    est = (
+        lambda rel, r: f"""
+select cast({r} as bigint) as r,
+       cast(sum({_EST_NUM} // ({_EST_DEN} * s_sum)) as bigint) as est_pairs
+from (
+  select node,
+         cast(sum({p2(f"{RHO_CAP} - rho")})
+              + ({M_REGS} - count(*)) * {p2(str(RHO_CAP))} as bigint) as s_sum
+  from {rel} group by node
+)"""
+    )
+    ctes = [
+        f"""
+links as materialized (
+  select distinct src_host as u, dst_host as v
+  from ({duck_planted_links_sql(pages_sql_duck)})
+  where src_host <> dst_host
+),
+sym as materialized (
+  select u as node, v as nbr from links union select v, u from links
+),
+g0 as materialized (
+  select node, w % {M_REGS} as j, cast({_rho_sql(u_expr)} as bigint) as rho
+  from (select distinct node, {w} as w from (select node from sym))
+)"""
+    ]
+    finals = [est("g0", 0)]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""
+g{r} as materialized (
+  select node, j, max(rho) as rho from (
+    select node, j, rho from g{p}
+    union all
+    select s.node, g.j, g.rho from sym s join g{p} g on g.node = s.nbr
+  ) group by node, j
+)"""
+        )
+        finals.append(est(f"g{r}", r))
+    return "with " + ",".join(ctes) + " " + " union all ".join(finals)

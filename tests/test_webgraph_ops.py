@@ -190,3 +190,52 @@ def test_trustrank_demotes_unreachable_spam_island(spark):
     assert trust["g.io"] > 0 and trust["t.io"] > 0
     # hosts with no in-path from the seed hold no trust at all
     assert trust["a.io"] == 0 and trust["b.io"] == 0 and trust["c.io"] == 0
+
+
+def test_anf_estimates_match_exact_bfs(spark):
+    from collections import deque
+
+    from nerpii_spark.operators.webgraph import neighborhood_function
+
+    # deterministic 400-node graph: ring + two hub spokes per node
+    # (consecutive hubs share members), so balls SATURATE by r=3
+    # (~6.3x the 64 registers — out of the raw-HLL small-range regime;
+    # r<=2 balls are smaller and carry the documented small-range bias,
+    # so no accuracy claim is made there)
+    n = 400
+    edges = [(f"n{i:03d}.x", f"n{(i + 1) % n:03d}.x") for i in range(n)]
+    edges += [(f"n{i:03d}.x", f"hub{i % 4}.x") for i in range(n)]
+    edges += [(f"n{i:03d}.x", f"hub{(i + 1) % 4}.x") for i in range(n)]
+    pages = _pages(spark, edges)
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    exact = {}
+    for r in range(4):
+        tot = 0
+        for v in adj:
+            seen = {v}
+            frontier = deque([(v, 0)])
+            while frontier:
+                u, d = frontier.popleft()
+                if d == r:
+                    continue
+                for w in adj[u]:
+                    if w not in seen:
+                        seen.add(w)
+                        frontier.append((w, d + 1))
+            tot += len(seen)
+        exact[r] = tot
+
+    got = {
+        r["r"]: r["est_pairs"]
+        for r in neighborhood_function(pages, n_rounds=3).collect()
+    }
+    # r=0 is the documented small-range regime (raw HLL reads ~alpha*m
+    # per single-element ball) — no accuracy claim there
+    assert got[1] <= got[2] <= got[3]  # balls only grow
+    assert exact[3] >= 6 * 64 * len(adj) * 0.9  # saturation premise holds
+    rel = abs(got[3] - exact[3]) / exact[3]
+    assert rel < 0.25, (got[3], exact[3], rel)
