@@ -317,6 +317,38 @@ def q_communities(spark, sf):
     return WG.lpa_communities(_pipeline(spark, sf)["pages"])
 
 
+def q_recrawl_cadence(spark, sf):
+    """Per-host recrawl cadence over the raw crawl log
+    (webgraph.recrawl_cadence): canonical-URL capture gaps via one lag
+    window (high-cardinality key) + a per-URL agg reusing its
+    partitioning + one map-side-combined per-host rollup; integer
+    seconds and floor-div average, so the oracle matches exactly."""
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_cadence")
+    crawl = spark.sql(
+        P.crawl_sql("spark", doc_rel="nerpii_documents_cadence")
+    )
+    return WG.recrawl_cadence(crawl)
+
+
+def q_host_mirrors(spark, sf):
+    """Mirror/duplicate-site detection (webgraph.host_mirror_topk): top-k
+    host pairs by out-link-set Jaccard — df-capped posting self-join for
+    candidates (the hub hosts are exactly the capped features), exact
+    counts from full postings via joins (no collect_set), integer sim_e6
+    ranking with a two-phase salted top-k; oracle replays cap, counts
+    and ranking over the planted link set."""
+    return WG.host_mirror_topk(_pipeline(spark, sf)["pages"])
+
+
+def q_kcore(spark, sf):
+    """Bounded-round k-core peel over the host graph (webgraph.kcore):
+    per round one map-side-combined degree count + two semi-joins, fixed
+    rounds with a pytest-verified fixpoint on the planted graph; the
+    chained-CTE oracle replays the peel over the planted link set."""
+    return WG.kcore(_pipeline(spark, sf)["pages"])
+
+
 def q_anf(spark, sf):
     """ANF/HyperBall neighborhood function over the host graph
     (webgraph.neighborhood_function): per-node HLL balls propagated as
@@ -326,6 +358,17 @@ def q_anf(spark, sf):
     replays the distributed sketch bit-for-bit; accuracy vs exact BFS
     balls gated in pytest."""
     return WG.neighborhood_function(_pipeline(spark, sf)["pages"])
+
+
+def q_embed_pq(spark, sf):
+    """PQ asymmetric-distance top-3 (similarity.pq_topk): vectors
+    compress to 8 codebook codes, the ADC scan is a broadcast LUT join +
+    one map-side-combined sum, and the shortlist re-ranks by exact L2
+    (FAISS ADC+refine) — the compression ANN shape next to LSH (prune by
+    signature) and IVF (prune by cell); integer end to end, so the
+    oracle replays training, encoding, scan and re-rank bit-for-bit;
+    recall vs exact L2 gated in pytest."""
+    return SIM.pq_topk(_load(spark, sf, "embeddings"), "vec_id < 32", k=3)
 
 
 def q_trustrank(spark, sf):
@@ -1592,6 +1635,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crawl_depth": q_crawl_depth,
         "q_trustrank": q_trustrank,
         "q_anf": q_anf,
+        "q_kcore": q_kcore,
+        "q_host_mirrors": q_host_mirrors,
+        "q_recrawl_cadence": q_recrawl_cadence,
+        "q_embed_pq": q_embed_pq,
         "q_fuzzy_match": q_fuzzy_match,
         "q_frontier": q_frontier,
         "q_entity_aliases": q_entity_aliases,
@@ -1852,6 +1899,12 @@ def oracle_sql() -> dict[str, str]:
         "q_communities": WG.duck_lpa_communities_sql(pages),
         "q_crawl_depth": WG.duck_crawl_depth_sql(pages),
         "q_anf": WG.duck_neighborhood_function_sql(pages),
+        "q_kcore": WG.duck_kcore_sql(pages),
+        "q_host_mirrors": WG.duck_host_mirror_topk_sql(pages),
+        "q_recrawl_cadence": WG.duck_recrawl_cadence_sql(
+            P.crawl_sql("duck")
+        ),
+        "q_embed_pq": SIM.duck_pq_topk_sql("vec_id < 32", k=3),
         "q_trustrank": WG.duck_trustrank_sql(
             f"select src_host as subj, dst_host as obj from"
             f" ({WG.duck_planted_links_sql(pages)})",

@@ -125,17 +125,21 @@ def kmeans_assign(
     )
 
 
-def duck_lloyd_ctes(src: str, k: int, n_iters: int, dims: int) -> str:
-    """Comma-joined CTE fragments c0..c{n_iters} that replay
-    lloyd_centroids() bit-for-bit, training on an existing CTE `src`
-    with columns (vec_id, xq): for each round t, d{t} (cross-join
+def duck_lloyd_ctes(
+    src: str, k: int, n_iters: int, dims: int, prefix: str = ""
+) -> str:
+    """Comma-joined CTE fragments {prefix}c0..{prefix}c{n_iters} that
+    replay lloyd_centroids() bit-for-bit, training on an existing CTE
+    `src` with columns (vec_id, xq): for each round t, d{t} (cross-join
     distances) -> a{t} (argmin assignment) -> n{t}/s{t} (counts /
     per-dim sums) -> c{t+1} (floor-div means, empty cluster keeps its
-    centroid). All BIGINT. Shared by duck_kmeans_sql (src = full corpus)
-    and similarity.duck_ivf_topk_sql (src = hash-sample)."""
+    centroid). All BIGINT. Shared by duck_kmeans_sql (src = full corpus),
+    similarity.duck_ivf_topk_sql (src = hash-sample), and
+    similarity.duck_pq_topk_sql (one prefixed chain per subspace)."""
+    P = prefix
     parts = [
         f"""
-c0 as (
+{P}c0 as (
   select cast(row_number() over (order by vec_id) - 1 as bigint) as cid,
          xq as cv
   from (select vec_id, xq from {src} order by vec_id limit {k})
@@ -144,37 +148,37 @@ c0 as (
     for t in range(n_iters):
         parts.append(
             f"""
-d{t} as (
+{P}d{t} as (
   select q.vec_id, q.xq, c.cid,
          list_sum(list_transform(range(1, {dims + 1}),
                   i -> (q.xq[i] - c.cv[i]) * (q.xq[i] - c.cv[i]))) as dist
-  from {src} q cross join c{t} c
+  from {src} q cross join {P}c{t} c
 ),
-a{t} as (
+{P}a{t} as (
   select vec_id, xq, cid from (
     select vec_id, xq, cid,
            row_number() over (partition by vec_id
                               order by dist, cid) as rn
-    from d{t}
+    from {P}d{t}
   ) where rn = 1
 ),
-n{t} as (select cid, cast(count(*) as bigint) as n from a{t} group by 1),
-s{t} as (
+{P}n{t} as (select cid, cast(count(*) as bigint) as n from {P}a{t} group by 1),
+{P}s{t} as (
   select cid, list(sm order by i) as sv from (
     select cid, i, cast(sum(xq[i]) as bigint) as sm
-    from a{t}, range(1, {dims + 1}) t(i)
+    from {P}a{t}, range(1, {dims + 1}) t(i)
     group by 1, 2
   ) group by 1
 ),
-c{t + 1} as (
+{P}c{t + 1} as (
   select p.cid,
          case when n.n is null then p.cv
               else list_transform(range(1, {dims + 1}),
                    i -> (s.sv[i] - ((s.sv[i] % n.n) + n.n) % n.n) // n.n)
          end as cv
-  from c{t} p
-  left join n{t} n using (cid)
-  left join s{t} s using (cid)
+  from {P}c{t} p
+  left join {P}n{t} n using (cid)
+  left join {P}s{t} s using (cid)
 )"""
         )
     return ",".join(parts)

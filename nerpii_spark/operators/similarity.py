@@ -664,3 +664,309 @@ ranked as (
 )
 select query_id, rank, neighbor_id, cos from ranked where rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou et al. 2011, "Product quantization for
+# nearest neighbor search")
+# ---------------------------------------------------------------------------
+
+PQ_M = 8         # subspaces
+PQ_K = 32        # codewords per subspace -> 8 bytes per vector
+PQ_N_ITERS = 2
+PQ_RERANK_MULT = 32  # ADC shortlist = k * this, then exact re-rank
+
+
+def _pq_codebooks(base: DataFrame, m_sub: int, k_codes: int,
+                  n_iters: int, dims: int):
+    """Train one integer-Lloyd codebook per subspace on the deterministic
+    ~25% hash-sample (IVF's rule, full-table fallback below k_codes) ->
+    list of m_sub centroid lists. Driver holds m_sub * k_codes * sub_d
+    ints — the whole model."""
+    from .cluster import lloyd_centroids
+
+    sub_d = dims // m_sub
+    sample = base.where(F.expr(ivf_sample_pred("vec_id")))
+    if sample.count() < k_codes:
+        sample = base
+    sample = sample.localCheckpoint(eager=True)
+    return [
+        lloyd_centroids(
+            sample.select(
+                "vec_id",
+                F.expr(f"slice(xq, {m * sub_d + 1}, {sub_d})").alias("xq"),
+            ),
+            k_codes, n_iters,
+        )
+        for m in range(m_sub)
+    ]
+
+
+def pq_topk(
+    embs: DataFrame,
+    query_pred: str,
+    k: int = 3,
+    m_sub: int = PQ_M,
+    k_codes: int = PQ_K,
+    n_iters: int = PQ_N_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    n_salt: int = 8,
+    rerank_mult: int = PQ_RERANK_MULT,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k with exact re-rank -> (query_id,
+    rank, neighbor_id, dist): vectors compress to m_sub codebook codes
+    (4 bytes here vs 512 for the raw floats — the 128x memory/bandwidth
+    compression that makes EXHAUSTIVE scan affordable at 10^9+ vectors,
+    the third ANN shape next to hyperplane LSH (prune by signature) and
+    IVF (prune by cell): PQ prunes nothing and compresses everything).
+    The ADC scan keeps a shortlist of k * rerank_mult candidates per
+    query, which are then re-ranked by EXACT squared L2 on the full
+    vectors — the FAISS IVFADC+refine pattern; only the shortlist (a
+    per-query constant) ever touches raw vectors again.
+
+    Everything is exact integer arithmetic, so the DuckDB oracle replays
+    training, encoding, the ADC scan and the re-rank bit-for-bit:
+      * codebooks: per-subspace integer Lloyd on the deterministic
+        hash-sample (cluster.lloyd_centroids — argmin ties to the
+        lowest code, floor-div means);
+      * encoding: per subspace, code = argmin_c ||x_m - c||^2 (int64);
+      * ADC: adist(q, x) = sum_m LUT_q[m][code_m(x)] where LUT_q[m][c] =
+        ||q_m - codeword||^2 — the asymmetric form (query stays exact,
+        only the corpus is quantized);
+      * re-rank: dist = exact ||q - x||^2 over the quantized ints.
+
+    Scale shape: the ADC scan is a BROADCAST equi-join, not a HOF fold —
+    the per-query lookup tables (n_queries x m_sub x k_codes rows, the
+    only thing that scales with queries) broadcast into the exploded
+    (neighbor, m, code) stream, and the per-pair distance is ONE
+    map-side-combinable sum agg over m_sub joined rows; no per-pair
+    vector arithmetic survives into the corpus-sized stage. The
+    shortlist is the two-phase salted window (pre-top per (query,
+    hash(neighbor) % n_salt) shard, then the final cut over <= shortlist
+    * n_salt survivors) so a query never funnels the whole corpus
+    through one reducer; the exact-distance join then touches only
+    n_queries * k * rerank_mult corpus rows."""
+    from .cluster import _quant_expr
+
+    base = embs.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(_quant_expr(vec_col)).alias("xq"),
+    )
+    sub_d = dims // m_sub
+    books = _pq_codebooks(base, m_sub, k_codes, n_iters, dims)
+    Cs = [np.array(b, dtype=np.int64) for b in books]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _encode(v: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(x, dtype=np.int64) for x in v])
+        codes = []
+        for m, C in enumerate(Cs):
+            Xm = X[:, m * sub_d : (m + 1) * sub_d]
+            d = (
+                (Xm * Xm).sum(axis=1, keepdims=True)
+                - 2 * (Xm @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            codes.append(np.argmin(d, axis=1))  # first min = lowest code
+        return pd.Series(np.stack(codes, axis=1).astype(np.int32).tolist())
+
+    neigh = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.posexplode(_encode(F.col("xq"))).alias("m", "code"),
+    )
+    book_rows = [
+        (m, cid, [int(x) for x in cw])
+        for m, b in enumerate(books)
+        for cid, cw in enumerate(b)
+    ]
+    spark = embs.sparkSession
+    book_df = spark.createDataFrame(
+        book_rows, "m int, code int, cw array<bigint>"
+    )
+    lut = (
+        base.where(F.expr(query_pred))
+        .select(F.col("vec_id").alias("query_id"), "xq")
+        .crossJoin(F.broadcast(book_df))
+        .select(
+            "query_id",
+            "m",
+            "code",
+            F.expr(
+                f"aggregate(zip_with(slice(xq, m * {sub_d} + 1, {sub_d}),"
+                " cw, (x, y) -> (x - y) * (x - y)),"
+                " cast(0 as bigint), (acc, v) -> acc + v)"
+            ).alias("pdist"),
+        )
+    )
+    adist = (
+        neigh.join(F.broadcast(lut), ["m", "code"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pdist").cast("bigint").alias("adist"))
+    )
+    short_k = k * rerank_mult
+    w_shard = W.partitionBy(
+        "query_id", F.pmod(F.xxhash64("neighbor_id"), F.lit(n_salt))
+    ).orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    w_adc = W.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        adist.withColumn("prk", F.row_number().over(w_shard))
+        .where(F.col("prk") <= short_k)
+        .withColumn("srk", F.row_number().over(w_adc))
+        .where(F.col("srk") <= short_k)
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        shortlist.join(
+            base.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("xq").alias("nxq")),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                base.where(F.expr(query_pred)).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("xq").alias("qxq"),
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(qxq, nxq, (x, y) -> (x - y) * (x - y)),"
+                " cast(0 as bigint), (acc, v) -> acc + v)"
+            ).alias("dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbor_id",
+            "dist",
+        )
+    )
+
+
+def duck_pq_topk_sql(
+    query_pred: str,
+    k: int = 3,
+    m_sub: int = PQ_M,
+    k_codes: int = PQ_K,
+    n_iters: int = PQ_N_ITERS,
+    dims: int = 64,
+    rel: str = "embeddings",
+    rerank_mult: int = PQ_RERANK_MULT,
+) -> str:
+    """Bit-exact DuckDB replay of pq_topk: per-subspace prefixed Lloyd
+    chains over the same hash-sample, row_number argmin encoding, LUT
+    join, HUGEINT-cast ADC shortlist (single window, provably equal to
+    the two-phase salted form), exact-L2 re-rank over the shortlist."""
+    from .cluster import QUANT as Q, duck_lloyd_ctes
+
+    sub_d = dims // m_sub
+    pred = ivf_sample_pred("vec_id")
+    parts = [
+        f"""
+q as materialized (
+  select vec_id,
+         list_transform(embedding,
+                        x -> cast(round(x::DOUBLE * {Q}.0) as bigint)) as xq
+  from {rel}
+),
+smp as materialized (
+  select vec_id, xq from q
+  where ({pred})
+     or (select count(*) from q where ({pred})) < {k_codes}
+)"""
+    ]
+    enc_joins = []
+    lut_parts = []
+    for m in range(m_sub):
+        lo = m * sub_d + 1
+        parts.append(
+            f"""
+src{m} as materialized (
+  select vec_id, xq[{lo}:{lo + sub_d - 1}] as xq from smp
+)"""
+        )
+        parts.append(duck_lloyd_ctes(f"src{m}", k_codes, n_iters,
+                                     sub_d, prefix=f"b{m}"))
+        parts.append(
+            f"""
+enc{m} as materialized (
+  select vec_id, cid as code from (
+    select q.vec_id, c.cid,
+           row_number() over (partition by q.vec_id
+                              order by list_sum(list_transform(
+                                  range(1, {sub_d + 1}),
+                                  i -> (q.xq[{lo} - 1 + i] - c.cv[i])
+                                     * (q.xq[{lo} - 1 + i] - c.cv[i]))),
+                              c.cid) as rn
+    from q cross join b{m}c{n_iters} c
+  ) where rn = 1
+)"""
+        )
+        enc_joins.append(
+            f"select vec_id as neighbor_id, {m} as m, code from enc{m}"
+        )
+        lut_parts.append(
+            f"""
+select qq.vec_id as query_id, {m} as m, c.cid as code,
+       cast(list_sum(list_transform(range(1, {sub_d + 1}),
+            i -> (qq.xq[{lo} - 1 + i] - c.cv[i])
+               * (qq.xq[{lo} - 1 + i] - c.cv[i]))) as bigint) as pdist
+from q qq cross join b{m}c{n_iters} c
+where qq.{query_pred}"""
+        )
+    parts.append(
+        "codes as materialized (" + " union all ".join(enc_joins) + ")"
+    )
+    parts.append(
+        "lut as materialized (" + " union all ".join(lut_parts) + ")"
+    )
+    parts.append(
+        f"""
+short as materialized (
+  select query_id, neighbor_id from (
+    select query_id, neighbor_id,
+           row_number() over (partition by query_id
+                              order by adist asc, neighbor_id asc) as srk
+    from (
+      select l.query_id, c.neighbor_id,
+             cast(sum(l.pdist) as bigint) as adist
+      from codes c join lut l on l.m = c.m and l.code = c.code
+      where l.query_id <> c.neighbor_id
+      group by 1, 2
+    )
+  ) where srk <= {k * rerank_mult}
+)"""
+    )
+    return (
+        "with " + ",".join(parts)
+        + f"""
+select query_id, cast(rank as bigint) as rank, neighbor_id, dist from (
+  select query_id, neighbor_id, dist,
+         row_number() over (partition by query_id
+                            order by dist asc, neighbor_id asc) as rank
+  from (
+    select s.query_id, s.neighbor_id,
+           cast(list_sum(list_transform(range(1, {dims + 1}),
+                i -> (qv.xq[i] - nv.xq[i])
+                   * (qv.xq[i] - nv.xq[i]))) as bigint) as dist
+    from short s
+    join q nv on nv.vec_id = s.neighbor_id
+    join q qv on qv.vec_id = s.query_id
+  )
+) where rank <= {k}
+"""
+    )

@@ -911,3 +911,336 @@ g{r} as materialized (
         )
         finals.append(est(f"g{r}", r))
     return "with " + ",".join(ctes) + " " + " union all ".join(finals)
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 4
+
+
+def kcore(
+    pages: DataFrame, k: int = KCORE_K, n_rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """Bounded-round k-core peel (Seidman 1983 cores; the Batagelj-
+    Zaversnik peel expressed as synchronous rounds) over the undirected
+    host graph -> (host, core_deg): repeatedly delete every node whose
+    remaining degree is < k, then report each survivor's degree inside
+    the surviving subgraph. The web-graph densest-region primitive —
+    link-farm and mirror-ring detection key on "is this host in a dense
+    core", and crawl schedulers protect the k-core as the canonical
+    authority nucleus (PageRank mass concentrates there).
+
+    Rounds are FIXED (n_rounds), not convergence-tested — the same
+    reproducibility convention as lpa_communities; each extra round past
+    the fixpoint is a no-op on both engines, and the pytest gate asserts
+    the planted graph actually reaches its fixpoint inside the budget
+    (one more round changes nothing), so the bound is verified rather
+    than hoped.
+
+    Scale shape: per round ONE map-side-combined degree count + two
+    semi-joins restricting the edge list to surviving endpoints (hash
+    joins on the host key; the hub-host skew arrives at the reducer
+    pre-aggregated because a count partial is one row per (task, node)).
+    localCheckpoint per round truncates the iterative lineage (the
+    CC/PageRank discipline). No window over the full edge list, no
+    collect — the driver never holds anything."""
+    links = host_links(pages).where(F.col("src_host") != F.col("dst_host"))
+    e = links.select(
+        F.col("src_host").alias("u"), F.col("dst_host").alias("v")
+    ).distinct()
+    sym = (
+        e.union(e.select("v", "u"))
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_rounds):
+        deg = sym.groupBy("node").agg(F.count("*").alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("node")
+        sym = (
+            sym.join(keep, "node", "left_semi")
+            .join(
+                keep.select(F.col("node").alias("nbr")), "nbr", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+    return sym.groupBy(F.col("node").alias("host")).agg(
+        F.count("*").cast("bigint").alias("core_deg")
+    )
+
+
+def duck_kcore_sql(
+    pages_sql_duck: str, k: int = KCORE_K, n_rounds: int = KCORE_ROUNDS
+) -> str:
+    """Oracle: the same synchronous peel rounds as chained MATERIALIZED
+    CTEs over the PLANTED link set (extraction correctness rides along,
+    as in every webgraph oracle)."""
+    ctes = [
+        f"""
+links as materialized (
+  select distinct src_host as u, dst_host as v
+  from ({duck_planted_links_sql(pages_sql_duck)})
+  where src_host <> dst_host
+),
+e0 as materialized (
+  select u as node, v as nbr from links union select v, u from links
+)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""
+k{r} as materialized (
+  select node from e{p} group by node having count(*) >= {k}
+),
+e{r} as materialized (
+  select e.node, e.nbr from e{p} e
+  join k{r} a on a.node = e.node
+  join k{r} b on b.node = e.nbr
+)"""
+        )
+    return (
+        "with " + ",".join(ctes)
+        + f"""
+select node as host, cast(count(*) as bigint) as core_deg
+from e{n_rounds} group by 1
+"""
+    )
+
+
+MIRROR_TOPK = 20
+MIRROR_MAX_DF = 8
+MIRROR_SALT = 32
+
+
+def host_mirror_topk(
+    pages: DataFrame,
+    k: int = MIRROR_TOPK,
+    max_df: int = MIRROR_MAX_DF,
+    n_salt: int = MIRROR_SALT,
+) -> DataFrame:
+    """Mirror / duplicate-site detection: the k host pairs with the most
+    similar distinct OUT-LINK sets -> (rank, host_a, host_b, n_inter,
+    n_union, sim_e6), sim_e6 = floor(1e6 * |A∩B| / |A∪B|). Mirrors,
+    parked-domain farms and boilerplate-syndication rings link the same
+    places; out-link Jaccard is the classic structural signal that needs
+    no content fetch.
+
+    Scale shape (the ngram-dedup discipline applied to the graph):
+      * candidates come from a df-CAPPED posting self-join
+        (dedup._bucket_pairs, degrade=False): a destination linked from
+        more than max_df hosts — the hub hosts by construction — carries
+        no mirror signal and would land O(df^2) pairs on one reducer;
+        the df count pre-aggregates map-side, so the hot hub key never
+        concentrates its posting list.
+      * counts are EXACT from the full posting lists (hubs included):
+        n_inter is one join keyed on (candidate, dst) — per-pair cost is
+        deg(host_a) joined rows, never a collected set — and n_union =
+        deg_a + deg_b - n_inter from the map-side-combined degree table;
+        no collect_set of an out-link set that grows with the corpus.
+      * integer sim_e6 ranks identically on both engines (no float
+        ordering); top-k is the two-phase salted window (pre-rank per
+        hash(host_a, host_b) % n_salt shard, final over <= k * n_salt
+        survivors) so the global ranking never funnels all candidates
+        through one reducer.
+    The pytest gate plants literal mirrors on a crafted graph; the
+    DuckDB oracle replays cap, counts and ranking over the planted link
+    set, so extraction rides along (P/R = 1.0) as in every webgraph
+    oracle."""
+    from pyspark.sql import Window as W
+
+    from nerpii_spark.operators.dedup import _bucket_pairs
+
+    links = (
+        host_links(pages)
+        .where(F.col("src_host") != F.col("dst_host"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    posting = links.select(
+        F.col("dst_host").alias("feat"), F.col("src_host").alias("sid")
+    )
+    pairs = _bucket_pairs(posting, ["feat"], "sid", max_df, degrade=False)
+    deg = posting.groupBy("sid").agg(F.count("*").alias("deg"))
+    pa = posting.select(F.col("sid").alias("id_a"), "feat")
+    pb = posting.select(F.col("sid").alias("id_b"), "feat")
+    inter = (
+        pairs.join(pa, "id_a")
+        .join(pb, ["id_b", "feat"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    scored = (
+        inter.join(deg.select(F.col("sid").alias("id_a"),
+                              F.col("deg").alias("deg_a")), "id_a")
+        .join(deg.select(F.col("sid").alias("id_b"),
+                         F.col("deg").alias("deg_b")), "id_b")
+        .select(
+            F.col("id_a").alias("host_a"),
+            F.col("id_b").alias("host_b"),
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            (F.col("deg_a") + F.col("deg_b") - F.col("n_inter"))
+            .cast("bigint")
+            .alias("n_union"),
+        )
+        .withColumn(
+            "sim_e6",
+            F.expr("cast(n_inter * 1000000 as bigint) div n_union"),
+        )
+    )
+    order = [F.desc("sim_e6"), F.asc("host_a"), F.asc("host_b")]
+    w_shard = W.partitionBy(
+        F.pmod(F.xxhash64("host_a", "host_b"), F.lit(n_salt))
+    ).orderBy(*order)
+    return (
+        scored.withColumn("prk", F.row_number().over(w_shard))
+        .where(F.col("prk") <= k)
+        .withColumn("rank", F.row_number().over(W.orderBy(*order)))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            "host_a", "host_b", "n_inter", "n_union", "sim_e6",
+        )
+    )
+
+
+def duck_host_mirror_topk_sql(
+    pages_sql_duck: str,
+    k: int = MIRROR_TOPK,
+    max_df: int = MIRROR_MAX_DF,
+) -> str:
+    """Oracle: df cap, exact intersection counts and integer-Jaccard
+    ranking replayed over the PLANTED link set; single global
+    row_number (provably equal to the two-phase salted form)."""
+    return f"""
+with links as materialized (
+  select distinct src_host, dst_host
+  from ({duck_planted_links_sql(pages_sql_duck)})
+  where src_host <> dst_host
+),
+deg as materialized (
+  select src_host as sid, count(*) as deg from links group by 1
+),
+lowdf as materialized (
+  select dst_host from links group by 1 having count(*) <= {max_df}
+),
+cand as materialized (
+  select distinct a.src_host as host_a, b.src_host as host_b
+  from links a
+  join lowdf f on f.dst_host = a.dst_host
+  join links b on b.dst_host = a.dst_host and a.src_host < b.src_host
+),
+inter as materialized (
+  select c.host_a, c.host_b, cast(count(*) as bigint) as n_inter
+  from cand c
+  join links la on la.src_host = c.host_a
+  join links lb on lb.src_host = c.host_b and lb.dst_host = la.dst_host
+  group by 1, 2
+),
+scored as (
+  select i.host_a, i.host_b, i.n_inter,
+         cast(da.deg + db.deg - i.n_inter as bigint) as n_union,
+         cast((i.n_inter * 1000000)
+              // (da.deg + db.deg - i.n_inter) as bigint) as sim_e6
+  from inter i
+  join deg da on da.sid = i.host_a
+  join deg db on db.sid = i.host_b
+)
+select cast(rank as bigint) as rank,
+       host_a, host_b, n_inter, n_union, sim_e6 from (
+  select *, row_number() over (order by sim_e6 desc,
+                               host_a asc, host_b asc) as rank
+  from scored
+) where rank <= {k}
+"""
+
+
+def recrawl_cadence(
+    crawl: DataFrame, url_col: str = "url", ts_col: str = "ts_s"
+) -> DataFrame:
+    """Per-host recrawl cadence from the raw fetch log -> (host, n_urls,
+    n_captures, n_gaps, min_gap_s, max_gap_s, avg_gap_s): captures
+    collapse onto canonical URLs (dedup.canonical_url_expr — tracking
+    params / fragments / case / slash variants are the SAME page), the
+    inter-capture gaps per canonical URL feed one per-host rollup. The
+    freshness prior a crawl scheduler keys on: a host whose pages change
+    (hence get re-fetched) hourly earns a different budget than one
+    stable for months.
+
+    Scale shape: ONE lag window partitioned by the canonical URL
+    (high-cardinality, no skew — a URL's capture history is short by
+    definition of a polite crawler), then a per-URL agg that REUSES the
+    window's hash partitioning (zero extra exchange, verified in
+    tests/test_plans.py conventions), then a per-host agg whose
+    count/sum/min/max partials all map-side combine — a million-page
+    host arrives at its reducer pre-aggregated. Integer seconds end to
+    end; avg is integer floor-div so both engines agree exactly."""
+    from pyspark.sql import Window as W
+
+    from nerpii_spark.operators.dedup import canonical_url_expr
+
+    w = W.partitionBy("curl").orderBy("ts")
+    per_url = (
+        crawl.select(
+            F.expr(canonical_url_expr(url_col)).alias("curl"),
+            F.col(ts_col).alias("ts"),
+        )
+        .withColumn("gap", F.col("ts") - F.lag("ts").over(w))
+        .groupBy("curl")
+        .agg(
+            F.count("*").alias("caps"),
+            F.count("gap").alias("ng"),
+            F.sum("gap").alias("sg"),
+            F.min("gap").alias("mn"),
+            F.max("gap").alias("mx"),
+        )
+    )
+    return (
+        per_url.withColumn(
+            "host", F.expr(f"regexp_extract(curl, '{_HOST_RE}', 1)")
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.sum("caps").cast("bigint").alias("n_captures"),
+            F.sum("ng").cast("bigint").alias("n_gaps"),
+            F.min("mn").cast("bigint").alias("min_gap_s"),
+            F.max("mx").cast("bigint").alias("max_gap_s"),
+            F.expr(
+                "case when sum(ng) > 0"
+                " then cast(sum(sg) div sum(ng) as bigint) end"
+            ).alias("avg_gap_s"),
+        )
+    )
+
+
+def duck_recrawl_cadence_sql(crawl_rel_sql: str) -> str:
+    """Oracle twin of recrawl_cadence (HUGEINT sums cast back, integer
+    floor-div average)."""
+    from nerpii_spark.operators.dedup import canonical_url_expr
+
+    return f"""
+with c as materialized (
+  select {canonical_url_expr('url')} as curl, ts_s as ts
+  from ({crawl_rel_sql})
+),
+g as materialized (
+  select curl, ts,
+         ts - lag(ts) over (partition by curl order by ts) as gap
+  from c
+),
+pu as materialized (
+  select curl, count(*) as caps, count(gap) as ng,
+         cast(sum(gap) as bigint) as sg, min(gap) as mn, max(gap) as mx
+  from g group by 1
+)
+select regexp_extract(curl, '{_HOST_RE}', 1) as host,
+       cast(count(*) as bigint) as n_urls,
+       cast(sum(caps) as bigint) as n_captures,
+       cast(sum(ng) as bigint) as n_gaps,
+       cast(min(mn) as bigint) as min_gap_s,
+       cast(max(mx) as bigint) as max_gap_s,
+       case when sum(ng) > 0
+            then cast(cast(sum(sg) as bigint) // cast(sum(ng) as bigint)
+                      as bigint) end as avg_gap_s
+from pu group by 1
+"""

@@ -239,3 +239,111 @@ def test_anf_estimates_match_exact_bfs(spark):
     assert exact[3] >= 6 * 64 * len(adj) * 0.9  # saturation premise holds
     rel = abs(got[3] - exact[3]) / exact[3]
     assert rel < 0.25, (got[3], exact[3], rel)
+
+
+def test_kcore_peels_cascading_tail_keeps_clique(spark):
+    """K4 clique + a 3-hop tail. At k=2 the tail peels CASCADING (g
+    round 1, f round 2, e round 3 — each removal exposes the next), so
+    the default round budget must absorb a multi-round cascade; the
+    clique survives with in-core degree 3. At k=3 the whole tail drops
+    in one round. Fixpoint: one extra round changes nothing, and a
+    too-small budget provably differs (rounds are load-bearing)."""
+    from nerpii_spark.operators.webgraph import kcore
+
+    clique = [
+        ("a.io", "b.io"), ("a.io", "c.io"), ("a.io", "d.io"),
+        ("b.io", "c.io"), ("b.io", "d.io"), ("c.io", "d.io"),
+    ]
+    tail = [("d.io", "e.io"), ("e.io", "f.io"), ("f.io", "g.io")]
+    pages = _pages(spark, clique + tail)
+    want = {(h, 3) for h in ("a.io", "b.io", "c.io", "d.io")}
+
+    got3 = {(r["host"], r["core_deg"]) for r in kcore(pages, k=3).collect()}
+    assert got3 == want
+
+    got2 = {(r["host"], r["core_deg"])
+            for r in kcore(pages, k=2, n_rounds=3).collect()}
+    assert got2 == want
+    got2_more = {(r["host"], r["core_deg"])
+                 for r in kcore(pages, k=2, n_rounds=4).collect()}
+    assert got2_more == got2  # fixpoint reached inside the budget
+    short = {(r["host"], r["core_deg"])
+             for r in kcore(pages, k=2, n_rounds=2).collect()}
+    assert short != got2  # e survives a 2-round budget: cascade is real
+
+
+def test_kcore_planted_corpus_reaches_fixpoint(spark):
+    """The driver query's FIXED round budget (KCORE_ROUNDS) is verified,
+    not hoped: one extra round over the sf0.001 planted host graph is a
+    no-op — the docstring's convergence contract."""
+    import __spark_entry__ as E
+    from nerpii_spark.operators.webgraph import KCORE_ROUNDS, kcore
+
+    pages = E._pipeline(spark, "/root/testdata/sf0.001")["pages"]
+    base = {(r["host"], r["core_deg"]) for r in kcore(pages).collect()}
+    more = {(r["host"], r["core_deg"])
+            for r in kcore(pages, n_rounds=KCORE_ROUNDS + 1).collect()}
+    assert more == base
+    assert base  # the hub-dense planted graph has a non-empty 3-core
+
+
+def test_host_mirrors_planted_mirror_graph(spark):
+    """Two literal mirrors (identical out-sets) must rank 1 with
+    sim_e6 = 1e6; a partial overlap ranks below with the exact
+    integer Jaccard; hosts sharing ONLY a capped hot destination (every
+    host links hub.io, df > max_df) must not pair through it — but the
+    hot destination still counts in the EXACT intersection of pairs
+    found through a low-df destination."""
+    from nerpii_spark.operators.webgraph import host_mirror_topk
+
+    edges = [
+        ("m1.io", d) for d in ("x.io", "y.io", "z.io")
+    ] + [
+        ("m2.io", d) for d in ("x.io", "y.io", "z.io")
+    ] + [
+        ("p.io", "x.io"), ("p.io", "q.io"),
+        ("lone.io", "w.io"),
+    ]
+    hub = [(s, "hub.io") for s in ("m1.io", "m2.io", "p.io", "lone.io")]
+    pages = _pages(spark, edges + hub)
+    got = [
+        (r["rank"], r["host_a"], r["host_b"],
+         r["n_inter"], r["n_union"], r["sim_e6"])
+        for r in host_mirror_topk(pages, max_df=3)
+        .orderBy("rank").collect()
+    ]
+    # m1/m2: out-sets {x,y,z,hub} identical -> J=1. p pairs with each
+    # mirror through x.io (df=3 <= cap); inter = {x, hub} = 2 of
+    # union 5. lone.io shares only the capped hub -> never a candidate.
+    assert got == [
+        (1, "m1.io", "m2.io", 4, 4, 1000000),
+        (2, "m1.io", "p.io", 2, 5, 400000),
+        (3, "m2.io", "p.io", 2, 5, 400000),
+    ]
+
+
+def test_recrawl_cadence_crafted_log(spark):
+    """Hand-computed cadence golden: variants of one page collapse to a
+    single canonical URL whose gaps are the inter-capture deltas;
+    single-capture URLs contribute captures but no gaps; avg is integer
+    floor-div."""
+    from nerpii_spark.operators.webgraph import recrawl_cadence
+
+    rows = [
+        # one page, 3 captures via variants: gaps 100 and 50
+        ("https://a.io/p1", 1000), ("https://a.io/p1?utm=x", 1100),
+        ("https://a.io/p1#frag", 1150),
+        # same host, second page: 2 captures, gap 7
+        ("https://a.io/p2", 2000), ("https://a.io/p2/", 2007),
+        # other host: single capture -> no gaps, null stats
+        ("https://b.io/q", 5000),
+    ]
+    crawl = spark.createDataFrame(rows, "url string, ts_s bigint")
+    got = {r["host"]: r for r in recrawl_cadence(crawl).collect()}
+    a = got["a.io"]
+    assert (a["n_urls"], a["n_captures"], a["n_gaps"]) == (2, 5, 3)
+    assert (a["min_gap_s"], a["max_gap_s"]) == (7, 100)
+    assert a["avg_gap_s"] == (100 + 50 + 7) // 3  # floor-div, = 52
+    b = got["b.io"]
+    assert (b["n_urls"], b["n_captures"], b["n_gaps"]) == (1, 1, 0)
+    assert b["min_gap_s"] is None and b["avg_gap_s"] is None
