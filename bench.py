@@ -158,6 +158,9 @@ def main() -> int:
         "q_communities",
         "q_crawl_depth",
         "q_fuzzy_match",
+        "q_kcore",
+        "q_host_mirrors",
+        "q_recrawl_cadence",
         "q_bpe_merges",
         "q_agg_lineitem",
         "q_join_orders_customer",

@@ -596,3 +596,35 @@ def test_bloom_decontaminate_bitmap_is_broadcast(spark):
     # bitmap probe (broadcast) — corpus rows only cross hash-agg
     # exchanges keyed by (sid, skey)/(sid)
     assert "SortMergeJoin" not in plan
+
+
+def test_host_mirrors_no_cartesian_no_python(spark):
+    """Mirror detection is equi-joins end to end: candidates from the
+    df-capped posting self-join, exact counts from posting joins — no
+    cartesian, no nested-loop, no Python in the plan."""
+    from nerpii_spark.operators.webgraph import host_mirror_topk
+
+    plan = _plan(host_mirror_topk(E._pipeline(spark, SF)["pages"]))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_recrawl_cadence_agg_reuses_window_partitioning(spark, tmp_path):
+    """Over a parquet crawl log (the production input) the cadence plan
+    pays exactly TWO exchanges: one hashpartitioning(curl) shared by the
+    lag window AND the per-URL agg (same key -> reused), and one for the
+    per-host rollup whose partials map-side combine. All codegen — no
+    Python."""
+    from nerpii_spark.operators.webgraph import recrawl_cadence
+    from nerpii_spark.sources import pages as P
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.createOrReplaceTempView("cadence_plan_docs")
+    crawl = spark.sql(P.crawl_sql("spark", doc_rel="cadence_plan_docs"))
+    path = str(tmp_path / "crawl_pq")
+    crawl.write.mode("overwrite").parquet(path)
+    plan = _plan(recrawl_cadence(spark.read.parquet(path)))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

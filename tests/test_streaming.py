@@ -429,3 +429,92 @@ def test_sink_output_compacts(spark, tmp_path):
     after = spark.read.parquet(out)
     assert after.count() == n_before
     assert "batch_id" in after.columns
+
+
+def test_stateful_stream_sessionize(spark, tmp_path):
+    """Event-time sessionization closes sessions on BOTH paths — in-merge
+    (a later event of the same user arrives past the gap) and
+    EventTimeTimeout (the watermark passes last + gap with no new
+    events) — and the emitted set equals the native batch
+    session_window restricted to sessions the final watermark closed.
+    The still-open tail session must NOT be emitted."""
+    import glob
+    import os
+    import shutil
+    from datetime import datetime, timezone
+
+    from nerpii_spark.streaming.sessionize import sessionize_stream
+
+    def ts(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc)
+
+    gap = 1800
+    # batch1: u1 one open session; u3 gap-split in batch (first closes
+    # in-merge); u2's event pushes the watermark for batch2's timeouts
+    b1 = [(1, ts(100)), (1, ts(200)), (3, ts(100)), (3, ts(3000)),
+          (2, ts(10000))]
+    # batch2: u2 returns past the gap -> closes its first session
+    # in-merge; u1/u3 close by timeout (watermark 9999 > last + gap)
+    b2 = [(2, ts(20000))]
+    src = str(tmp_path / "sess_stream")
+    os.makedirs(src + "/in", exist_ok=True)
+    for i, rows in enumerate((b1, b2)):
+        d = src + f"/tmp{i}"
+        spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp"
+        ).coalesce(1).write.parquet(d)
+        part = glob.glob(d + "/part-*.parquet")[0]
+        shutil.copy(part, src + f"/in/batch{i}.parquet")
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/in")
+    )
+    q = (
+        sessionize_stream(stream, gap_s=gap)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_start"].timestamp(),
+             r["session_end"].timestamp(), r["n_events"])
+            for r in spark.sql("select * from sess_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {
+        (3, 100.0, 1900.0, 1),     # in-merge close, batch 1
+        (1, 100.0, 2000.0, 2),     # timeout close, batch 2
+        (3, 3000.0, 4800.0, 1),    # timeout close, batch 2
+        (2, 10000.0, 11800.0, 1),  # in-merge close, batch 2
+    }  # u2's (20000, ...) session is still open: not emitted
+
+    # batch equivalence: native session_window over the same events,
+    # restricted to sessions closed by the final watermark (19999s)
+    import pyspark.sql.functions as F
+
+    all_events = spark.createDataFrame(
+        b1 + b2, "user_id bigint, ts timestamp"
+    )
+    native = {
+        (r["user_id"], r["s"].timestamp(), r["e"].timestamp(), r["n"])
+        for r in all_events.groupBy(
+            "user_id", F.session_window("ts", f"{gap} seconds")
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n",
+        )
+        .collect()
+        if r["e"].timestamp() <= 19999
+    }
+    assert got == native
+    shutil.rmtree(src, ignore_errors=True)
