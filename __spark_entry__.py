@@ -317,6 +317,15 @@ def q_communities(spark, sf):
     return WG.lpa_communities(_pipeline(spark, sf)["pages"])
 
 
+def q_dsir_weights(spark, sf):
+    """DSIR importance resampling (textstats.dsir_weights): hashed
+    unigram+bigram log-ratio importance scores against the target-lang
+    slice, min-max-normalized into a deterministic keyed-hash resample —
+    one map-side-combined bucket agg (<= 4096 rows), broadcast weight
+    table, one doc-keyed sum; integer end to end."""
+    return TS.dsir_weights(_load(spark, sf, "documents"))
+
+
 def q_recrawl_cadence(spark, sf):
     """Per-host recrawl cadence over the raw crawl log
     (webgraph.recrawl_cadence): canonical-URL capture gaps via one lag
@@ -1638,6 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kcore": q_kcore,
         "q_host_mirrors": q_host_mirrors,
         "q_recrawl_cadence": q_recrawl_cadence,
+        "q_dsir_weights": q_dsir_weights,
         "q_embed_pq": q_embed_pq,
         "q_fuzzy_match": q_fuzzy_match,
         "q_frontier": q_frontier,
@@ -1904,6 +1914,7 @@ def oracle_sql() -> dict[str, str]:
         "q_recrawl_cadence": WG.duck_recrawl_cadence_sql(
             P.crawl_sql("duck")
         ),
+        "q_dsir_weights": TS.duck_dsir_weights_sql(),
         "q_embed_pq": SIM.duck_pq_topk_sql("vec_id < 32", k=3),
         "q_trustrank": WG.duck_trustrank_sql(
             f"select src_host as subj, dst_host as obj from"

@@ -966,3 +966,163 @@ select doc_id, lang, bucket,
        cast((cum - n_tok) % {seq_len} as bigint) as offset_tok, n_tok
 from c
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling")
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096
+DSIR_SALT = 67  # resampling hash-chain salt (frozen with the oracles)
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_lang: str = DSIR_TARGET_LANG,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR importance resampling -> (doc_id, n_feats, score, rate_e6,
+    keep): every doc scored by how target-like its hashed n-gram profile
+    is, then resampled with probability proportional to the
+    (min-max normalized) score — the data-SELECTION step of an LLM
+    mixture pipeline, upstream of mix_weights/mix_sample (those decide
+    per-LANG rates; DSIR decides per-DOCUMENT within a slice).
+
+    Semantics (integer-exact, so the oracle replays it bit-for-bit):
+      * features = word unigrams + bigrams hashed into n_buckets by the
+        frozen 12-char polynomial (the hashing trick — collisions are
+        part of the estimator, as in the paper);
+      * bucket importance w = ilog2(tgt_cnt + 1) - ilog2(raw_cnt + 1)
+        via length(bin(x)) bit-length (the lm_surprisal discipline —
+        float log2 misrounds near powers of two, bit-length never
+        does); the log(T)-log(R) normalizer is a per-corpus constant
+        that min-max normalization cancels, so it is dropped;
+      * doc score = sum of w over feature OCCURRENCES (bag semantics);
+      * keep iff h1(doc_id, salt) % 1e6 < rate_e6 where rate_e6
+        min-max-normalizes score across the corpus — the deterministic
+        stand-in for the paper's Gumbel resampling, same keyed-hash
+        chain as mix_sample.
+
+    Scale shape: BOTH distributions come from ONE map-side-combined
+    groupBy over the gram stream (count + count_if(target), <= n_buckets
+    rows out — the raw stream never shuffles by gram twice); the weight
+    table is a BROADCAST bounded by n_buckets regardless of vocabulary;
+    the per-doc sum map-side combines (a doc's grams are co-located by
+    construction of explode); min/max ride along as a one-row broadcast
+    crossJoin, no driver collect. The bigram array is built from the
+    PROJECTED token-array column (the no-CSE HOF trap: deriving it from
+    split(...) inside the lambda re-splits per element)."""
+    from ..functions.hashing import sql_h1, sql_strhash
+
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.expr("split(lower(text), ' ')").alias("t"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "concat(t, if(size(t) < 2, array(),"
+                " transform(sequence(1, size(t) - 1),"
+                " i -> concat(element_at(t, i), ' ',"
+                " element_at(t, i + 1)))))"
+            )
+        ).alias("gram"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(f"{sql_strhash('gram')} % {n_buckets}").alias("bucket"),
+    )
+    wts = grams.groupBy("bucket").agg(
+        F.expr(
+            "cast(length(bin(count_if(lang = '"
+            + target_lang
+            + "') + 1)) as bigint)"
+            " - cast(length(bin(count(*) + 1)) as bigint)"
+        ).alias("w")
+    )
+    scores = (
+        grams.join(F.broadcast(wts), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_feats"),
+            F.sum("w").cast("bigint").alias("score"),
+        )
+    )
+    mm = scores.agg(
+        F.min("score").cast("bigint").alias("mn"),
+        F.max("score").cast("bigint").alias("mx"),
+    )
+    return (
+        scores.crossJoin(F.broadcast(mm))
+        .withColumn(
+            "rate_e6",
+            F.expr(
+                "cast(((score - mn) * 1000000)"
+                " div greatest(1, mx - mn) as bigint)"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "score",
+            "rate_e6",
+            F.expr(
+                f"cast({sql_h1('doc_id', DSIR_SALT)} % 1000000 < rate_e6"
+                " as bigint)"
+            ).alias("keep"),
+        )
+    )
+
+
+def duck_dsir_weights_sql(
+    rel: str = "documents",
+    target_lang: str = DSIR_TARGET_LANG,
+    n_buckets: int = DSIR_BUCKETS,
+) -> str:
+    """Oracle twin of dsir_weights: same gram hashing, bit-length
+    log-ratio, min-max normalization and keyed resampling hash
+    (HUGEINT sums cast back; range() is end-exclusive so the bigram
+    guard is structural)."""
+    from ..functions.hashing import sql_h1, sql_strhash
+
+    return f"""
+with g as materialized (
+  select doc_id, lang,
+         {sql_strhash('gram')} % {n_buckets} as bucket
+  from (
+    select doc_id, lang, unnest(
+      list_concat(t, list_transform(range(1, len(t)),
+                  i -> t[i] || ' ' || t[i + 1]))) as gram
+    from (select doc_id, lang, string_split(lower(text), ' ') as t
+          from {rel})
+  )
+),
+w as materialized (
+  select bucket,
+         cast(length(to_base(count(*) filter (lang = '{target_lang}')
+                             + 1, 2)) as bigint)
+         - cast(length(to_base(count(*) + 1, 2)) as bigint) as w
+  from g group by 1
+),
+s as materialized (
+  select g.doc_id,
+         cast(count(*) as bigint) as n_feats,
+         cast(sum(w.w) as bigint) as score
+  from g join w using (bucket) group by 1
+),
+mm as (
+  select cast(min(score) as bigint) as mn,
+         cast(max(score) as bigint) as mx from s
+)
+select doc_id, n_feats, score,
+       cast(((score - mn) * 1000000)
+            // greatest(1, mx - mn) as bigint) as rate_e6,
+       cast({sql_h1('doc_id', DSIR_SALT)} % 1000000
+            < ((score - mn) * 1000000) // greatest(1, mx - mn)
+            as bigint) as keep
+from s, mm
+"""

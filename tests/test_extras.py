@@ -1149,3 +1149,38 @@ def test_chunk_text_boundary_semantics(spark):
     assert [r["chunk"] for r in by[3]] == [
         "u0 u1 u2 u3", "u2 u3 u4 u5", "u4 u5 u6 u7",
     ]
+
+
+def test_dsir_target_slice_scores_higher(spark):
+    """DSIR sanity on the planted corpus: the target-lang (en) slice
+    must out-score every other lang ON AVERAGE (its n-gram profile IS
+    the target distribution), keep decisions replay through the Python
+    h1 mirror, and rate_e6 is a true min-max normalization (full [0,
+    1e6] span, monotone in score)."""
+    from nerpii_spark.functions.hashing import h1
+    from nerpii_spark.operators.textstats import dsir_weights
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    scored = dsir_weights(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    rows = scored.collect()
+    assert len(rows) == docs.count()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["score"])
+    mean_en = sum(by_lang["en"]) / len(by_lang["en"])
+    for lang, ss in by_lang.items():
+        if lang != "en":
+            assert mean_en > sum(ss) / len(ss), lang
+    # keep replays through the Python mirror of the keyed hash chain
+    from nerpii_spark.operators.textstats import DSIR_SALT
+
+    for r in rows:
+        assert r["keep"] == int(
+            h1(r["doc_id"], DSIR_SALT) % 1000000 < r["rate_e6"]
+        )
+    # min-max: extremes hit 0 and 1e6 exactly; monotone in score
+    rates = sorted((r["score"], r["rate_e6"]) for r in rows)
+    assert rates[0][1] == 0 and rates[-1][1] == 1000000
+    assert all(a[1] <= b[1] for a, b in zip(rates, rates[1:]))

@@ -347,3 +347,92 @@ def test_recrawl_cadence_crafted_log(spark):
     b = got["b.io"]
     assert (b["n_urls"], b["n_captures"], b["n_gaps"]) == (1, 1, 0)
     assert b["min_gap_s"] is None and b["avg_gap_s"] is None
+
+
+def test_kcore_matches_python_bruteforce_random_graphs(spark):
+    """Synchronous-peel cross-validation: for seeded random digraphs the
+    distributed bounded-round peel must equal an independent Python
+    replay of the same rounds — and for a generous round budget that
+    replay equals the true converged k-core."""
+    import random
+    from collections import Counter
+
+    from nerpii_spark.operators.webgraph import kcore
+
+    def py_kcore(edges, k, rounds):
+        sym = set()
+        for u, v in edges:
+            if u != v:
+                sym.add((u, v))
+                sym.add((v, u))
+        for _ in range(rounds):
+            deg = Counter(u for u, _ in sym)
+            keep = {u for u, c in deg.items() if c >= k}
+            sym = {(u, v) for u, v in sym if u in keep and v in keep}
+        return dict(Counter(u for u, _ in sym))
+
+    for seed in (1, 7):
+        rng = random.Random(seed)
+        nodes = [f"h{i}.io" for i in range(14)]
+        edges = list({
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(30)
+        })
+        edges = [(u, v) for u, v in edges if u != v]
+        pages = _pages(spark, edges)
+        for k, rounds in ((2, 6), (3, 6)):
+            want = py_kcore(edges, k, rounds)
+            got = {
+                r["host"]: r["core_deg"]
+                for r in kcore(pages, k=k, n_rounds=rounds).collect()
+            }
+            assert got == want, (seed, k)
+            # 6 rounds is past the fixpoint on 14 nodes: equals truth
+            assert want == py_kcore(edges, k, 20), (seed, k)
+
+
+def test_host_mirrors_matches_python_bruteforce(spark):
+    """Mirror ranking cross-validation on a seeded random graph: an
+    independent Python replay of df-cap, exact counts and the
+    deterministic (sim desc, host asc) ranking."""
+    import random
+
+    from nerpii_spark.operators.webgraph import host_mirror_topk
+
+    rng = random.Random(3)
+    nodes = [f"h{i}.io" for i in range(10)]
+    edges = list({
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(40)
+    })
+    edges = [(u, v) for u, v in edges if u != v]
+    max_df, k = 3, 8
+    outs = {}
+    for u, v in edges:
+        outs.setdefault(u, set()).add(v)
+    df = {}
+    for u, vs in outs.items():
+        for v in vs:
+            df[v] = df.get(v, 0) + 1
+    lowdf = {v for v, c in df.items() if c <= max_df}
+    cand = {
+        (a, b)
+        for a in outs
+        for b in outs
+        if a < b and (outs[a] & outs[b] & lowdf)
+    }
+    scored = []
+    for a, b in cand:
+        ni = len(outs[a] & outs[b])
+        nu = len(outs[a] | outs[b])
+        scored.append((-(ni * 1000000 // nu), a, b, ni, nu))
+    scored.sort()
+    want = [
+        (i + 1, a, b, ni, nu, -negs)
+        for i, (negs, a, b, ni, nu) in enumerate(scored[:k])
+    ]
+    got = [
+        (r["rank"], r["host_a"], r["host_b"],
+         r["n_inter"], r["n_union"], r["sim_e6"])
+        for r in host_mirror_topk(_pages(spark, edges), k=k,
+                                  max_df=max_df).orderBy("rank").collect()
+    ]
+    assert got == want
