@@ -317,6 +317,15 @@ def q_communities(spark, sf):
     return WG.lpa_communities(_pipeline(spark, sf)["pages"])
 
 
+def q_outlink_entropy(spark, sf):
+    """Per-host outlink-distribution entropy (webgraph.outlink_entropy):
+    the structural link-spam signal — low entropy at high volume =
+    template linking. Integer floor-log2 identity (1000*ilog2(T) -
+    1000*sum(c*ilog2(c)) div T), two chained map-side-combined aggs,
+    no join/window; oracle replays over the planted link set."""
+    return WG.outlink_entropy(_pipeline(spark, sf)["pages"])
+
+
 def q_dsir_weights(spark, sf):
     """DSIR importance resampling (textstats.dsir_weights): hashed
     unigram+bigram log-ratio importance scores against the target-lang
@@ -1648,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_mirrors": q_host_mirrors,
         "q_recrawl_cadence": q_recrawl_cadence,
         "q_dsir_weights": q_dsir_weights,
+        "q_outlink_entropy": q_outlink_entropy,
         "q_embed_pq": q_embed_pq,
         "q_fuzzy_match": q_fuzzy_match,
         "q_frontier": q_frontier,
@@ -1915,6 +1925,7 @@ def oracle_sql() -> dict[str, str]:
             P.crawl_sql("duck")
         ),
         "q_dsir_weights": TS.duck_dsir_weights_sql(),
+        "q_outlink_entropy": WG.duck_outlink_entropy_sql(pages),
         "q_embed_pq": SIM.duck_pq_topk_sql("vec_id < 32", k=3),
         "q_trustrank": WG.duck_trustrank_sql(
             f"select src_host as subj, dst_host as obj from"

@@ -1244,3 +1244,59 @@ select regexp_extract(curl, '{_HOST_RE}', 1) as host,
                       as bigint) end as avg_gap_s
 from pu group by 1
 """
+
+
+def outlink_entropy(pages: DataFrame) -> DataFrame:
+    """Per-host outlink-distribution entropy -> (src_host, n_dst,
+    n_links, entropy_milli): the structural link-spam signal — a
+    template/link-farm host repeats the same few destinations (low
+    entropy at high volume) while an organic host's outlinks spread
+    (entropy near ilog2(n_dst)). entropy_milli approximates 1000 * H
+    bits with the repo's integer floor-log2 (length(bin(x)) - 1, the
+    lm_surprisal discipline — deterministic across engines where float
+    log2 misrounds near powers of two):
+
+        H_milli = 1000 * ilog2(T) - (1000 * sum(c * ilog2(c))) div T
+
+    (T = total links, c = per-destination multiplicity; exact identity
+    H = log T - (1/T) * sum c*log c with both logs floored). A
+    single-destination host scores exactly 0.
+
+    Scale shape: the (src, dst) multiplicity count map-side combines
+    (web_graph's only exchange), then ONE more map-side-combined agg
+    keyed by src_host — the sum of c * ilog2(c) folds partially, so a
+    million-outlink host arrives pre-aggregated; no window, no join,
+    nothing corpus-sized past the first count."""
+    return (
+        web_graph(pages)
+        .groupBy("src_host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_dst"),
+            F.sum("n_links").cast("bigint").alias("n_links"),
+            F.expr(
+                "cast(1000 * (length(bin(sum(n_links))) - 1)"
+                " - (1000 * sum(n_links * (length(bin(n_links)) - 1)))"
+                " div sum(n_links) as bigint)"
+            ).alias("entropy_milli"),
+        )
+    )
+
+
+def duck_outlink_entropy_sql(pages_sql_duck: str) -> str:
+    """Oracle: same integer-entropy identity over the PLANTED link set
+    (to_base bit-length, HUGEINT sums cast back)."""
+    return f"""
+with e as materialized (
+  select src_host, dst_host, cast(count(*) as bigint) as n_links
+  from ({duck_planted_links_sql(pages_sql_duck)})
+  group by 1, 2
+)
+select src_host,
+       cast(count(*) as bigint) as n_dst,
+       cast(sum(n_links) as bigint) as n_links,
+       cast(1000 * (length(to_base(cast(sum(n_links) as bigint), 2)) - 1)
+            - (1000 * cast(sum(n_links
+                 * (length(to_base(n_links, 2)) - 1)) as bigint))
+              // cast(sum(n_links) as bigint) as bigint) as entropy_milli
+from e group by 1
+"""

@@ -436,3 +436,34 @@ def test_host_mirrors_matches_python_bruteforce(spark):
                                   max_df=max_df).orderBy("rank").collect()
     ]
     assert got == want
+
+
+def test_outlink_entropy_hand_goldens(spark):
+    """Hand-computed integer-entropy goldens: a single-destination host
+    scores exactly 0 regardless of volume; a uniform 4-way host scores
+    exactly 2000 milli-bits (both logs land on powers of two, so the
+    floor approximation is exact there); a skewed host matches the
+    identity computed by hand."""
+    from nerpii_spark.operators.webgraph import outlink_entropy
+
+    edges = (
+        # mono.io: 4 links, all to one host -> H = 0
+        [("mono.io", "x.io")] * 4
+        # uni.io: 4 links to 4 distinct hosts -> H = log2(4) = 2.000
+        + [("uni.io", d) for d in ("a.io", "b.io", "c.io", "d.io")]
+        # skew.io: counts {6, 2} over 8 links:
+        #   1000*ilog2(8) - 1000*(6*ilog2(6) + 2*ilog2(2)) div 8
+        # = 3000 - 1000*(6*2 + 2*1) div 8 = 3000 - 1750 = 1250
+        + [("skew.io", "a.io")] * 6
+        + [("skew.io", "b.io")] * 2
+    )
+    pages = _pages(spark, edges)
+    got = {
+        r["src_host"]: (r["n_dst"], r["n_links"], r["entropy_milli"])
+        for r in outlink_entropy(pages).collect()
+    }
+    assert got == {
+        "mono.io": (1, 4, 0),
+        "uni.io": (4, 4, 2000),
+        "skew.io": (2, 8, 1250),
+    }
