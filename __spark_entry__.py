@@ -317,6 +317,15 @@ def q_communities(spark, sf):
     return WG.lpa_communities(_pipeline(spark, sf)["pages"])
 
 
+def q_harmonic_centrality(spark, sf):
+    """HyperBall harmonic centrality (webgraph.harmonic_centrality):
+    1/d-weighted ball-growth differences from the same per-node HLL
+    sketches as q_anf — the closeness metric HyperBall exists for;
+    integer fold, node-sized joins only; oracle replays the sketch and
+    the fold bit-for-bit over the planted link set."""
+    return WG.harmonic_centrality(_pipeline(spark, sf)["pages"])
+
+
 def q_outlink_entropy(spark, sf):
     """Per-host outlink-distribution entropy (webgraph.outlink_entropy):
     the structural link-spam signal — low entropy at high volume =
@@ -1658,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_recrawl_cadence": q_recrawl_cadence,
         "q_dsir_weights": q_dsir_weights,
         "q_outlink_entropy": q_outlink_entropy,
+        "q_harmonic_centrality": q_harmonic_centrality,
         "q_embed_pq": q_embed_pq,
         "q_fuzzy_match": q_fuzzy_match,
         "q_frontier": q_frontier,
@@ -1926,6 +1936,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_dsir_weights": TS.duck_dsir_weights_sql(),
         "q_outlink_entropy": WG.duck_outlink_entropy_sql(pages),
+        "q_harmonic_centrality": WG.duck_harmonic_centrality_sql(pages),
         "q_embed_pq": SIM.duck_pq_topk_sql("vec_id < 32", k=3),
         "q_trustrank": WG.duck_trustrank_sql(
             f"select src_host as subj, dst_host as obj from"

@@ -785,15 +785,27 @@ def neighborhood_function(
     per task (hub skew arrives pre-combined), then a <= 2-level sum for
     the estimate row; per-round localCheckpoint truncates lineage.
     Undirected balls (the crawl_depth convention)."""
+    sym, regs = _hyperball_init(pages)
+
+    def est_row(regs_df: DataFrame, r: int) -> DataFrame:
+        return _hyperball_node_est(regs_df).agg(
+            F.lit(r).cast("bigint").alias("r"),
+            F.sum("est").cast("bigint").alias("est_pairs"),
+        )
+
+    out = est_row(regs, 0)
+    for r in range(1, n_rounds + 1):
+        regs = _hyperball_step(sym, regs)
+        out = out.unionByName(est_row(regs, r))
+    return out
+
+
+def _hyperball_init(pages: DataFrame):
+    """Shared HyperBall state: (sym edge list, round-0 registers) — the
+    sparse (node, j, rho) single-element sketches seeded from the frozen
+    hash chain (operators/sketch conventions)."""
     from nerpii_spark.functions.hashing import sql_h2, sql_strhash
-    from nerpii_spark.operators.sketch import (
-        M_REGS,
-        RHO_CAP,
-        _EST_NUM,
-        _EST_DEN,
-        _pow2_sql,
-        _rho_sql,
-    )
+    from nerpii_spark.operators.sketch import M_REGS, _rho_sql
 
     links = host_links(pages).where(F.col("src_host") != F.col("dst_host"))
     e = links.select(
@@ -818,69 +830,105 @@ def neighborhood_function(
         )
         .localCheckpoint(eager=True)
     )
-
-    def est_row(regs_df: DataFrame, r: int) -> DataFrame:
-        per_node = regs_df.groupBy("node").agg(
-            F.expr(
-                f"cast(sum({_pow2_sql('spark', f'{RHO_CAP} - rho')})"
-                f" + ({M_REGS} - count(*))"
-                f" * {_pow2_sql('spark', str(RHO_CAP))} as bigint)"
-            ).alias("s_sum")
-        )
-        return per_node.agg(
-            F.lit(r).cast("bigint").alias("r"),
-            F.sum(
-                F.expr(f"{_EST_NUM} div ({_EST_DEN} * s_sum)")
-            )
-            .cast("bigint")
-            .alias("est_pairs"),
-        )
-
-    out = est_row(regs, 0)
-    for r in range(1, n_rounds + 1):
-        nbr_regs = sym.join(regs.withColumnRenamed("node", "nbr"), "nbr").select(
-            "node", "j", "rho"
-        )
-        regs = (
-            regs.unionByName(nbr_regs)
-            .groupBy("node", "j")
-            .agg(F.max("rho").alias("rho"))
-            .localCheckpoint(eager=True)
-        )
-        out = out.unionByName(est_row(regs, r))
-    return out
+    return sym, regs
 
 
-def duck_neighborhood_function_sql(
-    pages_sql_duck: str, n_rounds: int = ANF_ROUNDS
-) -> str:
-    """Oracle: the same register propagation + integer estimate as
-    chained MATERIALIZED CTEs (sum(bigint) is HUGEINT in DuckDB — cast
-    at every level, the CLAUDE.md trap)."""
-    from nerpii_spark.functions.hashing import sql_h2, sql_strhash
+def _hyperball_step(sym: DataFrame, regs: DataFrame) -> DataFrame:
+    """One ball-growth round: merge every node's registers with its
+    neighbors' (register merge is MAX — one equi-join + one map-side-
+    combined groupBy-MAX), lineage truncated per round."""
+    nbr_regs = sym.join(regs.withColumnRenamed("node", "nbr"), "nbr").select(
+        "node", "j", "rho"
+    )
+    return (
+        regs.unionByName(nbr_regs)
+        .groupBy("node", "j")
+        .agg(F.max("rho").alias("rho"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _hyperball_node_est(regs_df: DataFrame) -> DataFrame:
+    """(node, j, rho) registers -> (node, est): the integer HLL ball-size
+    estimate per node (same arithmetic as sketch.hll_distinct)."""
     from nerpii_spark.operators.sketch import (
         M_REGS,
         RHO_CAP,
         _EST_NUM,
         _EST_DEN,
         _pow2_sql,
-        _rho_sql,
     )
+
+    return regs_df.groupBy("node").agg(
+        F.expr(
+            f"cast({_EST_NUM} div ({_EST_DEN} *"
+            f" (cast(sum({_pow2_sql('spark', f'{RHO_CAP} - rho')})"
+            f" + ({M_REGS} - count(*))"
+            f" * {_pow2_sql('spark', str(RHO_CAP))} as bigint)))"
+            " as bigint)"
+        ).alias("est")
+    )
+
+
+def harmonic_centrality(
+    pages: DataFrame, n_rounds: int = ANF_ROUNDS
+) -> DataFrame:
+    """HyperBall harmonic centrality (Boldi & Vigna 2014 — the metric
+    HyperBall was built to compute at web scale) -> (host,
+    harmonic_milli): C_H(v) = sum over distances d of |ball(v,d)| -
+    |ball(v,d-1)| weighted 1/d, estimated from the SAME per-node HLL
+    ball sketches as neighborhood_function. The centrality a crawl/KG
+    ranker uses when PageRank's link-endorsement prior is wrong for the
+    question "how close is this host to everything else" (spam farms
+    inflate in-links but not closeness).
+
+    Integer identity per round r >= 1: term = (1000 * (est_r - est_{r-1}))
+    div r, summed over rounds — register MAX only grows, so s_sum only
+    shrinks and est is monotone non-decreasing: every term is >= 0 by
+    construction. Same frozen hash chain as the sketch family, so the
+    DuckDB oracle replays the distributed sketch AND the centrality fold
+    bit-for-bit.
+
+    Scale shape: identical to neighborhood_function (one equi-join + one
+    bounded groupBy-MAX per round, per-round localCheckpoint); the
+    per-round difference is a node-keyed join of two node-sized
+    estimate tables — never corpus-sized, and the final rollup is one
+    map-side-combined sum."""
+    sym, regs = _hyperball_init(pages)
+    prev = _hyperball_node_est(regs)
+    acc = None
+    for r in range(1, n_rounds + 1):
+        regs = _hyperball_step(sym, regs)
+        cur = _hyperball_node_est(regs)
+        term = (
+            cur.join(
+                prev.select(
+                    "node", F.col("est").alias("est_p")
+                ),
+                "node",
+            )
+            .select(
+                "node",
+                F.expr(
+                    f"cast((1000 * (est - est_p)) div {r} as bigint)"
+                ).alias("term"),
+            )
+        )
+        acc = term if acc is None else acc.unionByName(term)
+        prev = cur
+    return acc.groupBy(F.col("node").alias("host")).agg(
+        F.sum("term").cast("bigint").alias("harmonic_milli")
+    )
+
+
+def _duck_hyperball_ctes(pages_sql_duck: str, n_rounds: int) -> list[str]:
+    """Shared oracle CTE chain sym, g0..g{n_rounds} replaying the
+    HyperBall register propagation over the planted link set."""
+    from nerpii_spark.functions.hashing import sql_h2, sql_strhash
+    from nerpii_spark.operators.sketch import M_REGS, _rho_sql
 
     w = sql_h2(sql_strhash("node"), 5)
     u_expr = sql_h2("w", 7)
-    p2 = lambda ex: _pow2_sql("duckdb", ex)
-    est = (
-        lambda rel, r: f"""
-select cast({r} as bigint) as r,
-       cast(sum({_EST_NUM} // ({_EST_DEN} * s_sum)) as bigint) as est_pairs
-from (
-  select node,
-         cast(sum({p2(f"{RHO_CAP} - rho")})
-              + ({M_REGS} - count(*)) * {p2(str(RHO_CAP))} as bigint) as s_sum
-  from {rel} group by node
-)"""
-    )
     ctes = [
         f"""
 links as materialized (
@@ -896,7 +944,6 @@ g0 as materialized (
   from (select distinct node, {w} as w from (select node from sym))
 )"""
     ]
-    finals = [est("g0", 0)]
     for r in range(1, n_rounds + 1):
         p = r - 1
         ctes.append(
@@ -909,8 +956,70 @@ g{r} as materialized (
   ) group by node, j
 )"""
         )
-        finals.append(est(f"g{r}", r))
+    return ctes
+
+
+def _duck_hyperball_node_est(rel: str) -> str:
+    """Per-node integer HLL estimate subquery over a register CTE."""
+    from nerpii_spark.operators.sketch import (
+        M_REGS,
+        RHO_CAP,
+        _EST_NUM,
+        _EST_DEN,
+        _pow2_sql,
+    )
+
+    p2 = lambda ex: _pow2_sql("duckdb", ex)
+    return f"""
+select node, cast({_EST_NUM} // ({_EST_DEN} * s_sum) as bigint) as est
+from (
+  select node,
+         cast(sum({p2(f"{RHO_CAP} - rho")})
+              + ({M_REGS} - count(*)) * {p2(str(RHO_CAP))} as bigint) as s_sum
+  from {rel} group by node
+)"""
+
+
+def duck_neighborhood_function_sql(
+    pages_sql_duck: str, n_rounds: int = ANF_ROUNDS
+) -> str:
+    """Oracle: the same register propagation + integer estimate as
+    chained MATERIALIZED CTEs (sum(bigint) is HUGEINT in DuckDB — cast
+    at every level, the CLAUDE.md trap)."""
+    est = (
+        lambda rel, r: f"""
+select cast({r} as bigint) as r,
+       cast(sum(est) as bigint) as est_pairs
+from ({_duck_hyperball_node_est(rel)})"""
+    )
+    ctes = _duck_hyperball_ctes(pages_sql_duck, n_rounds)
+    finals = [est(f"g{r}", r) for r in range(n_rounds + 1)]
     return "with " + ",".join(ctes) + " " + " union all ".join(finals)
+
+
+def duck_harmonic_centrality_sql(
+    pages_sql_duck: str, n_rounds: int = ANF_ROUNDS
+) -> str:
+    """Oracle: the same HyperBall chain, per-node estimates per round,
+    and the integer 1/d-weighted difference fold."""
+    ctes = _duck_hyperball_ctes(pages_sql_duck, n_rounds)
+    for r in range(n_rounds + 1):
+        ctes.append(
+            f"e{r} as materialized ({_duck_hyperball_node_est(f'g{r}')})"
+        )
+    terms = " union all ".join(
+        f"""
+select c.node, cast((1000 * (c.est - p.est)) // {r} as bigint) as term
+from e{r} c join e{r - 1} p using (node)"""
+        for r in range(1, n_rounds + 1)
+    )
+    return (
+        "with " + ",".join(ctes)
+        + f"""
+select node as host, cast(sum(term) as bigint) as harmonic_milli
+from ({terms}) group by 1
+"""
+    )
 
 
 KCORE_K = 3

@@ -467,3 +467,23 @@ def test_outlink_entropy_hand_goldens(spark):
         "uni.io": (4, 4, 2000),
         "skew.io": (2, 8, 1250),
     }
+
+
+def test_harmonic_centrality_hubs_outrank_periphery(spark):
+    """On the planted corpus every hub host (linked from ~1/13 of all
+    pages — distance 1 from most of the graph) must outrank the MEDIAN
+    site host in harmonic centrality; sketch noise (~13% per ball with
+    64 registers) cannot close a gap that structural."""
+    import statistics
+
+    import __spark_entry__ as E
+    from nerpii_spark.operators.webgraph import harmonic_centrality
+
+    pages = E._pipeline(spark, "/root/testdata/sf0.001")["pages"]
+    rows = harmonic_centrality(pages).collect()
+    hubs = [r["harmonic_milli"] for r in rows if r["host"].startswith("hub")]
+    sites = [r["harmonic_milli"] for r in rows
+             if not r["host"].startswith("hub")]
+    assert hubs and sites
+    med = statistics.median(sites)
+    assert all(h > med for h in hubs)
