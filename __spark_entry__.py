@@ -317,6 +317,14 @@ def q_communities(spark, sf):
     return WG.lpa_communities(_pipeline(spark, sf)["pages"])
 
 
+def q_eff_diameter(spark, sf):
+    """Effective diameter from the ANF curve (webgraph.
+    effective_diameter): smallest radius reaching 90% of the horizon
+    neighborhood function — integer threshold 10*N(r) >= 9*N(R), one-row
+    broadcast composition over q_anf's sketch rounds."""
+    return WG.effective_diameter(_pipeline(spark, sf)["pages"])
+
+
 def q_harmonic_centrality(spark, sf):
     """HyperBall harmonic centrality (webgraph.harmonic_centrality):
     1/d-weighted ball-growth differences from the same per-node HLL
@@ -1668,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir_weights": q_dsir_weights,
         "q_outlink_entropy": q_outlink_entropy,
         "q_harmonic_centrality": q_harmonic_centrality,
+        "q_eff_diameter": q_eff_diameter,
         "q_embed_pq": q_embed_pq,
         "q_fuzzy_match": q_fuzzy_match,
         "q_frontier": q_frontier,
@@ -1937,6 +1946,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dsir_weights": TS.duck_dsir_weights_sql(),
         "q_outlink_entropy": WG.duck_outlink_entropy_sql(pages),
         "q_harmonic_centrality": WG.duck_harmonic_centrality_sql(pages),
+        "q_eff_diameter": WG.duck_effective_diameter_sql(pages),
         "q_embed_pq": SIM.duck_pq_topk_sql("vec_id < 32", k=3),
         "q_trustrank": WG.duck_trustrank_sql(
             f"select src_host as subj, dst_host as obj from"

@@ -1409,3 +1409,46 @@ select src_host,
               // cast(sum(n_links) as bigint) as bigint) as entropy_milli
 from e group by 1
 """
+
+
+def effective_diameter(
+    pages: DataFrame, n_rounds: int = ANF_ROUNDS, pct10: int = 9
+) -> DataFrame:
+    """Effective diameter from the ANF curve (Palmer 2002's headline
+    metric): the smallest radius r whose neighborhood function reaches
+    pct10/10 of its horizon value -> ONE row (eff_diameter, est_max).
+    The integer threshold 10 * N(r) >= pct10 * N(R) avoids float
+    division entirely. Overflow bound: est_pairs <= n_hosts * ball <=
+    n^2, so 10 * est_pairs needs n < ~9.6e8 hosts in int64 — documented
+    like the HITS bound; past that, scale the threshold down instead.
+
+    Scale shape: pure composition over neighborhood_function's
+    (n_rounds + 1)-row output — the horizon value rides along as a
+    one-row broadcast crossJoin, nothing corpus-sized is touched beyond
+    the sketch rounds themselves."""
+    nf = neighborhood_function(pages, n_rounds)
+    horizon = nf.agg(F.expr("max_by(est_pairs, r)").alias("est_max"))
+    return (
+        nf.crossJoin(F.broadcast(horizon))
+        .where(F.expr(f"10 * est_pairs >= {pct10} * est_max"))
+        .agg(
+            F.min("r").cast("bigint").alias("eff_diameter"),
+            F.max("est_max").cast("bigint").alias("est_max"),
+        )
+    )
+
+
+def duck_effective_diameter_sql(
+    pages_sql_duck: str, n_rounds: int = ANF_ROUNDS, pct10: int = 9
+) -> str:
+    """Oracle: the same integer threshold over the replayed ANF curve."""
+    return f"""
+with nf as materialized (
+  select * from ({duck_neighborhood_function_sql(pages_sql_duck, n_rounds)})
+),
+t as (select max_by(est_pairs, r) as est_max from nf)
+select cast(min(nf.r) as bigint) as eff_diameter,
+       cast(max(t.est_max) as bigint) as est_max
+from nf, t
+where 10 * nf.est_pairs >= {pct10} * t.est_max
+"""

@@ -628,3 +628,32 @@ def test_recrawl_cadence_agg_reuses_window_partitioning(spark, tmp_path):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "partial_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_weight_table_broadcast_no_python(spark):
+    """The DSIR weight table (bounded by the hashing trick) and the
+    min/max row must BROADCAST into the corpus-sized stream — no
+    shuffle join against it, no Python anywhere."""
+    from nerpii_spark.operators.textstats import dsir_weights
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dsir_weights(docs))
+    assert plan.count("BroadcastExchange") >= 2  # weights + min/max row
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pq_topk_adc_scan_is_broadcast_joins(spark):
+    """PQ's corpus-sized stages: the per-query LUT joins in as a
+    BROADCAST (the ADC scan never shuffles the corpus against it) and
+    the only Python is the Arrow-batched encoder — no row-at-a-time
+    BatchEvalPython, no CartesianProduct (the codebook crossJoin is an
+    intentional 256-row broadcast)."""
+    from nerpii_spark.operators import similarity as S
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(S.pq_topk(embs, "vec_id < 8", k=2))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan  # the pandas_udf encoder

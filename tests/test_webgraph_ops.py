@@ -487,3 +487,26 @@ def test_harmonic_centrality_hubs_outrank_periphery(spark):
     assert hubs and sites
     med = statistics.median(sites)
     assert all(h > med for h in hubs)
+
+
+def test_effective_diameter_replays_from_anf_curve(spark):
+    """The composition is certified against a Python replay over the
+    operator's own ANF rows (accuracy of the rows themselves is
+    test_anf_estimates_match_exact_bfs's job): smallest r with
+    10*N(r) >= 9*N(horizon), horizon = est at max r; on the planted
+    small-world graph (every page one hop from a hub) it is tiny."""
+    import __spark_entry__ as E
+    from nerpii_spark.operators.webgraph import (
+        effective_diameter,
+        neighborhood_function,
+    )
+
+    pages = E._pipeline(spark, "/root/testdata/sf0.001")["pages"]
+    nf = {r["r"]: r["est_pairs"]
+          for r in neighborhood_function(pages).collect()}
+    horizon = nf[max(nf)]
+    want = min(r for r, est in nf.items() if 10 * est >= 9 * horizon)
+    got = effective_diameter(pages).collect()
+    assert len(got) == 1
+    assert (got[0]["eff_diameter"], got[0]["est_max"]) == (want, horizon)
+    assert got[0]["eff_diameter"] <= 3  # planted hub topology is small-world
