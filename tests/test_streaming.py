@@ -518,3 +518,46 @@ def test_stateful_stream_sessionize(spark, tmp_path):
     }
     assert got == native
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream view->click attribution: the inner
+    time-range join over two streaming sides (buffered in state, evicted
+    past watermark + horizon) must emit exactly the batch inequality
+    join's rows. Multiple micro-batches force cross-batch matches — a
+    click arriving in a later batch than its view only matches through
+    the join state."""
+    from nerpii_spark.streaming.joins import view_click_attribution
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    cols = ["user_id", "view_id", "click_id", "gap_s"]
+    batch = _collect_sorted(view_click_attribution(events), cols)
+    assert batch  # planted events produce real attributions
+
+    src = str(tmp_path / "attr_stream")
+    # 3 files -> 3 micro-batches with maxFilesPerTrigger=1; the split is
+    # by event_id range, so many view/click pairs straddle batches
+    events.withColumn(
+        "b", F.expr("event_id % 3")
+    ).write.partitionBy("b").mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+    )
+    q = (
+        view_click_attribution(stream)
+        .writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = _collect_sorted(spark.sql("select * from attr_out"), cols)
+    finally:
+        q.stop()
+    assert got == batch
+    import shutil
+
+    shutil.rmtree(src, ignore_errors=True)
