@@ -682,24 +682,81 @@ def _pq_codebooks(base: DataFrame, m_sub: int, k_codes: int,
     """Train one integer-Lloyd codebook per subspace on the deterministic
     ~25% hash-sample (IVF's rule, full-table fallback below k_codes) ->
     list of m_sub centroid lists. Driver holds m_sub * k_codes * sub_d
-    ints — the whole model."""
-    from .cluster import lloyd_centroids
+    ints — the whole model.
 
+    All m_sub trainings are FUSED: one Arrow-batched assignment pass
+    emits every subspace's argmin code per vector, and one map-side-
+    combined (m, cluster)-keyed sum agg per Lloyd round replaces m_sub
+    sequential per-subspace trainings (was ~3 blocking jobs per subspace
+    = ~24 scans of the same sample; now 1 init + n_iters aggs total).
+    Per-subspace argmin (first-min tie to the lowest code) and floor-div
+    means are IDENTICAL to the sequential form, so the per-subspace
+    DuckDB Lloyd chains still replay bit-for-bit."""
     sub_d = dims // m_sub
     sample = base.where(F.expr(ivf_sample_pred("vec_id")))
     if sample.count() < k_codes:
         sample = base
     sample = sample.localCheckpoint(eager=True)
-    return [
-        lloyd_centroids(
-            sample.select(
-                "vec_id",
-                F.expr(f"slice(xq, {m * sub_d + 1}, {sub_d})").alias("xq"),
-            ),
-            k_codes, n_iters,
-        )
+    init = sample.orderBy("vec_id").limit(k_codes).collect()
+    # slicing the shared init rows == each subspace's own lowest-id init
+    cents = [
+        [list(r["xq"][m * sub_d:(m + 1) * sub_d]) for r in init]
         for m in range(m_sub)
     ]
+    for _ in range(n_iters):
+        Cs = np.array(cents, dtype=np.int64)  # (m_sub, k, sub_d)
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def _assign_all(v: pd.Series) -> pd.Series:
+            X = np.stack([np.asarray(x, dtype=np.int64) for x in v])
+            codes = []
+            for m in range(m_sub):
+                Xm = X[:, m * sub_d:(m + 1) * sub_d]
+                C = Cs[m]
+                d = (
+                    (Xm * Xm).sum(axis=1, keepdims=True)
+                    - 2 * (Xm @ C.T)
+                    + (C * C).sum(axis=1)[None, :]
+                )
+                codes.append(np.argmin(d, axis=1))  # first min = lowest
+            return pd.Series(
+                np.stack(codes, axis=1).astype(np.int64).tolist()
+            )
+
+        rows = (
+            sample.select(
+                F.posexplode(_assign_all(F.col("xq"))).alias(
+                    "m", "cluster"
+                ),
+                "xq",
+            )
+            .select(
+                "m",
+                "cluster",
+                F.expr(f"slice(xq, m * {sub_d} + 1, {sub_d})").alias("sx"),
+            )
+            .groupBy("m", "cluster")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at("sx", d + 1)).alias(f"s{d}")
+                    for d in range(sub_d)
+                ],
+            )
+            .collect()
+        )
+        by_key = {(int(r["m"]), int(r["cluster"])): r for r in rows}
+        cents = [
+            [
+                # Python // floors like the oracle's (s - pmod(s, n)) / n
+                [int(r[f"s{d}"]) // int(r["n"]) for d in range(sub_d)]
+                if (r := by_key.get((m, cid))) is not None
+                else cents[m][cid]
+                for cid in range(k_codes)
+            ]
+            for m in range(m_sub)
+        ]
+    return cents
 
 
 def pq_topk(

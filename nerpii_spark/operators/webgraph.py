@@ -64,6 +64,35 @@ def web_graph(pages: DataFrame) -> DataFrame:
     )
 
 
+def distinct_host_edges(pages: DataFrame) -> DataFrame:
+    """(u, v): distinct directed host edges, self-loops dropped — the
+    shared first step of every host-graph analytic."""
+    return (
+        host_links(pages)
+        .where(F.col("src_host") != F.col("dst_host"))
+        .select(
+            F.col("src_host").alias("u"), F.col("dst_host").alias("v")
+        )
+        .distinct()
+    )
+
+
+def sym_host_edges(pages: DataFrame, e: DataFrame | None = None) -> DataFrame:
+    """(node, nbr): symmetric closure of the distinct host edges,
+    checkpointed — the ONE shared construction every undirected
+    host-graph op consumes (LPA, BFS depth, HyperBall, k-core), so an
+    edge-policy change (normalization, self-loop handling) lands once
+    and every oracle stays in lock-step."""
+    if e is None:
+        e = distinct_host_edges(pages)
+    return (
+        e.union(e.select("v", "u"))
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def host_edges_for_pagerank(pages: DataFrame) -> DataFrame:
     """Edges renamed to the (subj, obj) contract extract.pagerank
     consumes (it de-duplicates multi-edges itself)."""
@@ -362,16 +391,7 @@ def lpa_communities(pages: DataFrame, n_rounds: int = LPA_ROUNDS) -> DataFrame:
     label)) argmax that also combines — hub nodes' votes arrive
     pre-aggregated; localCheckpoint per round truncates the iterative
     lineage (the CC/PageRank discipline)."""
-    links = host_links(pages).where(F.col("src_host") != F.col("dst_host"))
-    e = links.select(
-        F.col("src_host").alias("u"), F.col("dst_host").alias("v")
-    ).distinct()
-    sym = (
-        e.union(e.select(F.col("v"), F.col("u")))
-        .distinct()
-        .select(F.col("u").alias("node"), F.col("v").alias("nbr"))
-        .localCheckpoint(eager=True)
-    )
+    sym = sym_host_edges(pages)
     labels = (
         sym.select("node")
         .distinct()
@@ -506,16 +526,8 @@ def crawl_depth(
     depth beyond the horizon is "not reachable in budget", which is the
     semantics a crawl budget actually has; the chained-CTE oracle
     replays the same bounded expansion."""
-    links = host_links(pages).where(F.col("src_host") != F.col("dst_host"))
-    e = links.select(
-        F.col("src_host").alias("u"), F.col("dst_host").alias("v")
-    ).distinct()
-    sym = (
-        e.union(e.select("v", "u"))
-        .distinct()
-        .select(F.col("u").alias("node"), F.col("v").alias("nbr"))
-        .localCheckpoint(eager=True)
-    )
+    e = distinct_host_edges(pages)
+    sym = sym_host_edges(pages, e)
     indeg = e.groupBy(F.col("v").alias("host")).agg(
         F.count("*").alias("indeg")
     )
@@ -807,16 +819,7 @@ def _hyperball_init(pages: DataFrame):
     from nerpii_spark.functions.hashing import sql_h2, sql_strhash
     from nerpii_spark.operators.sketch import M_REGS, _rho_sql
 
-    links = host_links(pages).where(F.col("src_host") != F.col("dst_host"))
-    e = links.select(
-        F.col("src_host").alias("u"), F.col("dst_host").alias("v")
-    ).distinct()
-    sym = (
-        e.union(e.select("v", "u"))
-        .distinct()
-        .select(F.col("u").alias("node"), F.col("v").alias("nbr"))
-        .localCheckpoint(eager=True)
-    )
+    sym = sym_host_edges(pages)
     w = sql_h2(sql_strhash("node"), 5)
     u_expr = sql_h2("w", 7)
     regs = (
@@ -1052,16 +1055,7 @@ def kcore(
     localCheckpoint per round truncates the iterative lineage (the
     CC/PageRank discipline). No window over the full edge list, no
     collect — the driver never holds anything."""
-    links = host_links(pages).where(F.col("src_host") != F.col("dst_host"))
-    e = links.select(
-        F.col("src_host").alias("u"), F.col("dst_host").alias("v")
-    ).distinct()
-    sym = (
-        e.union(e.select("v", "u"))
-        .distinct()
-        .select(F.col("u").alias("node"), F.col("v").alias("nbr"))
-        .localCheckpoint(eager=True)
-    )
+    sym = sym_host_edges(pages)
     for _ in range(n_rounds):
         deg = sym.groupBy("node").agg(F.count("*").alias("deg"))
         keep = deg.where(F.col("deg") >= k).select("node")

@@ -16,12 +16,22 @@ a new session starts only when the gap is strictly exceeded.
 This is the canonical applyInPandasWithState sessionization shape next
 to streaming/stateful.py's dedup: key by user, keep one open session
 (3 bigints) per key, emit incrementally. State is bounded by
-construction — every key's state is removed when its timeout fires, so
-state size tracks the set of users ACTIVE inside one gap window, not
-the all-time user count (the property that keeps it alive at web
-scale). The timeout timestamp is clamped to watermark + 1 ms: an
-already-expired session (late first sighting) must still register a
-valid timer, Spark rejects timeouts at or before the current watermark.
+construction — every key's state is removed when its timeout fires or
+when the current watermark has already closed its open session (the
+quiescent-stream path: a timer must sit strictly PAST the watermark,
+so an already-expired session emits in the data invocation itself
+rather than waiting for a wakeup that may never come) — so state size
+tracks the set of users ACTIVE inside one gap window, not the all-time
+user count (the property that keeps it alive at web scale).
+
+Out-of-order arrivals (anything above the watermark is not late and
+MUST be honored): batch events and the open session merge as
+gap-connected INTERVALS, so an earlier event extends the open session
+backward (start = min) or forms its own earlier session that the open
+one immediately closes — see _merge_segments for the exactness
+argument (interval merging == native session_window over the full
+event multiset, because stored segments keep all internal gaps <= gap
+by construction).
 
 Batch equivalence (vs native session_window restricted to closed
 sessions) and in-merge vs timeout close paths are pinned in
@@ -59,6 +69,29 @@ def _emit(user_id: int, closed: list, gap_ms: int) -> pd.DataFrame:
     )
 
 
+def _merge_segments(
+    segments: list[tuple[int, int, int]], gap_ms: int
+) -> list[tuple[int, int, int]]:
+    """Union gap-connected (start, last, n) segments, sorted by start.
+    Exactness argument: a stored segment's internal event gaps are all
+    <= gap by construction (the invariant every merge preserves), so a
+    point is within gap of SOME event of a segment iff it is within gap
+    of the segment INTERVAL — for p inside [start, last] it lies between
+    two consecutive events that are <= gap apart; for p outside, the
+    nearest event is an endpoint. Interval merging therefore reproduces
+    native session_window over the full event multiset even though only
+    extents survive in state."""
+    segments.sort()
+    out = [segments[0]]
+    for s, l, n in segments[1:]:
+        ps, pl, pn = out[-1]
+        if s - pl > gap_ms:  # strictly: exactly-gap MERGES
+            out.append((s, l, n))
+        else:
+            out[-1] = (ps, max(pl, l), pn + n)
+    return out
+
+
 def _make_session_fn(gap_ms: int):
     def _session_fn(
         key: tuple,
@@ -72,33 +105,34 @@ def _make_session_fn(gap_ms: int):
             state.remove()
             yield _emit(key[0], [(start, last, n)], gap_ms)
             return
-        ts_ms: list[int] = []
-        for pdf in pdfs:
-            if len(pdf):
-                ts_ms.extend(
-                    (pdf["ts"].astype("int64") // 1_000_000).tolist()
-                )
-        ts_ms.sort()
+        # batch events may arrive OUT OF ORDER relative to the open
+        # session (anything above the watermark is not late): treat the
+        # open session as one segment and merge intervals, so an earlier
+        # event extends the session BACKWARD (start = min) or forms its
+        # own earlier session — never silently absorbs into a later one
+        segments: list[tuple[int, int, int]] = [
+            (int(t), int(t), 1)
+            for pdf in pdfs
+            if len(pdf)
+            for t in (pdf["ts"].astype("int64") // 1_000_000).tolist()
+        ]
         if state.exists:
-            start, last, n = state.get
+            segments.append(tuple(state.get))
+        if not segments:
+            return
+        merged = _merge_segments(segments, gap_ms)
+        # every segment the watermark already closed is final too — a
+        # quiescent stream would otherwise never fire its timer (the
+        # timer must sit strictly past the watermark)
+        wm = state.getCurrentWatermarkMs()
+        closed = merged[:-1]
+        start, last, n = merged[-1]
+        if last + gap_ms <= wm:
+            closed = merged
+            state.remove()
         else:
-            start = last = None
-            n = 0
-        closed: list[tuple[int, int, int]] = []
-        for t in ts_ms:
-            if last is None:
-                start, last, n = t, t, 1
-            elif t - last > gap_ms:  # strictly: exactly-gap MERGES
-                closed.append((start, last, n))
-                start, last, n = t, t, 1
-            else:
-                last = max(last, t)
-                n += 1
-        state.update((start, last, n))
-        # strictly after the watermark or Spark rejects the timer
-        state.setTimeoutTimestamp(
-            max(last + gap_ms, state.getCurrentWatermarkMs() + 1)
-        )
+            state.update((start, last, n))
+            state.setTimeoutTimestamp(max(last + gap_ms, wm + 1))
         if closed:
             yield _emit(key[0], closed, gap_ms)
 

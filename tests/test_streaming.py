@@ -561,3 +561,66 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
     import shutil
 
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stateful_sessionize_out_of_order_and_quiescent(spark, tmp_path):
+    """The two review repros: (1) a batch-2 event EARLIER than the open
+    session (above watermark, so not late) must form its own earlier
+    session / extend backward — not silently absorb into the later one;
+    (2) a session already expired against the current watermark emits in
+    the data invocation itself (a quiescent stream never fires timers).
+    Emitted set must equal native session_window on watermark-closed
+    sessions."""
+    import glob
+    import os
+    import shutil
+    from datetime import datetime, timezone
+
+    from nerpii_spark.streaming.sessionize import sessionize_stream
+
+    def ts(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc)
+
+    gap = 60
+    # batch1: u1@12000 opens; u9@50000 pushes the watermark to 49999
+    b1 = [(1, ts(12000)), (9, ts(50000))]
+    # batch2 (watermark 49999): u1@10000 is out-of-order but NOT late at
+    # the operator; both u1 sessions (10000 and 12000) are already
+    # watermark-expired -> BOTH emit in this invocation, state removed.
+    # u1@12030 extends the 12000 session backward-compatibly (in-gap).
+    b2 = [(1, ts(10000)), (1, ts(12030))]
+    src = str(tmp_path / "sess_ooo")
+    os.makedirs(src + "/in", exist_ok=True)
+    for i, rows in enumerate((b1, b2)):
+        d = src + f"/tmp{i}"
+        spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp"
+        ).coalesce(1).write.parquet(d)
+        part = glob.glob(d + "/part-*.parquet")[0]
+        shutil.copy(part, src + f"/in/batch{i}.parquet")
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/in")
+    )
+    q = (
+        sessionize_stream(stream, gap_s=gap, watermark_delay="1 second")
+        .writeStream.format("memory")
+        .queryName("sess_ooo_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_start"].timestamp(),
+             r["session_end"].timestamp(), r["n_events"])
+            for r in spark.sql("select * from sess_ooo_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {
+        (1, 10000.0, 10060.0, 1),   # the out-of-order earlier session
+        (1, 12000.0, 12090.0, 2),   # 12000+12030 merged, quiescent-emit
+    }  # u9's session stays open (watermark never passes 50060)
+    shutil.rmtree(src, ignore_errors=True)
