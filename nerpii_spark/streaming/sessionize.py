@@ -1,41 +1,44 @@
 """Custom stateful streaming operator: event-time sessionization.
 
 `sessionize_stream` groups a stream of (user_id, ts, ...) events into
-gap-bounded sessions and emits each session WHEN IT CLOSES — either
-because a later event of the same user arrives more than `gap_s` after
-the session's last event (closed in-merge), or because the event-time
-watermark passes last_event + gap (closed by EventTimeTimeout, the
-watermark-driven path that needs no further events from that user).
+gap-bounded sessions and emits each session when — and only when — the
+EVENT-TIME WATERMARK passes its end (last event + gap). That is the
+only sound emission point in append mode: an event may arrive out of
+order at any time with ts >= watermark, and such an event can extend or
+merge any session whose end is still >= watermark — emitting earlier
+(e.g. the moment a later event exceeds the gap, the tempting "in-merge
+close") produces sessions a subsequent out-of-order arrival should have
+absorbed, and append mode cannot retract. Mirroring the native
+streaming `session_window` contract, events BELOW the watermark are
+late and dropped.
+
 Output rows are (user_id, session_start, session_end, n_events) with
-session_end = last event + gap — exactly the native
-`F.session_window` convention, and the boundary matches the measured
-batch semantics (an event arriving EXACTLY gap after the previous one
-MERGES — tests/test_extras.py::test_session_window_exact_gap_merges):
-a new session starts only when the gap is strictly exceeded.
+session_end = last event + gap — exactly the native `F.session_window`
+convention, and the boundary matches the measured batch semantics (an
+event arriving EXACTLY gap after the previous one MERGES —
+tests/test_extras.py::test_session_window_exact_gap_merges): a new
+session starts only when the gap is strictly exceeded. Emission uses
+end < watermark strictly, and arrivals keep ts >= watermark — so an
+event at exactly last + gap == watermark still finds its session
+un-emitted and merges (no boundary hole).
 
-This is the canonical applyInPandasWithState sessionization shape next
-to streaming/stateful.py's dedup: key by user, keep one open session
-(3 bigints) per key, emit incrementally. State is bounded by
-construction — every key's state is removed when its timeout fires or
-when the current watermark has already closed its open session (the
-quiescent-stream path: a timer must sit strictly PAST the watermark,
-so an already-expired session emits in the data invocation itself
-rather than waiting for a wakeup that may never come) — so state size
-tracks the set of users ACTIVE inside one gap window, not the all-time
-user count (the property that keeps it alive at web scale).
+State per key is the list of PENDING session segments (start, last, n
+triples): every segment whose end the watermark has passed is emitted
+and dropped in the same invocation (data or timeout), so state size
+tracks the number of a user's sessions inside one watermark-delay
+window — bounded by delay/gap + 1 — not the all-time session count. A
+quiescent key emits through its EventTimeTimeout timer, armed at the
+earliest pending end (clamped strictly past the current watermark,
+which Spark requires).
 
-Out-of-order arrivals (anything above the watermark is not late and
-MUST be honored): batch events and the open session merge as
-gap-connected INTERVALS, so an earlier event extends the open session
-backward (start = min) or forms its own earlier session that the open
-one immediately closes — see _merge_segments for the exactness
-argument (interval merging == native session_window over the full
-event multiset, because stored segments keep all internal gaps <= gap
-by construction).
+Out-of-order arrivals merge EXACTLY: batch events and pending segments
+combine as gap-connected intervals — see _merge_segments for the
+argument that interval merging reproduces native session_window over
+the full kept-event multiset even though only extents survive in state.
 
-Batch equivalence (vs native session_window restricted to closed
-sessions) and in-merge vs timeout close paths are pinned in
-tests/test_streaming.py.
+Batch equivalence (sandwich against native session_window with the
+watermark late-drop replayed) and the out-of-order / quiescent repros
+are pinned in tests/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -44,13 +47,16 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUT_SCHEMA = (
     "user_id bigint, session_start timestamp,"
     " session_end timestamp, n_events bigint"
 )
-STATE_SCHEMA = "start_ms bigint, last_ms bigint, n bigint"
+STATE_SCHEMA = (
+    "starts array<bigint>, lasts array<bigint>, ns array<bigint>"
+)
 
 
 def _emit(user_id: int, closed: list, gap_ms: int) -> pd.DataFrame:
@@ -98,41 +104,43 @@ def _make_session_fn(gap_ms: int):
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
-            # watermark passed last_event + gap with no new events:
-            # the open session is final — emit and free the state
-            start, last, n = state.get
-            state.remove()
-            yield _emit(key[0], [(start, last, n)], gap_ms)
-            return
-        # batch events may arrive OUT OF ORDER relative to the open
-        # session (anything above the watermark is not late): treat the
-        # open session as one segment and merge intervals, so an earlier
-        # event extends the session BACKWARD (start = min) or forms its
-        # own earlier session — never silently absorbs into a later one
-        segments: list[tuple[int, int, int]] = [
-            (int(t), int(t), 1)
-            for pdf in pdfs
-            if len(pdf)
-            for t in (pdf["ts"].astype("int64") // 1_000_000).tolist()
-        ]
+        wm = state.getCurrentWatermarkMs()
+        segments: list[tuple[int, int, int]] = []
         if state.exists:
-            segments.append(tuple(state.get))
+            starts, lasts, ns = state.get
+            segments = [
+                (int(s), int(l), int(n))
+                for s, l, n in zip(starts, lasts, ns)
+            ]
+        if not state.hasTimedOut:
+            # anything at/above the watermark must be honored no matter
+            # how out of order; anything below it is late — dropped,
+            # the native streaming session_window contract
+            segments += [
+                (int(t), int(t), 1)
+                for pdf in pdfs
+                if len(pdf)
+                for t in (pdf["ts"].astype("int64") // 1_000_000).tolist()
+                if t >= wm
+            ]
         if not segments:
+            if state.exists:
+                state.remove()
             return
         merged = _merge_segments(segments, gap_ms)
-        # every segment the watermark already closed is final too — a
-        # quiescent stream would otherwise never fire its timer (the
-        # timer must sit strictly past the watermark)
-        wm = state.getCurrentWatermarkMs()
-        closed = merged[:-1]
-        start, last, n = merged[-1]
-        if last + gap_ms <= wm:
-            closed = merged
-            state.remove()
+        closed = [s for s in merged if s[1] + gap_ms < wm]
+        pending = [s for s in merged if s[1] + gap_ms >= wm]
+        if pending:
+            state.update((
+                [s for s, _, _ in pending],
+                [l for _, l, _ in pending],
+                [n for _, _, n in pending],
+            ))
+            state.setTimeoutTimestamp(
+                max(min(l + gap_ms for _, l, _ in pending), wm + 1)
+            )
         else:
-            state.update((start, last, n))
-            state.setTimeoutTimestamp(max(last + gap_ms, wm + 1))
+            state.remove()
         if closed:
             yield _emit(key[0], closed, gap_ms)
 
@@ -144,7 +152,7 @@ def sessionize_stream(
     gap_s: int = 1800,
     watermark_delay: str = "1 second",
 ) -> DataFrame:
-    """Streaming (user_id, ts, ...) -> closed sessions
+    """Streaming (user_id, ts, ...) -> watermark-closed sessions
     (user_id, session_start, session_end, n_events)."""
     keyed = events.select("user_id", "ts").withWatermark(
         "ts", watermark_delay

@@ -432,12 +432,12 @@ def test_sink_output_compacts(spark, tmp_path):
 
 
 def test_stateful_stream_sessionize(spark, tmp_path):
-    """Event-time sessionization closes sessions on BOTH paths — in-merge
-    (a later event of the same user arrives past the gap) and
-    EventTimeTimeout (the watermark passes last + gap with no new
-    events) — and the emitted set equals the native batch
+    """Event-time sessionization emits exactly when the watermark passes
+    a session's end — through the data invocation for keys with traffic
+    and the EventTimeTimeout (incl. the trailing no-data round) for
+    quiescent keys — and the emitted set equals the native batch
     session_window restricted to sessions the final watermark closed.
-    The still-open tail session must NOT be emitted."""
+    Sessions the watermark has not passed must NOT be emitted."""
     import glob
     import os
     import shutil
@@ -449,12 +449,13 @@ def test_stateful_stream_sessionize(spark, tmp_path):
         return datetime.fromtimestamp(s, tz=timezone.utc)
 
     gap = 1800
-    # batch1: u1 one open session; u3 gap-split in batch (first closes
-    # in-merge); u2's event pushes the watermark for batch2's timeouts
+    # batch1: u1 one open session; u3 gap-split in batch (two pending
+    # segments); u2's event pushes the watermark for batch2's closes
     b1 = [(1, ts(100)), (1, ts(200)), (3, ts(100)), (3, ts(3000)),
           (2, ts(10000))]
-    # batch2: u2 returns past the gap -> closes its first session
-    # in-merge; u1/u3 close by timeout (watermark 9999 > last + gap)
+    # batch2: u2 returns past the gap (second pending segment); u1/u3
+    # close by timeout (watermark 9999 passes their ends); u2's first
+    # segment closes in the trailing no-data round (watermark 19999)
     b2 = [(2, ts(20000))]
     src = str(tmp_path / "sess_stream")
     os.makedirs(src + "/in", exist_ok=True)
@@ -488,10 +489,10 @@ def test_stateful_stream_sessionize(spark, tmp_path):
     finally:
         q.stop()
     assert got == {
-        (3, 100.0, 1900.0, 1),     # in-merge close, batch 1
+        (3, 100.0, 1900.0, 1),     # timeout close, batch 2
         (1, 100.0, 2000.0, 2),     # timeout close, batch 2
         (3, 3000.0, 4800.0, 1),    # timeout close, batch 2
-        (2, 10000.0, 11800.0, 1),  # in-merge close, batch 2
+        (2, 10000.0, 11800.0, 1),  # close in the trailing no-data round
     }  # u2's (20000, ...) session is still open: not emitted
 
     # batch equivalence: native session_window over the same events,
@@ -563,14 +564,16 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
     shutil.rmtree(src, ignore_errors=True)
 
 
-def test_stateful_sessionize_out_of_order_and_quiescent(spark, tmp_path):
-    """The two review repros: (1) a batch-2 event EARLIER than the open
-    session (above watermark, so not late) must form its own earlier
-    session / extend backward — not silently absorb into the later one;
-    (2) a session already expired against the current watermark emits in
-    the data invocation itself (a quiescent stream never fires timers).
-    Emitted set must equal native session_window on watermark-closed
-    sessions."""
+def test_stateful_sessionize_out_of_order_and_late(spark, tmp_path):
+    """Review repro, under the sound watermark-driven contract: (1) an
+    out-of-order event ABOVE the watermark forms its own exact earlier
+    session — never absorbed into a later one, and crucially never
+    clipped by an earlier premature emission (emission waits for the
+    watermark, the only point after which no in-gap arrival is
+    possible); (2) an event BELOW the watermark is late and dropped,
+    the native streaming session_window contract; (3) quiescent keys
+    emit through the no-data timeout batch once the watermark
+    advances."""
     import glob
     import os
     import shutil
@@ -582,16 +585,18 @@ def test_stateful_sessionize_out_of_order_and_quiescent(spark, tmp_path):
         return datetime.fromtimestamp(s, tz=timezone.utc)
 
     gap = 60
-    # batch1: u1@12000 opens; u9@50000 pushes the watermark to 49999
+    # watermark delay 45000s: after batch1 (max ts 50000) wm = 5000
     b1 = [(1, ts(12000)), (9, ts(50000))]
-    # batch2 (watermark 49999): u1@10000 is out-of-order but NOT late at
-    # the operator; both u1 sessions (10000 and 12000) are already
-    # watermark-expired -> BOTH emit in this invocation, state removed.
-    # u1@12030 extends the 12000 session backward-compatibly (in-gap).
-    b2 = [(1, ts(10000)), (1, ts(12030))]
+    # batch2 at wm=5000: u1@10000 is out of order but above wm -> its
+    # own session; u1@12030 merges into 12000's; u1@3000 is BELOW wm ->
+    # dropped late
+    b2 = [(1, ts(10000)), (1, ts(12030)), (1, ts(3000))]
+    # batch3 pushes wm to 55000 -> the no-data timeout round closes
+    # every session ending before 55000
+    b3 = [(9, ts(100000))]
     src = str(tmp_path / "sess_ooo")
     os.makedirs(src + "/in", exist_ok=True)
-    for i, rows in enumerate((b1, b2)):
+    for i, rows in enumerate((b1, b2, b3)):
         d = src + f"/tmp{i}"
         spark.createDataFrame(
             rows, "user_id bigint, ts timestamp"
@@ -604,7 +609,8 @@ def test_stateful_sessionize_out_of_order_and_quiescent(spark, tmp_path):
         .parquet(src + "/in")
     )
     q = (
-        sessionize_stream(stream, gap_s=gap, watermark_delay="1 second")
+        sessionize_stream(stream, gap_s=gap,
+                          watermark_delay="45000 seconds")
         .writeStream.format("memory")
         .queryName("sess_ooo_out")
         .outputMode("append")
@@ -620,7 +626,106 @@ def test_stateful_sessionize_out_of_order_and_quiescent(spark, tmp_path):
     finally:
         q.stop()
     assert got == {
-        (1, 10000.0, 10060.0, 1),   # the out-of-order earlier session
-        (1, 12000.0, 12090.0, 2),   # 12000+12030 merged, quiescent-emit
-    }  # u9's session stays open (watermark never passes 50060)
+        (1, 10000.0, 10060.0, 1),   # out-of-order earlier session, exact
+        (1, 12000.0, 12090.0, 2),   # 12000+12030 merged; 3000 dropped
+        (9, 50000.0, 50060.0, 1),   # closed by the advanced watermark
+    }  # u9's 100000 session stays open (wm never passes 100060)
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stateful_sessionize_random_streams_match_native(spark, tmp_path):
+    """Randomized equivalence under ARBITRARY batch splits (events reach
+    the operator out of order across batches): with the per-batch
+    watermark ratchet and its late-event drops replayed exactly in
+    Python, the emitted set must EQUAL native session_window over the
+    kept events restricted to sessions the final watermark closed
+    (trailing no-data rounds fire the remaining expired timers —
+    processAllAvailable drains them)."""
+    import glob
+    import os
+    import random
+    import shutil
+    from datetime import datetime, timezone
+
+    import pyspark.sql.functions as F
+
+    from nerpii_spark.streaming.sessionize import sessionize_stream
+
+    gap = 300
+    for seed in (11, 29):
+        rng = random.Random(seed)
+        rows = [
+            (rng.randrange(4), datetime.fromtimestamp(
+                rng.randrange(0, 10000), tz=timezone.utc))
+            for _ in range(25)
+        ]
+        src = str(tmp_path / f"sess_rand{seed}")
+        os.makedirs(src + "/in", exist_ok=True)
+        batches = [[], [], []]
+        for i, r in enumerate(rows):
+            batches[rng.randrange(3)].append(r)
+        for i, b in enumerate(b for b in batches if b):
+            d = src + f"/tmp{i}"
+            spark.createDataFrame(
+                b, "user_id bigint, ts timestamp"
+            ).coalesce(1).write.parquet(d)
+            part = glob.glob(d + "/part-*.parquet")[0]
+            shutil.copy(part, src + f"/in/batch{i}.parquet")
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/in")
+        )
+        q = (
+            sessionize_stream(stream, gap_s=gap,
+                              watermark_delay="0 seconds")
+            .writeStream.format("memory")
+            .queryName(f"sess_rand_out{seed}")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r["user_id"], r["session_start"].timestamp(),
+                 r["session_end"].timestamp(), r["n_events"])
+                for r in spark.sql(
+                    f"select * from sess_rand_out{seed}"
+                ).collect()
+            }
+        finally:
+            q.stop()
+        # replay the watermark ratchet + late drops exactly: wm entering
+        # batch N = max event ts of batches 1..N-1 (delay 0); an event
+        # below the entering wm is dropped
+        wm = 0.0
+        kept = []
+        for b in (b for b in batches if b):
+            for u, t in b:
+                if t.timestamp() >= wm:
+                    kept.append((u, t))
+            wm = max(wm, max(t.timestamp() for _, t in b))
+        final_wm = wm
+        kept_df = spark.createDataFrame(
+            kept, "user_id bigint, ts timestamp"
+        )
+        native_rows = (
+            kept_df.groupBy(
+                "user_id", F.session_window("ts", f"{gap} seconds")
+            )
+            .agg(F.count("*").alias("n"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("s"),
+                F.col("session_window.end").alias("e"),
+                "n",
+            )
+            .collect()
+        )
+        expected = {
+            (r["user_id"], r["s"].timestamp(), r["e"].timestamp(), r["n"])
+            for r in native_rows
+            if r["e"].timestamp() < final_wm
+        }
+        assert got == expected, (seed, got ^ expected)
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
