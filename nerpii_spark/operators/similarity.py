@@ -752,7 +752,11 @@ def _pq_codebooks(base: DataFrame, m_sub: int, k_codes: int,
                 [int(r[f"s{d}"]) // int(r["n"]) for d in range(sub_d)]
                 if (r := by_key.get((m, cid))) is not None
                 else cents[m][cid]
-                for cid in range(k_codes)
+                # range over the ACTUAL codebook size: the full-table
+                # fallback can make init shorter than k_codes (the
+                # short-list behavior lloyd_centroids had and the
+                # oracle's `limit k` matches)
+                for cid in range(len(cents[m]))
             ]
             for m in range(m_sub)
         ]
@@ -786,8 +790,8 @@ def pq_topk(
     Everything is exact integer arithmetic, so the DuckDB oracle replays
     training, encoding, the ADC scan and the re-rank bit-for-bit:
       * codebooks: per-subspace integer Lloyd on the deterministic
-        hash-sample (cluster.lloyd_centroids — argmin ties to the
-        lowest code, floor-div means);
+        hash-sample (_pq_codebooks — all subspaces trained in one fused
+        pass; argmin ties to the lowest code, floor-div means);
       * encoding: per subspace, code = argmin_c ||x_m - c||^2 (int64);
       * ADC: adist(q, x) = sum_m LUT_q[m][code_m(x)] where LUT_q[m][c] =
         ||q_m - codeword||^2 — the asymmetric form (query stays exact,

@@ -327,14 +327,12 @@ def host_components(pages: DataFrame) -> DataFrame:
     split or merged component fails the gate."""
     from nerpii_spark.operators.link import connected_components
 
-    links = host_links(pages).where(F.col("src_host") != F.col("dst_host"))
-    edges = links.select(
-        F.col("src_host").alias("sid_a"), F.col("dst_host").alias("sid_b")
-    ).distinct()
+    e = distinct_host_edges(pages)
+    edges = e.select(
+        F.col("u").alias("sid_a"), F.col("v").alias("sid_b")
+    )
     nodes = (
-        links.select(F.col("src_host").alias("sid"))
-        .union(links.select("dst_host"))
-        .distinct()
+        e.select(F.col("u").alias("sid")).union(e.select("v")).distinct()
     )
     return connected_components(nodes, edges).select(
         F.col("sid").alias("host"), F.col("label").alias("component")
@@ -1153,14 +1151,10 @@ def host_mirror_topk(
 
     from nerpii_spark.operators.dedup import _bucket_pairs
 
-    links = (
-        host_links(pages)
-        .where(F.col("src_host") != F.col("dst_host"))
-        .distinct()
+    posting = (
+        distinct_host_edges(pages)
+        .select(F.col("v").alias("feat"), F.col("u").alias("sid"))
         .localCheckpoint(eager=False)
-    )
-    posting = links.select(
-        F.col("dst_host").alias("feat"), F.col("src_host").alias("sid")
     )
     pairs = _bucket_pairs(posting, ["feat"], "sid", max_df, degrade=False)
     deg = posting.groupBy("sid").agg(F.count("*").alias("deg"))

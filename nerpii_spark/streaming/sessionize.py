@@ -29,7 +29,14 @@ tracks the number of a user's sessions inside one watermark-delay
 window — bounded by delay/gap + 1 — not the all-time session count. A
 quiescent key emits through its EventTimeTimeout timer, armed at the
 earliest pending end (clamped strictly past the current watermark,
-which Spark requires).
+which Spark requires). That clamp forces one API-level liveness corner:
+a segment whose end EQUALS the arming watermark gets its timer at
+wm + 1 ms, and Spark fires timers only when the watermark passes them
+strictly — so if the watermark then advances by exactly 1 ms and parks
+there forever with no further data for the key, that closed session
+waits for the next advance. Unreachable with >= second-granularity
+event times (watermarks move in >= 1 s steps); correctness (never
+emitting a wrong session) is unaffected.
 
 Out-of-order arrivals merge EXACTLY: batch events and pending segments
 combine as gap-connected intervals — see _merge_segments for the
@@ -47,7 +54,6 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUT_SCHEMA = (

@@ -1184,3 +1184,39 @@ def test_dsir_target_slice_scores_higher(spark):
     rates = sorted((r["score"], r["rate_e6"]) for r in rows)
     assert rates[0][1] == 0 and rates[-1][1] == 1000000
     assert all(a[1] <= b[1] for a, b in zip(rates, rates[1:]))
+
+
+def test_pq_topk_tiny_corpus_short_codebooks(spark):
+    """A corpus smaller than k_codes falls back to full-table training
+    with SHORT codebooks (the lloyd_centroids/`limit k` behavior) — it
+    must run, return exactly k ranked neighbors per query, and agree
+    with exact L2 (with <= n-1 codes per subspace the quantizer is
+    near-lossless at this size)."""
+    import numpy as np
+
+    from nerpii_spark.operators.cluster import QUANT
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet").where(
+        "vec_id < 20"
+    )
+    got = SIM.pq_topk(embs, "vec_id < 4", k=2).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {0, 1, 2, 3}
+    assert all(sorted(x["rank"] for x in rs) == [1, 2]
+               for rs in per_q.values())
+    rows = embs.collect()
+    X = np.stack([
+        np.round(np.asarray(r["embedding"], dtype=np.float64) * QUANT)
+        for r in rows
+    ]).astype(np.int64)
+    ids = np.array([r["vec_id"] for r in rows])
+    o = np.argsort(ids)
+    X, ids = X[o], ids[o]
+    for q, rs in per_q.items():
+        qi = int(np.flatnonzero(ids == q)[0])
+        d = ((X - X[qi]) ** 2).sum(axis=1)
+        for r in rs:
+            ni = int(np.flatnonzero(ids == r["neighbor_id"])[0])
+            assert r["dist"] == d[ni]  # exact re-rank distances
