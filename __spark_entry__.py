@@ -343,6 +343,34 @@ def q_outlink_entropy(spark, sf):
     return WG.outlink_entropy(_pipeline(spark, sf)["pages"])
 
 
+def q_host_reciprocity(spark, sf):
+    """Per-host link reciprocity (webgraph.host_reciprocity): the
+    link-exchange spam fingerprint — one checkpointed distinct edge
+    list, one (u, v)-keyed self-semi-join, two map-side-combined
+    counts; integer recip_milli, oracle replays over the planted link
+    set via an independent left-self-join formulation."""
+    return WG.host_reciprocity(_pipeline(spark, sf)["pages"])
+
+
+def q_assortativity(spark, sf):
+    """Degree assortativity of the undirected host graph
+    (webgraph.degree_assortativity): Newman's r over directed stubs as
+    pure-integer sufficient statistics + truncating-div r_milli (hub
+    -skewed web graphs are disassortative — the planted graph scores
+    negative, exercising the verified div/`//` sign parity); two
+    degree-decorating joins + one global agg."""
+    return WG.degree_assortativity(_pipeline(spark, sf)["pages"])
+
+
+def q_spam_mass(spark, sf):
+    """Spam mass per host (webgraph.spam_mass): 1000 * (PR - TR) div PR
+    from the bigint fixed-point PageRank and TrustRank over ONE
+    checkpointed link list — the actionable web-spam demotion score;
+    the oracle composes both chained-CTE iteration replays, so the
+    full two-algorithm pipeline is certified bit-for-bit."""
+    return WG.spam_mass(_pipeline(spark, sf)["pages"])
+
+
 def q_dsir_weights(spark, sf):
     """DSIR importance resampling (textstats.dsir_weights): hashed
     unigram+bigram log-ratio importance scores against the target-lang
@@ -1675,6 +1703,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_recrawl_cadence": q_recrawl_cadence,
         "q_dsir_weights": q_dsir_weights,
         "q_outlink_entropy": q_outlink_entropy,
+        "q_host_reciprocity": q_host_reciprocity,
+        "q_assortativity": q_assortativity,
+        "q_spam_mass": q_spam_mass,
         "q_harmonic_centrality": q_harmonic_centrality,
         "q_eff_diameter": q_eff_diameter,
         "q_embed_pq": q_embed_pq,
@@ -1945,6 +1976,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_dsir_weights": TS.duck_dsir_weights_sql(),
         "q_outlink_entropy": WG.duck_outlink_entropy_sql(pages),
+        "q_host_reciprocity": WG.duck_host_reciprocity_sql(pages),
+        "q_assortativity": WG.duck_degree_assortativity_sql(pages),
+        "q_spam_mass": WG.duck_spam_mass_sql(pages),
         "q_harmonic_centrality": WG.duck_harmonic_centrality_sql(pages),
         "q_eff_diameter": WG.duck_effective_diameter_sql(pages),
         "q_embed_pq": SIM.duck_pq_topk_sql("vec_id < 32", k=3),

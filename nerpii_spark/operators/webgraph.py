@@ -1440,3 +1440,200 @@ select cast(min(nf.r) as bigint) as eff_diameter,
 from nf, t
 where 10 * nf.est_pairs >= {pct10} * t.est_max
 """
+
+
+def host_reciprocity(pages: DataFrame) -> DataFrame:
+    """Per-host link reciprocity over the distinct directed host edges
+    -> (host, n_out, n_recip, recip_milli): the fraction of a host's
+    out-edges that are reciprocated (recip_milli = 1000 * n_recip div
+    n_out). High reciprocity at volume is the classic link-exchange /
+    link-farm fingerprint (organic cross-host linking is mostly
+    one-way), so crawl pipelines compute it next to outlink entropy and
+    TrustRank as a spam prior.
+
+    Scale shape: the distinct edge list is localCheckpoint'd once, then
+    reciprocation is ONE self-equi-join on the full (u, v) key — both
+    sides hash-partition identically, so the join adds a single
+    exchange of the already-distinct edges; the two counts map-side
+    combine. No window, no collect, nothing quadratic: a hub with 1e6
+    in-links contributes 1e6 join probes, not pairs."""
+    e = distinct_host_edges(pages).localCheckpoint(eager=True)
+    rev = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    recip = e.join(rev, ["u", "v"], "left_semi")
+    out = e.groupBy("u").agg(F.count("*").cast("bigint").alias("n_out"))
+    rc = recip.groupBy("u").agg(
+        F.count("*").cast("bigint").alias("n_recip")
+    )
+    return out.join(rc, "u", "left").select(
+        F.col("u").alias("host"),
+        "n_out",
+        F.coalesce(F.col("n_recip"), F.lit(0))
+        .cast("bigint")
+        .alias("n_recip"),
+        F.expr(
+            "cast(1000 * coalesce(n_recip, cast(0 as bigint))"
+            " div n_out as bigint)"
+        ).alias("recip_milli"),
+    )
+
+
+def duck_host_reciprocity_sql(pages_sql_duck: str) -> str:
+    """Oracle: the same counts over the PLANTED link set via a left
+    self-join (an independent formulation of the semi-join)."""
+    return f"""
+with e as materialized (
+  select distinct src_host as u, dst_host as v
+  from ({duck_planted_links_sql(pages_sql_duck)})
+  where src_host <> dst_host
+)
+select e.u as host,
+       cast(count(*) as bigint) as n_out,
+       cast(count(e2.u) as bigint) as n_recip,
+       cast(1000 * count(e2.u) // count(*) as bigint) as recip_milli
+from e left join e e2 on e2.u = e.v and e2.v = e.u
+group by 1
+"""
+
+
+def degree_assortativity(pages: DataFrame) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the undirected host graph
+    -> ONE row (m_stubs, sum_deg, sum_deg_sq, sum_deg_prod, r_milli):
+    the Pearson correlation of endpoint degrees over directed stubs,
+    r = (m*Sxy - Sx^2) / (m*Sxx - Sx^2), emitted as integer sufficient
+    statistics plus r_milli = (1000 * num) div den (Spark `div` and
+    DuckDB `//` both truncate toward zero, so a negative r — the
+    expected sign for a hub-skewed web graph — is engine-exact). The
+    symmetric stub list makes Sx = Sy and Sxx = Syy, so the whole
+    statistic is integer arithmetic; den = 0 (a regular graph) yields
+    NULL via nullif rather than a divide error under ANSI mode.
+
+    Overflow bound: num/den <= m * max_deg^2 must fit int64 — fine to
+    ~1e9 stubs at 1e4 max degree; past that, compute in e3-scaled
+    degree buckets (the HITS-bound discipline).
+
+    Scale shape: two equi-joins decorate each stub with its endpoint
+    degrees (the degree table is node-sized — AQE broadcasts it while
+    it fits, falls back to shuffle when it doesn't), then ONE
+    map-side-combined global agg; nothing corpus-sized is re-keyed."""
+    sym = sym_host_edges(pages)
+    deg = sym.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    dv = deg.select(
+        F.col("node").alias("nbr"), F.col("deg").alias("deg_nbr")
+    )
+    stubs = sym.join(deg, "node").join(dv, "nbr")
+    return (
+        stubs.agg(
+            F.count("*").cast("bigint").alias("m_stubs"),
+            F.sum("deg").cast("bigint").alias("sum_deg"),
+            F.sum(F.expr("deg * deg")).cast("bigint").alias("sum_deg_sq"),
+            F.sum(F.expr("deg * deg_nbr"))
+            .cast("bigint")
+            .alias("sum_deg_prod"),
+        )
+        .select(
+            "m_stubs",
+            "sum_deg",
+            "sum_deg_sq",
+            "sum_deg_prod",
+            F.expr(
+                "cast((1000 * (m_stubs * sum_deg_prod"
+                " - sum_deg * sum_deg))"
+                " div nullif(m_stubs * sum_deg_sq"
+                " - sum_deg * sum_deg, 0) as bigint)"
+            ).alias("r_milli"),
+        )
+    )
+
+
+def duck_degree_assortativity_sql(pages_sql_duck: str) -> str:
+    """Oracle: identical integer statistic over the planted link set's
+    symmetric closure (HUGEINT sums cast back before the ratio)."""
+    return f"""
+with e as materialized (
+  select distinct src_host as u, dst_host as v
+  from ({duck_planted_links_sql(pages_sql_duck)})
+  where src_host <> dst_host
+),
+sym as materialized (
+  select u as node, v as nbr from e union select v, u from e
+),
+deg as materialized (
+  select node, cast(count(*) as bigint) as deg from sym group by 1
+),
+s as (
+  select cast(count(*) as bigint) as m_stubs,
+         cast(sum(d1.deg) as bigint) as sum_deg,
+         cast(sum(d1.deg * d1.deg) as bigint) as sum_deg_sq,
+         cast(sum(d1.deg * d2.deg) as bigint) as sum_deg_prod
+  from sym
+  join deg d1 on d1.node = sym.node
+  join deg d2 on d2.node = sym.nbr
+)
+select m_stubs, sum_deg, sum_deg_sq, sum_deg_prod,
+       cast((1000 * (m_stubs * sum_deg_prod - sum_deg * sum_deg))
+            // nullif(m_stubs * sum_deg_sq - sum_deg * sum_deg, 0)
+            as bigint) as r_milli
+from s
+"""
+
+
+def spam_mass(
+    pages: DataFrame, n_iter: int = 3, n_seeds: int = TRUST_SEEDS
+) -> DataFrame:
+    """Spam mass (Gyongyi et al. 2006) per host -> (host, rank_e12,
+    trust_e12, spam_milli): the share of a host's PageRank NOT backed
+    by trust, spam_milli = 1000 * (PR - TR) div PR — the actionable
+    composition of the two authority scores this module already
+    computes (a high-PR low-trust host is the demotion target; trusted
+    seeds score negative because dangling mass teleports back to them).
+    Both inputs are bigint fixed-point (PR_SCALE = 1e12) normalized to
+    the same total mass, so the difference is meaningful and the whole
+    statistic replays bit-for-bit. PR has a positive floor (150 * base
+    div 1000 for every node), so the divisor is never zero.
+
+    Scale shape: the extraction runs ONCE (the link list is
+    localCheckpoint'd and feeds both iterations); each fixed-point
+    inherits pagerank/trustrank's audited per-iteration shape; the
+    final composition is one node-sized equi-join."""
+    from nerpii_spark.operators.extract import pagerank
+
+    el = (
+        host_links(pages)
+        .select(F.col("src_host").alias("subj"), F.col("dst_host").alias("obj"))
+        .localCheckpoint(eager=True)
+    )
+    pr = pagerank(el, n_iter=n_iter)
+    tr = trustrank(el, n_iter=n_iter, n_seeds=n_seeds)
+    return pr.join(tr, "node").select(
+        F.col("node").alias("host"),
+        "rank_e12",
+        "trust_e12",
+        F.expr(
+            "cast((1000 * (rank_e12 - trust_e12)) div rank_e12 as bigint)"
+        ).alias("spam_milli"),
+    )
+
+
+def duck_spam_mass_sql(pages_sql_duck: str, n_iter: int = 3) -> str:
+    """Oracle: the pagerank and trustrank chained-CTE replays composed
+    over the planted link set, then the same integer ratio."""
+    from nerpii_spark.operators.extract import duck_pagerank_sql
+
+    edges = (
+        f"select src_host as subj, dst_host as obj from"
+        f" ({duck_planted_links_sql(pages_sql_duck)})"
+    )
+    return f"""
+with pr as materialized (
+  select * from ({duck_pagerank_sql(edges, n_iter=n_iter)})
+),
+tr as materialized (
+  select * from ({duck_trustrank_sql(edges, n_iter=n_iter)})
+)
+select pr.node as host, pr.rank_e12, tr.trust_e12,
+       cast((1000 * (pr.rank_e12 - tr.trust_e12)) // pr.rank_e12
+            as bigint) as spam_milli
+from pr join tr on tr.node = pr.node
+"""

@@ -510,3 +510,83 @@ def test_effective_diameter_replays_from_anf_curve(spark):
     assert len(got) == 1
     assert (got[0]["eff_diameter"], got[0]["est_max"]) == (want, horizon)
     assert got[0]["eff_diameter"] <= 3  # planted hub topology is small-world
+
+
+def test_host_reciprocity_hand_golden(spark):
+    from nerpii_spark.operators.webgraph import host_reciprocity
+
+    # a <-> b mutual; a -> c one-way. c emits no links -> no row for c
+    # (the metric is defined over out-edges).
+    pages = _pages(
+        spark, [("a.io", "b.io"), ("b.io", "a.io"), ("a.io", "c.io")]
+    )
+    got = {
+        r["host"]: (r["n_out"], r["n_recip"], r["recip_milli"])
+        for r in host_reciprocity(pages).collect()
+    }
+    assert got == {"a.io": (2, 1, 500), "b.io": (1, 1, 1000)}
+
+
+def test_assortativity_star_is_minus_one(spark):
+    from nerpii_spark.operators.webgraph import degree_assortativity
+
+    # star z-{a,b,c}: every edge joins deg-3 to deg-1 -> r = -1 exactly.
+    # Hand sums over the 6 directed stubs: m=6, Sx=12, Sxx=30, Sxy=18,
+    # num = 6*18 - 144 = -36, den = 6*30 - 144 = 36.
+    pages = _pages(
+        spark, [("z.io", "a.io"), ("z.io", "b.io"), ("z.io", "c.io")]
+    )
+    [r] = degree_assortativity(pages).collect()
+    assert (
+        r["m_stubs"],
+        r["sum_deg"],
+        r["sum_deg_sq"],
+        r["sum_deg_prod"],
+        r["r_milli"],
+    ) == (6, 12, 30, 18, -1000)
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    from nerpii_spark.operators.webgraph import degree_assortativity
+
+    # 4-cycle: every node has degree 2 -> zero variance -> NULL r_milli
+    # (nullif guard, not a divide error under ANSI mode)
+    pages = _pages(
+        spark,
+        [
+            ("a.io", "b.io"),
+            ("b.io", "c.io"),
+            ("c.io", "d.io"),
+            ("d.io", "a.io"),
+        ],
+    )
+    [r] = degree_assortativity(pages).collect()
+    assert r["r_milli"] is None and r["m_stubs"] == 8
+
+
+def test_spam_mass_flags_unreachable_island(spark):
+    from nerpii_spark.operators.webgraph import spam_mass
+
+    # same shape as the trustrank test: good core around seed g.io,
+    # mutually-linking spam island s1 <-> s2 with no in-path from g.
+    pages = _pages(
+        spark,
+        [
+            ("a.io", "g.io"),
+            ("b.io", "g.io"),
+            ("c.io", "g.io"),
+            ("g.io", "t.io"),
+            ("s1.spam", "s2.spam"),
+            ("s2.spam", "s1.spam"),
+        ],
+    )
+    sm = {r["host"]: r for r in spam_mass(pages, n_seeds=1).collect()}
+    # the island holds real PageRank but zero trust -> spam mass 1000
+    assert sm["s1.spam"]["trust_e12"] == 0
+    assert sm["s1.spam"]["rank_e12"] > 0
+    assert sm["s1.spam"]["spam_milli"] == 1000
+    assert sm["s2.spam"]["spam_milli"] == 1000
+    # the trusted path scores strictly lower; the downstream sink t.io
+    # accumulates more trust than rank -> negative spam mass
+    assert sm["g.io"]["spam_milli"] < 1000
+    assert sm["t.io"]["spam_milli"] < 0
