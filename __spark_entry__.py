@@ -371,6 +371,20 @@ def q_spam_mass(spark, sf):
     return WG.spam_mass(_pipeline(spark, sf)["pages"])
 
 
+def q_url_normalize(spark, sf):
+    """Lossless-semantic URL normalization (dedup.url_normalize):
+    scheme/host-only lowercase, default-port strip, fragment drop,
+    utm_* removal with surviving params SORTED — pure whole-stage
+    -codegen string/array exprs, zero shuffle; the oracle emits the
+    PLANTED truth table (pages.noisy_urls_sql pairs every corruption
+    with its known normal form), so a match certifies the normalizer
+    end-to-end, not expression parity."""
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_nu")
+    noisy = spark.sql(P.noisy_urls_sql("spark", doc_rel="nerpii_documents_nu"))
+    return D.url_normalize(noisy).select("doc_id", "url_raw", "url_norm")
+
+
 def q_dsir_weights(spark, sf):
     """DSIR importance resampling (textstats.dsir_weights): hashed
     unigram+bigram log-ratio importance scores against the target-lang
@@ -1706,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_reciprocity": q_host_reciprocity,
         "q_assortativity": q_assortativity,
         "q_spam_mass": q_spam_mass,
+        "q_url_normalize": q_url_normalize,
         "q_harmonic_centrality": q_harmonic_centrality,
         "q_eff_diameter": q_eff_diameter,
         "q_embed_pq": q_embed_pq,
@@ -1979,6 +1994,10 @@ def oracle_sql() -> dict[str, str]:
         "q_host_reciprocity": WG.duck_host_reciprocity_sql(pages),
         "q_assortativity": WG.duck_degree_assortativity_sql(pages),
         "q_spam_mass": WG.duck_spam_mass_sql(pages),
+        "q_url_normalize": (
+            "select doc_id, url_raw, url_want as url_norm from"
+            f" ({P.noisy_urls_sql('duck')})"
+        ),
         "q_harmonic_centrality": WG.duck_harmonic_centrality_sql(pages),
         "q_eff_diameter": WG.duck_effective_diameter_sql(pages),
         "q_embed_pq": SIM.duck_pq_topk_sql("vec_id < 32", k=3),

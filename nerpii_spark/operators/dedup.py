@@ -170,6 +170,72 @@ def canonical_url_expr(url_col: str = "url") -> str:
     )
 
 
+def url_normalize(
+    df: DataFrame, url_col: str = "url_raw", out_col: str = "url_norm"
+) -> DataFrame:
+    """Lossless-semantic URL normalization -> df + out_col: lowercase
+    scheme+host ONLY (path case is significant), strip the scheme's
+    default port (:443 for https, :80 for http), drop the #fragment,
+    drop utm_* tracking params, and SORT the surviving query params —
+    the canonical form a crawler keys fetch logs and link graphs on
+    when query strings are semantic (?id=123 selects the document).
+    The lossy crawl-dedup rule that discards every query string is
+    canonical_url_expr above; this one is its information-preserving
+    sibling, certified against the planted truth table
+    (sources/pages.noisy_urls_sql), not a twin expression.
+
+    Scale shape: pure Catalyst string/array expressions — whole-stage
+    codegen, zero Python, zero shuffle, embarrassingly parallel. The
+    filter/array_sort lambdas reference ONLY their element variable
+    (the no-CSE HOF trap: an outer-column expression inside a lambda
+    re-evaluates per element), and the query-string and parts arrays
+    are materialized as their own projection columns first."""
+    tmp = ["_u0", "_pre_raw", "_rest", "_pre", "_path", "_q", "_parts"]
+    return (
+        df.withColumn("_u0", F.expr(f"split_part({url_col}, '#', 1)"))
+        .withColumn(
+            "_pre_raw",
+            F.expr(
+                "regexp_extract(_u0,"
+                " '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', 0)"
+            ),
+        )
+        .withColumn("_rest", F.expr("substring(_u0, length(_pre_raw) + 1)"))
+        .withColumn(
+            "_pre",
+            F.expr(
+                "regexp_replace(regexp_replace(lower(_pre_raw),"
+                " '^(https://[^/:]*):443$', '$1'),"
+                " '^(http://[^/:]*):80$', '$1')"
+            ),
+        )
+        .withColumn("_path", F.expr("split_part(_rest, '?', 1)"))
+        .withColumn(
+            "_q",
+            F.expr(
+                "case when instr(_rest, '?') > 0"
+                " then substring(_rest, length(_path) + 2)"
+                " else '' end"
+            ),
+        )
+        .withColumn(
+            "_parts",
+            F.expr(
+                "array_sort(filter(split(_q, '&'),"
+                " p -> p <> '' and left(p, 4) <> 'utm_'))"
+            ),
+        )
+        .withColumn(
+            out_col,
+            F.expr(
+                "_pre || _path || case when size(_parts) > 0"
+                " then '?' || array_join(_parts, '&') else '' end"
+            ),
+        )
+        .drop(*tmp)
+    )
+
+
 def url_dedup(
     crawl: DataFrame, url_col: str = "url", ts_col: str = "ts_s",
     id_col: str = "doc_id",

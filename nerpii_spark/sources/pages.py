@@ -436,6 +436,43 @@ select doc_id, url || '/extra',
 """
 
 
+def noisy_urls_sql(dialect: str, doc_rel: str = "documents") -> str:
+    """Planted noisy-URL table (doc_id, url_raw, url_want): five
+    deterministic corruption classes keyed by doc_id % 5, each paired
+    with its KNOWN normal form — the ground truth the URL normalizer
+    (dedup.url_normalize) is certified against (truth-table oracle, not
+    a twin expression):
+
+      0: already normal                      -> url
+      1: scheme+host uppercased              -> url
+      2: explicit default port :443          -> url
+      3: utm tracking param + #fragment      -> url
+      4: unsorted params with utm in middle  -> url || '?a=1&b=2'
+
+    Unlike canonical_url_expr (the lossy crawl-dedup rule that drops
+    every query string), the normal form here PRESERVES semantic params
+    sorted — the lossless convention for URLs where ?id=123 selects the
+    document. Identical SQL in both dialects."""
+    p = f"(select doc_id, url from ({pages_sql(dialect, doc_rel)}))"
+    up = (
+        "replace(replace(url, 'https://site', 'HTTPS://SITE'),"
+        " '.example/', '.EXAMPLE/')"
+    )
+    variants = [
+        ("url", "url"),
+        (up, "url"),
+        ("replace(url, '.example/', '.example:443/')", "url"),
+        ("url || '?utm_source=feed#frag'", "url"),
+        ("url || '?b=2&utm_campaign=x&a=1'", "url || '?a=1&b=2'"),
+    ]
+    rows = [
+        f"select doc_id, {raw} as url_raw, {want} as url_want"
+        f" from cp where doc_id % 5 = {i}"
+        for i, (raw, want) in enumerate(variants)
+    ]
+    return f"with cp as {p}\n" + "\nunion all\n".join(rows)
+
+
 def redirects_sql(dialect: str, doc_rel: str = "documents") -> str:
     """Planted redirect edge table (src_url, dst_url) — the 3xx/
     rel=canonical graph a crawler accumulates. Each page with

@@ -78,3 +78,38 @@ def test_prefix_filter_exact_where_df_cap_drops(spark):
         F.col("doc_id") == 0
     ).select(F.expr("size(hsh)")).collect()[0][0]
     assert all(r["n_union"] == n_sh for r in full)
+
+
+def test_url_normalize_hand_cases(spark):
+    from nerpii_spark.operators.dedup import url_normalize
+
+    cases = [
+        # scheme+host lowercased, PATH CASE PRESERVED
+        ("HTTPS://WWW.Ex.COM/Path/X", "https://www.ex.com/Path/X"),
+        # default port stripped per scheme; non-default kept
+        ("https://ex.com:443/a", "https://ex.com/a"),
+        ("http://ex.com:80/a", "http://ex.com/a"),
+        ("http://ex.com:443/a", "http://ex.com:443/a"),
+        ("https://ex.com:8443/a", "https://ex.com:8443/a"),
+        # fragment dropped, even with a query after it is NOT (fragment
+        # terminates the URL)
+        ("https://ex.com/a#frag", "https://ex.com/a"),
+        ("https://ex.com/a?x=1#frag", "https://ex.com/a?x=1"),
+        # utm_* dropped; survivors sorted; all-tracking -> no '?'
+        ("https://ex.com/a?b=2&utm_source=s&a=1", "https://ex.com/a?a=1&b=2"),
+        ("https://ex.com/a?utm_a=1&utm_b=2", "https://ex.com/a"),
+        # empty query / dangling separators collapse
+        ("https://ex.com/a?", "https://ex.com/a"),
+        ("https://ex.com/a?&b=2&", "https://ex.com/a?b=2"),
+        # 'utmost=1' is NOT a tracking param (exact utm_ prefix only)
+        ("https://ex.com/a?utmost=1", "https://ex.com/a?utmost=1"),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(cases)], "i long, url_raw string"
+    )
+    got = {
+        r["i"]: r["url_norm"]
+        for r in url_normalize(df).select("i", "url_norm").collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
