@@ -371,6 +371,15 @@ def q_spam_mass(spark, sf):
     return WG.spam_mass(_pipeline(spark, sf)["pages"])
 
 
+def q_bm25(spark, sf):
+    """BM25 top-10 retrieval for a fixed query (textstats.bm25_topk):
+    per-term tf via array-filter projections over ONE token-array
+    column (no explode, no token shuffle), one broadcast global-stats
+    agg, quantize-then-rank TakeOrdered; the oracle runs the identical
+    quantized-score expression in DuckDB."""
+    return TS.bm25_topk(_load(spark, sf, "documents"))
+
+
 def q_url_normalize(spark, sf):
     """Lossless-semantic URL normalization (dedup.url_normalize):
     scheme/host-only lowercase, default-port strip, fragment drop,
@@ -1721,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_assortativity": q_assortativity,
         "q_spam_mass": q_spam_mass,
         "q_url_normalize": q_url_normalize,
+        "q_bm25": q_bm25,
         "q_harmonic_centrality": q_harmonic_centrality,
         "q_eff_diameter": q_eff_diameter,
         "q_embed_pq": q_embed_pq,
@@ -1998,6 +2008,7 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id, url_raw, url_want as url_norm from"
             f" ({P.noisy_urls_sql('duck')})"
         ),
+        "q_bm25": TS.duck_bm25_topk_sql(),
         "q_harmonic_centrality": WG.duck_harmonic_centrality_sql(pages),
         "q_eff_diameter": WG.duck_effective_diameter_sql(pages),
         "q_embed_pq": SIM.duck_pq_topk_sql("vec_id < 32", k=3),

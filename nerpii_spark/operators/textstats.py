@@ -1126,3 +1126,127 @@ select doc_id, n_feats, score,
             as bigint) as keep
 from s, mm
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = ("spark", "merge", "window")
+BM25_TOPK = 10
+
+
+def _bm25_score_expr(query: tuple[str, ...]) -> str:
+    """Okapi BM25 (Lucene's always-positive idf variant), k1 = 1.2 and
+    b = 0.75 folded in as literals; IDENTICAL text in both dialects so
+    the double arithmetic evaluates in the same order everywhere:
+
+      score = sum_t ln((N - df_t + 0.5)/(df_t + 0.5) + 1.0)
+              * tf_t*(k1+1) / (tf_t + k1*(1 - b + b*dl/avgdl))
+
+    with dl/avgdl spelled dl * N / sum_dl (one division, no
+    intermediate avgdl rounding point)."""
+    return " + ".join(
+        f"(ln((cast(n_docs as double) - df{i} + 0.5) / (df{i} + 0.5)"
+        f" + 1.0) * (tf{i} * 2.2) / (tf{i} + 1.2 * (0.25 + 0.75 *"
+        f" (dl * cast(n_docs as double) / sum_dl))))"
+        for i in range(len(query))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: tuple[str, ...] = BM25_QUERY,
+    k: int = BM25_TOPK,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k retrieval for a fixed query term set ->
+    (doc_id, score_e6): the ranking function a training-data pipeline
+    uses for targeted corpus search (find documents about X) and for
+    relevance-labeling distillation sets. Scores are quantized to e6
+    BEFORE ranking (the tfidf_topk discipline — a last-ulp libm
+    difference cannot reorder rows) and ties break doc_id-asc, so the
+    returned SET is deterministic.
+
+    Scale shape: per-term tf comes from size(filter(...)) over ONE
+    materialized token array per doc — no explode, no (doc, token)
+    shuffle at all (the query is a handful of terms, so per-term
+    columns beat a token-keyed join); the lambdas reference only their
+    element (the no-CSE HOF rule). Global stats (N, sum_dl, df_t) are
+    ONE map-side-combined agg broadcast back; the final top-k is a
+    TakeOrdered, never a global sort. The corpus is scanned twice
+    (stats pass + scoring pass) — the unavoidable BM25 dependency,
+    column-pruned to (id, text) both times."""
+    arr = docs.select(
+        id_col, F.expr(f"split(lower({text_col}), ' ')").alias("_toks")
+    )
+    proj = arr.select(
+        id_col,
+        F.expr("cast(size(_toks) as bigint)").alias("dl"),
+        *[
+            F.expr(
+                f"cast(size(filter(_toks, x -> x = '{t}')) as bigint)"
+            ).alias(f"tf{i}")
+            for i, t in enumerate(query)
+        ],
+    )
+    stats = proj.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+        *[
+            F.sum(F.expr(f"case when tf{i} > 0 then 1 else 0 end"))
+            .cast("bigint")
+            .alias(f"df{i}")
+            for i in range(len(query))
+        ],
+    )
+    scored = proj.crossJoin(F.broadcast(stats)).select(
+        id_col,
+        F.expr(
+            f"cast(round(({_bm25_score_expr(query)}) * 1000000, 0)"
+            " as bigint)"
+        ).alias("score_e6"),
+    )
+    return scored.orderBy(
+        F.desc("score_e6"), F.asc(id_col)
+    ).limit(k)
+
+
+def duck_bm25_topk_sql(
+    query: tuple[str, ...] = BM25_QUERY,
+    k: int = BM25_TOPK,
+    doc_rel: str = "documents",
+) -> str:
+    """Oracle: the identical quantized-score expression over the same
+    per-term tf projection (list_filter lambdas mirror Spark's)."""
+    tfs = ",\n         ".join(
+        f"cast(len(list_filter(toks, x -> x = '{t}')) as bigint) as tf{i}"
+        for i, t in enumerate(query)
+    )
+    dfs = ",\n         ".join(
+        f"cast(sum(case when tf{i} > 0 then 1 else 0 end) as bigint)"
+        f" as df{i}"
+        for i in range(len(query))
+    )
+    return f"""
+with t as (
+  select doc_id, string_split(lower(text), ' ') as toks from {doc_rel}
+),
+proj as (
+  select doc_id, cast(len(toks) as bigint) as dl,
+         {tfs}
+  from t
+),
+stats as (
+  select cast(count(*) as bigint) as n_docs,
+         cast(sum(dl) as bigint) as sum_dl,
+         {dfs}
+  from proj
+)
+select doc_id,
+       cast(round(({_bm25_score_expr(query)}) * 1000000, 0) as bigint)
+         as score_e6
+from proj, stats
+order by score_e6 desc, doc_id asc limit {k}
+"""

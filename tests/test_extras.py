@@ -1220,3 +1220,48 @@ def test_pq_topk_tiny_corpus_short_codebooks(spark):
         for r in rs:
             ni = int(np.flatnonzero(ids == r["neighbor_id"])[0])
             assert r["dist"] == d[ni]  # exact re-rank distances
+
+
+def test_bm25_matches_python_mirror(spark):
+    import math
+
+    from nerpii_spark.operators.textstats import bm25_topk
+
+    corpus = [
+        (0, "spark spark spark merge window pad pad pad"),
+        (1, "spark merge"),
+        (2, "window pad pad"),
+        (3, "pad pad pad pad pad pad pad pad pad pad pad pad"),
+        (4, "spark window merge spark"),
+    ]
+    query = ("spark", "merge", "window")
+
+    def mirror():
+        toks = {d: t.split(" ") for d, t in corpus}
+        n = len(corpus)
+        sum_dl = sum(len(v) for v in toks.values())
+        df = {q: sum(1 for v in toks.values() if q in v) for q in query}
+        out = []
+        for d, v in toks.items():
+            dl = len(v)
+            s = 0.0
+            for q in query:
+                tf = v.count(q)
+                idf = math.log((n - df[q] + 0.5) / (df[q] + 0.5) + 1.0)
+                s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl * float(n) / sum_dl)))
+            out.append((d, round(s * 1e6)))
+        out.sort(key=lambda r: (-r[1], r[0]))
+        return out
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["score_e6"])
+        for r in bm25_topk(df, query=query, k=5).collect()
+    ]
+    want = mirror()
+    assert got == want
+    # ranking sanity: the multi-term short doc 4 beats the one-term
+    # doc 2; the no-term doc 3 is last with score 0
+    order = [d for d, _ in got]
+    assert order.index(4) < order.index(2)
+    assert order[-1] == 3 and got[-1][1] == 0
