@@ -968,6 +968,15 @@ def q_dedup_ngram(spark, sf):
     return D.ngram_jaccard_pairs(_dup_docs(spark, sf))
 
 
+def q_dedup_containment(spark, sf):
+    """Min-side shingle containment pairs (dedup.containment_pairs):
+    the doc-in-doc / quote-inclusion overlap Jaccard misses — same
+    checkpointed shingle pass and df-capped posting join as ngram,
+    integer cont_milli verification; oracle = brute-force containment
+    over ALL pairs (no blocking), certifying candidate completeness."""
+    return D.containment_pairs(_dup_docs(spark, sf))
+
+
 def q_dedup_prefix(spark, sf):
     """Exact Jaccard pairs via PPJoin-style prefix filtering — the
     cap-free exact near-dup join whose candidate completeness is a
@@ -1739,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entity_aliases": q_entity_aliases,
         "q_entity_summary": q_entity_summary,
         "q_resolve_redirects": q_resolve_redirects,
+        "q_dedup_containment": q_dedup_containment,
         "q_dedup_prefix": q_dedup_prefix,
         "q_tpch_shipping": q_tpch_shipping,
         "q_tpch_volume": q_tpch_volume,
@@ -1881,6 +1891,7 @@ def _extras_oracles() -> dict[str, str]:
         ),
         "q_dedup_ngram": exact_jaccard,
         "q_dedup_prefix": exact_jaccard,
+        "q_dedup_containment": D.duck_containment_pairs_sql(dup),
         "q_dedup_survivors": D.duck_near_dedup_survivors_sql(
             f"select id_a, id_b from ({exact_jaccard})"
         ),

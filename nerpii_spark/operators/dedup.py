@@ -1355,3 +1355,84 @@ select curl,
        n_w1, n_w2
 from g
 """
+
+
+# ---------------------------------------------------------------------------
+# Shingle containment (doc-in-doc)
+# ---------------------------------------------------------------------------
+
+CONT_TAU_MILLI = 800
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tau_milli: int = CONT_TAU_MILLI,
+    max_df: int = 64,
+) -> DataFrame:
+    """-> (id_a, id_b, n_inter, n_small, cont_milli): doc-in-doc pairs
+    by min-side shingle CONTAINMENT, 1000 * |A∩B| >= tau_milli *
+    min(|A|,|B|) — the asymmetric overlap Jaccard misses: a short
+    document quoted whole inside a long one has containment 1.0 but
+    Jaccard |A|/|B| << tau, so quote-inclusion / page-embeds-article
+    dedup needs this operator (Broder's containment, next to resemblance).
+    All-integer: cont_milli = 1000 * n_inter div n_small.
+
+    Scale shape: identical to ngram_jaccard_pairs — ONE checkpointed
+    shingle+hash pass feeds the df-capped posting self-join (candidate
+    generation, skew-guarded map-side count-filter) and the int64-array
+    verify join; counts are exact from the full sets, so the cap never
+    distorts a reported value. Cap caveat (sharper here than for
+    Jaccard): a SHORT doc made entirely of boilerplate shingles — every
+    shared feature hotter than max_df — is invisible to candidate
+    generation; such docs are template chrome the quality gates drop
+    anyway, and the brute-force oracle certifies the planted corpus has
+    none at the tested scales."""
+    nodes = with_hashed_shingles(docs).select(
+        F.col(id_col).alias("sid"), "hsh"
+    ).localCheckpoint(eager=False)
+    sh = nodes.select("sid", F.explode("hsh").alias("sh_hash"))
+    cand = _bucket_pairs(sh, ["sh_hash"], "sid", max_df, degrade=False)
+    a = nodes.select(F.col("sid").alias("id_a"), F.col("hsh").alias("h_a"))
+    b = nodes.select(F.col("sid").alias("id_b"), F.col("hsh").alias("h_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_inter", F.expr(
+            "cast(size(array_intersect(h_a, h_b)) as bigint)"
+        ))
+        .withColumn("n_small", F.expr(
+            "cast(least(size(h_a), size(h_b)) as bigint)"
+        ))
+        .where(F.expr(f"1000 * n_inter >= {tau_milli} * n_small"))
+        .select(
+            "id_a", "id_b", "n_inter", "n_small",
+            F.expr("cast(1000 * n_inter div n_small as bigint)").alias(
+                "cont_milli"
+            ),
+        )
+    )
+
+
+def duck_containment_pairs_sql(
+    dup_sql: str, tau_milli: int = CONT_TAU_MILLI
+) -> str:
+    """Oracle: BRUTE-FORCE min-side containment over ALL pairs (no df
+    cap, no blocking) — direct shingle-set intersection, so a candidate
+    dropped by the cap that truly passes tau fails the gate."""
+    sh = shingles_sql("duck", "text")
+    return f"""
+with dup as ({dup_sql}),
+shs as (select doc_id, unnest({sh}) as s from dup),
+sz as (select doc_id, cast(count(*) as bigint) as n from shs group by 1),
+i as (select a.doc_id as id_a, b.doc_id as id_b,
+             cast(count(*) as bigint) as n_inter
+      from shs a join shs b on a.s = b.s and a.doc_id < b.doc_id
+      group by 1, 2)
+select i.id_a, i.id_b, i.n_inter,
+       least(sa.n, sb.n) as n_small,
+       cast(1000 * i.n_inter // least(sa.n, sb.n) as bigint) as cont_milli
+from i join sz sa on sa.doc_id = i.id_a
+       join sz sb on sb.doc_id = i.id_b
+where 1000 * i.n_inter >= {tau_milli} * least(sa.n, sb.n)
+"""

@@ -113,3 +113,30 @@ def test_url_normalize_hand_cases(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_containment_catches_doc_in_doc_jaccard_misses(spark):
+    from nerpii_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon"
+    host = (
+        quote
+        + " zeta eta theta iota kappa lamda mu nu xi omicron pi rho"
+        + " sigma tau upsilon phi chi psi omega one two three four five"
+    )
+    df = spark.createDataFrame(
+        [(1, quote, "en"), (2, host, "en"), (3, "unrelated words only", "en")],
+        "doc_id long, text string, lang string",
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["cont_milli"]
+        for r in containment_pairs(df).collect()
+    }
+    # the quote's shingles are ALL inside the host -> containment 1000
+    assert cont == {(1, 2): 1000}
+    # symmetric Jaccard misses it: |A|/|B| = 3/28 << tau
+    jac = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(df).collect()}
+    assert (1, 2) not in jac
