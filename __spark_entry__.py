@@ -968,6 +968,15 @@ def q_dedup_ngram(spark, sf):
     return D.ngram_jaccard_pairs(_dup_docs(spark, sf))
 
 
+def q_quality_survivors(spark, sf):
+    """Quality-aware near-dedup survivors (dedup.quality_survivors):
+    per duplicate cluster keep the max-classifier-margin member (tie
+    min id) — the C4/CCNet keep-best policy replacing min-id; one
+    max_by agg, no per-cluster window; oracle recomputes clusters from
+    exact-Jaccard truth + the classifier twin + row_number."""
+    return D.quality_survivors(_dup_docs(spark, sf))
+
+
 def q_dedup_containment(spark, sf):
     """Min-side shingle containment pairs (dedup.containment_pairs):
     the doc-in-doc / quote-inclusion overlap Jaccard misses — same
@@ -1748,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entity_aliases": q_entity_aliases,
         "q_entity_summary": q_entity_summary,
         "q_resolve_redirects": q_resolve_redirects,
+        "q_quality_survivors": q_quality_survivors,
         "q_dedup_containment": q_dedup_containment,
         "q_dedup_prefix": q_dedup_prefix,
         "q_tpch_shipping": q_tpch_shipping,
@@ -1892,6 +1902,9 @@ def _extras_oracles() -> dict[str, str]:
         "q_dedup_ngram": exact_jaccard,
         "q_dedup_prefix": exact_jaccard,
         "q_dedup_containment": D.duck_containment_pairs_sql(dup),
+        "q_quality_survivors": D.duck_quality_survivors_sql(
+            f"select id_a, id_b from ({_exact_jaccard_sql()})"
+        ),
         "q_dedup_survivors": D.duck_near_dedup_survivors_sql(
             f"select id_a, id_b from ({exact_jaccard})"
         ),

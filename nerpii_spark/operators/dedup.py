@@ -1436,3 +1436,84 @@ from i join sz sa on sa.doc_id = i.id_a
        join sz sb on sb.doc_id = i.id_b
 where 1000 * i.n_inter >= {tau_milli} * least(sa.n, sb.n)
 """
+
+
+# ---------------------------------------------------------------------------
+# quality-aware survivor selection
+# ---------------------------------------------------------------------------
+
+
+def quality_survivors(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Near-dedup with QUALITY-AWARE survivor selection ->
+    (keep_id, n_members, margin_e6): per duplicate cluster keep the
+    member with the highest classifier margin (tie -> min doc_id),
+    instead of near_dedup_survivors' min-id rule. This is the policy
+    real curation pipelines want — when a page exists as both a clean
+    article and a chrome-laden near-copy, min-id keeps whichever was
+    crawled first; max-quality keeps the better text (C4/CCNet keep
+    -best-by-score convention).
+
+    Scale shape: clusters come from the audited MinHash->CC path; the
+    quality margin joins on once per member and the survivor pick is a
+    SINGLE map-side-combined agg via max_by(sid, (margin, -sid)) — no
+    window over clusters (a giant boilerplate cluster would make a hot
+    partition), no join-back, every branch consumed once."""
+    from .link import connected_components
+    from .textstats import quality_classifier
+
+    pairs = minhash_dup_pairs(docs, id_col=id_col)
+    nodes = docs.select(F.col(id_col).alias("sid"))
+    labels = connected_components(
+        nodes,
+        pairs.select(
+            F.col("id_a").alias("sid_a"), F.col("id_b").alias("sid_b")
+        ),
+    )
+    scores = quality_classifier(docs).select(
+        F.col("doc_id").alias("sid"), "margin_e6"
+    )
+    m = labels.join(scores, "sid")
+    return m.groupBy("label").agg(
+        F.expr(
+            "max_by(sid, named_struct('m', margin_e6, 'i', -sid))"
+        ).alias("keep_id"),
+        F.count("*").cast("bigint").alias("n_members"),
+        F.max("margin_e6").cast("bigint").alias("margin_e6"),
+    ).select("keep_id", "n_members", "margin_e6")
+
+
+def duck_quality_survivors_sql(
+    exact_pairs_sql: str, doc_rel: str = "documents"
+) -> str:
+    """Oracle: clusters from the exact-Jaccard pair GROUND TRUTH via the
+    recursive min-label CTE, quality margins from the classifier twin,
+    survivor via an independent row_number formulation."""
+    from .textstats import duck_quality_classifier_sql
+
+    dup = dup_docs_sql("duck", doc_rel)
+    return f"""
+with recursive
+nodes as (select doc_id from ({dup})),
+e as (select id_a, id_b from ({exact_pairs_sql})),
+sym as (select id_a as src, id_b as dst from e
+        union all select id_b, id_a from e),
+reach(id, lbl) as (
+  select doc_id, doc_id from nodes
+  union
+  select s.dst, r.lbl
+  from reach r join sym s on s.src = r.id
+  where r.lbl < s.dst
+),
+comp as (select id, min(lbl) as lbl from reach group by 1),
+q as (select doc_id, margin_e6
+      from ({duck_quality_classifier_sql(f'({dup})')})),
+m as (select c.lbl, c.id, q.margin_e6
+      from comp c join q on q.doc_id = c.id),
+r as (select lbl, id, margin_e6,
+             row_number() over (partition by lbl
+                                order by margin_e6 desc, id asc) as rk,
+             count(*) over (partition by lbl) as n
+      from m)
+select id as keep_id, cast(n as bigint) as n_members, margin_e6
+from r where rk = 1
+"""

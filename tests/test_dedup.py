@@ -140,3 +140,29 @@ def test_containment_catches_doc_in_doc_jaccard_misses(spark):
     # symmetric Jaccard misses it: |A|/|B| = 3/28 << tau
     jac = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(df).collect()}
     assert (1, 2) not in jac
+
+
+def test_quality_survivors_keeps_best_margin_member(spark):
+    from nerpii_spark.operators.dedup import quality_survivors
+    from nerpii_spark.operators.textstats import quality_classifier
+
+    # two exact copies (same text -> same cluster, same margin -> tie
+    # breaks to min id) plus a singleton
+    df = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta", "en"),
+            (20, "alpha beta gamma delta epsilon zeta", "en"),
+            (30, "totally different content here now", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r["keep_id"]: (r["n_members"], r["margin_e6"])
+        for r in quality_survivors(df).collect()
+    }
+    margins = {
+        r["doc_id"]: r["margin_e6"] for r in quality_classifier(df).collect()
+    }
+    assert set(got) == {10, 30}
+    assert got[10] == (2, margins[10])
+    assert got[30] == (1, margins[30])
