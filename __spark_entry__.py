@@ -968,6 +968,48 @@ def q_dedup_ngram(spark, sf):
     return D.ngram_jaccard_pairs(_dup_docs(spark, sf))
 
 
+def q_type_vote(spark, sf):
+    """Cross-document type voting per mention surface
+    (link.surface_type_vote): majority entity_type with deterministic
+    tie-break — two chained map-side-combined aggs, no window; the
+    oracle votes over the PLANTED golden mentions, so a match
+    certifies detection + vote end-to-end."""
+    return L.surface_type_vote(_pipeline(spark, sf)["mentions"])
+
+
+def q_tpch_bigorders(spark, sf):
+    """TPC-H Q18 shape (large-volume customers): lineitem groupBy
+    orderkey HAVING sum(qty) > 300, joined back to orders + customer,
+    deterministic top-10 by order value. Plan notes: the having-agg
+    map-side combines lineitem down to ~1e-3 of its rows BEFORE any
+    join; AQE sees the tiny filtered agg at runtime and converts the
+    orders join to broadcast (the static planner cannot know this —
+    the canonical AQE showcase); customer broadcasts statically;
+    price quantized to bigint cents."""
+    li = _load(spark, sf, "lineitem")
+    o = _load(spark, sf, "orders")
+    c = _load(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.expr("cast(sum(l_quantity) as bigint)").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.expr("cast(round(o_totalprice * 100) as bigint)").alias(
+                "totalprice_c"
+            ),
+            "total_qty",
+        )
+        .orderBy(F.desc("totalprice_c"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
 def q_quality_survivors(spark, sf):
     """Quality-aware near-dedup survivors (dedup.quality_survivors):
     per duplicate cluster keep the max-classifier-margin member (tie
@@ -1757,6 +1799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entity_aliases": q_entity_aliases,
         "q_entity_summary": q_entity_summary,
         "q_resolve_redirects": q_resolve_redirects,
+        "q_type_vote": q_type_vote,
+        "q_tpch_bigorders": q_tpch_bigorders,
         "q_quality_survivors": q_quality_survivors,
         "q_dedup_containment": q_dedup_containment,
         "q_dedup_prefix": q_dedup_prefix,
@@ -2042,6 +2086,7 @@ def oracle_sql() -> dict[str, str]:
             n_iter=3,
         ),
         "q_fuzzy_match": L.duck_fuzzy_pairs_sql(gm),
+        "q_type_vote": L.duck_surface_type_vote_sql(gm),
         "q_frontier": WG.duck_crawl_frontier_sql(pages, k=4),
         "q_resolve_redirects": WG.duck_resolve_redirects_sql(
             P.redirects_sql("duck")
@@ -2448,6 +2493,20 @@ def oracle_sql() -> dict[str, str]:
               and l_shipdate > timestamp '1998-06-01 00:00:00'
             group by 1
             order by revenue_c desc, l_orderkey asc
+            limit 10
+        """,
+        "q_tpch_bigorders": """
+            select c_name, o_orderkey,
+                   cast(round(o_totalprice * 100) as bigint) as totalprice_c,
+                   total_qty
+            from orders
+            join (select l_orderkey,
+                         cast(sum(l_quantity) as bigint) as total_qty
+                  from lineitem group by 1
+                  having cast(sum(l_quantity) as bigint) > 300) big
+              on big.l_orderkey = o_orderkey
+            join customer on c_custkey = o_custkey
+            order by totalprice_c desc, o_orderkey asc
             limit 10
         """,
         "q_tpch_volume": """

@@ -701,3 +701,53 @@ with s as materialized (
 select a.s as a, b.s as b, cast(levenshtein(a.s, b.s) as bigint) as dist
 from s a join s b on a.s < b.s and levenshtein(a.s, b.s) <= 1
 """
+
+
+def surface_type_vote(mentions: DataFrame) -> DataFrame:
+    """Cross-document entity-type voting per normalized surface ->
+    (surface, n_mentions, n_types, maj_type, n_maj): the type
+    -disambiguation signal a KG assigns to ambiguous surfaces
+    ("washington": LOCATION in most contexts, PERSON in some) —
+    majority entity_type across every detection of the surface, ties
+    broken type-asc (deterministic). The canonicalization step consumes
+    maj_type as the cluster's type prior.
+
+    Scale shape: two chained map-side-combined aggs — (surface, type)
+    counts, then ONE agg per surface whose majority pick is
+    min_by(type, (-n, type)) (no window: a Zipf-hot surface arrives at
+    its reducer pre-summed per map task, and no per-surface partition
+    ever materializes a member list)."""
+    c = mentions.groupBy(
+        F.expr("lower(mention)").alias("surface"), "entity_type"
+    ).agg(F.count("*").alias("n"))
+    return c.groupBy("surface").agg(
+        F.sum("n").cast("bigint").alias("n_mentions"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.expr(
+            "min_by(entity_type, named_struct('n', -n, 't', entity_type))"
+        ).alias("maj_type"),
+        F.max("n").cast("bigint").alias("n_maj"),
+    )
+
+
+def duck_surface_type_vote_sql(mentions_sql: str) -> str:
+    """Oracle: the same vote over the PLANTED golden mentions via an
+    independent row_number formulation."""
+    return f"""
+with c as (
+  select lower(mention) as surface, entity_type,
+         cast(count(*) as bigint) as n
+  from ({mentions_sql}) group by 1, 2
+),
+r as (
+  select surface, entity_type, n,
+         row_number() over (partition by surface
+                            order by n desc, entity_type asc) as rk,
+         cast(sum(n) over (partition by surface) as bigint) as n_mentions,
+         cast(count(*) over (partition by surface) as bigint) as n_types,
+         cast(max(n) over (partition by surface) as bigint) as n_maj
+  from c
+)
+select surface, n_mentions, n_types, entity_type as maj_type, n_maj
+from r where rk = 1
+"""

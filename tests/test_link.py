@@ -222,3 +222,27 @@ def test_incremental_exact_when_bucket_crosses_cap(spark):
         .agg(F.max("count")).collect()[0][0]
     )
     assert top > MAX_BUCKET
+
+
+def test_surface_type_vote_majority_and_tie(spark):
+    from nerpii_spark.operators.link import surface_type_vote
+
+    rows = (
+        [(1, "LOCATION", "Washington")] * 3
+        + [(2, "PERSON", "washington")] * 2
+        + [(3, "PERSON", "Alice"), (3, "ORGANIZATION", "alice")]
+    )
+    df = spark.createDataFrame(
+        [(d, t, m) for d, t, m in rows],
+        "doc_id long, entity_type string, mention string",
+    )
+    got = {
+        r["surface"]: (
+            r["n_mentions"], r["n_types"], r["maj_type"], r["n_maj"]
+        )
+        for r in surface_type_vote(df).collect()
+    }
+    # majority wins across case-normalized surfaces
+    assert got["washington"] == (5, 2, "LOCATION", 3)
+    # exact tie (1 vs 1) breaks type-asc: ORGANIZATION < PERSON
+    assert got["alice"] == (2, 2, "ORGANIZATION", 1)
