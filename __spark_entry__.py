@@ -65,6 +65,8 @@ from nerpii_spark.operators.extract import (
     neighbor_sample,
     pagerank,
     topk_objs_per_pred,
+    triple_support,
+    duck_triple_support_sql,
     triples_by_pred_salted,
     two_hop_locations,
 )
@@ -968,6 +970,14 @@ def q_dedup_ngram(spark, sf):
     return D.ngram_jaccard_pairs(_dup_docs(spark, sf))
 
 
+def q_triple_support(spark, sf):
+    """Provenance-weighted triple confidence (extract.triple_support):
+    distinct-doc and distinct-HOST corroboration per fact — one expand
+    + map-side-combined agg on the triple key; oracle = the same
+    counts over planted golden triples joined to planted urls."""
+    return triple_support(_pipeline(spark, sf)["triples"])
+
+
 def q_type_vote(spark, sf):
     """Cross-document type voting per mention surface
     (link.surface_type_vote): majority entity_type with deterministic
@@ -1799,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entity_aliases": q_entity_aliases,
         "q_entity_summary": q_entity_summary,
         "q_resolve_redirects": q_resolve_redirects,
+        "q_triple_support": q_triple_support,
         "q_type_vote": q_type_vote,
         "q_tpch_bigorders": q_tpch_bigorders,
         "q_quality_survivors": q_quality_survivors,
@@ -2087,6 +2098,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_fuzzy_match": L.duck_fuzzy_pairs_sql(gm),
         "q_type_vote": L.duck_surface_type_vote_sql(gm),
+        "q_triple_support": duck_triple_support_sql(gt, pages),
         "q_frontier": WG.duck_crawl_frontier_sql(pages, k=4),
         "q_resolve_redirects": WG.duck_resolve_redirects_sql(
             P.redirects_sql("duck")

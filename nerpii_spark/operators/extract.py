@@ -1089,3 +1089,49 @@ w{t} as materialized (
             f"select root, cast({t} as bigint) as step, cur from w{t}"
         )
     return "with " + ",".join(ctes) + " " + " union all ".join(finals)
+
+
+def triple_support(triples: DataFrame) -> DataFrame:
+    """Provenance-weighted triple confidence -> (subj, pred, obj,
+    n_docs, n_hosts): how many distinct documents and distinct source
+    HOSTS assert each fact. Cross-host corroboration is the standard
+    web-KG confidence prior (a fact asserted by one template site 1e6
+    times is weaker than one asserted by 5 independent hosts); the
+    downstream curation pass thresholds on n_hosts, not raw counts.
+
+    Scale shape: one groupBy on the (subj, pred, obj) key with two
+    count-distincts — Catalyst plans the distinct-pair via expand (2x
+    the triple rows pre-shuffle), each leg partially aggregated
+    map-side, so the Zipf-hot predicate key arrives pre-deduplicated
+    per map task; no join, no window. Host extraction is a codegen
+    regexp over the url column already on the row."""
+    return (
+        triples.select(
+            "subj",
+            "pred",
+            "obj",
+            "doc_id",
+            F.expr("regexp_extract(url, 'https?://([^/]+)', 1)").alias(
+                "host"
+            ),
+        )
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count_distinct("host").cast("bigint").alias("n_hosts"),
+        )
+    )
+
+
+def duck_triple_support_sql(triples_sql: str, pages_sql_duck: str) -> str:
+    """Oracle: the same counts over PLANTED golden triples joined to the
+    planted page urls (certifies the pipeline's url propagation too)."""
+    return f"""
+select t.subj, t.pred, t.obj,
+       cast(count(distinct t.doc_id) as bigint) as n_docs,
+       cast(count(distinct regexp_extract(p.url, 'https?://([^/]+)', 1))
+            as bigint) as n_hosts
+from ({triples_sql}) t
+join (select doc_id, url from ({pages_sql_duck})) p using (doc_id)
+group by 1, 2, 3
+"""

@@ -1265,3 +1265,27 @@ def test_bm25_matches_python_mirror(spark):
     order = [d for d, _ in got]
     assert order.index(4) < order.index(2)
     assert order[-1] == 3 and got[-1][1] == 0
+
+
+def test_triple_support_counts_distinct_hosts(spark):
+    from nerpii_spark.operators.extract import triple_support
+
+    rows = [
+        # same fact from two docs on ONE host + one doc on another host
+        (1, "https://a.io/x", "alice", "works_at", "acme"),
+        (2, "https://a.io/y", "alice", "works_at", "acme"),
+        (3, "https://b.io/z", "alice", "works_at", "acme"),
+        # single-source fact
+        (3, "https://b.io/z", "bob", "lives_in", "rome"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, subj string, pred string, obj string"
+    )
+    got = {
+        (r["subj"], r["pred"], r["obj"]): (r["n_docs"], r["n_hosts"])
+        for r in triple_support(df).collect()
+    }
+    assert got == {
+        ("alice", "works_at", "acme"): (3, 2),
+        ("bob", "lives_in", "rome"): (1, 1),
+    }
