@@ -970,6 +970,20 @@ def q_dedup_ngram(spark, sf):
     return D.ngram_jaccard_pairs(_dup_docs(spark, sf))
 
 
+def q_entity_timeline(spark, sf):
+    """Entity lifecycle (link.entity_timeline): first/last capture time
+    + breadth per canonical entity — one doc_id join + one
+    map-side-combined agg; oracle folds the planted clock
+    (warc_ts = BASE_EPOCH + doc_id) over golden resolved persons,
+    certifying linking, the ts join and the epoch conversion."""
+    p = _pipeline(spark, sf)
+    m = p["mentions"].where(F.col("entity_type") == "PERSON")
+    resolved = L.resolve_mentions(m, entity_members(m)).select(
+        "doc_id", "canonical"
+    )
+    return L.entity_timeline(resolved, p["pages"])
+
+
 def q_triple_support(spark, sf):
     """Provenance-weighted triple confidence (extract.triple_support):
     distinct-doc and distinct-HOST corroboration per fact — one expand
@@ -1809,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entity_aliases": q_entity_aliases,
         "q_entity_summary": q_entity_summary,
         "q_resolve_redirects": q_resolve_redirects,
+        "q_entity_timeline": q_entity_timeline,
         "q_triple_support": q_triple_support,
         "q_type_vote": q_type_vote,
         "q_tpch_bigorders": q_tpch_bigorders,
@@ -2099,6 +2114,9 @@ def oracle_sql() -> dict[str, str]:
         "q_fuzzy_match": L.duck_fuzzy_pairs_sql(gm),
         "q_type_vote": L.duck_surface_type_vote_sql(gm),
         "q_triple_support": duck_triple_support_sql(gt, pages),
+        "q_entity_timeline": L.duck_entity_timeline_sql(
+            P.golden_resolved_persons_sql(), P.BASE_EPOCH
+        ),
         "q_frontier": WG.duck_crawl_frontier_sql(pages, k=4),
         "q_resolve_redirects": WG.duck_resolve_redirects_sql(
             P.redirects_sql("duck")

@@ -162,6 +162,15 @@ def main() -> int:
         "q_host_mirrors",
         "q_recrawl_cadence",
         "q_bpe_merges",
+        "q_spam_mass",
+        "q_host_reciprocity",
+        "q_bm25",
+        "q_dedup_containment",
+        "q_quality_survivors",
+        "q_type_vote",
+        "q_triple_support",
+        "q_url_normalize",
+        "q_tpch_bigorders",
         "q_agg_lineitem",
         "q_join_orders_customer",
         "q_anti_join",

@@ -751,3 +751,49 @@ r as (
 select surface, n_mentions, n_types, entity_type as maj_type, n_maj
 from r where rk = 1
 """
+
+
+def entity_timeline(resolved: DataFrame, pages: DataFrame) -> DataFrame:
+    """Entity lifecycle over the crawl clock -> (canonical,
+    first_seen_s, last_seen_s, n_docs, n_mentions): when each canonical
+    entity first and last appeared (epoch seconds from warc_ts) and how
+    broadly — the temporal KG signal that separates an established
+    entity from a breaking/ephemeral one and dates every fact's
+    provenance window. warc_ts is an instant (TIMESTAMP_LTZ), so
+    unix_timestamp() is timezone-pin-independent here — the NTZ
+    field-extraction workaround (layout.py) is only needed for naive
+    timestamps.
+
+    Scale shape: one equi-join on doc_id decorating resolved mentions
+    with their capture time (both sides corpus-sized but
+    uniform-keyed), then ONE map-side-combined agg per canonical; no
+    window. A Zipf-hot canonical arrives pre-folded per map task."""
+    ts = pages.select(
+        "doc_id",
+        F.expr("cast(unix_timestamp(warc_ts) as bigint)").alias("ts_s"),
+    )
+    return (
+        resolved.join(ts, "doc_id")
+        .groupBy("canonical")
+        .agg(
+            F.min("ts_s").cast("bigint").alias("first_seen_s"),
+            F.max("ts_s").cast("bigint").alias("last_seen_s"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_mentions"),
+        )
+    )
+
+
+def duck_entity_timeline_sql(resolved_sql: str, base_epoch: int) -> str:
+    """Oracle: the planted clock is warc_ts = BASE_EPOCH + doc_id, so
+    the truth timeline folds directly over the golden resolved-person
+    rows — certifying linking, the ts join AND the epoch conversion."""
+    return f"""
+select canonical,
+       cast({base_epoch} + min(doc_id) as bigint) as first_seen_s,
+       cast({base_epoch} + max(doc_id) as bigint) as last_seen_s,
+       cast(count(distinct doc_id) as bigint) as n_docs,
+       cast(count(*) as bigint) as n_mentions
+from ({resolved_sql})
+group by 1
+"""

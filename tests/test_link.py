@@ -246,3 +246,26 @@ def test_surface_type_vote_majority_and_tie(spark):
     assert got["washington"] == (5, 2, "LOCATION", 3)
     # exact tie (1 vs 1) breaks type-asc: ORGANIZATION < PERSON
     assert got["alice"] == (2, 2, "ORGANIZATION", 1)
+
+
+def test_entity_timeline_planted_clock(spark):
+    from nerpii_spark.operators.link import entity_timeline
+
+    resolved = spark.createDataFrame(
+        [(1, "alice smith"), (5, "alice smith"), (5, "alice smith"),
+         (3, "bob jones")],
+        "doc_id long, canonical string",
+    )
+    pages = spark.createDataFrame(
+        [(i,) for i in (1, 3, 5)], "doc_id long"
+    ).selectExpr("doc_id", "timestamp_seconds(1000 + doc_id) as warc_ts")
+    got = {
+        r["canonical"]: (
+            r["first_seen_s"], r["last_seen_s"], r["n_docs"], r["n_mentions"]
+        )
+        for r in entity_timeline(resolved, pages).collect()
+    }
+    assert got == {
+        "alice smith": (1001, 1005, 2, 3),
+        "bob jones": (1003, 1003, 1, 1),
+    }
