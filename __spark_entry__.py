@@ -970,6 +970,25 @@ def q_dedup_ngram(spark, sf):
     return D.ngram_jaccard_pairs(_dup_docs(spark, sf))
 
 
+def q_scd2_urls(spark, sf):
+    """SCD2 validity intervals per canonical URL (webgraph.scd2_urls):
+    the slowly-changing-dimension spine facts join as-of — lead +
+    row_number share ONE window spec (one Window operator, one
+    exchange) over the canonical collapse of the raw fetch log."""
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_scd")
+    crawl = spark.sql(P.crawl_sql("spark", doc_rel="nerpii_documents_scd"))
+    return WG.scd2_urls(crawl)
+
+
+def q_host_quota(spark, sf):
+    """Anti-domination host cap (webgraph.host_quota_sample): keep at
+    most k docs per host by portable hash order — the C4/RefinedWeb
+    per-domain diversity cap; two-phase salted top-k so a mega-host
+    never lands on one reducer; oracle = the single-window form."""
+    return WG.host_quota_sample(_pipeline(spark, sf)["pages"])
+
+
 def q_entity_timeline(spark, sf):
     """Entity lifecycle (link.entity_timeline): first/last capture time
     + breadth per canonical entity — one doc_id join + one
@@ -1823,6 +1842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entity_aliases": q_entity_aliases,
         "q_entity_summary": q_entity_summary,
         "q_resolve_redirects": q_resolve_redirects,
+        "q_scd2_urls": q_scd2_urls,
+        "q_host_quota": q_host_quota,
         "q_entity_timeline": q_entity_timeline,
         "q_triple_support": q_triple_support,
         "q_type_vote": q_type_vote,
@@ -2117,6 +2138,8 @@ def oracle_sql() -> dict[str, str]:
         "q_entity_timeline": L.duck_entity_timeline_sql(
             P.golden_resolved_persons_sql(), P.BASE_EPOCH
         ),
+        "q_scd2_urls": WG.duck_scd2_urls_sql(P.crawl_sql("duck")),
+        "q_host_quota": WG.duck_host_quota_sample_sql(pages),
         "q_frontier": WG.duck_crawl_frontier_sql(pages, k=4),
         "q_resolve_redirects": WG.duck_resolve_redirects_sql(
             P.redirects_sql("duck")

@@ -1637,3 +1637,124 @@ select pr.node as host, pr.rank_e12, tr.trust_e12,
             as bigint) as spam_milli
 from pr join tr on tr.node = pr.node
 """
+
+
+def scd2_urls(
+    crawl: DataFrame, url_col: str = "url", ts_col: str = "ts_s"
+) -> DataFrame:
+    """SCD2 validity intervals per canonical URL -> (curl, version,
+    valid_from_s, valid_to_s, is_current): each capture of a page opens
+    a version row valid until the next capture (valid_to = next - 1,
+    NULL while current) — the slowly-changing-dimension build a
+    warehouse runs over the fetch log so every fact joins to "the page
+    AS OF its extraction time" (the temporal spine q_kg_latest_facts
+    and q_events_asof consume downstream).
+
+    Scale shape: captures collapse onto the canonical URL (codegen
+    regexp), then ONE window partitioned by curl (high-cardinality, no
+    skew — capture history per URL is short by crawler politeness)
+    computes lead + row_number in the SAME window spec, so Catalyst
+    evaluates both in one Window operator over one exchange. Integer
+    seconds; no join, no second shuffle."""
+    from pyspark.sql import Window as W
+
+    from nerpii_spark.operators.dedup import canonical_url_expr
+
+    w = W.partitionBy("curl").orderBy("ts")
+    return (
+        crawl.select(
+            F.expr(canonical_url_expr(url_col)).alias("curl"),
+            F.col(ts_col).alias("ts"),
+        )
+        .select(
+            "curl",
+            F.row_number().over(w).cast("bigint").alias("version"),
+            F.col("ts").cast("bigint").alias("valid_from_s"),
+            (F.lead("ts").over(w) - 1).cast("bigint").alias("valid_to_s"),
+        )
+        .withColumn("is_current", F.col("valid_to_s").isNull())
+    )
+
+
+def duck_scd2_urls_sql(crawl_rel_sql: str) -> str:
+    """Oracle twin: same lead/row_number spine over the canonical
+    collapse."""
+    from nerpii_spark.operators.dedup import canonical_url_expr
+
+    return f"""
+with c as materialized (
+  select {canonical_url_expr('url')} as curl, ts_s as ts
+  from ({crawl_rel_sql})
+)
+select curl,
+       cast(row_number() over (partition by curl order by ts) as bigint)
+         as version,
+       cast(ts as bigint) as valid_from_s,
+       cast(lead(ts) over (partition by curl order by ts) - 1 as bigint)
+         as valid_to_s,
+       (lead(ts) over (partition by curl order by ts)) is null as is_current
+from c
+"""
+
+
+def host_quota_sample(
+    pages: DataFrame, k: int = 8, n_salt: int = 32
+) -> DataFrame:
+    """Anti-domination host cap for pretraining curation -> (host,
+    doc_id, hrk): keep at most k documents per host, chosen by the
+    portable hash of (host, doc_id) — the diversity cap that stops one
+    template-heavy mega-host from dominating a training mixture (the
+    per-domain cap in C4/RefinedWeb-style pipelines). Hash order (not
+    doc_id order) makes the kept set a pure, crawl-order-independent
+    function of the corpus; the operator is resumable and re-runs pick
+    the same rows.
+
+    Skew shape: two-phase salted top-k exactly like crawl_frontier —
+    the pre-window partitions by (host, hash % n_salt) so a 1e8-page
+    host never lands on one reducer; ordering (h, doc_id) is total, so
+    the result equals the single-window form (the oracle)."""
+    from pyspark.sql import Window as W
+
+    from nerpii_spark.functions.hashing import sql_h1
+
+    cand = pages.select(
+        F.expr(f"regexp_extract(url, '{_HOST_RE}', 1)").alias("host"),
+        "doc_id",
+        F.expr(
+            f"cast({sql_h1('doc_id', 53)} as bigint)"
+        ).alias("h"),
+    )
+    w_shard = W.partitionBy(
+        "host", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt))
+    ).orderBy(F.asc("h"), F.asc("doc_id"))
+    survivors = (
+        cand.withColumn("prk", F.row_number().over(w_shard))
+        .where(F.col("prk") <= k)
+        .drop("prk")
+    )
+    w = W.partitionBy("host").orderBy(F.asc("h"), F.asc("doc_id"))
+    return (
+        survivors.withColumn("hrk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("hrk") <= k)
+        .select("host", "doc_id", "hrk")
+    )
+
+
+def duck_host_quota_sample_sql(pages_sql_duck: str, k: int = 8) -> str:
+    """Oracle: the single-window form over the same portable hash."""
+    from nerpii_spark.functions.hashing import sql_h1
+
+    return f"""
+with c as (
+  select regexp_extract(url, '{_HOST_RE}', 1) as host, doc_id,
+         cast({sql_h1('doc_id', 53)} as bigint) as h
+  from ({pages_sql_duck})
+),
+r as (
+  select host, doc_id,
+         row_number() over (partition by host
+                            order by h asc, doc_id asc) as hrk
+  from c
+)
+select host, doc_id, cast(hrk as bigint) as hrk from r where hrk <= {k}
+"""

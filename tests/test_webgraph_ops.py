@@ -590,3 +590,47 @@ def test_spam_mass_flags_unreachable_island(spark):
     # accumulates more trust than rank -> negative spam mass
     assert sm["g.io"]["spam_milli"] < 1000
     assert sm["t.io"]["spam_milli"] < 0
+
+
+def test_scd2_urls_interval_spine(spark):
+    from nerpii_spark.operators.webgraph import scd2_urls
+
+    # one page captured 3x under url variants (same canonical), one once
+    crawl = spark.createDataFrame(
+        [
+            ("https://a.io/p", 100),
+            ("https://a.io/p?utm_source=x", 200),
+            ("https://a.io/p#frag", 350),
+            ("https://b.io/q", 500),
+        ],
+        "url string, ts_s long",
+    )
+    got = sorted(
+        (r["curl"], r["version"], r["valid_from_s"], r["valid_to_s"],
+         r["is_current"])
+        for r in scd2_urls(crawl).collect()
+    )
+    assert got == [
+        ("https://a.io/p", 1, 100, 199, False),
+        ("https://a.io/p", 2, 200, 349, False),
+        ("https://a.io/p", 3, 350, None, True),
+        ("https://b.io/q", 1, 500, None, True),
+    ]
+
+
+def test_host_quota_caps_and_is_hash_deterministic(spark):
+    from nerpii_spark.functions.hashing import h1
+    from nerpii_spark.operators.webgraph import host_quota_sample
+
+    # 20 docs on one host, 3 on another; cap k=8
+    rows = [(f"https://big.io/p/{i}", i) for i in range(20)] + [
+        (f"https://small.io/p/{i}", 100 + i) for i in range(3)
+    ]
+    pages = spark.createDataFrame(rows, "url string, doc_id long")
+    got = {}
+    for r in host_quota_sample(pages, k=8).collect():
+        got.setdefault(r["host"], []).append(r["doc_id"])
+    assert len(got["big.io"]) == 8 and sorted(got["small.io"]) == [100, 101, 102]
+    # kept set = the 8 smallest by the portable hash (python mirror)
+    want = sorted(range(20), key=lambda d: (h1(d, 53), d))[:8]
+    assert sorted(got["big.io"]) == sorted(want)
