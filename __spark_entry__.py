@@ -1147,6 +1147,17 @@ def q_embed_dup_survivors(spark, sf):
     return SIM.embedding_dup_survivors(_dup_embs(spark, sf), tau=SIM.DUP_TAU)
 
 
+def q_embed_kcenter(spark, sf):
+    """Greedy k-center diversity selection (cluster.kcenter_select):
+    the coreset primitive next to SemDeDup k-means — one running-dmin
+    column updated against the newest center only, ONE max_by row to
+    the driver per round (BPE/Lloyd discipline), exact int64 L2 so the
+    chained-CTE oracle replays every pick bit-for-bit."""
+    from nerpii_spark.operators import cluster as CL
+
+    return CL.kcenter_select(_load(spark, sf, "embeddings"))
+
+
 def q_kmeans(spark, sf):
     """SemDeDup-style embedding clustering: 3 exact-integer Lloyd
     iterations from a deterministic init; per iteration one Arrow-batch
@@ -1775,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is already driver-green across r1+r2. Coverage is
         # unchanged — tools/check_oracle.py runs all of them.
         "q_kmeans": q_kmeans,
+        "q_embed_kcenter": q_embed_kcenter,
         "q_bpe_merges": q_bpe_merges,
         "q_bpe_encode": q_bpe_encode,
         "q_distinct_hll": q_distinct_hll,
@@ -2021,6 +2033,7 @@ def _extras_oracles() -> dict[str, str]:
         "q_embed_dup_pairs": SIM.duck_embedding_dup_pairs_sql(),
         "q_embed_dup_survivors": SIM.duck_embedding_dup_survivors_sql(),
         "q_kmeans": _CL.duck_kmeans_sql(),
+        "q_embed_kcenter": _CL.duck_kcenter_sql(),
         "q_bpe_merges": BPE.duck_bpe_merges_sql(
             docs_rel=f"({P.pages_sql('duck')})"
         ),

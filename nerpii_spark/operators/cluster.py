@@ -218,3 +218,136 @@ select vec_id, cast(cid as bigint) as cluster from (
 ) where rn = 1
 """
     return "with " + ",".join(parts) + "," + final
+
+
+KCENTER_K = 8
+
+
+def _l2_to_lit_expr(xq_col: str, cvec: list[int]) -> str:
+    """Exact int64 squared L2 between a quantized vector column and a
+    literal center: zip_with + aggregate, lambdas reference only their
+    elements. Overflow bound as _with_assignment's."""
+    lits = ", ".join(f"cast({v} as bigint)" for v in cvec)
+    return (
+        f"aggregate(zip_with({xq_col}, array({lits}),"
+        f" (a, b) -> (a - b) * (a - b)),"
+        f" cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+
+def kcenter_select(
+    embs: DataFrame,
+    k: int = KCENTER_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center / farthest-point diversity selection (Gonzalez
+    1985) -> (sel_rank, vec_id, d2): the coreset/diversity-sampling
+    primitive next to SemDeDup's k-means — pick the lowest-id vector,
+    then k-1 times the point FARTHEST from the selected set (max-min
+    exact int64 squared L2 over quantized embeddings, ties to the
+    lowest id). d2 is the selection distance (the max-min radius curve
+    — a 2-approximation certificate for the k-center objective); the
+    seed's d2 is 0.
+
+    Scale shape: the classic trick keeps ONE running dmin column —
+    each round updates it against the NEWEST center only (a broadcast
+    literal), so a round is one zero-shuffle projection + ONE
+    map-side-combined max_by agg sending a single row to the driver
+    (the BPE/Lloyd fixpoint discipline); state is localCheckpoint'd per
+    round to truncate lineage. Selected ids are excluded via a k-small
+    literal filter."""
+    q = embs.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(_quant_expr(vec_col)).alias("xq"),
+    )
+    seed = q.orderBy("vec_id").limit(1).collect()[0]
+    picked = [(1, int(seed["vec_id"]), 0)]
+    state = q.select(
+        "vec_id",
+        "xq",
+        F.expr(_l2_to_lit_expr("xq", list(seed["xq"])))
+        .cast("bigint")
+        .alias("dmin"),
+    ).localCheckpoint(eager=True)
+    for r in range(2, k + 1):
+        sel_ids = ", ".join(str(i) for _, i, _ in picked)
+        top = (
+            state.where(F.expr(f"vec_id not in ({sel_ids})"))
+            .agg(
+                F.expr(
+                    "max_by(named_struct('i', vec_id, 'x', xq, 'd', dmin),"
+                    " named_struct('d', dmin, 'i', -vec_id))"
+                ).alias("t")
+            )
+            .collect()[0]["t"]
+        )
+        picked.append((r, int(top["i"]), int(top["d"])))
+        state = state.select(
+            "vec_id",
+            "xq",
+            F.expr(
+                f"least(dmin, {_l2_to_lit_expr('xq', list(top['x']))})"
+            )
+            .cast("bigint")
+            .alias("dmin"),
+        ).localCheckpoint(eager=True)
+    return embs.sparkSession.createDataFrame(
+        picked, "sel_rank bigint, vec_id bigint, d2 bigint"
+    )
+
+
+def duck_kcenter_sql(
+    k: int = KCENTER_K, dims: int = 64, rel: str = "embeddings"
+) -> str:
+    """Chained-CTE replay: s1 = lowest id, each s{r} = argmax of the
+    running least() distance chain excluding prior picks — bit-exact
+    bigint throughout."""
+    l2 = lambda a, b: (
+        f"list_sum(list_transform(range(1, {dims + 1}),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+    parts = [
+        f"""
+q as (
+  select vec_id,
+         list_transform(embedding,
+                        x -> cast(round(x::DOUBLE * {QUANT}.0) as bigint))
+           as xq
+  from {rel}
+)""",
+        "s1 as (select vec_id, xq from q order by vec_id limit 1)",
+        f"""
+d1 as (
+  select q.vec_id, q.xq,
+         cast({l2('q.xq', 's.xq')} as bigint) as dmin
+  from q cross join s1 s
+)""",
+    ]
+    for r in range(2, k + 1):
+        prior = " union all ".join(
+            f"select vec_id from s{i}" for i in range(1, r)
+        )
+        parts.append(f"""
+s{r} as (
+  select vec_id, xq, dmin from d{r - 1}
+  where vec_id not in ({prior})
+  order by dmin desc, vec_id asc limit 1
+)""")
+        if r < k:
+            parts.append(f"""
+d{r} as (
+  select d.vec_id, d.xq,
+         least(d.dmin, cast({l2('d.xq', 's.xq')} as bigint)) as dmin
+  from d{r - 1} d cross join s{r} s
+)""")
+    sel = " union all ".join(
+        ["select cast(1 as bigint) as sel_rank, vec_id,"
+         " cast(0 as bigint) as d2 from s1"]
+        + [
+            f"select cast({r} as bigint), vec_id, cast(dmin as bigint)"
+            f" from s{r}"
+            for r in range(2, k + 1)
+        ]
+    )
+    return "with " + ",".join(parts) + "\n" + sel

@@ -1289,3 +1289,44 @@ def test_triple_support_counts_distinct_hosts(spark):
         ("alice", "works_at", "acme"): (3, 2),
         ("bob", "lives_in", "rome"): (1, 1),
     }
+
+
+def test_kcenter_matches_python_bruteforce(spark):
+    from nerpii_spark.operators.cluster import QUANT, kcenter_select
+
+    # 2-d-ish vectors padded to 4 dims: three tight points near origin,
+    # two far outliers — greedy must pick the outliers early
+    vecs = {
+        0: [0.0, 0.0, 0.0, 0.0],
+        1: [0.01, 0.0, 0.0, 0.0],
+        2: [0.0, 0.01, 0.0, 0.0],
+        3: [10.0, 0.0, 0.0, 0.0],
+        4: [0.0, -9.0, 0.0, 0.0],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+
+    def mirror(k):
+        xq = {i: [round(x * QUANT) for x in v] for i, v in vecs.items()}
+        d2 = lambda a, b: sum((x - y) ** 2 for x, y in zip(a, b))
+        picked = [(1, 0, 0)]
+        dmin = {i: d2(xq[i], xq[0]) for i in xq}
+        for r in range(2, k + 1):
+            cand = [i for i in xq if i not in [p[1] for p in picked]]
+            nxt = max(cand, key=lambda i: (dmin[i], -i))
+            picked.append((r, nxt, dmin[nxt]))
+            for i in xq:
+                dmin[i] = min(dmin[i], d2(xq[i], xq[nxt]))
+        return picked
+
+    got = [
+        (r["sel_rank"], r["vec_id"], r["d2"])
+        for r in kcenter_select(df, k=4)
+        .orderBy("sel_rank")
+        .collect()
+    ]
+    assert got == mirror(4)
+    # diversity property: the two outliers are picked at ranks 2 and 3
+    assert {got[1][1], got[2][1]} == {3, 4}
