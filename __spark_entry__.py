@@ -970,6 +970,15 @@ def q_dedup_ngram(spark, sf):
     return D.ngram_jaccard_pairs(_dup_docs(spark, sf))
 
 
+def q_modularity(spark, sf):
+    """Newman modularity of the LPA partition (webgraph.modularity):
+    integer sufficient statistics + q_e6 via the verified
+    truncate-toward-zero div pair; oracle composes the LPA chained-CTE
+    replay with the same statistic over the planted links — partition
+    AND score certified together."""
+    return WG.modularity(_pipeline(spark, sf)["pages"])
+
+
 def q_scd2_urls(spark, sf):
     """SCD2 validity intervals per canonical URL (webgraph.scd2_urls):
     the slowly-changing-dimension spine facts join as-of — lead +
@@ -1854,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entity_aliases": q_entity_aliases,
         "q_entity_summary": q_entity_summary,
         "q_resolve_redirects": q_resolve_redirects,
+        "q_modularity": q_modularity,
         "q_scd2_urls": q_scd2_urls,
         "q_host_quota": q_host_quota,
         "q_entity_timeline": q_entity_timeline,
@@ -2152,6 +2162,7 @@ def oracle_sql() -> dict[str, str]:
             P.golden_resolved_persons_sql(), P.BASE_EPOCH
         ),
         "q_scd2_urls": WG.duck_scd2_urls_sql(P.crawl_sql("duck")),
+        "q_modularity": WG.duck_modularity_sql(pages),
         "q_host_quota": WG.duck_host_quota_sample_sql(pages),
         "q_frontier": WG.duck_crawl_frontier_sql(pages, k=4),
         "q_resolve_redirects": WG.duck_resolve_redirects_sql(

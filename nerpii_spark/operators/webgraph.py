@@ -1758,3 +1758,101 @@ r as (
 )
 select host, doc_id, cast(hrk as bigint) as hrk from r where hrk <= {k}
 """
+
+
+def modularity(pages: DataFrame, n_rounds: int = LPA_ROUNDS) -> DataFrame:
+    """Newman modularity of the LPA partition -> ONE row (s_stubs,
+    e_in_stubs, sum_dc2, q_e6): the quality score that tells a pipeline
+    whether its community structure is real before acting on it
+    (promoting link-ring groups to a blocklist, say). With S = 2m
+    directed stubs, e_in = stubs whose endpoints share a community and
+    d_c = per-community degree mass:
+
+        Q = e_in/S - sum_c d_c^2 / S^2
+        q_e6 = (1e6 * (S * e_in - sum_dc2)) div (S * S)
+
+    — all bigint with the verified truncate-toward-zero div pair, so
+    the oracle (LPA chained-CTE replay + the same statistic over the
+    planted links) certifies partition AND score bit-for-bit. Overflow
+    bound: S^2 must fit int64 — S < ~3e9 stubs; past that, compute
+    per-community terms e3-scaled (the HITS-bound discipline).
+
+    Scale shape: two label-decorating equi-joins on the stub list (the
+    degree/label tables are node-sized, AQE broadcasts while small),
+    ONE conditional-count global agg for e_in, one per-community
+    map-side-combined degree rollup, then a one-row crossJoin
+    composition — nothing corpus-sized is re-keyed twice."""
+    labels = lpa_communities(pages, n_rounds).localCheckpoint(eager=True)
+    sym = sym_host_edges(pages)
+    la = labels.select(
+        F.col("host").alias("node"), F.col("community").alias("ca")
+    )
+    lb = labels.select(
+        F.col("host").alias("nbr"), F.col("community").alias("cb")
+    )
+    stub_stats = (
+        sym.join(la, "node")
+        .join(lb, "nbr")
+        .agg(
+            F.count("*").cast("bigint").alias("s_stubs"),
+            F.sum(F.expr("case when ca = cb then 1 else 0 end"))
+            .cast("bigint")
+            .alias("e_in_stubs"),
+        )
+    )
+    deg = sym.groupBy("node").agg(F.count("*").alias("deg"))
+    dc2 = (
+        deg.join(la, "node")
+        .groupBy("ca")
+        .agg(F.sum("deg").cast("bigint").alias("dc"))
+        .agg(F.sum(F.expr("dc * dc")).cast("bigint").alias("sum_dc2"))
+    )
+    return stub_stats.crossJoin(F.broadcast(dc2)).select(
+        "s_stubs",
+        "e_in_stubs",
+        "sum_dc2",
+        F.expr(
+            "cast((1000000 * (s_stubs * e_in_stubs - sum_dc2))"
+            " div (s_stubs * s_stubs) as bigint)"
+        ).alias("q_e6"),
+    )
+
+
+def duck_modularity_sql(
+    pages_sql_duck: str, n_rounds: int = LPA_ROUNDS
+) -> str:
+    """Oracle: the LPA replay composed with the same integer statistic
+    over the planted link set's symmetric closure."""
+    return f"""
+with lab as materialized (
+  select * from ({duck_lpa_communities_sql(pages_sql_duck, n_rounds)})
+),
+e0 as materialized (
+  select distinct src_host as u, dst_host as v
+  from ({duck_planted_links_sql(pages_sql_duck)})
+  where src_host <> dst_host
+),
+sym as materialized (
+  select u as node, v as nbr from e0 union select v, u from e0
+),
+ss as (
+  select cast(count(*) as bigint) as s_stubs,
+         cast(sum(case when la.community = lb.community then 1 else 0 end)
+              as bigint) as e_in_stubs
+  from sym
+  join lab la on la.host = sym.node
+  join lab lb on lb.host = sym.nbr
+),
+deg as materialized (
+  select node, cast(count(*) as bigint) as deg from sym group by 1
+),
+dc as (
+  select la.community, cast(sum(deg) as bigint) as dc
+  from deg join lab la on la.host = deg.node group by 1
+),
+d2 as (select cast(sum(dc * dc) as bigint) as sum_dc2 from dc)
+select s_stubs, e_in_stubs, sum_dc2,
+       cast((1000000 * (s_stubs * e_in_stubs - sum_dc2))
+            // (s_stubs * s_stubs) as bigint) as q_e6
+from ss, d2
+"""

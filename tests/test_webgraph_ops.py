@@ -634,3 +634,40 @@ def test_host_quota_caps_and_is_hash_deterministic(spark):
     # kept set = the 8 smallest by the portable hash (python mirror)
     want = sorted(range(20), key=lambda d: (h1(d, 53), d))[:8]
     assert sorted(got["big.io"]) == sorted(want)
+
+
+def test_modularity_matches_python_mirror_of_lpa_partition(spark):
+    from nerpii_spark.operators.webgraph import lpa_communities, modularity
+
+    # two triangles joined by one bridge — whatever partition bounded
+    # -round LPA lands on, the statistic must equal the Python mirror
+    # computed from THAT partition (truncating division, the Spark/Duck
+    # `div`//`//` semantics — python's flooring // differs on negatives)
+    edges = [
+        ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+        ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+        ("a1", "b1"),
+    ]
+    und = {(f"{u}.io", f"{v}.io") for u, v in edges}
+    pages = _pages(spark, sorted(und))
+    lab = {
+        r["host"]: r["community"] for r in lpa_communities(pages).collect()
+    }
+    sym = sorted(und | {(v, u) for u, v in und})
+    deg: dict[str, int] = {}
+    for u, _ in sym:
+        deg[u] = deg.get(u, 0) + 1
+    S = len(sym)
+    e_in = sum(1 for u, v in sym if lab[u] == lab[v])
+    dc: dict[str, int] = {}
+    for n, d in deg.items():
+        dc[lab[n]] = dc.get(lab[n], 0) + d
+    sum_dc2 = sum(d * d for d in dc.values())
+    num = 1_000_000 * (S * e_in - sum_dc2)
+    den = S * S
+    trunc_div = abs(num) // den * (1 if num >= 0 else -1)
+    [r] = modularity(pages).collect()
+    assert (
+        r["s_stubs"], r["e_in_stubs"], r["sum_dc2"], r["q_e6"]
+    ) == (S, e_in, sum_dc2, trunc_div)
+    assert S == 14
