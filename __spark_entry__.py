@@ -1789,13 +1789,29 @@ def q_tpch_volume(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered for driver certification (VERDICT r2 #3): the
-        # driver samples ~50 queries per round, so the 29 that have
-        # never had a driver row lead, followed by the two ANN
-        # queries whose replay oracles are new this round; the tail
-        # is already driver-green across r1+r2. Coverage is
-        # unchanged — tools/check_oracle.py runs all of them.
+        # driver samples ~50 queries per round, so entries with NO
+        # driver row yet lead — the r3 wave-3 additions first (newest,
+        # least local soak), then the r2-era never-driver-tested set
+        # (three full two-scale local sweeps behind them), then the two
+        # ANN queries whose replay oracles landed in r3; the tail is
+        # already driver-green across r1+r2. Coverage is unchanged —
+        # tools/check_oracle.py runs all of them.
         "q_kmeans": q_kmeans,
         "q_embed_kcenter": q_embed_kcenter,
+        "q_host_reciprocity": q_host_reciprocity,
+        "q_assortativity": q_assortativity,
+        "q_spam_mass": q_spam_mass,
+        "q_url_normalize": q_url_normalize,
+        "q_bm25": q_bm25,
+        "q_modularity": q_modularity,
+        "q_scd2_urls": q_scd2_urls,
+        "q_host_quota": q_host_quota,
+        "q_entity_timeline": q_entity_timeline,
+        "q_triple_support": q_triple_support,
+        "q_type_vote": q_type_vote,
+        "q_tpch_bigorders": q_tpch_bigorders,
+        "q_quality_survivors": q_quality_survivors,
+        "q_dedup_containment": q_dedup_containment,
         "q_bpe_merges": q_bpe_merges,
         "q_bpe_encode": q_bpe_encode,
         "q_distinct_hll": q_distinct_hll,
@@ -1850,11 +1866,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_recrawl_cadence": q_recrawl_cadence,
         "q_dsir_weights": q_dsir_weights,
         "q_outlink_entropy": q_outlink_entropy,
-        "q_host_reciprocity": q_host_reciprocity,
-        "q_assortativity": q_assortativity,
-        "q_spam_mass": q_spam_mass,
-        "q_url_normalize": q_url_normalize,
-        "q_bm25": q_bm25,
         "q_harmonic_centrality": q_harmonic_centrality,
         "q_eff_diameter": q_eff_diameter,
         "q_embed_pq": q_embed_pq,
@@ -1863,15 +1874,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entity_aliases": q_entity_aliases,
         "q_entity_summary": q_entity_summary,
         "q_resolve_redirects": q_resolve_redirects,
-        "q_modularity": q_modularity,
-        "q_scd2_urls": q_scd2_urls,
-        "q_host_quota": q_host_quota,
-        "q_entity_timeline": q_entity_timeline,
-        "q_triple_support": q_triple_support,
-        "q_type_vote": q_type_vote,
-        "q_tpch_bigorders": q_tpch_bigorders,
-        "q_quality_survivors": q_quality_survivors,
-        "q_dedup_containment": q_dedup_containment,
         "q_dedup_prefix": q_dedup_prefix,
         "q_tpch_shipping": q_tpch_shipping,
         "q_tpch_volume": q_tpch_volume,
