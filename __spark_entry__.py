@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-114 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+150 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -54,6 +54,7 @@ from nerpii_spark.operators.extract import (
     duck_hits_sql,
     duck_kg_negative_samples_sql,
     duck_pagerank_sql,
+    duck_pagerank_weighted_sql,
     hits,
     duck_neighbor_sample_sql,
     duck_random_walks_sql,
@@ -67,6 +68,8 @@ from nerpii_spark.operators.extract import (
     topk_objs_per_pred,
     triple_support,
     duck_triple_support_sql,
+    triple_typecheck,
+    duck_triple_typecheck_sql,
     triples_by_pred_salted,
     two_hop_locations,
 )
@@ -1029,6 +1032,118 @@ def q_type_vote(spark, sf):
     return L.surface_type_vote(_pipeline(spark, sf)["mentions"])
 
 
+def q_triple_typecheck(spark, sf):
+    """Ontology domain/range validation (extract.triple_typecheck):
+    per-predicate counts of triples whose subject/object corpus-majority
+    type (surface_type_vote) disagrees with the predicate's declared
+    domain/range (the RULES schema, broadcast). Two vocabulary-keyed
+    lookup joins + one map-side-combined pred rollup; the oracle
+    recomputes vote + check over planted golden triples and mentions."""
+    p = _pipeline(spark, sf)
+    return triple_typecheck(p["triples"], p["mentions"])
+
+
+def q_cc_bigstar(spark, sf):
+    """Host-graph connected components via the ALTERNATING large-star /
+    small-star algorithm (link.connected_components_twophase, Kiveris
+    et al. 2014) — O(log n) shuffle rounds regardless of graph DIAMETER,
+    the scale companion to q_host_components' min-label propagation
+    (O(diameter) rounds; right for hub-contracted host graphs, wrong
+    for redirect filaments). Same deterministic output contract
+    (component = min host), so the oracle is the SAME independent
+    recursive-CTE true-WCC the propagation query is graded on — two
+    different distributed algorithms certified against one ground
+    truth."""
+    e = WG.distinct_host_edges(_pipeline(spark, sf)["pages"])
+    edges = e.select(F.col("u").alias("sid_a"), F.col("v").alias("sid_b"))
+    nodes = (
+        e.select(F.col("u").alias("sid")).union(e.select("v")).distinct()
+    )
+    return L.connected_components_twophase(nodes, edges).select(
+        F.col("sid").alias("host"), F.col("label").alias("component")
+    )
+
+
+def q_collocations(spark, sf):
+    """Dice-scored collocation top-k over the documents corpus
+    (textstats.collocations_topk): map-side-combined unigram + bigram
+    counts, pre-projected token arrays (the no-CSE HOF rule), integer
+    Dice in [0, 1e6] at any corpus size (the PMI N^2 overflow argument
+    lives in the docstring), two-phase salted top-k window."""
+    return TS.collocations_topk(_load(spark, sf, "documents"))
+
+
+def q_sample_weighted(spark, sf):
+    """Efraimidis-Spirakis weighted reservoir: exactly k docs per lang,
+    inclusion probability proportional to token count (textstats.
+    weighted_sample_topk) — keys are -log2(hash-uniform) div weight in
+    fixed-point integer log2 (functions/intmath, codegen digit
+    recurrence, zero Python), two-phase salted per-group windows;
+    oracle replays hash, log and floor-div bit-for-bit."""
+    return TS.weighted_sample_topk(_load(spark, sf, "documents"))
+
+
+def q_pagerank_weighted(spark, sf):
+    """WEIGHTED host PageRank (extract.pagerank_weighted): rank flows
+    in proportion to link multiplicity n_links — the endorsement-volume
+    variant next to q_host_pagerank's collapsed-edge form. Weights
+    normalize to integer millionth-shares ONCE before the loop (the
+    documented overflow argument: rank * 1e6 stays in int64 at any
+    weight distribution where rank * w does not); chained-CTE oracle
+    replays normalization + iteration bit-for-bit over planted links."""
+    from nerpii_spark.operators.extract import pagerank_weighted
+
+    edges = WG.web_graph(_pipeline(spark, sf)["pages"]).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("n_links").alias("w"),
+    )
+    return pagerank_weighted(edges, n_iter=3)
+
+
+def q_triples_canonical(spark, sf):
+    """The canonicalized KG export — the north-star deliverable shape:
+    PERSON-subject triples with the subject replaced by its canonical
+    entity (S4 linking), deduplicated with assertion counts ->
+    (subj_canonical, pred, obj, n_assertions). Scale shape: the
+    surface->canonical members map broadcasts into the triple stream
+    (the q_entity_summary convention — corpus-sized sides never shuffle
+    to meet each other; past ~10^8 entities this flips to a shuffle
+    hash join, same plan shape otherwise); the final triple-key agg
+    map-side combines. Oracle recomputes linking ground truth + planted
+    triples, so canonicalization P/R = 1.0 rides along."""
+    p = _pipeline(spark, sf)
+    persons = p["mentions"].where(F.col("entity_type") == "PERSON")
+    norm_map = entity_members(persons).select("norm", "canonical")
+    t = p["triples"].select(
+        F.expr("lower(regexp_replace(trim(subj), '\\\\s+', ' '))").alias(
+            "norm"
+        ),
+        "pred",
+        "obj",
+    )
+    return (
+        t.join(F.broadcast(norm_map), "norm")
+        .groupBy(
+            F.col("canonical").alias("subj_canonical"), "pred", "obj"
+        )
+        .agg(F.count("*").cast("bigint").alias("n_assertions"))
+    )
+
+
+def q_dedup_cluster_stats(spark, sf):
+    """Near-dup cluster-size audit over the MinHash->CC survivors: per
+    log2 size bucket (bit-length, the degree_histogram idiom), how many
+    clusters and how many member docs -> (size_bucket, n_clusters,
+    n_docs, max_size). The curation report that decides whether
+    near-dedup is removing boilerplate families (head of the histogram)
+    or eating the corpus (mass in big buckets); one map-side-combined
+    agg over the cluster table (already one row per cluster)."""
+    return D.cluster_size_stats(
+        D.near_dedup_survivors(_dup_docs(spark, sf))
+    )
+
+
 def q_tpch_bigorders(spark, sf):
     """TPC-H Q18 shape (large-volume customers): lineitem groupBy
     orderkey HAVING sum(qty) > 300, joined back to orders + customer,
@@ -1796,6 +1911,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN queries whose replay oracles landed in r3; the tail is
         # already driver-green across r1+r2. Coverage is unchanged —
         # tools/check_oracle.py runs all of them.
+        "q_cc_bigstar": q_cc_bigstar,
+        "q_collocations": q_collocations,
+        "q_sample_weighted": q_sample_weighted,
+        "q_triple_typecheck": q_triple_typecheck,
+        "q_pagerank_weighted": q_pagerank_weighted,
+        "q_triples_canonical": q_triples_canonical,
+        "q_dedup_cluster_stats": q_dedup_cluster_stats,
         "q_kmeans": q_kmeans,
         "q_embed_kcenter": q_embed_kcenter,
         "q_host_reciprocity": q_host_reciprocity,
@@ -2131,6 +2253,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_cocitation": WG.duck_cocitation_sql(pages),
         "q_host_components": WG.duck_host_components_sql(pages),
+        "q_cc_bigstar": WG.duck_host_components_sql(pages),
+        "q_pagerank_weighted": duck_pagerank_weighted_sql(
+            f"select src_host as src, dst_host as dst, n_links as w"
+            f" from ({WG.duck_web_graph_sql(pages)})",
+            n_iter=3,
+        ),
+        "q_triples_canonical": P.golden_triples_canonical_sql(gt),
+        "q_dedup_cluster_stats": f"""
+            with surv as ({D.duck_near_dedup_survivors_sql(
+                f"select id_a, id_b from ({_exact_jaccard_sql()})")})
+            select cast(length(to_base(n_members, 2)) - 1 as bigint)
+                     as size_bucket,
+                   cast(count(*) as bigint) as n_clusters,
+                   cast(sum(n_members) as bigint) as n_docs,
+                   cast(max(n_members) as bigint) as max_size
+            from surv group by 1
+        """,
+        "q_collocations": TS.duck_collocations_sql(),
+        "q_sample_weighted": TS.duck_weighted_sample_sql(),
+        "q_triple_typecheck": duck_triple_typecheck_sql(gt, gm),
         "q_communities": WG.duck_lpa_communities_sql(pages),
         "q_crawl_depth": WG.duck_crawl_depth_sql(pages),
         "q_anf": WG.duck_neighborhood_function_sql(pages),

@@ -174,6 +174,13 @@ def main() -> int:
         "q_agg_lineitem",
         "q_join_orders_customer",
         "q_anti_join",
+        "q_cc_bigstar",
+        "q_collocations",
+        "q_sample_weighted",
+        "q_triple_typecheck",
+        "q_pagerank_weighted",
+        "q_triples_canonical",
+        "q_dedup_cluster_stats",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

@@ -1517,3 +1517,26 @@ r as (select lbl, id, margin_e6,
 select id as keep_id, cast(n as bigint) as n_members, margin_e6
 from r where rk = 1
 """
+
+
+def cluster_size_stats(survivors: DataFrame) -> DataFrame:
+    """Near-dup cluster-size audit -> (size_bucket, n_clusters, n_docs,
+    max_size): log2-bucketed histogram (bit-length ilog2, the
+    degree_histogram idiom) over the (keep_id, n_members) cluster table
+    from near_dedup_survivors. The curation report that distinguishes
+    "dedup is removing boilerplate families" (mass at small buckets)
+    from "dedup is eating the corpus" (mass in big buckets). One
+    map-side-combined agg over a table already one-row-per-cluster;
+    <= 64 rows out."""
+    return (
+        survivors.withColumn(
+            "size_bucket",
+            F.expr("cast(length(bin(n_members)) - 1 as bigint)"),
+        )
+        .groupBy("size_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("n_members").cast("bigint").alias("n_docs"),
+            F.max("n_members").cast("bigint").alias("max_size"),
+        )
+    )

@@ -1135,3 +1135,246 @@ from ({triples_sql}) t
 join (select doc_id, url from ({pages_sql_duck})) p using (doc_id)
 group by 1, 2, 3
 """
+
+
+def triple_typecheck(triples: DataFrame, mentions: DataFrame) -> DataFrame:
+    """Ontology domain/range validation of the extracted triples ->
+    (pred, n_triples, n_subj_viol, n_obj_viol, n_ok): for each
+    predicate, how many triples have a subject / object whose
+    CORPUS-MAJORITY type (link.surface_type_vote) disagrees with the
+    predicate's declared domain / range (derived from RULES — the same
+    table relation extraction fires on, so the schema is the ontology).
+    The standard KG quality gate: extraction is sentence-local, typing
+    is corpus-global, and a surface the corpus mostly sees as LOCATION
+    filling a PERSON slot ("washington works_at ...") is exactly the
+    error class this report surfaces before facts ship.
+
+    Scale shape: the vote table is one row per distinct surface (built
+    by two map-side-combined aggs); triples attach their subj/obj votes
+    via two equi-joins on lower(surface) — vocabulary-keyed hash joins
+    (NOT broadcast: web-scale surface vocabularies run to 10^9 rows); a
+    Zipf-hot surface skews only the probe side of a lookup join, which
+    AQE splits without a reducer hot spot because no per-surface
+    aggregation follows. The schema table is |RULES| rows, broadcast.
+    Final rollup keys on pred (bounded domain) and every count
+    conditional-aggregates map-side."""
+    from nerpii_spark.operators.link import surface_type_vote
+
+    spark = triples.sparkSession
+    schema = F.broadcast(
+        spark.createDataFrame(
+            [(p, s, o) for (s, _, o, p) in RULES],
+            "pred string, dom_type string, rng_type string",
+        )
+    )
+    vote = surface_type_vote(mentions).select("surface", "maj_type")
+    t = triples.select(
+        "pred",
+        F.expr("lower(subj)").alias("s_surf"),
+        F.expr("lower(obj)").alias("o_surf"),
+    )
+    checked = (
+        t.join(schema, "pred")
+        .join(
+            vote.select(
+                F.col("surface").alias("s_surf"),
+                F.col("maj_type").alias("s_maj"),
+            ),
+            "s_surf",
+        )
+        .join(
+            vote.select(
+                F.col("surface").alias("o_surf"),
+                F.col("maj_type").alias("o_maj"),
+            ),
+            "o_surf",
+        )
+    )
+    return checked.groupBy("pred").agg(
+        F.count("*").cast("bigint").alias("n_triples"),
+        F.sum(F.expr("cast(s_maj <> dom_type as bigint)"))
+        .cast("bigint")
+        .alias("n_subj_viol"),
+        F.sum(F.expr("cast(o_maj <> rng_type as bigint)"))
+        .cast("bigint")
+        .alias("n_obj_viol"),
+        F.sum(
+            F.expr("cast(s_maj = dom_type and o_maj = rng_type as bigint)")
+        )
+        .cast("bigint")
+        .alias("n_ok"),
+    )
+
+
+def duck_triple_typecheck_sql(triples_sql: str, mentions_sql: str) -> str:
+    """Oracle: the same vote + schema check recomputed over the PLANTED
+    golden triples and mentions (an independent row_number vote
+    formulation via link.duck_surface_type_vote_sql), so detection,
+    extraction AND the vote all ride along."""
+    from nerpii_spark.operators.link import duck_surface_type_vote_sql
+
+    schema_rows = " union all ".join(
+        f"select '{p}' as pred, '{s}' as dom_type, '{o}' as rng_type"
+        for (s, _, o, p) in RULES
+    )
+    return f"""
+with vote as materialized (
+  select surface, maj_type from ({duck_surface_type_vote_sql(mentions_sql)})
+),
+schema_t as ({schema_rows})
+select t.pred,
+       cast(count(*) as bigint) as n_triples,
+       cast(sum(cast(vs.maj_type <> sc.dom_type as int)) as bigint)
+         as n_subj_viol,
+       cast(sum(cast(vo.maj_type <> sc.rng_type as int)) as bigint)
+         as n_obj_viol,
+       cast(sum(cast(vs.maj_type = sc.dom_type
+                     and vo.maj_type = sc.rng_type as int)) as bigint)
+         as n_ok
+from ({triples_sql}) t
+join schema_t sc on sc.pred = t.pred
+join vote vs on vs.surface = lower(t.subj)
+join vote vo on vo.surface = lower(t.obj)
+group by 1
+"""
+
+
+def pagerank_weighted(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """WEIGHTED fixed-point PageRank -> (node, rank_e12): rank flows
+    along each out-edge in proportion to its weight (here: link
+    multiplicity n_links — a host linking a partner 10^4 times endorses
+    it more than a one-off citation; plain pagerank() deliberately
+    collapses multi-edges). Input: (src, dst, w) rows; multi-edges are
+    re-summed and self-loops dropped defensively.
+
+    Integer discipline (the pagerank/trustrank family rules): weights
+    first normalize per source into millionths — wshare_e6 = (w * 1e6)
+    div W(src) — computed ONCE before the loop, so the per-iteration
+    contribution is (rank * wshare_e6) div 1e6. This two-step form is
+    the overflow argument: rank <= PR_SCALE = 1e12 keeps rank * 1e6 <
+    2^63 at ANY weight distribution, while the naive (rank * w) div W
+    overflows int64 once a single edge carries w > 9.2e6 links — real
+    on template-linked hosts. Share quantization (1e-6 relative) is
+    part of the operator's defined semantics; the oracle replays it.
+
+    update: r'(v) = (150*base + 850*(contrib(v) + dang div N)) div 1000,
+    dangling = rank on nodes with no out-edges, redistributed uniformly
+    (the unweighted convention — weights shape flow, not teleport).
+
+    Scale shape: identical to pagerank — per iteration ONE edges|>ranks
+    equi-join + one map-side-combined groupBy(dst), a one-row dangling
+    agg broadcast back, per-iteration localCheckpoint; the share
+    normalization is one extra groupBy(src) + join BEFORE the loop,
+    amortized across iterations."""
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    outw = e.groupBy("src").agg(F.sum("w").cast("bigint").alias("tw"))
+    e = (
+        e.join(outw, "src")
+        .select(
+            "src",
+            "dst",
+            F.expr(
+                "cast((w * cast(1000000 as bigint)) div tw as bigint)"
+            ).alias("wshare_e6"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    base = PR_SCALE // n
+    ranks = nodes.select(
+        "node", F.lit(base).cast("bigint").alias("rank")
+    ).localCheckpoint(eager=True)
+    srcs = e.select("src").distinct().localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(
+                    F.expr(
+                        "(rank * wshare_e6) div cast(1000000 as bigint)"
+                    )
+                )
+                .cast("bigint")
+                .alias("c")
+            )
+        )
+        dang = (
+            ranks.join(srcs, ranks.node == srcs.src, "left_anti")
+            .agg(
+                F.coalesce(F.sum("rank"), F.lit(0))
+                .cast("bigint")
+                .alias("dang")
+            )
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                F.expr(
+                    f"cast((150 * cast({base} as bigint)"
+                    f" + {PR_DAMP} * (coalesce(c, cast(0 as bigint))"
+                    f" + dang div cast({n} as bigint))) div 1000 as bigint)"
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("rank").alias("rank_e12"))
+
+
+def duck_pagerank_weighted_sql(edges_sql: str, n_iter: int = 3) -> str:
+    """Oracle twin of pagerank_weighted: the same share normalization
+    and integer update unrolled as chained MATERIALIZED CTEs; every
+    HUGEINT sum cast back (the CLAUDE.md trap), every literal product
+    cast to bigint before multiplying."""
+    head = f"""
+with
+raw as materialized (select src, dst, cast(sum(w) as bigint) as w
+      from ({edges_sql}) where src <> dst group by 1, 2),
+ow as materialized (select src, cast(sum(w) as bigint) as tw
+      from raw group by 1),
+e as materialized (
+  select r.src, r.dst,
+         cast((r.w * cast(1000000 as bigint)) // o.tw as bigint)
+           as wshare_e6
+  from raw r join ow o using (src)),
+nodes as materialized (select src as node from e union select dst from e),
+meta as materialized (select count(*) as n from nodes),
+srcs as materialized (select distinct src from e),
+r0 as materialized (
+  select node, cast({PR_SCALE} // (select n from meta) as bigint) as rank
+  from nodes)"""
+    steps = []
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        steps.append(f"""
+c{i} as materialized (
+  select e.dst as node,
+         cast(sum((r.rank * e.wshare_e6) // cast(1000000 as bigint))
+              as bigint) as c
+  from e join r{p} r on r.node = e.src group by 1),
+d{i} as materialized (
+  select cast(coalesce(sum(r.rank), 0) as bigint) as dang
+  from r{p} r left join srcs s on s.src = r.node where s.src is null),
+r{i} as materialized (
+  select nodes.node,
+         cast((150 * cast({PR_SCALE} // (select n from meta) as bigint)
+               + {PR_DAMP} * (coalesce(c.c, cast(0 as bigint))
+                   + (select dang from d{i}) // (select n from meta)))
+              // 1000 as bigint) as rank
+  from nodes left join c{i} c using (node))""")
+    return (
+        head + "," + ",".join(steps)
+        + f"\nselect node, rank as rank_e12 from r{n_iter}"
+    )

@@ -209,6 +209,108 @@ def connected_components(
     return labels
 
 
+def connected_components_twophase(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 16
+) -> DataFrame:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") -> (sid, label), label = min sid of the component — the
+    SAME contract as `connected_components`, reached in O(log n) rounds
+    instead of O(diameter).
+
+    Why a second CC: min-label propagation costs one shuffle round per
+    hop of graph diameter — the right plan for the near-clique entity
+    blocks and hub-contracted host graphs this repo links (diameter
+    2-4), but a redirect-chain graph, a citation path, or a filament in
+    a similarity graph can have diameter 10^3+, where propagation means
+    10^3 shuffles. The alternating algorithm contracts the graph toward
+    star forests: each round every node hooks its neighborhood onto the
+    neighborhood minimum, roughly halving tree heights, so convergence
+    is logarithmic in component size REGARDLESS of diameter.
+
+    Semantics per round over the canonical edge state (u, v), u > v
+    (child above parent — every undirected edge stored once):
+      * large-star: for each node x, every strictly-LARGER neighbor y
+        re-hooks to m(x) = min(neighborhood(x) U {x}) — one symmetric-
+        adjacency min agg (map-side combines) + one equi-join; the new
+        pair (y, m(x)) is canonical by construction (m(x) <= x < y).
+      * small-star: for each node x, its strictly-SMALLER neighbors and
+        x itself re-hook to m = min(smaller neighbors) — one min agg
+        over the canonical rows (already child-keyed, no symmetric
+        expansion) + one join, self-loop (m, m) dropped.
+    Fixpoint = star forest: no parent is itself a child, checked with
+    ONE left-semi count per round; centers are then exactly the
+    component minima (the paper's invariant), so the output is
+    deterministic and identical to `connected_components` — a pytest
+    asserts equality on a long-path graph both algorithms can solve
+    and on random graphs.
+
+    Scale shape: per round two min aggs (both map-side combine — a hub
+    node's million neighbors arrive at its reducer as one partial per
+    task) + two equi-joins keyed on node ids, distinct() to re-canonicalize
+    (the same dedup every BFS/CC round pays), localCheckpoint per round
+    (Catalyst cannot express iteration; lineage must be truncated). The
+    driver holds one convergence count per round — never an edge."""
+    e = (
+        edges.where(F.col("sid_a") != F.col("sid_b"))
+        .select(
+            F.greatest("sid_a", "sid_b").alias("u"),
+            F.least("sid_a", "sid_b").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        # large-star: adjacency min over BOTH orientations
+        adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = adj.groupBy(F.col("u").alias("x")).agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        # every canonical row (y, x) is a larger-neighbor pair of x
+        e = (
+            e.join(mins, e.v == mins.x)
+            .select(F.col("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star: parents of each child re-hook to the child's min parent
+        minsS = e.groupBy("u").agg(F.min("v").alias("m"))
+        ss_children = minsS.select("u", F.col("m").alias("v"))
+        ss_parents = (
+            e.join(minsS, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e = (
+            ss_children.union(ss_parents)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # converged iff star forest: no parent is itself a child
+        pending = (
+            e.join(e.select(F.col("u").alias("v2")), e.v == F.col("v2"),
+                   "left_semi")
+            .count()
+        )
+        if pending == 0:
+            break
+    else:
+        import warnings
+
+        warnings.warn(
+            "connected_components_twophase did not reach a star forest"
+            f" within {max_rounds} rounds ({pending} non-star edges) —"
+            " components may be returned SPLIT; raise max_rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    labels = e.select(F.col("u").alias("sid"), F.col("v").alias("label"))
+    return (
+        nodes.join(labels, "sid", "left")
+        .select("sid", F.coalesce("label", "sid").alias("label"))
+    )
+
+
 def _linked_members(
     mentions: DataFrame,
     types: list[str] | None,

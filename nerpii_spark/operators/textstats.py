@@ -1250,3 +1250,255 @@ select doc_id,
 from proj, stats
 order by score_e6 desc, doc_id asc limit {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# collocations (Dice-scored bigram association) + weighted reservoir sample
+# ---------------------------------------------------------------------------
+
+COLL_TOPK = 20
+COLL_MIN_PAIR = 4
+COLL_MIN_UNI = 8
+COLL_SALT = 32
+
+
+def collocations_topk(
+    docs: DataFrame,
+    k: int = COLL_TOPK,
+    min_pair: int = COLL_MIN_PAIR,
+    min_uni: int = COLL_MIN_UNI,
+    n_salt: int = COLL_SALT,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level collocation mining: the k word bigrams most
+    associated by DICE score -> (rank, w1, w2, c_pair, c_w1, c_w2,
+    dice_e6), dice_e6 = floor(2e6 * c(xy) / (c(x) + c(y))) (Smadja 1993;
+    the association step behind word2vec-style phrase detection). Dice
+    over PMI on purpose: PMI's c(xy)*N/(c(x)*c(y)) needs either floats
+    (engines disagree) or int128 at web scale (N^2 factors overflow
+    int64 the moment a corpus passes ~3e6 tokens), while Dice is a ratio
+    of same-magnitude counts — bounded in [0, 1e6] at ANY corpus size,
+    pure int64, and monotone in the same "together more than apart"
+    signal once min-count floors remove the rare-word PMI pathology.
+
+    Scale shape: unigram and bigram counts both map-side combine (Zipf
+    -hot pairs arrive at reducers pre-summed); the bigram split uses a
+    PRE-PROJECTED token array (bigrams_sql contract — inlining the
+    split into the HOF lambda is the measured O(words^2) no-CSE trap);
+    c(x)/c(y) attach via two equi-joins keyed on the word (the unigram
+    table is vocabulary-sized, NOT broadcast: Zipf vocabularies at
+    10^12 tokens run to 10^8+ entries); the global top-k is the
+    two-phase salted window every other *_topk here uses, so ranking
+    never funnels all surviving pairs through one reducer. The only
+    int64 bound: 2e6 * c_pair overflows past c_pair ~ 4.6e12 — a single
+    bigram occurring 4.6 trillion times, beyond any real corpus."""
+    from pyspark.sql import Window as W
+
+    ws = docs.select(
+        F.expr(f"split(lower({text_col}), ' ')").alias("ws")
+    )
+    uni = (
+        ws.select(F.explode("ws").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .where(F.col("cnt") >= min_uni)
+    )
+    bg = (
+        ws.where(F.expr("size(ws) >= 2"))
+        .select(
+            F.explode(
+                F.expr(bigrams_sql("spark", text_col, pre_split="ws"))
+            ).alias("bg")
+        )
+        .select(
+            F.expr("substring_index(bg, ' ', 1)").alias("w1"),
+            F.expr("substring_index(bg, ' ', -1)").alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c_pair"))
+        .where(F.col("c_pair") >= min_pair)
+    )
+    scored = (
+        bg.join(
+            uni.select(F.col("token").alias("w1"), F.col("cnt").alias("c_w1")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("token").alias("w2"), F.col("cnt").alias("c_w2")),
+            "w2",
+        )
+        .withColumn(
+            "dice_e6",
+            F.expr(
+                "cast((cast(2000000 as bigint) * c_pair)"
+                " div (c_w1 + c_w2) as bigint)"
+            ),
+        )
+    )
+    order = [F.desc("dice_e6"), F.asc("w1"), F.asc("w2")]
+    w_shard = W.partitionBy(
+        F.pmod(F.xxhash64("w1", "w2"), F.lit(n_salt))
+    ).orderBy(*order)
+    return (
+        scored.withColumn("prk", F.row_number().over(w_shard))
+        .where(F.col("prk") <= k)
+        .withColumn("rank", F.row_number().over(W.orderBy(*order)))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            "w1", "w2", "c_pair", "c_w1", "c_w2", "dice_e6",
+        )
+    )
+
+
+def duck_collocations_sql(
+    k: int = COLL_TOPK,
+    min_pair: int = COLL_MIN_PAIR,
+    min_uni: int = COLL_MIN_UNI,
+    doc_rel: str = "documents",
+) -> str:
+    """Oracle twin of collocations_topk: identical counts, floors and
+    integer Dice; single global row_number (provably equal to the
+    two-phase salted form under the total (dice desc, w1, w2) order).
+    DuckDB traps handled: int32 literal products cast to bigint;
+    range(1, n) is end-exclusive so single-word docs drop naturally
+    (Spark needs the explicit size >= 2 guard)."""
+    return f"""
+with uni as (
+  select token, cast(count(*) as bigint) as cnt
+  from (select unnest(string_split(lower(text), ' ')) as token
+        from {doc_rel})
+  group by 1 having count(*) >= {min_uni}
+),
+bg as (
+  select split_part(bg, ' ', 1) as w1, split_part(bg, ' ', 2) as w2,
+         cast(count(*) as bigint) as c_pair
+  from (select unnest({bigrams_sql('duckdb', 'text')}) as bg
+        from {doc_rel})
+  group by 1, 2 having count(*) >= {min_pair}
+),
+scored as (
+  select b.w1, b.w2, b.c_pair, u1.cnt as c_w1, u2.cnt as c_w2,
+         cast((cast(2000000 as bigint) * b.c_pair)
+              // (u1.cnt + u2.cnt) as bigint) as dice_e6
+  from bg b
+  join uni u1 on u1.token = b.w1
+  join uni u2 on u2.token = b.w2
+)
+select cast(rank as bigint) as rank, w1, w2, c_pair, c_w1, c_w2, dice_e6
+from (
+  select *, row_number() over (order by dice_e6 desc, w1 asc, w2 asc)
+            as rank
+  from scored
+) where rank <= {k}
+"""
+
+
+WRS_TOPK = 8
+WRS_SALT = 29
+WRS_NSALT = 32
+
+
+def weighted_sample_topk(
+    docs: DataFrame,
+    k: int = WRS_TOPK,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_salt: int = WRS_NSALT,
+) -> DataFrame:
+    """Weight-proportional sampling WITHOUT replacement, k docs per
+    group (Efraimidis & Spirakis 2006 A-Res) -> (lang, rank, doc_id,
+    weight, key_fp). The training-data primitive mix_sample cannot
+    express: mix_sample keeps each doc independently (Bernoulli, size
+    varies); this draws EXACTLY k per group with inclusion probability
+    proportional to doc token count — the standard token-budgeted
+    exemplar pick.
+
+    A-Res keys: keep the k largest u_i^(1/w_i) <=> the k SMALLEST
+    E_i = -log2(u_i)/w_i. u_i is the frozen portable hash of the doc id
+    mapped to (0, 1] (hn(id, salt)+1)/M, and -log2 is the fixed-point
+    integer log2 (functions/intmath, FRAC_BITS fractional bits) — so
+    the key is key_fp = ((LOG2M_FP - log2fp(h+1)) << 20) div w, pure
+    int64, identical in Spark / DuckDB / Python. Resolution note:
+    2^-FRAC_BITS log quantization makes near-tied keys collide; the
+    (key_fp, doc_id) order is still total, and the weighting error is
+    bounded by the quantization step, not by tie-break luck.
+
+    Scale shape: the log2fp digit recurrence is FRAC_BITS chained
+    codegen projections (zero Python, no Arrow hop); per-group top-k is
+    the two-phase salted window (pre-rank per hash(id) % n_salt shard,
+    final window over <= k * n_salt survivors per group), so a group
+    with 10^10 docs never funnels through one reducer. int64 bounds:
+    key numerator < 2^37; weight >= 1 enforced via greatest()."""
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import sql_hn
+    from ..functions.intmath import LOG2M_FP, spark_log2fp_cols
+
+    base = docs.select(
+        F.col(group_col).alias("lang"),
+        F.col(id_col).alias("doc_id"),
+        F.expr(
+            f"greatest(cast(size(split(lower({text_col}), ' ')) as bigint),"
+            " cast(1 as bigint))"
+        ).alias("weight"),
+        F.expr(f"{sql_hn('doc_id', WRS_SALT)} + 1").alias("hu"),
+    )
+    base = spark_log2fp_cols(base, "hu", "l2h")
+    keyed = base.select(
+        "lang",
+        "doc_id",
+        "weight",
+        F.expr(
+            f"cast(shiftleft({LOG2M_FP} - l2h, 20) div weight as bigint)"
+        ).alias("key_fp"),
+    )
+    order = [F.asc("key_fp"), F.asc("doc_id")]
+    w_shard = W.partitionBy(
+        "lang", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt))
+    ).orderBy(*order)
+    w_final = W.partitionBy("lang").orderBy(*order)
+    return (
+        keyed.withColumn("prk", F.row_number().over(w_shard))
+        .where(F.col("prk") <= k)
+        .withColumn("rank", F.row_number().over(w_final))
+        .where(F.col("rank") <= k)
+        .select(
+            "lang",
+            F.col("rank").cast("bigint").alias("rank"),
+            "doc_id", "weight", "key_fp",
+        )
+    )
+
+
+def duck_weighted_sample_sql(
+    k: int = WRS_TOPK, doc_rel: str = "documents"
+) -> str:
+    """Oracle twin of weighted_sample_topk: same hash draw, same
+    fixed-point -log2 (list_reduce replay of the digit recurrence),
+    same floor-div key, single global per-group window."""
+    from ..functions.hashing import sql_hn
+    from ..functions.intmath import LOG2M_FP, duck_log2fp_expr
+
+    return f"""
+with base as (
+  select lang, doc_id,
+         greatest(cast(len(string_split(lower(text), ' ')) as bigint),
+                  cast(1 as bigint)) as weight,
+         ({sql_hn('doc_id', WRS_SALT)}) + 1 as hu
+  from {doc_rel}
+),
+keyed as (
+  select lang, doc_id, weight,
+         cast(((cast({LOG2M_FP} as bigint) - {duck_log2fp_expr('hu')})
+               << 20) // weight as bigint) as key_fp
+  from base
+)
+select lang, cast(rank as bigint) as rank, doc_id, weight, key_fp
+from (
+  select *, row_number() over (partition by lang
+                               order by key_fp asc, doc_id asc) as rank
+  from keyed
+) where rank <= {k}
+"""

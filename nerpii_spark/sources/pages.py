@@ -733,6 +733,31 @@ join canon c on c.entity_type = 'PERSON' and c.k = s.k and c.rk = 1
 """
 
 
+def golden_triples_canonical_sql(
+    dialect_triples_sql: str, doc_rel: str = "documents"
+) -> str:
+    """(subj_canonical, pred, obj, n_assertions) ground truth for the
+    canonicalized KG export: planted PERSON-subject triples with the
+    subject surface resolved to its cluster canonical (same
+    normalization the linker applies), deduplicated with counts."""
+    return f"""
+{golden_entity_mentions_cte(doc_rel)}
+, pnorms as (
+  select distinct k, norm from counts where entity_type = 'PERSON'
+),
+res as (
+  select c.canonical as subj_canonical, gt.pred, gt.obj
+  from ({dialect_triples_sql}) gt
+  join pnorms p
+    on p.norm = lower(regexp_replace(trim(gt.subj), '\\s+', ' ', 'g'))
+  join canon c on c.entity_type = 'PERSON' and c.k = p.k and c.rk = 1
+)
+select subj_canonical, pred, obj,
+       cast(count(*) as bigint) as n_assertions
+from res group by 1, 2, 3
+"""
+
+
 def golden_resolved_persons_sql(doc_rel: str = "documents") -> str:
     """(doc_id, mention, canonical) for every planted PERSON mention."""
     return f"""

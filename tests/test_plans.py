@@ -657,3 +657,43 @@ def test_pq_topk_adc_scan_is_broadcast_joins(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" in plan  # the pandas_udf encoder
+
+
+def test_collocations_partial_aggs_no_python(spark):
+    """Collocation counts must map-side combine (partial HashAggregates
+    for both unigram and bigram counts) with zero Python and no
+    cartesian; the token split is pre-projected (the no-CSE rule), so
+    the whole pipeline is codegen."""
+    from nerpii_spark.operators.textstats import collocations_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(collocations_topk(docs))
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_sample_codegen_two_phase(spark):
+    """The fixed-point log2 digit recurrence must stay JVM-side (no
+    Python operators), and the per-group top-k must be the two-phase
+    salted form: two Window operators, the first partitioned by the
+    salt shard."""
+    from nerpii_spark.operators.textstats import weighted_sample_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(weighted_sample_topk(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Window") >= 2
+    assert "pmod" in plan  # the salt shard key
+
+
+def test_triple_typecheck_schema_broadcast(spark):
+    """The |RULES|-row schema table must broadcast; the vote joins are
+    vocabulary-keyed (never cartesian); no Python anywhere."""
+    from nerpii_spark.operators.extract import triple_typecheck
+
+    p = E._pipeline(spark, SF)
+    plan = _plan(triple_typecheck(p["triples"], p["mentions"]))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
