@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-150 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+152 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -106,6 +106,7 @@ from nerpii_spark.operators.mask import (
 from nerpii_spark.operators.profile import (
     column_profile,
     column_profile_sql,
+    duck_dp_noisy_counts_sql,
     duck_k_anonymity_sql,
 )
 from nerpii_spark.sources import pages as P
@@ -1083,6 +1084,50 @@ def q_sample_weighted(spark, sf):
     return TS.weighted_sample_topk(_load(spark, sf, "documents"))
 
 
+def q_hard_negatives(spark, sf):
+    """Semi-hard negative mining for contrastive training
+    (similarity.hard_negatives, the FaceNet band rule corpus-side):
+    per anchor the top-k neighbors with tau_min <= cos < tau_dup —
+    above the band is a near-dup (a positive in disguise), below it
+    the loss learns nothing. Broadcast anchor batch, band filter
+    BEFORE the rank window; quantized cosine so thresholds and
+    ranking replay exactly in the oracle."""
+    return SIM.hard_negatives(
+        _load(spark, sf, "embeddings"), "vec_id < 32", k=3
+    )
+
+
+def q_dp_counts(spark, sf):
+    """Noisy per-domain PII-mention release with discrete-Laplace
+    (two-sided geometric) noise (profile.dp_noisy_counts, the
+    Ghosh-Roughgarden-Sundararajan mechanism with seeded portable-hash
+    draws — the repo's determinism convention, oracle-replayable):
+    geometric inversion = e_fp div A_FP over the intmath fixed-point
+    log2, ~24 chained codegen projections on the already-aggregated
+    cell table, zero Python."""
+    from nerpii_spark.operators.profile import dp_noisy_counts
+
+    p = _pipeline(spark, sf)
+    per_doc = p["mentions"].groupBy("doc_id").agg(
+        F.count("*").alias("n_m")
+    )
+    counts = (
+        p["clean"]
+        .select(
+            "doc_id",
+            F.expr(TS.domain_expr("spark", "url")).alias("domain"),
+        )
+        .join(per_doc, "doc_id", "left")
+        .groupBy("domain")
+        .agg(
+            F.sum(F.coalesce(F.col("n_m"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_mentions")
+        )
+    )
+    return dp_noisy_counts(counts, "domain", "n_mentions")
+
+
 def q_pagerank_weighted(spark, sf):
     """WEIGHTED host PageRank (extract.pagerank_weighted): rank flows
     in proportion to link multiplicity n_links — the endorsement-volume
@@ -1918,6 +1963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank_weighted": q_pagerank_weighted,
         "q_triples_canonical": q_triples_canonical,
         "q_dedup_cluster_stats": q_dedup_cluster_stats,
+        "q_hard_negatives": q_hard_negatives,
+        "q_dp_counts": q_dp_counts,
         "q_kmeans": q_kmeans,
         "q_embed_kcenter": q_embed_kcenter,
         "q_host_reciprocity": q_host_reciprocity,
@@ -2260,6 +2307,19 @@ def oracle_sql() -> dict[str, str]:
             n_iter=3,
         ),
         "q_triples_canonical": P.golden_triples_canonical_sql(gt),
+        "q_hard_negatives": SIM.duck_hard_negatives_sql("vec_id < 32", k=3),
+        "q_dp_counts": duck_dp_noisy_counts_sql(
+            f"""
+            with pg as ({pages}),
+            pm as (select doc_id, count(*) as n_m from ({gm}) group by 1)
+            select {TS.domain_expr('duck', 'url')} as domain,
+                   cast(sum(coalesce(pm.n_m, 0)) as bigint) as n_mentions
+            from pg left join pm using (doc_id)
+            group by 1
+            """,
+            "domain",
+            "n_mentions",
+        ),
         "q_dedup_cluster_stats": f"""
             with surv as ({D.duck_near_dedup_survivors_sql(
                 f"select id_a, id_b from ({_exact_jaccard_sql()})")})

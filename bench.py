@@ -181,6 +181,8 @@ def main() -> int:
         "q_pagerank_weighted",
         "q_triples_canonical",
         "q_dedup_cluster_stats",
+        "q_hard_negatives",
+        "q_dp_counts",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

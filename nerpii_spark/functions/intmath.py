@@ -54,44 +54,45 @@ LOG2M_FP = log2fp(M)
 
 
 def spark_log2fp_cols(df, x_col: str, out_col: str):
-    """Append ``out_col = log2fp(x_col)`` via FRAC_BITS chained
-    projections — all int64 built-ins inside whole-stage codegen, zero
-    Python. Chained (not inlined) on purpose: each step reads the
-    previous mantissa twice (m*m), so a single collapsed expression
-    would double in size per step; as separate projections Catalyst
-    keeps them un-inlined (multi-referenced, non-cheap) and codegen
-    pipelines them."""
-    from pyspark.sql import functions as F
-
-    df = df.withColumn(
-        "_l2il", F.expr(f"cast(length(bin({x_col})) - 1 as bigint)")
-    ).withColumn(
-        "_l2m",
-        F.expr(
+    """Append ``out_col = log2fp(x_col)`` — all int64 built-ins inside
+    whole-stage codegen, zero Python. The FRAC_BITS-step recurrence is
+    emitted as ONE selectExpr whose steps reference each other through
+    LATERAL COLUMN ALIASES (Spark >= 3.4): one analyzer pass builds the
+    whole chain. Two alternatives both measured worse: chained
+    withColumn calls re-analyze the growing plan per call (~5.6 s of
+    DRIVER time per draw at 2 x (3 + 3*FRAC_BITS) calls — quadratic
+    analysis, 7x the actual execution), and inlining into one flat
+    expression doubles the tree per step (each step reads the previous
+    mantissa twice). Lateral aliases keep each step's mantissa a named,
+    multi-referenced column, so Catalyst neither re-analyzes nor
+    duplicates — codegen pipelines the resulting projection chain."""
+    exprs = [
+        f"cast(length(bin({x_col})) - 1 as bigint) as _l2il",
+        (
             f"case when _l2il <= 30 then"
             f" shiftleft({x_col}, cast(30 - _l2il as int))"
             f" else shiftright({x_col}, cast(_l2il - 30 as int)) end"
+            " as _l2m0"
         ),
-    ).withColumn("_l2f", F.lit(0).cast("bigint"))
-    for _ in range(FRAC_BITS):
-        df = (
-            df.withColumn("_l2m2", F.expr("shiftright(_l2m * _l2m, 30)"))
-            .withColumn(
-                "_l2f",
-                F.expr("_l2f * 2 + cast(_l2m2 >= 2147483648 as bigint)"),
-            )
-            .withColumn(
-                "_l2m",
-                F.expr(
-                    "case when _l2m2 >= 2147483648"
-                    " then shiftright(_l2m2, 1) else _l2m2 end"
-                ),
-            )
-            .drop("_l2m2")
-        )
-    return df.withColumn(
-        out_col, F.expr(f"_l2il * {FP_ONE} + _l2f")
-    ).drop("_l2il", "_l2m", "_l2f")
+        "cast(0 as bigint) as _l2f0",
+    ]
+    scratch = ["_l2il", "_l2m0", "_l2f0"]
+    for i in range(1, FRAC_BITS + 1):
+        p = i - 1
+        exprs += [
+            f"shiftright(_l2m{p} * _l2m{p}, 30) as _l2s{i}",
+            (
+                f"_l2f{p} * 2 + cast(_l2s{i} >= 2147483648 as bigint)"
+                f" as _l2f{i}"
+            ),
+            (
+                f"case when _l2s{i} >= 2147483648"
+                f" then shiftright(_l2s{i}, 1) else _l2s{i} end as _l2m{i}"
+            ),
+        ]
+        scratch += [f"_l2s{i}", f"_l2f{i}", f"_l2m{i}"]
+    exprs.append(f"_l2il * {FP_ONE} + _l2f{FRAC_BITS} as {out_col}")
+    return df.selectExpr("*", *exprs).drop(*scratch)
 
 
 def duck_log2fp_expr(x_expr: str) -> str:

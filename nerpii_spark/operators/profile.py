@@ -451,3 +451,112 @@ select {q},
        count(distinct {sensitive_expr}) >= {l_div} as l_diverse
 from {rel} group by {q}
 """
+
+
+# ---------------------------------------------------------------------------
+# differentially-private-style noisy count release (discrete Laplace)
+# ---------------------------------------------------------------------------
+
+DP_ALPHA_NUM, DP_ALPHA_DEN = 3, 4  # alpha = 3/4  =>  eps = ln(4/3)
+DP_SALT_POS, DP_SALT_NEG = 41, 43
+
+
+def _dp_a_fp() -> int:
+    """-log2(alpha) in the intmath fixed point: log2(den/num) =
+    log2fp(den * 2^28) - log2fp(num * 2^28) — pure integer constant, one
+    value shared by Spark / DuckDB / Python."""
+    from ..functions.intmath import log2fp
+
+    return log2fp(DP_ALPHA_DEN << 28) - log2fp(DP_ALPHA_NUM << 28)
+
+
+def dp_noisy_counts(
+    counts: DataFrame,
+    key_col: str,
+    cnt_col: str,
+    out_col: str = "n_noisy",
+) -> DataFrame:
+    """Noisy count release with DISCRETE LAPLACE (two-sided geometric)
+    noise -> (key, out_col): the mechanism behind differentially-private
+    histogram publication (Ghosh-Roughgarden-Sundararajan 2009: the
+    two-sided geometric is the universally optimal eps-DP mechanism for
+    counts; here alpha = DP_ALPHA_NUM/DEN, eps = -ln alpha). The
+    engine-convention caveat stated plainly: draws are SEEDED PORTABLE-
+    HASH pseudo-randomness keyed by the released cell (the repo's rule
+    for everything stochastic — deterministic, resumable, oracle-
+    replayable), so this is the DP *mechanism shape* with reproducible
+    draws, not a cryptographic noise source; swap the hash for a CSPRNG
+    at release time, same plan.
+
+    Sampling identity (pure intmath integers): a one-sided geometric
+    G ~ P(G >= k) = alpha^k inverts as G = floor(log2(u) / log2(alpha))
+    = e_fp div A_FP, with e_fp = -log2fp(hash-uniform) and A_FP =
+    -log2fp(alpha); noise = G_pos - G_neg from two salt-independent
+    draws; release = max(count + noise, 0) (post-processing clamp —
+    DP-safe). Scale shape: input is an already-aggregated count table
+    (one row per released cell); the noise is ~24 chained codegen
+    projections per row (two log2fp digit recurrences), zero Python,
+    zero shuffle, zero collect."""
+    from ..functions.hashing import sql_h2, sql_strhash
+    from ..functions.intmath import LOG2M_FP, spark_log2fp_cols
+
+    a_fp = _dp_a_fp()
+    df = counts.select(
+        F.col(key_col), F.col(cnt_col).cast("bigint").alias("_cnt")
+    )
+    # each draw chains h2 TWICE: two single-h2 draws differing only in
+    # salt are affine-correlated (the shared-slope trap hashing.py
+    # documents — their difference is (prev % 3037) * 194, ~0.03% of M,
+    # so G_pos - G_neg would be ~always 0); the second h2 breaks the
+    # shared slope and the draws decorrelate
+    for salt, ecol in ((DP_SALT_POS, "_e_pos"), (DP_SALT_NEG, "_e_neg")):
+        df = df.withColumn(
+            "_hu",
+            F.expr(
+                f"{sql_h2(sql_h2(sql_strhash(key_col), salt), salt + 2)}"
+                " + 1"
+            ),
+        )
+        df = spark_log2fp_cols(df, "_hu", "_l2")
+        df = df.withColumn(
+            ecol, F.expr(f"cast({LOG2M_FP} - _l2 as bigint)")
+        ).drop("_hu", "_l2")
+    return df.select(
+        key_col,
+        F.expr(
+            f"greatest(_cnt + _e_pos div {a_fp} - _e_neg div {a_fp},"
+            f" cast(0 as bigint))"
+        ).alias(out_col),
+    )
+
+
+def duck_dp_noisy_counts_sql(
+    counts_sql: str, key_col: str, cnt_col: str, out_col: str = "n_noisy"
+) -> str:
+    """Oracle twin of dp_noisy_counts: same hash draws, same fixed-point
+    log2 replay, same floor-div geometric inversion and clamp."""
+    from ..functions.hashing import sql_h2, sql_strhash
+    from ..functions.intmath import LOG2M_FP, duck_log2fp_expr
+
+    a_fp = _dp_a_fp()
+    hp = (
+        f"({sql_h2(sql_h2(sql_strhash(key_col), DP_SALT_POS), DP_SALT_POS + 2)}"
+        " + 1)"
+    )
+    hn_ = (
+        f"({sql_h2(sql_h2(sql_strhash(key_col), DP_SALT_NEG), DP_SALT_NEG + 2)}"
+        " + 1)"
+    )
+    return f"""
+with base as ({counts_sql}),
+noise as (
+  select {key_col}, cast({cnt_col} as bigint) as cnt,
+         cast({LOG2M_FP} - {duck_log2fp_expr(hp)} as bigint) as e_pos,
+         cast({LOG2M_FP} - {duck_log2fp_expr(hn_)} as bigint) as e_neg
+  from base
+)
+select {key_col},
+       greatest(cnt + e_pos // {a_fp} - e_neg // {a_fp},
+                cast(0 as bigint)) as {out_col}
+from noise
+"""

@@ -1031,3 +1031,95 @@ select query_id, cast(rank as bigint) as rank, neighbor_id, dist from (
 ) where rank <= {k}
 """
     )
+
+
+HARD_NEG_K = 3
+HARD_NEG_TAU_MIN = 0.30
+
+
+def hard_negatives(
+    embs: DataFrame,
+    query_pred: str,
+    k: int = HARD_NEG_K,
+    tau_dup: float = DUP_TAU,
+    tau_min: float = HARD_NEG_TAU_MIN,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semi-hard negative mining for contrastive training ->
+    (query_id, rank, neighbor_id, cos): per anchor, the k MOST similar
+    vectors inside the band tau_min <= cos < tau_dup. The band is the
+    point (Schroff 2015 FaceNet's semi-hard rule, applied corpus-side):
+    cos >= tau_dup is the near-duplicate regime — a positive in
+    disguise that poisons the loss (that band belongs to
+    embedding_dup_pairs), and cos < tau_min is an easy negative the
+    margin loss learns nothing from. What survives is exactly the
+    negatives that move the model.
+
+    Scale shape: identical to cosine_topk — the anchor set broadcasts
+    into one corpus pass (anchors are a mining BATCH by construction,
+    never the corpus), norms precomputed once per row (with_norm), and
+    the BAND FILTER runs before the rank window so per-anchor window
+    state is band-sized, not corpus-sized. For corpus-x-corpus mining
+    swap the candidate leg for the LSH/IVF/PQ shortlists — same band +
+    window tail. Quantized (6 dp) cosine makes both thresholds and the
+    ranking engine-exact, so the oracle replays the mine bit-for-bit."""
+    q = with_norm(
+        embs.where(F.expr(query_pred)).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        "qv", "qn",
+    )
+    c = with_norm(
+        embs.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        "cv", "cn",
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.expr(cosine_expr("qv", "cv", "qn", "cn")))
+        .where(
+            (F.col("cos") >= F.lit(tau_min))
+            & (F.col("cos") < F.lit(tau_dup))
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def duck_hard_negatives_sql(
+    query_pred: str,
+    k: int = HARD_NEG_K,
+    tau_dup: float = DUP_TAU,
+    tau_min: float = HARD_NEG_TAU_MIN,
+) -> str:
+    """Oracle twin of hard_negatives over the `embeddings` view: same
+    quantized cosine, same band, same total order."""
+    return f"""
+with q as (select vec_id as query_id, embedding::DOUBLE[] as qv
+           from embeddings where {query_pred}),
+c as (select vec_id as neighbor_id, embedding::DOUBLE[] as cv
+      from embeddings),
+scored as (
+  select query_id, neighbor_id,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+               6) as cos
+  from q join c on query_id <> neighbor_id
+),
+banded as (
+  select * from scored where cos >= {tau_min} and cos < {tau_dup}
+),
+ranked as (
+  select query_id, neighbor_id, cos,
+         row_number() over (partition by query_id
+                            order by cos desc, neighbor_id asc) as rank
+  from banded
+)
+select query_id, rank, neighbor_id, cos from ranked where rank <= {k}
+"""

@@ -196,6 +196,88 @@ class TableCatalog:
         }
 
 
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        name: str,
+        changes: DataFrame,
+        key_cols: tuple[str, ...],
+        op_col: str = "op",
+        seq_col: str | None = None,
+    ) -> dict:
+        """MERGE INTO for the parquet-shaped catalog (the Iceberg
+        MERGE / Delta upsert maintenance op — same config-swap story):
+        apply a CDC change batch to `name`, keyed by `key_cols`.
+        `changes` carries the base schema plus `op_col` in
+        {'upsert','delete'} and optionally `seq_col` (a monotonically
+        increasing change sequence); when a batch holds several changes
+        for one key, the HIGHEST seq wins (max_by — deterministic), the
+        standard CDC compaction rule.
+
+        Scale shape: one map-side-combined per-key latest-change agg
+        over the (delta-sized) batch, one key-hash LEFT ANTI join
+        dropping every base row the batch touches (the only
+        corpus-sized exchange; the batch side is the small build side),
+        one unionByName with the surviving upserts. The rewrite lands
+        in a temp dir first, then two directory renames — the compact()
+        swap discipline (an Iceberg/Delta snapshot commit is the atomic
+        config-swap target; stale temp dirs are cleaned on entry).
+        Refuses catalog-backed (bucketed) tables for compact()'s
+        reason. Returns {rows_before, rows_after, n_upserts,
+        n_deletes}. Re-applying the same batch is idempotent (asserted
+        in tests/test_catalog.py)."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        if spark.catalog.tableExists(self._ident(name)):
+            raise ValueError(
+                f"{name!r} is catalog-backed (bucketed); merge would"
+                " orphan its bucket metadata — rewrite via a"
+                " bucket-preserving write_bucketed instead"
+            )
+        path = self.path(name)
+        tmp = path + ".__merge__"
+        old = path + ".__old__"
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)
+        for stale in (tmp, old):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        base = spark.read.parquet(path)
+        ch = changes
+        if seq_col is not None:
+            rest = [c for c in ch.columns if c not in key_cols]
+            ch = (
+                ch.groupBy(*key_cols)
+                .agg(
+                    F.max_by(
+                        F.struct(*rest), F.col(seq_col)
+                    ).alias("_latest")
+                )
+                .select(*key_cols, "_latest.*")
+            )
+            ch = ch.drop(seq_col)
+        upserts = ch.where(F.col(op_col) == "upsert").drop(op_col)
+        n_up = upserts.count()
+        n_del = ch.where(F.col(op_col) == "delete").count()
+        keys = ch.select(*key_cols).distinct()
+        kept = base.join(keys, list(key_cols), "left_anti")
+        out = kept.unionByName(upserts.select(*base.columns))
+        rows_before = base.count()
+        out.write.mode("overwrite").parquet(tmp)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        rows_after = spark.read.parquet(path).count()
+        return {
+            "rows_before": rows_before,
+            "rows_after": rows_after,
+            "n_upserts": n_up,
+            "n_deletes": n_del,
+        }
+
+
 def load_table(spark: SparkSession, source) -> DataFrame:
     """Reference O1 input coercion (named_entity_recognizer.py:310-311,
     faker_generator.py:78-79): accept a DataFrame as-is, or a path —

@@ -176,3 +176,58 @@ def test_compact_recovers_from_crashed_swap(spark, tmp_path):
     assert spark.read.parquet(path).count() == 1000
     assert not os.path.exists(path + ".__old__")
     assert not os.path.exists(path + ".__compact__")
+
+
+def test_merge_upsert_insert_update_delete(spark, tmp_path):
+    from nerpii_spark.sources.catalog import TableCatalog
+
+    cat = TableCatalog(root=str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    base.write.parquet(cat.path("m"))
+    changes = spark.createDataFrame(
+        [(2, "B", "upsert"), (3, None, "delete"), (4, "d", "upsert")],
+        "id long, v string, op string",
+    )
+    stats = cat.merge_upsert(spark, "m", changes, ("id",))
+    assert stats == {
+        "rows_before": 3, "rows_after": 3, "n_upserts": 2, "n_deletes": 1,
+    }
+    got = {
+        (r["id"], r["v"]) for r in spark.read.parquet(cat.path("m")).collect()
+    }
+    assert got == {(1, "a"), (2, "B"), (4, "d")}
+    # idempotent: re-applying the same batch changes nothing
+    stats2 = cat.merge_upsert(spark, "m", changes, ("id",))
+    assert stats2["rows_after"] == 3
+    got2 = {
+        (r["id"], r["v"]) for r in spark.read.parquet(cat.path("m")).collect()
+    }
+    assert got2 == got
+
+
+def test_merge_upsert_latest_seq_wins(spark, tmp_path):
+    from nerpii_spark.sources.catalog import TableCatalog
+
+    cat = TableCatalog(root=str(tmp_path))
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(
+        cat.path("ms")
+    )
+    # three changes for one key in one batch: seq 30 (a delete) wins
+    changes = spark.createDataFrame(
+        [
+            (1, "x", "upsert", 10),
+            (1, "y", "upsert", 20),
+            (1, None, "delete", 30),
+            (2, "z", "upsert", 5),
+        ],
+        "id long, v string, op string, seq long",
+    )
+    stats = cat.merge_upsert(spark, "ms", changes, ("id",), seq_col="seq")
+    assert stats["rows_after"] == 1 and stats["n_deletes"] == 1
+    got = {
+        (r["id"], r["v"])
+        for r in spark.read.parquet(cat.path("ms")).collect()
+    }
+    assert got == {(2, "z")}

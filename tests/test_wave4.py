@@ -283,3 +283,56 @@ def test_triples_canonical_folds_aliases(spark, tmp_path):
         .count()
     )
     assert out.select("subj_canonical").distinct().count() <= n_surfaces
+
+
+def test_hard_negatives_band(spark):
+    from nerpii_spark.operators.similarity import hard_negatives
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),         # anchor
+        (1, [0.999, 0.01, 0.0, 0.0]),      # near-dup: excluded (>= tau_dup)
+        (2, [0.8, 0.6, 0.0, 0.0]),         # semi-hard cos 0.8
+        (3, [0.6, 0.8, 0.0, 0.0]),         # semi-hard cos 0.6
+        (4, [0.1, 0.99, 0.0, 0.0]),        # easy: cos ~0.1 < tau_min
+        (5, [0.0, 0.0, 1.0, 0.0]),         # orthogonal
+    ]
+    embs = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    )
+    out = hard_negatives(embs, "vec_id = 0", k=3).collect()
+    picked = [(r["rank"], r["neighbor_id"]) for r in out]
+    assert picked == [(1, 2), (2, 3)]
+    for r in out:
+        assert 0.30 <= r["cos"] < 0.95
+
+
+def test_dp_counts_mirror_and_clamp(spark):
+    from nerpii_spark.functions.hashing import h2, strhash
+    from nerpii_spark.operators.profile import (
+        DP_SALT_NEG,
+        DP_SALT_POS,
+        _dp_a_fp,
+        dp_noisy_counts,
+    )
+
+    a_fp = _dp_a_fp()
+
+    def mirror(key, cnt):
+        es = []
+        for salt in (DP_SALT_POS, DP_SALT_NEG):
+            hu = h2(h2(strhash(key), salt), salt + 2) + 1
+            es.append(LOG2M_FP - log2fp(hu))
+        return max(cnt + es[0] // a_fp - es[1] // a_fp, 0)
+
+    rows = [(f"site{i}.example", i % 7) for i in range(200)]
+    counts = spark.createDataFrame(rows, "domain string, n long")
+    got = {
+        r["domain"]: r["n_noisy"]
+        for r in dp_noisy_counts(counts, "domain", "n").collect()
+    }
+    exp = {k: mirror(k, c) for k, c in rows}
+    assert got == exp
+    # the mechanism is alive: some cells move, none go negative
+    moved = sum(1 for (k, c) in rows if got[k] != c)
+    assert moved > 20
+    assert all(v >= 0 for v in got.values())
