@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-152 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+159 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -65,6 +65,8 @@ from nerpii_spark.operators.extract import (
     kg_triangles,
     neighbor_sample,
     pagerank,
+    rule_mining,
+    duck_rule_mining_sql,
     topk_objs_per_pred,
     triple_support,
     duck_triple_support_sql,
@@ -1946,8 +1948,80 @@ def q_tpch_volume(spark, sf):
     )
 
 
+def q_events_anomaly(spark, sf):
+    """Per-user k-sigma spike detection over the event log
+    (events.anomaly_events): the test multiplies through by n^2 so
+    (n*v - S1)^2 > k^2*(n*S2 - S1^2) is pure-bigint — no sqrt, no
+    float variance, engine-exact. ONE shuffle on user_id; the
+    whole-partition window computes the sufficient statistics in the
+    same pass that filters."""
+    return EV.anomaly_events(_load(spark, sf, "events"))
+
+
+def q_events_funnel(spark, sf):
+    """Ordered view->click->purchase funnel (events.funnel): one
+    exchange on user_id, three whole-partition window minima reusing
+    it, 1-row conditional-count rollup with integer conversion rates.
+    Timestamps are only compared, never converted — tz-pin-free."""
+    return EV.funnel(_load(spark, sf, "events"))
+
+
+def q_rule_mining(spark, sf):
+    """AMIE-style horn-rule mining over the extracted triples
+    (extract.rule_mining): pair rules p1(x,y)=>p2(x,y) and path rules
+    p1(x,y)&p2(y,z)=>p3(x,z) scored support / conf_e6 over distinct
+    facts. On the planted corpus the miner recovers EXACTLY the
+    planted inference rule works_at & located_in => lives_in (and
+    nothing else) — certified because the oracle recomputes the rule
+    scores from the golden triple truth."""
+    return rule_mining(_pipeline(spark, sf)["triples"])
+
+
+def q_bowtie(spark, sf):
+    """Broder-2000 bow-tie decomposition of the host graph
+    (webgraph.bowtie): seed = top in-degree host with >= 1 out-edge,
+    two bounded BFS reaches (forward / backward), core = F ∩ B. The
+    planted corpus' directed site chain is adversarial (depth-bounded
+    core — documented at the operator); the crafted-graph pytest shows
+    the full anatomy."""
+    return WG.bowtie(_pipeline(spark, sf)["pages"])
+
+
+def q_url_templates(spark, sf):
+    """Crawler-trap / infinite-space detection (textstats.url_templates):
+    URL paths fold id segments (hex->H, digits->N) into per-host
+    templates with distinct-URL counts — pure codegen regex + ONE
+    map-side-combined agg."""
+    return TS.url_templates(_pipeline(spark, sf)["pages"])
+
+
+def q_host_templates(spark, sf):
+    """Per-host template-line discovery (dedup.host_templates): a line
+    in >= 80% of a host's pages (>= 2 pages) is that host's
+    boilerplate — the host-local complement of q_dedup_lines' global
+    df cap; integer ratio test, line identity = md5 shared with the
+    exact-dedup family."""
+    return D.host_templates(_pipeline(spark, sf)["pages"])
+
+
+def q_powerlaw_alpha(spark, sf):
+    """Hill MLE power-law exponent of the host in-degree tail
+    (webgraph.powerlaw_alpha): ln(d/dmin) in bit-exact integer
+    fixed-point (functions/intmath log2fp), ln2 as 693147/1e6 with an
+    overflow-ordered two-stage division; ONE global agg row."""
+    return WG.powerlaw_alpha(_pipeline(spark, sf)["pages"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # r3 wave-4 (newest, no driver row yet):
+        "q_events_anomaly": q_events_anomaly,
+        "q_events_funnel": q_events_funnel,
+        "q_rule_mining": q_rule_mining,
+        "q_bowtie": q_bowtie,
+        "q_url_templates": q_url_templates,
+        "q_host_templates": q_host_templates,
+        "q_powerlaw_alpha": q_powerlaw_alpha,
         # Ordered for driver certification (VERDICT r2 #3): the
         # driver samples ~50 queries per round, so entries with NO
         # driver row yet lead — the r3 wave-3 additions first (newest,
@@ -2276,6 +2350,13 @@ def oracle_sql() -> dict[str, str]:
     female = G.sql_str_list([n.lower() for n in G.FIRST_FEMALE])
     male = G.sql_str_list([n.lower() for n in G.FIRST_MALE])
     return {
+        "q_events_anomaly": EV.duck_anomaly_sql(),
+        "q_events_funnel": EV.duck_funnel_sql(),
+        "q_rule_mining": duck_rule_mining_sql(gt),
+        "q_bowtie": WG.duck_bowtie_sql(pages),
+        "q_url_templates": TS.duck_url_templates_sql(pages),
+        "q_host_templates": D.duck_host_templates_sql(pages),
+        "q_powerlaw_alpha": WG.duck_powerlaw_alpha_sql(pages),
         "q_clean_text": f"select doc_id, text from ({pages})",
         "q_detect_mentions": gm,
         "q_mentions_by_type": (

@@ -1540,3 +1540,122 @@ def cluster_size_stats(survivors: DataFrame) -> DataFrame:
             F.max("n_members").cast("bigint").alias("max_size"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-host template-line discovery (host-local boilerplate)
+# ---------------------------------------------------------------------------
+
+TEMPLATE_RATIO_MILLI = 800  # line must appear in >= 80% of host's pages
+TEMPLATE_MIN_PAGES = 2
+
+
+def host_templates(
+    pages: DataFrame,
+    ratio_milli: int = TEMPLATE_RATIO_MILLI,
+    min_pages: int = TEMPLATE_MIN_PAGES,
+    html_col: str = "html",
+) -> DataFrame:
+    """Per-host template-line discovery -> (host, line, n_docs,
+    host_pages, df_milli): a line is a TEMPLATE of its host when it
+    appears in >= ratio_milli/1000 of the host's pages (hosts with
+    fewer than min_pages pages are skipped — one page proves nothing).
+    This is the host-local complement of the corpus-global df-cap in
+    `line_dedup`: production boilerplate removal keys on the host,
+    because nav bars / footers / cookie banners are SITE templates —
+    a line ubiquitous on one host but rare globally (a boutique site's
+    own footer) is invisible to the global cap yet exactly what should
+    be stripped from that host's pages before training.
+
+    Segmentation and identity are shared with line_dedup
+    (LINE_SPLIT_RE, md5), so the two strategies are comparable
+    line-for-line. The threshold is an integer ratio test
+    (1000 * n_docs >= ratio_milli * host_pages) — no float division,
+    so Spark and DuckDB agree exactly.
+
+    Scale shape: one explode -> ONE map-side-combined groupBy on
+    (host, line-digest) carrying the line text via max(seg) (partial
+    state = one text per distinct (host, line) per task — the distinct
+    template-candidate set, which IS the output's information; nothing
+    corpus-sized shuffles with text attached twice). Host page counts
+    are a second map-side agg on the pages table, host-keyed join onto
+    the aggregated (not corpus-sized) candidate table. The template
+    head that survives the ratio filter is site-count-sized.
+    """
+    segs = (
+        pages.select(
+            "doc_id",
+            F.regexp_extract("url", "https?://([^/]+)", 1).alias("host"),
+            F.explode(
+                F.split(F.col(html_col).cast("string"), LINE_SPLIT_RE)
+            ).alias("seg"),
+        )
+        .withColumn("seg", F.trim("seg"))
+        .where(F.col("seg") != "")
+        .withColumn("k", F.md5("seg"))
+    )
+    cand = segs.groupBy("host", "k").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.max("seg").alias("line"),
+    )
+    hp = (
+        pages.select(
+            F.regexp_extract("url", "https?://([^/]+)", 1).alias("host"),
+            "doc_id",
+        )
+        .groupBy("host")
+        .agg(F.count_distinct("doc_id").cast("bigint").alias("host_pages"))
+        .where(F.col("host_pages") >= min_pages)
+    )
+    return (
+        cand.join(hp, "host")
+        .where(
+            F.lit(1000) * F.col("n_docs")
+            >= F.lit(ratio_milli) * F.col("host_pages")
+        )
+        .select(
+            "host", "line", "n_docs", "host_pages",
+            F.expr("(1000 * n_docs) div host_pages").alias("df_milli"),
+        )
+    )
+
+
+def duck_host_templates_sql(
+    pages_sql_duck: str,
+    ratio_milli: int = TEMPLATE_RATIO_MILLI,
+    min_pages: int = TEMPLATE_MIN_PAGES,
+) -> str:
+    """DuckDB twin of :func:`host_templates` (html rebuilt inline, same
+    regex/threshold arithmetic; max(seg) is deterministic because k is
+    md5(seg) — one k, one seg)."""
+    from ..sources.pages import html_expr
+
+    return f"""
+with p as (
+  select doc_id,
+         regexp_extract(url, 'https?://([^/]+)', 1) as host,
+         {html_expr('duck', 'text', 'doc_id')} as html
+  from ({pages_sql_duck})
+),
+segs as (
+  select doc_id, host, seg, md5(seg) as k from (
+    select doc_id, host,
+           trim(unnest(string_split_regex(html, '{LINE_SPLIT_RE}'))) as seg
+    from p
+  ) where seg <> ''
+),
+cand as (
+  select host, k, cast(count(distinct doc_id) as bigint) as n_docs,
+         max(seg) as line
+  from segs group by 1, 2
+),
+hp as (
+  select host, cast(count(distinct doc_id) as bigint) as host_pages
+  from p group by 1
+  having count(distinct doc_id) >= {min_pages}
+)
+select cand.host, line, n_docs, host_pages,
+       (1000 * n_docs) // host_pages as df_milli
+from cand join hp on cand.host = hp.host
+where 1000 * n_docs >= {ratio_milli} * host_pages
+"""

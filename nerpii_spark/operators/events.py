@@ -243,3 +243,205 @@ c as (
 select {group_col}, cast(max(tot) as bigint) as n, {picks}
 from c group by 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Integer z-score spike detection (per-user anomaly flagging)
+# ---------------------------------------------------------------------------
+
+def anomaly_events(
+    events: DataFrame,
+    k: int = 3,
+    min_n: int = 8,
+) -> DataFrame:
+    """Per-user spike detection: flag events whose value deviates from
+    the user's mean by more than ``k`` standard deviations — the
+    event-log outlier report (fraud / telemetry-glitch triage), done
+    with INTEGER sufficient statistics and no sqrt.
+
+    The k-sigma test `(v - mean)^2 > k^2 * var` multiplies through by
+    n^2 to stay in bigint::
+
+        (n*v - S1)^2  >  k^2 * (n*S2 - S1^2)
+
+    with v = cents-quantized value, S1 = sum(v), S2 = sum(v^2), n =
+    count per user. Both sides are exact integers, so Spark and DuckDB
+    agree bit-for-bit (no float variance, no libm).
+
+    Scale shape: ONE shuffle on user_id — the whole-partition window
+    computes (n, S1, S2) in the same pass that evaluates the filter; no
+    groupBy + join-back (that shape shuffles the event stream twice).
+    user_id is uniform high-cardinality, so no hot partition. Overflow
+    bound (documented, asserted nowhere cheaper): |n*v| < 3e9 keeps the
+    squared term in int64 — at 1e9 events/user re-quantize to coarser
+    units or window the stats by time first.
+
+    Users with fewer than ``min_n`` events are skipped (a 2-event user
+    flags everything; variance needs support).
+    """
+    v = F.expr("cast(round(value * 100) as bigint)")
+    w = W.partitionBy("user_id")
+    df = events.select(
+        "event_id", "user_id", v.alias("value_c"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(v).over(w).alias("s1"),
+        F.sum(v * v).over(w).alias("s2"),
+    )
+    dev = df.n * df.value_c - df.s1
+    lhs = dev * dev
+    rhs = F.lit(k * k) * (df.n * df.s2 - df.s1 * df.s1)
+    return (
+        df.where((F.col("n") >= min_n) & (lhs > rhs))
+        .select(
+            "event_id", "user_id", "value_c",
+            F.col("n").cast("bigint").alias("n"),
+            lhs.cast("bigint").alias("dev2"),
+            rhs.cast("bigint").alias("thr2"),
+        )
+    )
+
+
+def duck_anomaly_sql(
+    k: int = 3, min_n: int = 8, rel: str = "events"
+) -> str:
+    """DuckDB twin of :func:`anomaly_events` (same integer algebra;
+    sum(bigint) -> HUGEINT, so every aggregate is cast back)."""
+    return f"""
+with s as (
+  select event_id, user_id,
+         cast(round(value * 100) as bigint) as value_c,
+         cast(count(*) over w as bigint) as n,
+         cast(sum(cast(round(value * 100) as bigint)) over w
+              as bigint) as s1,
+         cast(sum(cast(round(value * 100) as bigint)
+                  * cast(round(value * 100) as bigint)) over w
+              as bigint) as s2
+  from {rel}
+  window w as (partition by user_id)
+)
+select event_id, user_id, value_c, n,
+       cast((n * value_c - s1) * (n * value_c - s1) as bigint) as dev2,
+       cast({k * k} * (n * s2 - s1 * s1) as bigint) as thr2
+from s
+where n >= {min_n}
+  and (n * value_c - s1) * (n * value_c - s1)
+      > {k * k} * (n * s2 - s1 * s1)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel analysis (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel(
+    events: DataFrame,
+    stages: tuple[str, str, str] = FUNNEL_STAGES,
+) -> DataFrame:
+    """Ordered three-stage funnel -> ONE row (n_users, n_s1, n_s2,
+    n_s3, conv2_milli, conv3_milli): a user completes stage k when a
+    stage-k event exists STRICTLY AFTER their first completion of
+    stage k-1 (the classic product-analytics funnel; strictly-after is
+    the documented tie rule — a click at the exact first-view
+    timestamp did not follow it).
+
+    Time handling: timestamps are only ever COMPARED (never converted
+    to epoch), so TIMESTAMP_NTZ is timezone-pin-independent here — the
+    layout.py field-extraction caveat does not arise.
+
+    Scale shape: ONE exchange on user_id; the three stage resolutions
+    are whole-partition window minima over that same partitioning
+    (Catalyst plans one Exchange, three Window ops that reuse it), the
+    per-user collapse reuses it again, and the funnel itself is a
+    1-row global conditional-count agg. No self-joins, no join-back of
+    an agg table, no Python. user_id is uniform high-cardinality."""
+    s1, s2, s3 = stages
+    w = W.partitionBy("user_id")
+    d1 = events.select(
+        "user_id", "event_type", "ts",
+        F.min(F.when(F.col("event_type") == s1, F.col("ts")))
+        .over(w).alias("f1"),
+    )
+    d2 = d1.select(
+        "*",
+        F.min(
+            F.when(
+                (F.col("event_type") == s2) & (F.col("ts") > F.col("f1")),
+                F.col("ts"),
+            )
+        ).over(w).alias("f2"),
+    )
+    d3 = d2.select(
+        "*",
+        F.min(
+            F.when(
+                (F.col("event_type") == s3) & (F.col("ts") > F.col("f2")),
+                F.col("ts"),
+            )
+        ).over(w).alias("f3"),
+    )
+    per_user = d3.groupBy("user_id").agg(
+        F.max("f1").alias("f1"), F.max("f2").alias("f2"),
+        F.max("f3").alias("f3"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count("f1").cast("bigint").alias("n_s1"),
+        F.count("f2").cast("bigint").alias("n_s2"),
+        F.count("f3").cast("bigint").alias("n_s3"),
+    ).select(
+        "*",
+        F.expr(
+            "case when n_s1 > 0 then (1000 * n_s2) div n_s1"
+            " else cast(null as bigint) end"
+        ).alias("conv2_milli"),
+        F.expr(
+            "case when n_s2 > 0 then (1000 * n_s3) div n_s2"
+            " else cast(null as bigint) end"
+        ).alias("conv3_milli"),
+    )
+
+
+def duck_funnel_sql(
+    stages: tuple[str, str, str] = FUNNEL_STAGES, rel: str = "events"
+) -> str:
+    """DuckDB twin of :func:`funnel` — the window chain as chained
+    CTEs (window calls cannot nest)."""
+    s1, s2, s3 = stages
+    return f"""
+with d1 as (
+  select user_id, event_type, ts,
+         min(case when event_type = '{s1}' then ts end)
+           over (partition by user_id) as f1
+  from {rel}
+),
+d2 as (
+  select *, min(case when event_type = '{s2}' and ts > f1 then ts end)
+              over (partition by user_id) as f2
+  from d1
+),
+d3 as (
+  select *, min(case when event_type = '{s3}' and ts > f2 then ts end)
+              over (partition by user_id) as f3
+  from d2
+),
+pu as (
+  select user_id, max(f1) as f1, max(f2) as f2, max(f3) as f3
+  from d3 group by 1
+),
+agg as (
+  select cast(count(*) as bigint) as n_users,
+         cast(count(f1) as bigint) as n_s1,
+         cast(count(f2) as bigint) as n_s2,
+         cast(count(f3) as bigint) as n_s3
+  from pu
+)
+select *,
+       case when n_s1 > 0 then (1000 * n_s2) // n_s1
+            else cast(null as bigint) end as conv2_milli,
+       case when n_s2 > 0 then (1000 * n_s3) // n_s2
+            else cast(null as bigint) end as conv3_milli
+from agg
+"""

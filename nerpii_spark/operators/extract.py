@@ -1378,3 +1378,154 @@ r{i} as materialized (
         head + "," + ",".join(steps)
         + f"\nselect node, rank as rank_e12 from r{n_iter}"
     )
+
+
+def rule_mining(triples: DataFrame, min_support: int = 1) -> DataFrame:
+    """AMIE-style horn-rule mining over the triple table (Galarraga
+    2013): score every candidate rule of the two cheapest shapes
+
+      pair:  p1(x,y) => p2(x,y)                 (same-pair implication)
+      path:  p1(x,y) & p2(y,z) => p3(x,z)       (composition rule)
+
+    with support = |distinct entity pairs satisfying body AND head| and
+    PCA-less std confidence conf_e6 = 1e6 * support div n_body, where
+    n_body = |distinct pairs satisfying the body|. This is the KG
+    curation query that surfaces e.g. works_at(x,o) & located_in(o,c)
+    => lives_in(x,c) as an inference candidate with measured precision.
+
+    Scale shape: everything runs over `facts` = distinct (subj, pred,
+    obj) — corpus multiplicity collapses in ONE map-side-combined
+    distinct before any join (the two_hop_locations discipline). The
+    pair-rule self-join keys on (subj, obj) whose per-key fan-out is
+    bounded by |preds| (a vocabulary, not a corpus dimension). The
+    path-rule join keys on the bridge entity y; both sides are already
+    distinct so a Zipf-hot y (mega-employer) produces irreducible
+    output rows, not redundant work, and AQE's skew-join split shards
+    it. Body counts and head matches are map-side-combined aggs keyed
+    by (p1, p2[, p3]) — at most |preds|^3 result rows ever exist.
+
+    Output: rule_type, body1, body2 (NULL for pair rules), head,
+    support, n_body, conf_e6.
+    """
+    facts = triples.select("subj", "pred", "obj").distinct()
+
+    # --- pair rules -------------------------------------------------
+    f1 = facts.select(
+        F.col("subj").alias("x"), F.col("pred").alias("p1"),
+        F.col("obj").alias("y"),
+    )
+    f2 = facts.select(
+        F.col("subj").alias("x"), F.col("pred").alias("p2"),
+        F.col("obj").alias("y"),
+    )
+    pair_sup = (
+        f1.join(f2, ["x", "y"])
+        .where(F.col("p1") != F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    )
+    body_n = facts.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_body")
+    )
+    pair_rules = (
+        pair_sup.join(body_n, pair_sup.p1 == body_n.pred)
+        .select(
+            F.lit("pair").alias("rule_type"),
+            F.col("p1").alias("body1"),
+            F.lit(None).cast("string").alias("body2"),
+            F.col("p2").alias("head"),
+            "support", "n_body",
+            F.expr("(1000000 * support) div n_body").alias("conf_e6"),
+        )
+    )
+
+    # --- path rules -------------------------------------------------
+    b1 = facts.select(
+        F.col("subj").alias("x"), F.col("pred").alias("p1"),
+        F.col("obj").alias("y"),
+    )
+    b2 = facts.select(
+        F.col("subj").alias("y"), F.col("pred").alias("p2"),
+        F.col("obj").alias("z"),
+    )
+    bodies = b1.join(b2, "y").select("p1", "p2", "x", "z").distinct()
+    nb = bodies.groupBy("p1", "p2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_body")
+    )
+    heads = facts.select(
+        F.col("subj").alias("x"), F.col("pred").alias("p3"),
+        F.col("obj").alias("z"),
+    )
+    sup = (
+        bodies.join(heads, ["x", "z"])
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    )
+    path_rules = (
+        sup.join(nb, ["p1", "p2"])
+        .select(
+            F.lit("path").alias("rule_type"),
+            F.col("p1").alias("body1"),
+            F.col("p2").alias("body2"),
+            F.col("p3").alias("head"),
+            "support", "n_body",
+            F.expr("(1000000 * support) div n_body").alias("conf_e6"),
+        )
+    )
+    out = pair_rules.unionByName(path_rules)
+    return out.where(F.col("support") >= min_support)
+
+
+def duck_rule_mining_sql(triples_sql: str, min_support: int = 1) -> str:
+    """DuckDB twin of :func:`rule_mining` (integer div matches the
+    Spark bigint cast of 1e6*support/n_body only when that cast
+    truncates — both sides use explicit floor division semantics:
+    Spark's double-divide + bigint cast truncates toward zero, and all
+    quantities here are non-negative, so `//` agrees)."""
+    return f"""
+with facts as (
+  select distinct subj, pred, obj from ({triples_sql})
+),
+pair_sup as (
+  select f1.pred as p1, f2.pred as p2,
+         cast(count(*) as bigint) as support
+  from facts f1 join facts f2
+    on f1.subj = f2.subj and f1.obj = f2.obj and f1.pred <> f2.pred
+  group by 1, 2
+),
+body_n as (
+  select pred, cast(count(*) as bigint) as n_body
+  from facts group by 1
+),
+pair_rules as (
+  select 'pair' as rule_type, p1 as body1,
+         cast(null as varchar) as body2, p2 as head,
+         support, n_body,
+         cast((1000000 * support) // n_body as bigint) as conf_e6
+  from pair_sup join body_n on pair_sup.p1 = body_n.pred
+),
+bodies as (
+  select distinct b1.pred as p1, b2.pred as p2,
+                  b1.subj as x, b2.obj as z
+  from facts b1 join facts b2 on b1.obj = b2.subj
+),
+nb as (
+  select p1, p2, cast(count(*) as bigint) as n_body
+  from bodies group by 1, 2
+),
+sup as (
+  select b.p1, b.p2, h.pred as p3,
+         cast(count(*) as bigint) as support
+  from bodies b join facts h on b.x = h.subj and b.z = h.obj
+  group by 1, 2, 3
+),
+path_rules as (
+  select 'path' as rule_type, sup.p1 as body1, sup.p2 as body2,
+         p3 as head, support, nb.n_body,
+         cast((1000000 * support) // nb.n_body as bigint) as conf_e6
+  from sup join nb on sup.p1 = nb.p1 and sup.p2 = nb.p2
+)
+select * from pair_rules where support >= {min_support}
+union all
+select * from path_rules where support >= {min_support}
+"""

@@ -1502,3 +1502,84 @@ from (
   from keyed
 ) where rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# URL path templating (crawler-trap / infinite-space detection)
+# ---------------------------------------------------------------------------
+
+def _url_template_exprs(dialect: str, url_expr: str) -> tuple[str, str]:
+    """(host, path_template) SQL for both dialects. The template
+    collapses long hex ids to 'H' FIRST (session ids, content hashes —
+    they contain digits, so digit folding must not see them), then any
+    digit run to 'N'. Spark regexp_replace is replace-all by default;
+    DuckDB needs the 'g' flag."""
+    host = f"regexp_extract({url_expr}, 'https?://([^/]+)', 1)"
+    path = (
+        f"split_part(regexp_replace({url_expr},"
+        f" 'https?://[^/]+', ''), '?', 1)"
+    )
+    if dialect == "spark":
+        tmpl = (
+            f"regexp_replace(regexp_replace({path},"
+            f" '[0-9a-f]{{8,}}', 'H'), '[0-9]+', 'N')"
+        )
+    else:
+        tmpl = (
+            f"regexp_replace(regexp_replace({path},"
+            f" '[0-9a-f]{{8,}}', 'H', 'g'), '[0-9]+', 'N', 'g')"
+        )
+    return host, tmpl
+
+
+def url_templates(
+    pages: DataFrame,
+    url_col: str = "url",
+    trap_min_urls: int = 1000,
+) -> DataFrame:
+    """Per-host URL path templates -> (host, path_template, n_urls,
+    n_pages, is_trap): fold id-looking path segments (hex ids -> 'H',
+    digit runs -> 'N') and count how many distinct URLs each template
+    generates. A template generating unboundedly many URLs on one host
+    is the crawler-trap fingerprint (calendar pages, faceted search,
+    session-id explosions) — the report a crawl scheduler uses to cap
+    per-template fetch budgets, and a curation pass uses to drop
+    infinite-space URLs wholesale.
+
+    Scale shape: host/template are pure whole-stage-codegen regexes —
+    no Python, no explode; the only exchange is ONE map-side-combined
+    groupBy on (host, template) (count(distinct url) partials collapse
+    map-side too: within a template the distinct URL set is what it
+    is — irreducible output state, bounded per group by the trap cap a
+    real deployment would enforce upstream). Zipf-hot hosts shard
+    across templates; a genuinely hot (host, template) cell is exactly
+    the trap being detected.
+    """
+    host, tmpl = _url_template_exprs("spark", url_col)
+    return (
+        pages.select(
+            F.expr(host).alias("host"),
+            F.expr(tmpl).alias("path_template"),
+            F.col(url_col).alias("_url"),
+        )
+        .groupBy("host", "path_template")
+        .agg(
+            F.count_distinct("_url").cast("bigint").alias("n_urls"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+        )
+        .withColumn("is_trap", F.col("n_urls") >= F.lit(trap_min_urls))
+    )
+
+
+def duck_url_templates_sql(
+    pages_sql: str, url_col: str = "url", trap_min_urls: int = 1000
+) -> str:
+    host, tmpl = _url_template_exprs("duck", url_col)
+    return f"""
+select {host} as host, {tmpl} as path_template,
+       cast(count(distinct {url_col}) as bigint) as n_urls,
+       cast(count(*) as bigint) as n_pages,
+       count(distinct {url_col}) >= {trap_min_urls} as is_trap
+from ({pages_sql})
+group by 1, 2
+"""

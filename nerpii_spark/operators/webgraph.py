@@ -1856,3 +1856,274 @@ select s_stubs, e_in_stubs, sum_dc2,
             // (s_stubs * s_stubs) as bigint) as q_e6
 from ss, d2
 """
+
+
+# ---------------------------------------------------------------------------
+# Bow-tie decomposition (Broder 2000)
+# ---------------------------------------------------------------------------
+
+BOWTIE_MAX_DEPTH = 8
+
+
+def _bounded_reach(
+    directed: DataFrame, seed: DataFrame, max_depth: int
+) -> DataFrame:
+    """Hosts reachable from `seed` following `directed` (node -> nbr)
+    edges within max_depth hops, seed included -> (host). Each round is
+    one frontier equi-join + one anti-join, per-round localCheckpoint
+    (the crawl_depth discipline)."""
+    reach = seed.select("host").localCheckpoint(eager=True)
+    frontier = reach
+    for _ in range(max_depth):
+        new = (
+            directed.join(frontier, directed.node == frontier.host)
+            .select(F.col("nbr").alias("host"))
+            .distinct()
+            .join(reach, "host", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        reach = reach.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return reach
+
+
+def bowtie(
+    pages: DataFrame, max_depth: int = BOWTIE_MAX_DEPTH
+) -> DataFrame:
+    """Broder-2000 bow-tie decomposition of the directed host graph ->
+    (host, component in {'core', 'in', 'out', 'other'}): the structural
+    census (how much of the crawl is the strongly-connected nucleus vs
+    upstream feeders vs downstream sinks) that crawl scheduling and
+    spam triage read before anything else.
+
+    Construction: seed = the top in-degree host AMONG HOSTS WITH AT
+    LEAST ONE OUT-EDGE (deterministic tie-break host asc — the
+    trustrank/crawl_depth seed convention, restricted because a pure
+    sink can never sit in a non-trivial SCC: on this corpus the raw
+    top-in-degree host is a hub with zero out-links and the
+    decomposition would collapse to core = {hub}); F = hosts
+    forward-reachable from the seed, B = hosts that reach the seed
+    (backward BFS over reversed edges). Then core = F∩B (the SCC
+    containing the seed, exactly — any core member reaches the seed and
+    is reached by it), out = F−B, in = B−F, other = everything else
+    (tendrils + tubes + disconnected, not separable without more BFS
+    passes; labeled honestly).
+
+    Scale shape: two BOUNDED BFS fixpoints (max_depth rounds each; the
+    web's effective diameter is ~6-8, and q_eff_diameter measures this
+    corpus's, so the budget is an argument not a guess), each round ONE
+    frontier equi-join + anti-join + localCheckpoint. Like crawl_depth,
+    "beyond the budget" rows land in 'in'/'out'/'other' by where the
+    budget cut them — the oracle replays the same bounded expansion, so
+    the semantics are total and engine-exact. NOTE the planted corpus
+    is adversarial for this op: its directed site edges follow the
+    doc-id chain (site(i) -> site(i+1)), a path whose DIRECTED diameter
+    grows with the corpus, so the depth-bounded core stays near the
+    seed here; the crafted-graph pytest is where the full
+    core/in/out/other anatomy is exercised (a real crawl's directed
+    diameter is small and the budget covers it). Classification is
+    two left-join flags over the node set — node-table-sized, never
+    corpus-sized. The hub skew concentrates in-degree, which only
+    SHRINKS frontier rounds (hubs pull most of the graph into round 1).
+    """
+    return bowtie_from_edges(distinct_host_edges(pages), max_depth)
+
+
+def bowtie_from_edges(
+    e: DataFrame, max_depth: int = BOWTIE_MAX_DEPTH
+) -> DataFrame:
+    """:func:`bowtie` over an explicit distinct (u, v) edge list."""
+    indeg = e.groupBy(F.col("v").alias("host")).agg(
+        F.count("*").alias("indeg")
+    )
+    has_out = e.select(F.col("u").alias("host")).distinct()
+    seed = (
+        indeg.join(has_out, "host", "left_semi")
+        .orderBy(F.desc("indeg"), F.asc("host"))
+        .limit(1)
+        .select("host")
+    )
+    fwd = e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+    bwd = e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    f_reach = _bounded_reach(fwd, seed, max_depth).select(
+        "host", F.lit(1).alias("in_f")
+    )
+    b_reach = _bounded_reach(bwd, seed, max_depth).select(
+        "host", F.lit(1).alias("in_b")
+    )
+    nodes = (
+        e.select(F.col("u").alias("host"))
+        .unionByName(e.select(F.col("v").alias("host")))
+        .distinct()
+    )
+    return (
+        nodes.join(f_reach, "host", "left")
+        .join(b_reach, "host", "left")
+        .select(
+            "host",
+            F.when(
+                F.col("in_f").isNotNull() & F.col("in_b").isNotNull(),
+                F.lit("core"),
+            )
+            .when(F.col("in_f").isNotNull(), F.lit("out"))
+            .when(F.col("in_b").isNotNull(), F.lit("in"))
+            .otherwise(F.lit("other"))
+            .alias("component"),
+        )
+    )
+
+
+def duck_bowtie_sql(
+    pages_sql_duck: str, max_depth: int = BOWTIE_MAX_DEPTH
+) -> str:
+    """Oracle: both bounded expansions as chained MATERIALIZED CTEs
+    (independent row_number seed selection), then the same case
+    classification."""
+    ctes = [
+        f"""
+links as materialized (
+  select distinct src_host as u, dst_host as v
+  from ({duck_planted_links_sql(pages_sql_duck)})
+  where src_host <> dst_host
+),
+indeg as materialized (select v as host, count(*) as c from links group by 1),
+seed as materialized (
+  select host from (
+    select host, row_number() over (order by c desc, host asc) as rk
+    from indeg
+    where host in (select u from links)
+  ) where rk = 1
+),
+f0 as materialized (select host from seed),
+b0 as materialized (select host from seed)"""
+    ]
+    for d in range(1, max_depth + 1):
+        ctes.append(
+            f"""
+f{d} as materialized (
+  select host from f{d - 1}
+  union
+  select l.v from links l join f{d - 1} a on a.host = l.u
+),
+b{d} as materialized (
+  select host from b{d - 1}
+  union
+  select l.u from links l join b{d - 1} a on a.host = l.v
+)"""
+        )
+    last = max_depth
+    return (
+        "with " + ",".join(ctes)
+        + f"""
+, nodes as (select u as host from links union select v from links)
+select n.host,
+       case when f.host is not null and b.host is not null then 'core'
+            when f.host is not null then 'out'
+            when b.host is not null then 'in'
+            else 'other' end as component
+from nodes n
+left join f{last} f on f.host = n.host
+left join b{last} b on b.host = n.host
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Power-law tail fit (Hill MLE over host in-degrees)
+# ---------------------------------------------------------------------------
+
+POWERLAW_DMIN = 2
+
+
+def powerlaw_alpha(
+    pages: DataFrame, dmin: int = POWERLAW_DMIN
+) -> DataFrame:
+    """Hill maximum-likelihood power-law exponent of the host in-degree
+    tail -> one row (dmin, n_tail, denom_fp, alpha_milli): the
+    standard web-graph diagnostic (Broder 2000 measures alpha ~ 2.1
+    for in-degree) that q_degree_hist eyeballs and this op fits:
+
+        alpha = 1 + n / sum_{d >= dmin} ln(d / dmin)
+
+    computed ENTIRELY in integer fixed-point: ln(d/dmin) =
+    ln2 * (log2fp(d) - log2fp(dmin)) / 2^FRAC_BITS with log2fp the
+    repo's bit-exact square-and-compare recurrence (functions/intmath),
+    and ln2 applied as the rational 693147/1e6 in a two-stage integer
+    division ordered so nothing overflows: denom_milli =
+    (denom_fp * 693147) div 1e6 keeps denom_fp < 1.3e13 (comfortable:
+    it is ~4096 * ln-sum), then alpha_milli = 1000 +
+    (1000 * n * 4096) div denom_milli keeps n < 2e12 hosts. Both
+    engines run the identical recurrence, so the fit is bit-exact —
+    a float log2 would make the last digit engine-dependent.
+
+    Scale shape: ONE map-side-combined in-degree count over distinct
+    edges, the log2fp chain is pure whole-stage codegen (no Python, no
+    UDF), and the fit is ONE global agg row. NULL alpha when the tail
+    is degenerate (all tail degrees == dmin -> zero denominator).
+    """
+    return powerlaw_alpha_from_edges(distinct_host_edges(pages), dmin)
+
+
+def powerlaw_alpha_from_edges(
+    e: DataFrame, dmin: int = POWERLAW_DMIN
+) -> DataFrame:
+    """:func:`powerlaw_alpha` over an explicit distinct (u, v) edge
+    list."""
+    from ..functions.intmath import FP_ONE, log2fp, spark_log2fp_cols
+
+    indeg = e.groupBy(F.col("v").alias("host")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    tail = indeg.where(F.col("d") >= dmin)
+    tail = spark_log2fp_cols(tail, "d", "l2d")
+    l2min = log2fp(dmin)
+    agg = tail.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        (F.sum("l2d") - F.count(F.lit(1)) * F.lit(l2min))
+        .cast("bigint")
+        .alias("denom_fp"),
+    )
+    return agg.select(
+        F.lit(dmin).cast("bigint").alias("dmin"),
+        "n_tail",
+        "denom_fp",
+        F.expr(
+            f"case when (denom_fp * 693147) div 1000000 > 0 then"
+            f" 1000 + (1000 * n_tail * {FP_ONE})"
+            f" div ((denom_fp * 693147) div 1000000)"
+            f" else cast(null as bigint) end"
+        ).alias("alpha_milli"),
+    )
+
+
+def duck_powerlaw_alpha_sql(
+    pages_sql_duck: str, dmin: int = POWERLAW_DMIN
+) -> str:
+    """DuckDB twin: identical integer recurrence + division order."""
+    from ..functions.intmath import FP_ONE, duck_log2fp_expr, log2fp
+
+    l2min = log2fp(dmin)
+    return f"""
+with links as (
+  select distinct src_host as u, dst_host as v
+  from ({duck_planted_links_sql(pages_sql_duck)})
+  where src_host <> dst_host
+),
+indeg as (
+  select v as host, cast(count(*) as bigint) as d from links group by 1
+),
+tail as (
+  select d, {duck_log2fp_expr('d')} as l2d from indeg where d >= {dmin}
+),
+agg as (
+  select cast(count(*) as bigint) as n_tail,
+         cast(sum(l2d) - count(*) * {l2min} as bigint) as denom_fp
+  from tail
+)
+select cast({dmin} as bigint) as dmin, n_tail, denom_fp,
+       case when (denom_fp * 693147) // 1000000 > 0 then
+         1000 + (1000 * n_tail * {FP_ONE})
+              // ((denom_fp * 693147) // 1000000)
+       else cast(null as bigint) end as alpha_milli
+from agg
+"""
