@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-159 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+161 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -2012,9 +2012,34 @@ def q_powerlaw_alpha(spark, sf):
     return WG.powerlaw_alpha(_pipeline(spark, sf)["pages"])
 
 
+def q_linkpred_auc(spark, sf):
+    """Link-prediction evaluation over the host graph
+    (webgraph.linkpred_auc): hash holdout split, pool-representative
+    negatives anti-joined against true edges, common-neighbor scoring
+    over a degree-capped train adjacency, and an EXACT integer
+    Mann-Whitney AUC from a score histogram (tie-averaged rank2 =
+    min+max). The planted graph has ~no triadic closure, so the
+    metric honestly reports an uninformative scorer (~0.47e6) — the
+    protocol is the deliverable; the crafted triangle-rich pytest
+    graph shows auc -> 1."""
+    return WG.linkpred_auc(_pipeline(spark, sf)["pages"])
+
+
+def q_pr_curve(spark, sf):
+    """Precision/recall threshold sweep of the hashed-feature quality
+    classifier against the Gopher keep gate
+    (textstats.classifier_pr_curve): <= 65 margin buckets BY
+    CONSTRUCTION (clamped truncating division), cumulative tp/pp via
+    two bounded windows, integer milli ratios — the calibration report
+    behind picking a curation cutoff."""
+    return TS.classifier_pr_curve(_load(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r3 wave-4 (newest, no driver row yet):
+        "q_linkpred_auc": q_linkpred_auc,
+        "q_pr_curve": q_pr_curve,
         "q_events_anomaly": q_events_anomaly,
         "q_events_funnel": q_events_funnel,
         "q_rule_mining": q_rule_mining,
@@ -2350,6 +2375,8 @@ def oracle_sql() -> dict[str, str]:
     female = G.sql_str_list([n.lower() for n in G.FIRST_FEMALE])
     male = G.sql_str_list([n.lower() for n in G.FIRST_MALE])
     return {
+        "q_linkpred_auc": WG.duck_linkpred_auc_sql(pages),
+        "q_pr_curve": TS.duck_pr_curve_sql(),
         "q_events_anomaly": EV.duck_anomaly_sql(),
         "q_events_funnel": EV.duck_funnel_sql(),
         "q_rule_mining": duck_rule_mining_sql(gt),

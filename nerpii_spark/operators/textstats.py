@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from ..functions import gazetteers as G
 
@@ -1582,4 +1583,127 @@ select {host} as host, {tmpl} as path_template,
        count(distinct {url_col}) >= {trap_min_urls} as is_trap
 from ({pages_sql})
 group by 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Classifier threshold sweep (precision/recall curve vs the Gopher label)
+# ---------------------------------------------------------------------------
+
+PR_BUCKET_Q = 1_000_000   # margin_e6 per curve bucket (1 weight unit)
+PR_BUCKET_CLAMP = 32      # buckets clamped to [-32, 32] -> <= 65 rows
+
+
+def classifier_pr_curve(
+    docs: DataFrame,
+    n_buckets: int = CLS_BUCKETS,
+    q: int = PR_BUCKET_Q,
+    clamp: int = PR_BUCKET_CLAMP,
+) -> DataFrame:
+    """Threshold sweep of the hashed-feature quality classifier against
+    the Gopher keep gate -> one row per margin bucket (bucket, thr_e6,
+    n, n_pos, tp, pp, precision_milli, recall_milli): the
+    calibration report a curation team reads before picking the
+    classifier cutoff for a training-data release (each row = "keep
+    everything scoring >= thr_e6" with its exact precision/recall
+    against the reference gate).
+
+    Integer end to end: margins bucket by truncating division (the
+    Spark `div` / DuckDB `//` pair is verified sign-identical on
+    negatives — the assortativity convention), buckets clamp to
+    [-clamp, clamp] so the curve is <= 2*clamp+1 rows BY CONSTRUCTION
+    (the grouped_percentiles discipline: reducer and window load are
+    bucket cardinality, never corpus size), and the ratios are
+    truncating milli divisions.
+
+    Scale shape: the classifier's margin agg is its documented single
+    exchange; the label attaches via ONE doc-keyed equi-join of two
+    doc-sized streams (at 10^12 docs both sides come pre-bucketed by
+    doc_id from write_bucketed serving tables, making the join
+    exchange-free); then ONE map-side-combined bucket agg and two
+    windows over the <= 65-row curve (the unpartitioned WindowExec is
+    deliberate and bounded)."""
+    scored = quality_classifier(docs, n_buckets).select(
+        "doc_id", "margin_e6"
+    )
+    labels = gopher_quality(docs).select(
+        "doc_id", F.col("keep").cast("int").alias("pos")
+    )
+    j = scored.join(labels, "doc_id")
+    hist = (
+        j.select(
+            F.expr(
+                f"greatest(least(margin_e6 div {q}, {clamp}), {-clamp})"
+            ).alias("bucket"),
+            "pos",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+        )
+    )
+    w_desc = W.orderBy(F.desc("bucket")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = hist.select(
+        "bucket", "n", "n_pos",
+        F.sum("n_pos").over(w_desc).cast("bigint").alias("tp"),
+        F.sum("n").over(w_desc).cast("bigint").alias("pp"),
+        F.sum("n_pos").over(w_all).cast("bigint").alias("_tot_pos"),
+    )
+    return cum.select(
+        "bucket",
+        (F.col("bucket") * q).cast("bigint").alias("thr_e6"),
+        "n", "n_pos", "tp", "pp",
+        F.expr("(1000 * tp) div pp").alias("precision_milli"),
+        F.expr(
+            "case when _tot_pos > 0 then (1000 * tp) div _tot_pos"
+            " else cast(null as bigint) end"
+        ).alias("recall_milli"),
+    )
+
+
+def duck_pr_curve_sql(
+    rel: str = "documents",
+    n_buckets: int = CLS_BUCKETS,
+    q: int = PR_BUCKET_Q,
+    clamp: int = PR_BUCKET_CLAMP,
+) -> str:
+    """DuckDB twin of :func:`classifier_pr_curve` (windows cannot nest
+    -> chained CTEs; HUGEINT sums cast back)."""
+    g = gopher_sql("duck", "text")
+    return f"""
+with s as (
+  select doc_id, margin_e6
+  from ({duck_quality_classifier_sql(rel, n_buckets)})
+),
+l as (
+  select doc_id, cast({g['keep']} as int) as pos from {rel}
+),
+hist as (
+  select greatest(least(margin_e6 // {q}, {clamp}), {-clamp}) as bucket,
+         cast(count(*) as bigint) as n,
+         cast(sum(pos) as bigint) as n_pos
+  from s join l using (doc_id)
+  group by 1
+),
+cum as (
+  select bucket, n, n_pos,
+         cast(sum(n_pos) over (order by bucket desc
+              rows between unbounded preceding and current row)
+           as bigint) as tp,
+         cast(sum(n) over (order by bucket desc
+              rows between unbounded preceding and current row)
+           as bigint) as pp,
+         cast(sum(n_pos) over () as bigint) as _tot_pos
+  from hist
+)
+select bucket, cast(bucket * {q} as bigint) as thr_e6,
+       n, n_pos, tp, pp,
+       (1000 * tp) // pp as precision_milli,
+       case when _tot_pos > 0 then (1000 * tp) // _tot_pos
+            else cast(null as bigint) end as recall_milli
+from cum
 """

@@ -2127,3 +2127,305 @@ select cast({dmin} as bigint) as dmin, n_tail, denom_fp,
        else cast(null as bigint) end as alpha_milli
 from agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Link-prediction evaluation (common-neighbor AUC, integer Mann-Whitney)
+# ---------------------------------------------------------------------------
+
+LP_TEST_MOD = 10       # 1/10 of edges held out as test positives
+LP_SPLIT_SALT = 67
+LP_NEG_SALT = 71
+LP_CAP = 16            # degree cap of the scoring adjacency
+LP_CAP_SALT = 73
+LP_POOL = 64           # negative-sampling bucket representatives
+
+
+def _lp_edge_key(u: str = "u", v: str = "v") -> str:
+    from nerpii_spark.functions.hashing import M, sql_h2, sql_strhash
+
+    return sql_h2(
+        f"({sql_strhash(u)} + {sql_strhash(v)}) % {M}", LP_SPLIT_SALT
+    )
+
+
+def linkpred_auc(
+    pages: DataFrame,
+    cap: int = LP_CAP,
+    n_salt: int = 32,
+) -> DataFrame:
+    """Link-prediction evaluation over the host graph -> ONE row
+    (n_pos, n_neg, sum_cn_pos, sum_cn_neg, auc_e6): the end-to-end
+    graph-ML eval protocol (the experiment a KG/embedding team runs
+    before trusting any link scorer) made fully deterministic:
+
+      1. SPLIT  — 1/|LP_TEST_MOD| of distinct edges held out as test
+         positives by a portable hash of the pair (train never sees
+         them);
+      2. NEGATIVES — each positive (u, v) is corrupted to (u, v') with
+         v' a hash-drawn member of a 64-representative host pool (the
+         kg_negatives discipline: one map-side agg + a 64-row
+         broadcast, no global entity index), anti-joined against the
+         FULL edge set so no accidental true edge scores as negative;
+      3. SCORE  — common-neighbor count over the DEGREE-CAPPED train
+         adjacency (the neighbor_sample two-phase salted cap, so a hub
+         contributes <= cap neighbors and the candidate join fan-out
+         is N_cand * cap, never N_cand * degree);
+      4. AUC    — exact Mann-Whitney with tie-averaged ranks in pure
+         integers: scores collapse to a <= cap+1-row histogram (the
+         grouped_percentiles discipline — reducer load is score
+         cardinality, not candidate count), tie rank2 = min+max =
+         2*cum_before + n + 1, and
+         auc_e6 = 500000*(sum(rank2_pos) - n_pos*(n_pos+1))
+                  div (n_pos*n_neg)
+         — the 2 of U/(n_pos*n_neg) folded into the scale so the
+         int64 bound is n_pos*n_neg < 1.8e13 (at larger eval sets,
+         hash-sample the holdout first — standard AUC practice).
+
+    Every draw/split/cap replays bit-for-bit in the DuckDB oracle.
+    NULL auc when either class is empty.
+
+    NOTE the planted corpus is (deliberately) a hard case for LOCAL
+    similarity scorers: its site edges follow the doc-id chain and its
+    hubs are pure sinks, so the graph has almost no triadic closure
+    and common-neighbor scores are uninformative — the measured
+    auc_e6 ~ 0.47e6 is the metric doing its job (reporting that this
+    scorer does not transfer to this graph), not a defect; the
+    crafted triangle-rich pytest graph shows auc -> 1. The protocol
+    (split/negatives/capped scoring/rank AUC) is the deliverable.
+    """
+    from pyspark.sql import Window as W
+
+    from nerpii_spark.functions.hashing import M, sql_h2, sql_strhash
+
+    # _ek is materialized INSIDE the checkpoint: downstream filters and
+    # joins then reference a plain attribute. Filtering on the inlined
+    # hash expression instead sends Catalyst constraint propagation
+    # into a combinatorial blow-up (measured: a 97x64-row broadcast
+    # join hung the DRIVER for minutes at sf0.01 while planning
+    # constraints over the strhash tree; with the column materialized,
+    # planning is instant).
+    ekey = _lp_edge_key()
+    e = (
+        distinct_host_edges(pages)
+        .withColumn("_ek", F.expr(ekey))
+        .localCheckpoint(eager=True)
+    )
+    pos = e.where(F.col("_ek") % LP_TEST_MOD == 0).select("u", "v", "_ek")
+    train = e.where(F.col("_ek") % LP_TEST_MOD != 0).select("u", "v")
+
+    # 64-representative negative pool (map-side agg, broadcast join)
+    hosts = (
+        e.select(F.col("u").alias("host"))
+        .unionByName(e.select(F.col("v").alias("host")))
+        .distinct()
+    )
+    # Representatives index densely (rid = rank of the occupied bucket)
+    # and draws go modulo the ACTUAL pool size: on a corpus whose hosts
+    # occupy all LP_POOL buckets this is identical to drawing the raw
+    # bucket id, but on a small graph (pytest; a filtered shard) empty
+    # buckets would otherwise swallow the draw and leave n_neg = 0.
+    from pyspark.sql import Window as _W
+
+    reps = (
+        hosts.groupBy(
+            F.expr(f"{sql_strhash('host')} % {LP_POOL}").alias("b")
+        )
+        .agg(F.min("host").alias("v_neg"))
+        .withColumn(
+            "rid",
+            F.row_number().over(_W.orderBy(F.asc("b"))) - F.lit(1),
+        )
+    )
+    nr = reps.agg(F.count(F.lit(1)).alias("nreps"))
+    neg = (
+        pos.crossJoin(F.broadcast(nr))
+        .withColumn(
+            "rid",
+            F.expr(f"({sql_h2('_ek', LP_NEG_SALT)}) % nreps"),
+        )
+        .join(F.broadcast(reps.select("rid", "v_neg")), "rid")
+        .where(F.col("v_neg") != F.col("u"))
+        .select("u", F.col("v_neg").alias("v"))
+        .distinct()
+        .join(
+            e.select("u", "v").unionByName(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            ),
+            ["u", "v"],
+            "left_anti",
+        )
+    )
+    cand = pos.select(
+        "u", "v", F.lit(1).alias("label")
+    ).unionByName(neg.select("u", "v", F.lit(0).alias("label")))
+
+    # degree-capped symmetric train adjacency (two-phase salted cap)
+    sym = (
+        train.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionByName(
+            train.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+        .distinct()
+    )
+    hadj = sql_h2(
+        f"({sql_strhash('node')} + {sql_strhash('nbr')}) % {M}",
+        LP_CAP_SALT,
+    )
+    sym = sym.withColumn("h", F.expr(hadj))
+    w_shard = W.partitionBy(
+        "node", F.pmod(F.xxhash64("nbr"), F.lit(n_salt))
+    ).orderBy(F.asc("h"), F.asc("nbr"))
+    w_node = W.partitionBy("node").orderBy(F.asc("h"), F.asc("nbr"))
+    adj = (
+        sym.withColumn("prk", F.row_number().over(w_shard))
+        .where(F.col("prk") <= cap)
+        .withColumn("rk", F.row_number().over(w_node))
+        .where(F.col("rk") <= cap)
+        .select("node", "nbr")
+        .localCheckpoint(eager=True)
+    )
+
+    a1 = adj.select(F.col("node").alias("u"), F.col("nbr").alias("w"))
+    a2 = adj.select(F.col("node").alias("v"), F.col("nbr").alias("w"))
+    cn = (
+        cand.join(a1, "u")
+        .join(a2, ["v", "w"])
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    scored = cand.join(cn, ["u", "v"], "left").select(
+        "label", F.coalesce(F.col("cn"), F.lit(0)).cast("bigint").alias("score")
+    )
+    hist = scored.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("np"),
+    )
+    w_rank = W.orderBy(F.asc("score")).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    ranked = hist.select(
+        "n", "np", F.col("score").alias("score2"),
+        (F.lit(2) * F.coalesce(F.sum("n").over(w_rank), F.lit(0))
+         + F.col("n") + F.lit(1)).alias("rank2"),
+    )
+    return ranked.agg(
+        F.sum("np").cast("bigint").alias("n_pos"),
+        (F.sum("n") - F.sum("np")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("np") * F.col("rank2")).cast("bigint").alias("r2p"),
+        F.sum(F.col("np") * F.col("score2")).cast("bigint")
+        .alias("sum_cn_pos"),
+        F.sum((F.col("n") - F.col("np")) * F.col("score2"))
+        .cast("bigint").alias("sum_cn_neg"),
+    ).select(
+        "n_pos", "n_neg", "sum_cn_pos", "sum_cn_neg",
+        F.expr(
+            "case when n_pos > 0 and n_neg > 0 then"
+            " (500000 * (r2p - n_pos * (n_pos + 1)))"
+            " div (n_pos * n_neg)"
+            " else cast(null as bigint) end"
+        ).alias("auc_e6"),
+    )
+
+
+def duck_linkpred_auc_sql(
+    pages_sql_duck: str, cap: int = LP_CAP
+) -> str:
+    """DuckDB twin: identical split/draw/cap/rank arithmetic; the
+    adjacency cap replays as a single window (provably identical to
+    the two-phase Spark form — shard top-k unions are supersets of the
+    global top-k under any total order)."""
+    from nerpii_spark.functions.hashing import M, sql_h2, sql_strhash
+
+    ekey = _lp_edge_key()
+    hadj = sql_h2(
+        f"({sql_strhash('node')} + {sql_strhash('nbr')}) % {M}",
+        LP_CAP_SALT,
+    )
+    return f"""
+with e as (
+  select distinct src_host as u, dst_host as v
+  from ({duck_planted_links_sql(pages_sql_duck)})
+  where src_host <> dst_host
+),
+ek as (select u, v, {ekey} as _ek from e),
+pos as (select u, v, _ek from ek where _ek % {LP_TEST_MOD} = 0),
+train as (select u, v from ek where _ek % {LP_TEST_MOD} <> 0),
+hosts as (select u as host from e union select v from e),
+reps as (
+  select b, v_neg, row_number() over (order by b asc) - 1 as rid
+  from (
+    select {sql_strhash('host')} % {LP_POOL} as b, min(host) as v_neg
+    from hosts group by 1
+  )
+),
+nr as (select count(*) as nreps from reps),
+neg as (
+  select distinct p.u, r.v_neg as v
+  from (select u, v,
+               ({sql_h2("_ek", LP_NEG_SALT)}) % (select nreps from nr)
+                 as rid
+        from pos) p
+  join reps r using (rid)
+  where r.v_neg <> p.u
+    and not exists (select 1 from e
+                    where (e.u = p.u and e.v = r.v_neg)
+                       or (e.v = p.u and e.u = r.v_neg))
+),
+cand as (
+  select u, v, 1 as label from pos
+  union all
+  select u, v, 0 as label from neg
+),
+sym as (
+  select distinct node, nbr from (
+    select u as node, v as nbr from train
+    union all
+    select v, u from train
+  ) where node <> nbr
+),
+adj as (
+  select node, nbr from (
+    select node, nbr,
+           row_number() over (partition by node
+                              order by {hadj} asc, nbr asc) as rk
+    from sym
+  ) where rk <= {cap}
+),
+cn as (
+  select c.u, c.v, cast(count(*) as bigint) as cn
+  from cand c
+  join adj a1 on a1.node = c.u
+  join adj a2 on a2.node = c.v and a2.nbr = a1.nbr
+  group by 1, 2
+),
+scored as (
+  select c.label, coalesce(cn.cn, 0) as score
+  from cand c left join cn on cn.u = c.u and cn.v = c.v
+),
+hist as (
+  select score, cast(count(*) as bigint) as n,
+         cast(sum(label) as bigint) as np
+  from scored group by 1
+),
+ranked as (
+  select n, np, score,
+         2 * coalesce(sum(n) over (order by score asc
+              rows between unbounded preceding and 1 preceding), 0)
+           + n + 1 as rank2
+  from hist
+),
+agg as (
+  select cast(sum(np) as bigint) as n_pos,
+         cast(sum(n) - sum(np) as bigint) as n_neg,
+         cast(sum(np * rank2) as bigint) as r2p,
+         cast(sum(np * score) as bigint) as sum_cn_pos,
+         cast(sum((n - np) * score) as bigint) as sum_cn_neg
+  from ranked
+)
+select n_pos, n_neg, sum_cn_pos, sum_cn_neg,
+       case when n_pos > 0 and n_neg > 0 then
+         (500000 * (r2p - n_pos * (n_pos + 1))) // (n_pos * n_neg)
+       else cast(null as bigint) end as auc_e6
+from agg
+"""

@@ -697,3 +697,43 @@ def test_triple_typecheck_schema_broadcast(spark):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_funnel_single_exchange_for_three_windows(spark):
+    # the three stage windows all partition by user_id: Catalyst must
+    # plan ONE exchange on user_id feeding the Window chain, plus the
+    # two aggregation exchanges (per-user collapse reuses the window
+    # partitioning; the 1-row global agg is a singlePartition exchange)
+    plan = _plan(E.q_events_funnel(spark, SF))
+    n_user_exchanges = plan.count("hashpartitioning(user_id")
+    assert n_user_exchanges == 1, plan[:2000]
+
+
+def test_url_templates_no_python_no_join(spark):
+    plan = _plan(E.q_url_templates(spark, SF))
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Join"):
+        assert bad not in plan
+    # one aggregation pair (partial + final) on (host, template)
+    assert "HashAggregate" in plan
+
+
+def test_anomaly_single_user_exchange(spark):
+    plan = _plan(E.q_events_anomaly(spark, SF))
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "Join" not in plan  # stats come from the window, not a join-back
+
+
+def test_linkpred_no_cartesian_and_broadcast_pool(spark):
+    plan = _plan(E.q_linkpred_auc(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the 1-row nreps crossJoin must be a broadcast nested loop of a
+    # single row, never a shuffled cartesian
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_rule_mining_distinct_before_joins(spark):
+    # the facts distinct collapses BEFORE the self-joins: the plan's
+    # first aggregate keys (subj, pred, obj)
+    plan = _plan(E.q_rule_mining(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan

@@ -276,3 +276,109 @@ def test_powerlaw_alpha_degenerate_tail_is_null(spark):
     e = spark.createDataFrame(edges, "u string, v string")
     r = powerlaw_alpha_from_edges(e, dmin=2).collect()[0]
     assert r["alpha_milli"] is None
+
+
+# ---------------------------------------------------------------------------
+# linkpred_auc
+# ---------------------------------------------------------------------------
+
+
+def test_linkpred_auc_rank_arithmetic(spark):
+    # hand-check the integer Mann-Whitney on a crafted histogram path:
+    # feed scored candidates through the same operator by monkeypatch
+    # is overkill — instead verify the closed form on the operator's
+    # own output invariants over a triangle-rich graph below.
+    from nerpii_spark.operators.webgraph import linkpred_auc  # noqa: F401
+
+
+def test_linkpred_auc_triangle_rich_graph(spark):
+    # K8 clique: removing any held-out edge leaves its endpoints with
+    # 6 common neighbors; pool negatives point at far-away isolated-
+    # cluster hosts with 0 common neighbors -> AUC must be ~1.
+    from nerpii_spark.operators.webgraph import (
+        linkpred_auc, _lp_edge_key, LP_TEST_MOD,
+    )
+    from nerpii_spark.functions.hashing import strhash, h2
+
+    clique = [f"k{i}" for i in range(8)]
+    edges = [(a, b) for a in clique for b in clique if a < b]
+    # far cluster: star around z0 (no edges to the clique)
+    edges += [("z0", f"z{i}") for i in range(1, 6)]
+    # fabricate a pages-free call: reuse the edge-list internals via a
+    # tiny shim DataFrame matching distinct_host_edges' output
+    e = spark.createDataFrame(edges, "u string, v string")
+
+    # run the operator body on the crafted edges by substituting the
+    # extraction step: linkpred_auc only consumes distinct_host_edges,
+    # so patch it
+    import nerpii_spark.operators.webgraph as WG
+    orig = WG.distinct_host_edges
+    try:
+        WG.distinct_host_edges = lambda pages: e
+        out = linkpred_auc(None).collect()[0]
+    finally:
+        WG.distinct_host_edges = orig
+    assert out["n_pos"] >= 1 and out["n_neg"] >= 1
+    # positives inside the clique carry 6 common neighbors; negatives
+    # (clique -> pool representative) carry 0 -> perfect separation
+    # unless a held-out edge fell in the z-star (0 CN there)
+    if out["sum_cn_pos"] > 0 and out["sum_cn_neg"] == 0:
+        assert out["auc_e6"] >= 900_000
+
+
+def test_linkpred_python_mirror_of_auc_formula(spark):
+    # the rank2 histogram algebra equals sklearn-style tie-averaged
+    # AUC on a small mixed-score sample (python mirror, no Spark)
+    scores = [(3, 1), (3, 1), (2, 0), (2, 1), (0, 0), (0, 0)]
+    from collections import Counter
+    hist = Counter()
+    for s, lbl in scores:
+        hist[s] = hist[s]
+    # build (score -> n, np)
+    agg = {}
+    for s, lbl in scores:
+        n, np_ = agg.get(s, (0, 0))
+        agg[s] = (n + 1, np_ + lbl)
+    cum = 0
+    r2p = 0
+    n_pos = sum(v[1] for v in agg.values())
+    n_neg = sum(v[0] - v[1] for v in agg.values())
+    for s in sorted(agg):
+        n, np_ = agg[s]
+        rank2 = 2 * cum + n + 1
+        r2p += np_ * rank2
+        cum += n
+    auc_e6 = (500000 * (r2p - n_pos * (n_pos + 1))) // (n_pos * n_neg)
+    # float reference with tie-averaged ranks
+    ranks = {}
+    cum = 0
+    for s in sorted(agg):
+        n, _ = agg[s]
+        ranks[s] = cum + (n + 1) / 2
+        cum += n
+    u = sum(ranks[s] for s, lbl in scores if lbl) - n_pos * (n_pos + 1) / 2
+    auc_f = u / (n_pos * n_neg)
+    assert abs(auc_e6 / 1e6 - auc_f) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# classifier_pr_curve
+# ---------------------------------------------------------------------------
+
+
+def test_pr_curve_monotone_and_consistent(spark):
+    from nerpii_spark.operators.textstats import classifier_pr_curve
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = sorted(
+        classifier_pr_curve(docs).collect(), key=lambda r: -r["bucket"]
+    )
+    # cumulative counts are monotone in descending bucket order and
+    # the last row covers the whole corpus
+    for a, b in zip(rows, rows[1:]):
+        assert b["tp"] >= a["tp"] and b["pp"] >= a["pp"]
+    last = rows[-1]
+    assert last["pp"] == docs.count()
+    assert last["recall_milli"] == 1000
+    for r in rows:
+        assert r["precision_milli"] == (1000 * r["tp"]) // r["pp"]
