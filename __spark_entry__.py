@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-161 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+162 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -2035,9 +2035,19 @@ def q_pr_curve(spark, sf):
     return TS.classifier_pr_curve(_load(spark, sf, "documents"))
 
 
+def q_clustering_coeff(spark, sf):
+    """Per-host local clustering coefficient (webgraph.clustering_coeff):
+    the kg_triangles degree-oriented wedge census with each closed
+    triangle exploded to its three corners for per-node attribution;
+    integer 2e6*tri div d(d-1). Oracle = INDEPENDENT brute a<b<c
+    enumeration with no orientation."""
+    return WG.clustering_coeff(_pipeline(spark, sf)["pages"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r3 wave-4 (newest, no driver row yet):
+        "q_clustering_coeff": q_clustering_coeff,
         "q_linkpred_auc": q_linkpred_auc,
         "q_pr_curve": q_pr_curve,
         "q_events_anomaly": q_events_anomaly,
@@ -2375,6 +2385,7 @@ def oracle_sql() -> dict[str, str]:
     female = G.sql_str_list([n.lower() for n in G.FIRST_FEMALE])
     male = G.sql_str_list([n.lower() for n in G.FIRST_MALE])
     return {
+        "q_clustering_coeff": WG.duck_clustering_coeff_sql(pages),
         "q_linkpred_auc": WG.duck_linkpred_auc_sql(pages),
         "q_pr_curve": TS.duck_pr_curve_sql(),
         "q_events_anomaly": EV.duck_anomaly_sql(),

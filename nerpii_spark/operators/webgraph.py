@@ -2429,3 +2429,114 @@ select n_pos, n_neg, sum_cn_pos, sum_cn_neg,
        else cast(null as bigint) end as auc_e6
 from agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient (per-host triadic closure)
+# ---------------------------------------------------------------------------
+
+def clustering_coeff(pages: DataFrame) -> DataFrame:
+    """Local clustering coefficient per host -> (host, d, n_tri,
+    coeff_e6 = 2e6 * n_tri div (d * (d-1))): the per-node triadic-
+    closure metric (Watts-Strogatz 1998) — link farms and genuine
+    communities close triangles, navigational chains do not; the
+    global census q_kg_triangles reports one number, this attributes
+    closure to each host.
+
+    Scale shape: the kg_triangles degree-oriented wedge enumeration
+    reused structurally (orientation bounds wedge fan-out by
+    O(sqrt(m)); a hub generates zero wedges), with one addition: each
+    closed triangle EXPLODES to its three corners (a constant x3) so a
+    map-side-combined per-node count attributes it to every member.
+    Division is integer (truncating), d < 2 yields coeff 0 — totals
+    and ties engine-exact. int64 bound: d*(d-1) and 2e6*n_tri both
+    comfortably inside (n_tri <= d^2 locally; a 1e6-degree host would
+    need ~2e12*1e6 -> re-quantize — documented, not reachable before
+    the wedge cap a real deployment adds)."""
+    links = distinct_host_edges(pages)
+    e = (
+        links.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    ori = (
+        e.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            F.when(F.col("da") <= F.col("db"), F.col("a"))
+            .otherwise(F.col("b")).alias("src"),
+            F.when(F.col("da") <= F.col("db"), F.col("b"))
+            .otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    wedges = (
+        ori.select("src", F.col("dst").alias("v"))
+        .join(ori.select("src", F.col("dst").alias("w")), "src")
+        .where(F.col("v") < F.col("w"))
+    )
+    tri = wedges.join(
+        e, (F.col("v") == F.col("a")) & (F.col("w") == F.col("b"))
+    ).select("src", "v", "w")
+    corners = tri.select(
+        F.explode(F.array("src", "v", "w")).alias("n")
+    ).groupBy("n").agg(F.count("*").cast("bigint").alias("n_tri"))
+    return (
+        deg.join(corners, "n", "left")
+        .select(
+            F.col("n").alias("host"),
+            "d",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint")
+            .alias("n_tri"),
+            F.expr(
+                "case when d >= 2 then"
+                " (2000000 * coalesce(n_tri, 0)) div (d * (d - 1))"
+                " else cast(0 as bigint) end"
+            ).alias("coeff_e6"),
+        )
+    )
+
+
+def duck_clustering_coeff_sql(pages_sql_duck: str) -> str:
+    """Oracle: brute a<b<c triangle enumeration (an INDEPENDENT
+    formulation — no degree orientation) + corner unnest + the same
+    integer division."""
+    return f"""
+with links as (
+  select distinct src_host as u, dst_host as v
+  from ({duck_planted_links_sql(pages_sql_duck)})
+  where src_host <> dst_host
+),
+e as (
+  select distinct least(u, v) as a, greatest(u, v) as b from links
+),
+deg as (
+  select n, cast(count(*) as bigint) as d from (
+    select a as n from e union all select b from e
+  ) group by 1
+),
+tri as (
+  select e1.a as x, e1.b as y, e2.b as z
+  from e e1
+  join e e2 on e2.a = e1.b
+  join e e3 on e3.a = e1.a and e3.b = e2.b
+),
+corners as (
+  select n, cast(count(*) as bigint) as n_tri from (
+    select unnest([x, y, z]) as n from tri
+  ) group by 1
+)
+select deg.n as host, d,
+       cast(coalesce(corners.n_tri, 0) as bigint) as n_tri,
+       case when d >= 2 then
+         (2000000 * coalesce(corners.n_tri, 0)) // (d * (d - 1))
+       else cast(0 as bigint) end as coeff_e6
+from deg left join corners on corners.n = deg.n
+"""

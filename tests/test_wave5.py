@@ -382,3 +382,53 @@ def test_pr_curve_monotone_and_consistent(spark):
     assert last["recall_milli"] == 1000
     for r in rows:
         assert r["precision_milli"] == (1000 * r["tp"]) // r["pp"]
+
+
+# ---------------------------------------------------------------------------
+# clustering_coeff
+# ---------------------------------------------------------------------------
+
+
+def test_clustering_coeff_hand_graph(spark):
+    # triangle a-b-c plus pendant d attached to a:
+    #   a: d=3, 1 triangle, C = 2*1/(3*2) = 1/3
+    #   b, c: d=2, 1 triangle, C = 1
+    #   d: d=1, C = 0
+    import nerpii_spark.operators.webgraph as WG
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")],
+        "u string, v string",
+    )
+    orig = WG.distinct_host_edges
+    try:
+        WG.distinct_host_edges = lambda pages: e
+        got = {
+            r["host"]: (r["d"], r["n_tri"], r["coeff_e6"])
+            for r in WG.clustering_coeff(None).collect()
+        }
+    finally:
+        WG.distinct_host_edges = orig
+    assert got == {
+        "a": (3, 1, 333_333),
+        "b": (2, 1, 1_000_000),
+        "c": (2, 1, 1_000_000),
+        "d": (1, 0, 0),
+    }
+
+
+def test_clustering_coeff_star_is_zero(spark):
+    # a hub star closes nothing: every coefficient is 0
+    import nerpii_spark.operators.webgraph as WG
+
+    e = spark.createDataFrame(
+        [("hub", f"s{i}") for i in range(6)], "u string, v string"
+    )
+    orig = WG.distinct_host_edges
+    try:
+        WG.distinct_host_edges = lambda pages: e
+        rows = WG.clustering_coeff(None).collect()
+    finally:
+        WG.distinct_host_edges = orig
+    assert all(r["coeff_e6"] == 0 and r["n_tri"] == 0 for r in rows)
+    assert {r["host"]: r["d"] for r in rows}["hub"] == 6
