@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-162 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+163 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -67,6 +67,8 @@ from nerpii_spark.operators.extract import (
     pagerank,
     rule_mining,
     duck_rule_mining_sql,
+    scd2_facts,
+    duck_scd2_facts_sql,
     topk_objs_per_pred,
     triple_support,
     duck_triple_support_sql,
@@ -2035,6 +2037,18 @@ def q_pr_curve(spark, sf):
     return TS.classifier_pr_curve(_load(spark, sf, "documents"))
 
 
+def q_scd2_facts(spark, sf):
+    """SCD2 validity intervals over the fact table (extract.scd2_facts):
+    per (subj, pred) the timeline of object CHANGES with
+    change-point compression — kg_latest_facts is its current rows,
+    fact_churn its two-window diff; lag/row_number/lead all share one
+    (subj, pred) exchange. Oracle derives capture time independently
+    from the planted clock, certifying the ts join + epoch conversion
+    too."""
+    p = _pipeline(spark, sf)
+    return scd2_facts(p["triples"], p["pages"])
+
+
 def q_clustering_coeff(spark, sf):
     """Per-host local clustering coefficient (webgraph.clustering_coeff):
     the kg_triangles degree-oriented wedge census with each closed
@@ -2047,6 +2061,7 @@ def q_clustering_coeff(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r3 wave-4 (newest, no driver row yet):
+        "q_scd2_facts": q_scd2_facts,
         "q_clustering_coeff": q_clustering_coeff,
         "q_linkpred_auc": q_linkpred_auc,
         "q_pr_curve": q_pr_curve,
@@ -2385,6 +2400,7 @@ def oracle_sql() -> dict[str, str]:
     female = G.sql_str_list([n.lower() for n in G.FIRST_FEMALE])
     male = G.sql_str_list([n.lower() for n in G.FIRST_MALE])
     return {
+        "q_scd2_facts": duck_scd2_facts_sql(gt),
         "q_clustering_coeff": WG.duck_clustering_coeff_sql(pages),
         "q_linkpred_auc": WG.duck_linkpred_auc_sql(pages),
         "q_pr_curve": TS.duck_pr_curve_sql(),

@@ -1387,9 +1387,15 @@ def rule_mining(triples: DataFrame, min_support: int = 1) -> DataFrame:
       pair:  p1(x,y) => p2(x,y)                 (same-pair implication)
       path:  p1(x,y) & p2(y,z) => p3(x,z)       (composition rule)
 
-    with support = |distinct entity pairs satisfying body AND head| and
-    PCA-less std confidence conf_e6 = 1e6 * support div n_body, where
-    n_body = |distinct pairs satisfying the body|. This is the KG
+    with support = |distinct entity pairs satisfying body AND head|,
+    std confidence conf_e6 = 1e6 * support div n_body (n_body =
+    |distinct pairs satisfying the body|), and for path rules AMIE's
+    PCA confidence conf_pca_e6 = 1e6 * support div n_pca, where n_pca
+    counts only body pairs whose SUBJECT has at least one head-
+    predicate fact (the partial-completeness assumption: a missing
+    fact about an entity the KB knows nothing about is not a
+    counterexample). Pair rules report conf_pca_e6 = conf_e6 (the PCA
+    denominator degenerates: body and head share the subject). This is the KG
     curation query that surfaces e.g. works_at(x,o) & located_in(o,c)
     => lives_in(x,c) as an inference candidate with measured precision.
 
@@ -1436,6 +1442,7 @@ def rule_mining(triples: DataFrame, min_support: int = 1) -> DataFrame:
             F.col("p2").alias("head"),
             "support", "n_body",
             F.expr("(1000000 * support) div n_body").alias("conf_e6"),
+            F.expr("(1000000 * support) div n_body").alias("conf_pca_e6"),
         )
     )
 
@@ -1461,8 +1468,18 @@ def rule_mining(triples: DataFrame, min_support: int = 1) -> DataFrame:
         .groupBy("p1", "p2", "p3")
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
     )
+    # PCA denominator: body pairs whose subject x has ANY p3 fact —
+    # one distinct (x, p3) projection joined to bodies (both sides
+    # pre-distincted; the same skew argument as the bridge join)
+    head_subj = heads.select("x", "p3").distinct()
+    npca = (
+        bodies.join(head_subj, "x")
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pca"))
+    )
     path_rules = (
         sup.join(nb, ["p1", "p2"])
+        .join(npca, ["p1", "p2", "p3"])
         .select(
             F.lit("path").alias("rule_type"),
             F.col("p1").alias("body1"),
@@ -1470,6 +1487,7 @@ def rule_mining(triples: DataFrame, min_support: int = 1) -> DataFrame:
             F.col("p3").alias("head"),
             "support", "n_body",
             F.expr("(1000000 * support) div n_body").alias("conf_e6"),
+            F.expr("(1000000 * support) div n_pca").alias("conf_pca_e6"),
         )
     )
     out = pair_rules.unionByName(path_rules)
@@ -1501,7 +1519,8 @@ pair_rules as (
   select 'pair' as rule_type, p1 as body1,
          cast(null as varchar) as body2, p2 as head,
          support, n_body,
-         cast((1000000 * support) // n_body as bigint) as conf_e6
+         cast((1000000 * support) // n_body as bigint) as conf_e6,
+         cast((1000000 * support) // n_body as bigint) as conf_pca_e6
   from pair_sup join body_n on pair_sup.p1 = body_n.pred
 ),
 bodies as (
@@ -1519,13 +1538,118 @@ sup as (
   from bodies b join facts h on b.x = h.subj and b.z = h.obj
   group by 1, 2, 3
 ),
+npca as (
+  select b.p1, b.p2, h.p3, cast(count(*) as bigint) as n_pca
+  from bodies b
+  join (select distinct subj as x, pred as p3 from facts) h using (x)
+  group by 1, 2, 3
+),
 path_rules as (
   select 'path' as rule_type, sup.p1 as body1, sup.p2 as body2,
-         p3 as head, support, nb.n_body,
-         cast((1000000 * support) // nb.n_body as bigint) as conf_e6
-  from sup join nb on sup.p1 = nb.p1 and sup.p2 = nb.p2
+         sup.p3 as head, support, nb.n_body,
+         cast((1000000 * support) // nb.n_body as bigint) as conf_e6,
+         cast((1000000 * support) // np.n_pca as bigint) as conf_pca_e6
+  from sup
+  join nb on sup.p1 = nb.p1 and sup.p2 = nb.p2
+  join npca np on sup.p1 = np.p1 and sup.p2 = np.p2 and sup.p3 = np.p3
 )
 select * from pair_rules where support >= {min_support}
 union all
 select * from path_rules where support >= {min_support}
+"""
+
+
+def scd2_facts(triples: DataFrame, pages: DataFrame) -> DataFrame:
+    """SCD2 validity intervals over the fact table -> (subj, pred,
+    version, obj, valid_from_s, valid_to_s, is_current): for each
+    (subj, pred), the timeline of OBJECT CHANGES across capture times —
+    the temporal-KG build that answers "what did we believe X's Y was,
+    as of time T" (q_kg_latest_facts is this table's current rows;
+    q_fact_churn is its two-window diff; this materializes the whole
+    spine, the scd2_urls discipline applied to facts).
+
+    A version opens at the first capture asserting a NEW object
+    (change-point compression: consecutive re-assertions of the same
+    object extend the current version instead of opening a row) and
+    closes at the next change (valid_to = next_change - 1, NULL while
+    current). The ordering (ts, doc_id, obj) is total, so flip-flops
+    (A -> B -> A) produce three versions deterministically in both
+    engines.
+
+    Scale shape: the distinct assertion collapse map-side combines;
+    the capture time attaches via ONE doc_id equi-join (warc_ts is an
+    instant, so unix_timestamp is timezone-pin-independent — the
+    entity_timeline note); then lag / row_number / lead all share the
+    (subj, pred) partitioning — ONE exchange, Window operators chained
+    over it (the filter between them preserves the distribution). The
+    (subj, pred) key is high-cardinality; a Zipf-hot predicate does
+    NOT skew it (pred alone is hot, (subj, pred) is not)."""
+    from pyspark.sql import Window as W
+
+    ts = pages.select(
+        "doc_id", F.unix_timestamp("warc_ts").cast("bigint").alias("ts_s")
+    )
+    a = (
+        triples.select("doc_id", "subj", "pred", "obj")
+        .distinct()
+        .join(ts, "doc_id")
+        .select("subj", "pred", "obj", "ts_s", "doc_id")
+    )
+    w = W.partitionBy("subj", "pred").orderBy("ts_s", "doc_id", "obj")
+    chg = (
+        a.withColumn("prev_obj", F.lag("obj").over(w))
+        .where(
+            F.col("prev_obj").isNull()
+            | (F.col("obj") != F.col("prev_obj"))
+        )
+        .drop("prev_obj")
+    )
+    w2 = W.partitionBy("subj", "pred").orderBy("ts_s", "doc_id", "obj")
+    return (
+        chg.select(
+            "subj", "pred",
+            F.row_number().over(w2).cast("bigint").alias("version"),
+            "obj",
+            F.col("ts_s").alias("valid_from_s"),
+            (F.lead("ts_s").over(w2) - 1).cast("bigint").alias("valid_to_s"),
+        )
+        .withColumn("is_current", F.col("valid_to_s").isNull())
+    )
+
+
+def duck_scd2_facts_sql(triples_sql: str) -> str:
+    """Oracle twin: the planted clock (warc_ts = BASE_EPOCH + doc_id)
+    replaces the pages join — an INDEPENDENT derivation of the capture
+    time that additionally certifies the Spark side's ts join +
+    epoch conversion (the entity_timeline convention)."""
+    from nerpii_spark.sources.pages import BASE_EPOCH
+
+    return f"""
+with a as (
+  select distinct subj, pred, obj, doc_id,
+                  cast({BASE_EPOCH} + doc_id as bigint) as ts_s
+  from ({triples_sql})
+),
+lagd as (
+  select subj, pred, obj, ts_s, doc_id,
+         lag(obj) over (partition by subj, pred
+                        order by ts_s, doc_id, obj) as prev_obj
+  from a
+),
+chg as (
+  select subj, pred, obj, ts_s, doc_id from lagd
+  where prev_obj is null or obj <> prev_obj
+)
+select subj, pred,
+       cast(row_number() over (partition by subj, pred
+                               order by ts_s, doc_id, obj) as bigint)
+         as version,
+       obj,
+       ts_s as valid_from_s,
+       cast(lead(ts_s) over (partition by subj, pred
+                             order by ts_s, doc_id, obj) - 1 as bigint)
+         as valid_to_s,
+       (lead(ts_s) over (partition by subj, pred
+                         order by ts_s, doc_id, obj)) is null as is_current
+from chg
 """

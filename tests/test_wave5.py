@@ -146,6 +146,10 @@ def test_rule_mining_path_rule(spark):
     r = rows[0]
     assert (r["body1"], r["body2"]) == ("born_in", "city_in")
     assert (r["support"], r["n_body"], r["conf_e6"]) == (1, 2, 500_000)
+    # PCA confidence: bob has NO citizen_of fact at all, so under the
+    # partial-completeness assumption he is not a counterexample —
+    # the denominator shrinks to ada's body pair and conf_pca = 1.0
+    assert r["conf_pca_e6"] == 1_000_000
 
 
 def test_rule_mining_dedups_assertions(spark):
@@ -432,3 +436,51 @@ def test_clustering_coeff_star_is_zero(spark):
         WG.distinct_host_edges = orig
     assert all(r["coeff_e6"] == 0 and r["n_tri"] == 0 for r in rows)
     assert {r["host"]: r["d"] for r in rows}["hub"] == 6
+
+
+# ---------------------------------------------------------------------------
+# scd2_facts
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_facts_change_point_compression(spark):
+    from nerpii_spark.operators.extract import scd2_facts
+
+    # docs 0..4 assert ceo(acme)=A, A, B, A, A:
+    # versions A[t0, t2-1], B[t2, t3-1], A[t3, null] — re-assertions
+    # extend, flip-flop reopens
+    triples = spark.createDataFrame(
+        [(0, "acme", "ceo", "A"), (1, "acme", "ceo", "A"),
+         (2, "acme", "ceo", "B"), (3, "acme", "ceo", "A"),
+         (4, "acme", "ceo", "A")],
+        "doc_id bigint, subj string, pred string, obj string",
+    )
+    pages = spark.createDataFrame(
+        [(i, "2025-01-01 00:00:%02d" % i) for i in range(5)],
+        "doc_id bigint, warc_ts string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    rows = sorted(
+        scd2_facts(triples, pages).collect(), key=lambda r: r["version"]
+    )
+    t0 = rows[0]["valid_from_s"]
+    assert [(r["version"], r["obj"]) for r in rows] == [
+        (1, "A"), (2, "B"), (3, "A")
+    ]
+    assert rows[0]["valid_to_s"] == t0 + 2 - 1
+    assert rows[1]["valid_to_s"] == t0 + 3 - 1
+    assert rows[2]["valid_to_s"] is None and rows[2]["is_current"]
+
+
+def test_scd2_facts_duplicate_assertions_collapse(spark):
+    from nerpii_spark.operators.extract import scd2_facts
+
+    # the same doc asserting the same fact twice contributes once
+    triples = spark.createDataFrame(
+        [(0, "s", "p", "X"), (0, "s", "p", "X")],
+        "doc_id bigint, subj string, pred string, obj string",
+    )
+    pages = spark.createDataFrame(
+        [(0, "2025-01-01 00:00:00")], "doc_id bigint, warc_ts string"
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    rows = scd2_facts(triples, pages).collect()
+    assert len(rows) == 1 and rows[0]["is_current"]
