@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-163 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+166 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -69,6 +69,12 @@ from nerpii_spark.operators.extract import (
     duck_rule_mining_sql,
     scd2_facts,
     duck_scd2_facts_sql,
+    asof_facts,
+    duck_asof_facts_sql,
+    pred_cardinality,
+    duck_pred_cardinality_sql,
+    truth_discovery,
+    duck_truth_discovery_sql,
     topk_objs_per_pred,
     triple_support,
     duck_triple_support_sql,
@@ -2049,6 +2055,35 @@ def q_scd2_facts(spark, sf):
     return scd2_facts(p["triples"], p["pages"])
 
 
+def q_asof_facts(spark, sf):
+    """Point-in-time KG read (extract.asof_facts): the fact version
+    current at each of 8 probe instants evenly spaced over the corpus
+    clock — the time-travel query the SCD2 spine exists to answer.
+    Probe table built distributed (1-row min/max agg -> sequence
+    explode), broadcast into the range join; oracle derives probes
+    independently from the planted clock."""
+    p = _pipeline(spark, sf)
+    return asof_facts(p["triples"], p["pages"])
+
+
+def q_pred_cardinality(spark, sf):
+    """Per-predicate AMIE functionality profile
+    (extract.pred_cardinality): distinct facts/subjects/objects and
+    e6-integer fun/ifun ratios — what orients mined rules, scopes
+    conflict detection, and thresholds schema induction. One distinct
+    + one expand agg, no join."""
+    return pred_cardinality(_pipeline(spark, sf)["triples"])
+
+
+def q_truth_discovery(spark, sf):
+    """Source-reliability truth discovery (extract.truth_discovery):
+    2-round Sums fixed point (Pasternack & Roth 2010) scoring every
+    (host-asserted) claim by learned host trust — the adjudication
+    pass beyond kg_conflicts' majority vote. All-bigint with 1-row
+    max normalization; chained-CTE oracle replays both rounds."""
+    return truth_discovery(_pipeline(spark, sf)["triples"])
+
+
 def q_clustering_coeff(spark, sf):
     """Per-host local clustering coefficient (webgraph.clustering_coeff):
     the kg_triangles degree-oriented wedge census with each closed
@@ -2060,7 +2095,11 @@ def q_clustering_coeff(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # r3 wave-4 (newest, no driver row yet):
+        # r3 wave-6 (newest, no driver row yet):
+        "q_truth_discovery": q_truth_discovery,
+        "q_asof_facts": q_asof_facts,
+        "q_pred_cardinality": q_pred_cardinality,
+        # r3 wave-4:
         "q_scd2_facts": q_scd2_facts,
         "q_clustering_coeff": q_clustering_coeff,
         "q_linkpred_auc": q_linkpred_auc,
@@ -2400,6 +2439,9 @@ def oracle_sql() -> dict[str, str]:
     female = G.sql_str_list([n.lower() for n in G.FIRST_FEMALE])
     male = G.sql_str_list([n.lower() for n in G.FIRST_MALE])
     return {
+        "q_truth_discovery": duck_truth_discovery_sql(gt, pages),
+        "q_asof_facts": duck_asof_facts_sql(gt, pages),
+        "q_pred_cardinality": duck_pred_cardinality_sql(gt),
         "q_scd2_facts": duck_scd2_facts_sql(gt),
         "q_clustering_coeff": WG.duck_clustering_coeff_sql(pages),
         "q_linkpred_auc": WG.duck_linkpred_auc_sql(pages),

@@ -1653,3 +1653,256 @@ select subj, pred,
                          order by ts_s, doc_id, obj)) is null as is_current
 from chg
 """
+
+
+def pred_cardinality(triples: DataFrame) -> DataFrame:
+    """Per-predicate cardinality profile -> (pred, n_facts, n_subj,
+    n_obj, functionality_e6, inv_functionality_e6): over DISTINCT
+    facts, how many facts, distinct subjects and distinct objects each
+    predicate carries, plus AMIE's functionality fun(p) = n_subj /
+    n_facts (1.0 = every subject has exactly one object — a functional
+    property like born_in; low = multi-valued like works_at) and its
+    inverse ifun(p) = n_obj / n_facts. Rule miners orient rules toward
+    the more functional direction (Galarraga 2013 §3.2), conflict
+    detection (q_kg_conflicts) only makes sense where fun ~= 1, and
+    schema induction thresholds on exactly these two ratios — this is
+    the profile that decides both, shipped as e6 integer ratios so
+    Spark == DuckDB bit-for-bit.
+
+    Scale shape: corpus multiplicity collapses in one map-side-combined
+    distinct on (subj, pred, obj); then ONE groupBy(pred) with two
+    count-distincts — Catalyst plans the distinct pair via expand (2x
+    rows pre-shuffle, each leg partially aggregated map-side), so the
+    Zipf-hot predicate arrives pre-deduplicated per map task. No join,
+    no window; output bounded by |preds|."""
+    facts = triples.select("subj", "pred", "obj").distinct()
+    return (
+        facts.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_facts"),
+            F.count_distinct("subj").cast("bigint").alias("n_subj"),
+            F.count_distinct("obj").cast("bigint").alias("n_obj"),
+        )
+        .select(
+            "pred", "n_facts", "n_subj", "n_obj",
+            F.expr("(1000000 * n_subj) div n_facts").alias(
+                "functionality_e6"
+            ),
+            F.expr("(1000000 * n_obj) div n_facts").alias(
+                "inv_functionality_e6"
+            ),
+        )
+    )
+
+
+def duck_pred_cardinality_sql(triples_sql: str) -> str:
+    """Oracle: identical profile over the planted golden triples."""
+    return f"""
+with facts as (select distinct subj, pred, obj from ({triples_sql}))
+select pred,
+       cast(count(*) as bigint) as n_facts,
+       cast(count(distinct subj) as bigint) as n_subj,
+       cast(count(distinct obj) as bigint) as n_obj,
+       cast((1000000 * count(distinct subj)) // count(*) as bigint)
+         as functionality_e6,
+       cast((1000000 * count(distinct obj)) // count(*) as bigint)
+         as inv_functionality_e6
+from facts group by pred
+"""
+
+
+def asof_facts(triples: DataFrame, pages: DataFrame, n_probes: int = 8) -> DataFrame:
+    """Point-in-time KG read -> (probe_s, subj, pred, version, obj):
+    for each of `n_probes` instants evenly spaced over the corpus
+    clock, the fact version that was CURRENT at that instant — the
+    time-travel query the SCD2 spine (scd2_facts) exists to answer,
+    and the reproducibility primitive for training-data provenance
+    ("rebuild the KG exactly as it stood when run X trained").
+
+    A version is current at T iff valid_from_s <= T <= valid_to_s
+    (valid_to NULL = still open). Facts whose first version opens
+    after T are correctly absent at T.
+
+    Scale shape: the probe table is built DISTRIBUTED (one 1-row
+    min/max agg over pages -> sequence() explode), never collected;
+    it then broadcasts (n_probes rows) into a nested-loop join with
+    the range predicate — output bounded by n_probes x |current spine
+    rows|, each spine row matching <= n_probes probes. The spine
+    itself is the one-exchange scd2_facts plan."""
+    spine = scd2_facts(triples, pages)
+    probes = (
+        pages.agg(
+            F.min(F.unix_timestamp("warc_ts")).cast("bigint").alias("lo"),
+            F.max(F.unix_timestamp("warc_ts")).cast("bigint").alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {n_probes - 1}),"
+                    f" k -> lo + ((hi - lo) * k) div {n_probes})"
+                )
+            ).alias("probe_s")
+        )
+    )
+    return (
+        spine.join(
+            F.broadcast(probes),
+            (F.col("valid_from_s") <= F.col("probe_s"))
+            & (
+                F.col("valid_to_s").isNull()
+                | (F.col("probe_s") <= F.col("valid_to_s"))
+            ),
+        )
+        .select("probe_s", "subj", "pred", "version", "obj")
+    )
+
+
+def duck_asof_facts_sql(
+    triples_sql: str, pages_sql_duck: str, n_probes: int = 8
+) -> str:
+    """Oracle: same read over the replayed spine, probes derived from
+    the planted clock (warc_ts = BASE_EPOCH + doc_id) — an independent
+    derivation that re-certifies the Spark side's min/max + epoch
+    conversion."""
+    from nerpii_spark.sources.pages import BASE_EPOCH
+
+    return f"""
+with spine as ({duck_scd2_facts_sql(triples_sql)}),
+bounds as (
+  select cast({BASE_EPOCH} + min(doc_id) as bigint) as lo,
+         cast({BASE_EPOCH} + max(doc_id) as bigint) as hi
+  from ({pages_sql_duck})
+),
+probes as (
+  select cast(lo + ((hi - lo) * k) // {n_probes} as bigint) as probe_s
+  from bounds, range(0, {n_probes}) r(k)
+)
+select probe_s, subj, pred, version, obj
+from spine join probes
+  on valid_from_s <= probe_s
+ and (valid_to_s is null or probe_s <= valid_to_s)
+"""
+
+
+def truth_discovery(triples: DataFrame, rounds: int = 2) -> DataFrame:
+    """Truth discovery over conflicting web claims -> (subj, pred, obj,
+    belief, n_hosts): iterative source-reliability voting (the Sums
+    scheme of Pasternack & Roth 2010, the HITS of fact-finding) that
+    adjudicates multi-valued (subj, pred) conflicts BEYOND majority
+    vote — a claim asserted by few reliable hosts beats one spammed by
+    many template mirrors, because host trust is itself learned from
+    how often a host agrees with well-supported claims.
+
+    Fixed point, all-bigint: t0(h) = 1e6 for every host; per round,
+    belief(c) = sum of t(h) over hosts asserting claim c, then
+    raw(h) = sum of belief(c) over h's claims and t(h) = 1e6 * raw(h)
+    div max_raw (max-normalization keeps the iteration in range:
+    t <= 1e6, belief <= 1e6 * hosts_per_claim, raw <= 1e6 * C * H for
+    C claims/host x H hosts/claim — overflow needs C*H > 9e12).
+    Output keeps EVERY claim with its final belief plus the
+    row_number-selected winner is left to the consumer; n_hosts rides
+    along so the majority-vote baseline is visible next to the
+    learned belief.
+
+    Scale shape: claims collapse to distinct (host, subj, pred, obj)
+    once and localCheckpoint (every round re-reads them); each round
+    is two vocabulary-keyed equi-joins (host -> trust, claim-key ->
+    belief; both map-side-combined groupBys — a Zipf-hot host skews
+    only a probe side, AQE splits it) plus ONE max row crossJoined
+    back as the normalizer (the 1-row broadcast pattern). Trust is
+    localCheckpoint'd per round: self-joins over live Python stages
+    recompute them."""
+    claims = (
+        triples.select(
+            F.expr("regexp_extract(url, 'https?://([^/]+)', 1)").alias(
+                "host"
+            ),
+            "subj", "pred", "obj",
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    trust = claims.select("host").distinct().withColumn(
+        "t", F.lit(1_000_000).cast("bigint")
+    )
+    key = ["subj", "pred", "obj"]
+    belief = None
+    for _ in range(rounds):
+        belief = (
+            claims.join(trust, "host")
+            .groupBy(*key)
+            .agg(F.sum("t").cast("bigint").alias("belief"))
+        )
+        raw = (
+            claims.join(belief, key)
+            .groupBy("host")
+            .agg(F.sum("belief").cast("bigint").alias("raw"))
+        )
+        mx = raw.agg(F.max("raw").alias("mx"))
+        trust = (
+            raw.crossJoin(F.broadcast(mx))
+            .select(
+                "host",
+                F.expr("(1000000 * raw) div mx").cast("bigint").alias("t"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    n_hosts = claims.groupBy(*key).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hosts")
+    )
+    return belief.join(n_hosts, key).select(
+        "subj", "pred", "obj", "belief", "n_hosts"
+    )
+
+
+def duck_truth_discovery_sql(
+    triples_sql: str, pages_sql_duck: str, rounds: int = 2
+) -> str:
+    """Oracle: chained-CTE replay of the Sums iteration over planted
+    golden triples joined to planted urls (host derivation certified
+    independently). DuckDB sum(bigint) is HUGEINT -> cast every sum."""
+    ctes = [
+        f"""claims as (
+  select distinct regexp_extract(p.url, 'https?://([^/]+)', 1) as host,
+         t.subj, t.pred, t.obj
+  from ({triples_sql}) t
+  join (select doc_id, url from ({pages_sql_duck})) p using (doc_id)
+)""",
+        "t0 as (select distinct host, cast(1000000 as bigint) as t"
+        " from claims)",
+    ]
+    prev = "t0"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""b{i} as (
+  select c.subj, c.pred, c.obj, cast(sum(t.t) as bigint) as belief
+  from claims c join {prev} t using (host)
+  group by 1, 2, 3
+)"""
+        )
+        ctes.append(
+            f"""r{i} as (
+  select c.host, cast(sum(b.belief) as bigint) as raw
+  from claims c
+  join b{i} b on c.subj = b.subj and c.pred = b.pred and c.obj = b.obj
+  group by 1
+)"""
+        )
+        ctes.append(
+            f"""t{i} as (
+  select host,
+         cast((1000000 * raw) // (select max(raw) from r{i}) as bigint)
+           as t
+  from r{i}
+)"""
+        )
+        prev = f"t{i}"
+    return (
+        "with " + ",\n".join(ctes) + f"""
+select c.subj, c.pred, c.obj, b.belief,
+       cast(count(*) as bigint) as n_hosts
+from claims c
+join b{rounds} b on c.subj = b.subj and c.pred = b.pred and c.obj = b.obj
+group by c.subj, c.pred, c.obj, b.belief
+"""
+    )
