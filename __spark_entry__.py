@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-166 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+168 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -2055,6 +2055,25 @@ def q_scd2_facts(spark, sf):
     return scd2_facts(p["triples"], p["pages"])
 
 
+def q_vocab_growth(spark, sf):
+    """Good-Turing frequency-of-frequencies per language
+    (textstats.vocab_growth): N_r for r<=10 with token-mass share
+    (the r=1 share = GT unseen-mass estimate) and smoothed r* — the
+    statistic behind LM smoothing and vocabulary-saturation checks.
+    One corpus pass; everything after is vocab-bounded."""
+    return TS.vocab_growth(_load(spark, sf, "documents"))
+
+
+def q_phrase_search(spark, sf):
+    """Exact phrase search via positional postings
+    (textstats.phrase_search): docs containing the consecutive token
+    pair 'merge group' with match counts; postings restrict to the
+    phrase terms before any join so work ~ df(term), not corpus
+    size."""
+    return TS.phrase_search(_load(spark, sf, "documents"),
+                            ["merge", "group"])
+
+
 def q_asof_facts(spark, sf):
     """Point-in-time KG read (extract.asof_facts): the fact version
     current at each of 8 probe instants evenly spaced over the corpus
@@ -2097,6 +2116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r3 wave-6 (newest, no driver row yet):
         "q_truth_discovery": q_truth_discovery,
+        "q_vocab_growth": q_vocab_growth,
+        "q_phrase_search": q_phrase_search,
         "q_asof_facts": q_asof_facts,
         "q_pred_cardinality": q_pred_cardinality,
         # r3 wave-4:
@@ -2440,6 +2461,8 @@ def oracle_sql() -> dict[str, str]:
     male = G.sql_str_list([n.lower() for n in G.FIRST_MALE])
     return {
         "q_truth_discovery": duck_truth_discovery_sql(gt, pages),
+        "q_vocab_growth": TS.duck_vocab_growth_sql(),
+        "q_phrase_search": TS.duck_phrase_search_sql(["merge", "group"]),
         "q_asof_facts": duck_asof_facts_sql(gt, pages),
         "q_pred_cardinality": duck_pred_cardinality_sql(gt),
         "q_scd2_facts": duck_scd2_facts_sql(gt),

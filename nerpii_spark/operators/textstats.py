@@ -1707,3 +1707,167 @@ select bucket, cast(bucket * {q} as bigint) as thr_e6,
             else cast(null as bigint) end as recall_milli
 from cum
 """
+
+
+def vocab_growth(docs: DataFrame, max_r: int = 10,
+                 text_col: str = "text", lang_col: str = "lang") -> DataFrame:
+    """Good-Turing frequency-of-frequencies per language -> (lang, r,
+    n_types, share_e6, gt_rstar_e6) for r = 1..max_r: how many token
+    TYPES occur exactly r times, what fraction of the token mass they
+    carry (share_e6 = 1e6 * r*N_r div total_tokens — the r=1 row's
+    share IS Good-Turing's unseen-mass estimate p0 = N_1/N), and the
+    GT-smoothed adjusted count r* = (r+1) * N_{r+1} / N_r as an e6
+    integer (NULL where N_{r+1} = 0). This is the corpus statistic
+    behind LM smoothing, Heaps-law vocabulary-growth checks, and the
+    "how much more data before the vocabulary saturates" question a
+    training-data pipeline answers before committing a tokenizer.
+
+    Scale shape: token counts = ONE map-side-combined (lang, token)
+    agg (Zipf-hot tokens pre-summed per map task, output vocab-
+    bounded); counts-of-counts = a second tiny agg over the vocab
+    table keyed (lang, c) — output bounded by distinct count VALUES
+    (<= O(sqrt(total_tokens)) by a mass argument); per-lang token
+    totals ride the same vocab table (sum(c), <= |langs| rows,
+    broadcast back); N_{r+1} attaches via a self-left-join of the
+    <= max_r-row result. Corpus is scanned once."""
+    counts = (
+        docs.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(F.expr(f"split(lower({text_col}), ' ')")).alias(
+                "token"
+            ),
+        )
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)  # fof + totals both read it
+    )
+    fof = counts.groupBy("lang", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types")
+    )
+    totals = counts.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens")
+    )
+    nxt = fof.select(
+        "lang", (F.col("c") - 1).alias("c"),
+        F.col("n_types").alias("n_types_next"),
+    )
+    return (
+        fof.where(F.col("c") <= max_r)
+        .join(nxt, ["lang", "c"], "left")
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            F.col("c").alias("r"),
+            "n_types",
+            F.expr("(1000000 * c * n_types) div n_tokens").alias(
+                "share_e6"
+            ),
+            F.expr(
+                "(1000000 * (c + 1) * n_types_next) div n_types"
+            ).alias("gt_rstar_e6"),
+        )
+    )
+
+
+def duck_vocab_growth_sql(max_r: int = 10, doc_rel: str = "documents") -> str:
+    """Oracle twin. sum(bigint) is HUGEINT in DuckDB -> cast."""
+    return f"""
+with counts as (
+  select lang, token, cast(count(*) as bigint) as c
+  from (select lang, unnest(string_split(lower(text), ' ')) as token
+        from {doc_rel})
+  group by 1, 2
+),
+fof as (
+  select lang, c, cast(count(*) as bigint) as n_types
+  from counts group by 1, 2
+),
+totals as (
+  select lang, cast(sum(c) as bigint) as n_tokens from counts group by 1
+)
+select f.lang, f.c as r, f.n_types,
+       cast((1000000 * f.c * f.n_types) // t.n_tokens as bigint)
+         as share_e6,
+       cast((1000000 * (f.c + 1) * nx.n_types) // f.n_types as bigint)
+         as gt_rstar_e6
+from fof f
+join totals t on f.lang = t.lang
+left join fof nx on nx.lang = f.lang and nx.c = f.c + 1
+where f.c <= {max_r}
+"""
+
+
+def phrase_search(docs: DataFrame, phrase: list[str],
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact phrase search via a positional inverted index ->
+    (doc_id, n_matches): documents containing the consecutive token
+    sequence `phrase` (lowercased whitespace tokens) with the number
+    of start positions. The index-construction shape a serving layer
+    builds ONCE and queries many times — unlike a LIKE scan, the
+    postings restrict to the phrase's terms before any join, so work
+    is proportional to the terms' document frequency, not corpus size.
+
+    Scale shape: ONE corpus pass builds (term, doc, pos) postings for
+    ONLY the phrase terms (the isin filter rides the explode — rows
+    for other terms never materialize); the filtered postings are
+    localCheckpoint'd (K-1 self-joins over a live stage would re-scan
+    the corpus per term) and then term_i joins term_0 on (doc, pos_0
+    + i) — doc+position equi-joins whose sides are df(term)-sized.
+    A stopword-hot term inflates only its posting list; the join keys
+    on (doc, pos) which is unique per side, so no reducer hot spot.
+    Duplicate terms inside the phrase are handled naturally (the same
+    posting list self-joins at different offsets)."""
+    terms = [t.lower() for t in phrase]
+    if len(terms) < 1:
+        raise ValueError("phrase must have at least one term")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"split(lower({text_col}), ' ')").alias("_toks"),
+    )
+    post = (
+        toks.select(
+            "doc_id", F.posexplode("_toks").alias("pos", "term")
+        )
+        .where(F.col("term").isin(terms))
+        .localCheckpoint(eager=True)
+    )
+    out = post.where(F.col("term") == terms[0]).select("doc_id", "pos")
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = post.where(F.col("term") == t).select(
+            F.col("doc_id").alias("d"), (F.col("pos") - i).alias("p")
+        )
+        out = out.join(
+            nxt,
+            (out.doc_id == nxt.d) & (out.pos == nxt.p),
+        ).select("doc_id", "pos")
+    return out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches")
+    )
+
+
+def duck_phrase_search_sql(phrase: list[str],
+                           doc_rel: str = "documents") -> str:
+    """Oracle twin over unnest + generate_subscripts (1-based, the
+    Spark side is 0-based posexplode — offsets cancel in the join)."""
+    terms = [t.lower().replace("'", "''") for t in phrase]
+    joins = "".join(
+        f"\n  join post p{i} on p{i}.doc_id = p0.doc_id"
+        f" and p{i}.pos = p0.pos + {i} and p{i}.term = '{t}'"
+        for i, t in enumerate(terms[1:], start=1)
+    )
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+with post as (
+  select doc_id, term, pos from (
+    select doc_id, unnest(toks) as term,
+           generate_subscripts(toks, 1) as pos
+    from (select doc_id, string_split(lower(text), ' ') as toks
+          from {doc_rel})
+  ) where term in ({in_list})
+)
+select p0.doc_id, cast(count(*) as bigint) as n_matches
+from post p0{joins}
+where p0.term = '{terms[0]}'
+group by p0.doc_id
+"""

@@ -146,3 +146,72 @@ def test_pred_cardinality_functionality(spark):
     w = out["works_at"]
     assert (w["n_facts"], w["n_subj"], w["n_obj"]) == (2, 1, 2)
     assert w["functionality_e6"] == 500_000
+
+
+# ---------------------------------------------------------------------------
+# vocab_growth
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_growth_good_turing(spark):
+    # corpus: a a a b b c d e -> N_1=3 (c,d,e), N_2=1 (b), N_3=1 (a),
+    # total=8. share(1)=3/8, r*(1)=2*N_2/N_1=2/3, r*(2)=3*N_3/N_2=3,
+    # r*(3)=NULL (N_4=0).
+    from nerpii_spark.operators.textstats import vocab_growth
+
+    docs = spark.createDataFrame(
+        [(0, "en", "a a a b b c d e")],
+        "doc_id bigint, lang string, text string",
+    )
+    out = {r["r"]: r for r in vocab_growth(docs).collect()}
+    assert out[1]["n_types"] == 3 and out[2]["n_types"] == 1
+    assert out[1]["share_e6"] == 1_000_000 * 3 // 8
+    assert out[1]["gt_rstar_e6"] == 1_000_000 * 2 * 1 // 3
+    assert out[2]["gt_rstar_e6"] == 3_000_000
+    assert out[3]["gt_rstar_e6"] is None
+
+
+def test_vocab_growth_per_lang_isolation(spark):
+    from nerpii_spark.operators.textstats import vocab_growth
+
+    docs = spark.createDataFrame(
+        [(0, "en", "x x"), (1, "it", "x")],
+        "doc_id bigint, lang string, text string",
+    )
+    out = {(r["lang"], r["r"]): r["n_types"]
+           for r in vocab_growth(docs).collect()}
+    assert out == {("en", 2): 1, ("it", 1): 1}
+
+
+# ---------------------------------------------------------------------------
+# phrase_search
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_search_three_term_and_overlap(spark):
+    from nerpii_spark.operators.textstats import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick fox saw the quick fox run"),  # 2 matches
+            (1, "quick the fox"),                        # scrambled: 0
+            (2, "THE QUICK FOX"),                        # case-folded: 1
+            (3, "the quick dog"),                        # prefix only: 0
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["n_matches"] for r in phrase_search(
+        docs, ["the", "quick", "fox"]).collect()}
+    assert out == {0: 2, 2: 1}
+
+
+def test_phrase_search_repeated_term(spark):
+    from nerpii_spark.operators.textstats import phrase_search
+
+    # phrase with a repeated token: "b b" occurs at pos 1 and 2 of
+    # "a b b b" (overlapping starts both count)
+    docs = spark.createDataFrame(
+        [(0, "a b b b")], "doc_id bigint, text string"
+    )
+    out = phrase_search(docs, ["b", "b"]).collect()
+    assert [(r["doc_id"], r["n_matches"]) for r in out] == [(0, 2)]
