@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-168 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+169 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -2055,6 +2055,26 @@ def q_scd2_facts(spark, sf):
     return scd2_facts(p["triples"], p["pages"])
 
 
+def q_split_leakage(spark, sf):
+    """Train/val/test leakage audit over near-dup clusters
+    (dedup.split_leakage): every multi-member MinHash->CC cluster with
+    its split profile and a leaked flag — the near-dup eval
+    contamination a doc-hash split silently creates (q_decontaminate
+    catches only verbatim overlap). Same split rule as q_split_assign;
+    oracle recomputes clusters from exact-Jaccard truth and replays
+    the hash."""
+    dup = _dup_docs(spark, sf)
+    r = F.expr(f"{sql_h1('doc_id', 23)} % 1000")
+    splits = dup.select(
+        "doc_id",
+        F.when(r < 10, F.lit("test"))
+        .when(r < 20, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    return D.split_leakage(dup, splits)
+
+
 def q_vocab_growth(spark, sf):
     """Good-Turing frequency-of-frequencies per language
     (textstats.vocab_growth): N_r for r<=10 with token-mass share
@@ -2117,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r3 wave-6 (newest, no driver row yet):
         "q_truth_discovery": q_truth_discovery,
         "q_vocab_growth": q_vocab_growth,
+        "q_split_leakage": q_split_leakage,
         "q_phrase_search": q_phrase_search,
         "q_asof_facts": q_asof_facts,
         "q_pred_cardinality": q_pred_cardinality,
@@ -2462,6 +2483,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q_truth_discovery": duck_truth_discovery_sql(gt, pages),
         "q_vocab_growth": TS.duck_vocab_growth_sql(),
+        "q_split_leakage": D.duck_split_leakage_sql(
+            f"select id_a, id_b from ({_exact_jaccard_sql()})",
+            f"""case when {sql_h1('doc_id', 23)} % 1000 < 10 then 'test'
+                 when {sql_h1('doc_id', 23)} % 1000 < 20 then 'val'
+                 else 'train' end""",
+        ),
         "q_phrase_search": TS.duck_phrase_search_sql(["merge", "group"]),
         "q_asof_facts": duck_asof_facts_sql(gt, pages),
         "q_pred_cardinality": duck_pred_cardinality_sql(gt),

@@ -1659,3 +1659,83 @@ select cand.host, line, n_docs, host_pages,
 from cand join hp on cand.host = hp.host
 where 1000 * n_docs >= {ratio_milli} * host_pages
 """
+
+
+def split_leakage(docs: DataFrame, splits: DataFrame,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Train/val/test LEAKAGE audit over near-dup clusters ->
+    (cluster_id, n_docs, n_splits, splits, leaked): every multi-member
+    MinHash->CC duplicate cluster with its split profile. A cluster
+    whose members straddle splits (leaked = n_splits > 1) is eval
+    contamination by construction — the test doc has a near-copy in
+    train — and the standard fix is assigning splits BY CLUSTER, which
+    this report verifies (a clean corpus returns leaked = false
+    everywhere). q_decontaminate catches verbatim eval overlap; this
+    catches the near-dup overlap a hash split silently creates.
+
+    Scale shape: rides the SAME certified MinHash->CC machinery as
+    near_dedup_survivors (banded LSH, cap-degraded buckets, per-round
+    localCheckpoint'd CC); splits attach via ONE doc-keyed equi-join;
+    the per-cluster rollup is a map-side-combined agg whose collect_set
+    is bounded by |splits| (3), and cluster sizes are bounded by the
+    LSH cap degrade — no hot reducer."""
+    from .link import connected_components
+
+    pairs = minhash_dup_pairs(docs, id_col=id_col)
+    nodes = docs.select(F.col(id_col).alias("sid"))
+    labels = connected_components(
+        nodes,
+        pairs.select(F.col("id_a").alias("sid_a"),
+                     F.col("id_b").alias("sid_b")),
+    )
+    j = labels.join(
+        splits.select(F.col(id_col).alias("sid"), "split"), "sid"
+    )
+    return (
+        j.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("split").cast("bigint").alias("n_splits"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_set("split"))
+            ).alias("splits"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .select(
+            F.col("label").alias("cluster_id"),
+            "n_docs", "n_splits", "splits",
+            (F.col("n_splits") > 1).alias("leaked"),
+        )
+    )
+
+
+def duck_split_leakage_sql(exact_pairs_sql: str, split_case_sql: str,
+                           doc_rel: str = "documents") -> str:
+    """Oracle: clusters recomputed from the exact-Jaccard pair ground
+    truth (recursive min-label CTE, the near_dedup_survivors oracle),
+    split replayed from the same portable hash rule."""
+    dup = dup_docs_sql("duck", doc_rel)
+    return f"""
+with recursive
+nodes as (select doc_id from ({dup})),
+e as (select id_a, id_b from ({exact_pairs_sql})),
+sym as (select id_a as src, id_b as dst from e
+        union all select id_b, id_a from e),
+reach(id, lbl) as (
+  select doc_id, doc_id from nodes
+  union
+  select s.dst, r.lbl
+  from reach r join sym s on s.src = r.id
+  where r.lbl < s.dst
+),
+comp as (select id, min(lbl) as lbl from reach group by 1),
+sp as (select doc_id, {split_case_sql} as split from ({dup}))
+select lbl as cluster_id,
+       cast(count(*) as bigint) as n_docs,
+       cast(count(distinct split) as bigint) as n_splits,
+       string_agg(distinct split, ',' order by split) as splits,
+       count(distinct split) > 1 as leaked
+from comp join sp on comp.id = sp.doc_id
+group by lbl
+having count(*) >= 2
+"""

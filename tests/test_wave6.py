@@ -215,3 +215,55 @@ def test_phrase_search_repeated_term(spark):
     )
     out = phrase_search(docs, ["b", "b"]).collect()
     assert [(r["doc_id"], r["n_matches"]) for r in out] == [(0, 2)]
+
+
+# ---------------------------------------------------------------------------
+# split_leakage
+# ---------------------------------------------------------------------------
+
+
+def test_split_leakage_flags_straddling_cluster(spark):
+    from nerpii_spark.operators.dedup import split_leakage
+
+    body = ("spark merge join filter window batch stream value "
+            "table scan hash group row data key sort agg part")
+    docs = spark.createDataFrame(
+        [
+            (0, body),            # dup cluster {0, 1}: train + test
+            (1, body),
+            (2, body + " extra"), # near-dup of the pair -> same cluster
+            (3, "completely different words entirely unrelated text "
+                "nothing shared with anything else at all here now"),
+            (4, "another standalone document with its own vocabulary "
+                "zero overlap against the duplicated boilerplate body"),
+        ],
+        "doc_id bigint, text string",
+    )
+    splits = spark.createDataFrame(
+        [(0, "train"), (1, "test"), (2, "train"), (3, "train"),
+         (4, "val")],
+        "doc_id bigint, split string",
+    )
+    rows = split_leakage(docs, splits).collect()
+    # exactly one multi-member cluster, and it leaks train+test
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["cluster_id"] == 0 and r["n_docs"] == 3
+    assert r["leaked"] and r["n_splits"] == 2
+    assert r["splits"] == "test,train"
+
+
+def test_split_leakage_clean_when_cluster_assigned(spark):
+    from nerpii_spark.operators.dedup import split_leakage
+
+    body = ("spark merge join filter window batch stream value "
+            "table scan hash group row data key sort agg part")
+    docs = spark.createDataFrame(
+        [(0, body), (1, body)], "doc_id bigint, text string"
+    )
+    splits = spark.createDataFrame(
+        [(0, "train"), (1, "train")], "doc_id bigint, split string"
+    )
+    rows = split_leakage(docs, splits).collect()
+    assert len(rows) == 1 and not rows[0]["leaked"]
+    assert rows[0]["splits"] == "train"
