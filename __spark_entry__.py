@@ -2081,7 +2081,7 @@ def q_vocab_growth(spark, sf):
     (the r=1 share = GT unseen-mass estimate) and smoothed r* — the
     statistic behind LM smoothing and vocabulary-saturation checks.
     One corpus pass; everything after is vocab-bounded."""
-    return TS.vocab_growth(_load(spark, sf, "documents"))
+    return TS.vocab_growth(_load(spark, sf, "documents"), gram=2)
 
 
 def q_phrase_search(spark, sf):
@@ -2482,7 +2482,7 @@ def oracle_sql() -> dict[str, str]:
     male = G.sql_str_list([n.lower() for n in G.FIRST_MALE])
     return {
         "q_truth_discovery": duck_truth_discovery_sql(gt, pages),
-        "q_vocab_growth": TS.duck_vocab_growth_sql(),
+        "q_vocab_growth": TS.duck_vocab_growth_sql(gram=2),
         "q_split_leakage": D.duck_split_leakage_sql(
             f"select id_a, id_b from ({_exact_jaccard_sql()})",
             f"""case when {sql_h1('doc_id', 23)} % 1000 < 10 then 'test'

@@ -183,6 +183,11 @@ def main() -> int:
         "q_dedup_cluster_stats",
         "q_hard_negatives",
         "q_dp_counts",
+        "q_truth_discovery",
+        "q_scd2_facts",
+        "q_phrase_search",
+        "q_vocab_growth",
+        "q_split_leakage",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

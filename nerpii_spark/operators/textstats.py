@@ -1709,7 +1709,7 @@ from cum
 """
 
 
-def vocab_growth(docs: DataFrame, max_r: int = 10,
+def vocab_growth(docs: DataFrame, max_r: int = 10, gram: int = 1,
                  text_col: str = "text", lang_col: str = "lang") -> DataFrame:
     """Good-Turing frequency-of-frequencies per language -> (lang, r,
     n_types, share_e6, gt_rstar_e6) for r = 1..max_r: how many token
@@ -1722,6 +1722,11 @@ def vocab_growth(docs: DataFrame, max_r: int = 10,
     "how much more data before the vocabulary saturates" question a
     training-data pipeline answers before committing a tokenizer.
 
+    `gram` = 1 counts unigram types, 2 counts word-bigram types — the
+    N_r table Katz backoff actually smooths, and on a small closed
+    vocabulary the level where low-count types still exist at corpus
+    scale (unigram N_{r<=10} goes empty once every word is hot).
+
     Scale shape: token counts = ONE map-side-combined (lang, token)
     agg (Zipf-hot tokens pre-summed per map task, output vocab-
     bounded); counts-of-counts = a second tiny agg over the vocab
@@ -1729,14 +1734,27 @@ def vocab_growth(docs: DataFrame, max_r: int = 10,
     (<= O(sqrt(total_tokens)) by a mass argument); per-lang token
     totals ride the same vocab table (sum(c), <= |langs| rows,
     broadcast back); N_{r+1} attaches via a self-left-join of the
-    <= max_r-row result. Corpus is scanned once."""
+    <= max_r-row result. Corpus is scanned once; the bigram transform
+    runs over the PRE-PROJECTED token array (no-CSE HOF rule) with
+    the size >= 2 guard (sequence(1, n) descends for n < 1)."""
+    if gram not in (1, 2):
+        raise ValueError("gram must be 1 or 2")
+    toks = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.expr(f"split(lower({text_col}), ' ')").alias("_toks"),
+    )
+    if gram == 1:
+        tok_col = F.explode("_toks").alias("token")
+    else:
+        tok_col = F.explode(
+            F.expr(
+                "if(size(_toks) < 2, array(), "
+                + bigrams_sql("spark", "", pre_split="_toks")
+                + ")"
+            )
+        ).alias("token")
     counts = (
-        docs.select(
-            F.col(lang_col).alias("lang"),
-            F.explode(F.expr(f"split(lower({text_col}), ' ')")).alias(
-                "token"
-            ),
-        )
+        toks.select("lang", tok_col)
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .localCheckpoint(eager=True)  # fof + totals both read it
@@ -1769,13 +1787,22 @@ def vocab_growth(docs: DataFrame, max_r: int = 10,
     )
 
 
-def duck_vocab_growth_sql(max_r: int = 10, doc_rel: str = "documents") -> str:
-    """Oracle twin. sum(bigint) is HUGEINT in DuckDB -> cast."""
+def duck_vocab_growth_sql(max_r: int = 10, gram: int = 1,
+                          doc_rel: str = "documents") -> str:
+    """Oracle twin. sum(bigint) is HUGEINT in DuckDB -> cast; DuckDB
+    range(1, n) is end-exclusive so the bigram list empties naturally."""
+    if gram == 1:
+        tok_src = (
+            "select lang, unnest(string_split(lower(text), ' ')) as token"
+            f" from {doc_rel}"
+        )
+    else:
+        bg = bigrams_sql("duck", "text")
+        tok_src = f"select lang, unnest({bg}) as token from {doc_rel}"
     return f"""
 with counts as (
   select lang, token, cast(count(*) as bigint) as c
-  from (select lang, unnest(string_split(lower(text), ' ')) as token
-        from {doc_rel})
+  from ({tok_src})
   group by 1, 2
 ),
 fof as (

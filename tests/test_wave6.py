@@ -267,3 +267,19 @@ def test_split_leakage_clean_when_cluster_assigned(spark):
     rows = split_leakage(docs, splits).collect()
     assert len(rows) == 1 and not rows[0]["leaked"]
     assert rows[0]["splits"] == "train"
+
+
+def test_vocab_growth_bigram_level(spark):
+    from nerpii_spark.operators.textstats import vocab_growth
+
+    # bigrams of "a b a b a": "a b"x2, "b a"x2 -> N_2 = 2, total = 4;
+    # one-word doc contributes no bigrams (guard path)
+    docs = spark.createDataFrame(
+        [(0, "en", "a b a b a"), (1, "en", "solo")],
+        "doc_id bigint, lang string, text string",
+    )
+    rows = vocab_growth(docs, gram=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["r"], r["n_types"]) == (2, 2)
+    assert r["share_e6"] == 1_000_000  # all bigram mass at r=2
