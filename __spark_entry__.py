@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-169 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+172 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -2055,6 +2055,42 @@ def q_scd2_facts(spark, sf):
     return scd2_facts(p["triples"], p["pages"])
 
 
+def q_el_candidates(spark, sf):
+    """Entity-linking candidate table with commonness priors
+    (link.el_candidates): per surface form, its candidate canonical
+    entities across types ranked by p(entity|surface) — the
+    Milne-Witten anchor prior every EL disambiguator seeds from.
+    Rides the certified linker; rank partitions are <= |types| rows
+    by construction. Oracle = planted cluster ground truth."""
+    return L.el_candidates(_pipeline(spark, sf)["mentions"])
+
+
+def q_retention_cohorts(spark, sf):
+    """Cohort retention triangle over the events feed
+    (events.retention_cohorts): users bucketed by first-seen calendar
+    day x days-since-cohort, calendar-date arithmetic in both engines
+    (no epoch conversion, tz-pin-free). One min agg + user-keyed join
+    + map-side dedup."""
+    return EV.retention_cohorts(_load(spark, sf, "events"))
+
+
+# profiled orders columns: native-orderable, float-free (engine
+# float->string formatting differs; see diagnose.table_profile)
+PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def q_table_profile(spark, sf):
+    """ANALYZE-style statistics collection over orders
+    (diagnose.table_profile): per column null count, exact NDV,
+    native-typed min/max — the stats that feed join-size estimates
+    and zone-map pruning. ONE corpus pass (expand agg), |cols| rows
+    out."""
+    return DG.table_profile(_load(spark, sf, "orders"), PROFILE_COLS)
+
+
 def q_split_leakage(spark, sf):
     """Train/val/test leakage audit over near-dup clusters
     (dedup.split_leakage): every multi-member MinHash->CC cluster with
@@ -2138,6 +2174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_truth_discovery": q_truth_discovery,
         "q_vocab_growth": q_vocab_growth,
         "q_split_leakage": q_split_leakage,
+        "q_el_candidates": q_el_candidates,
+        "q_retention_cohorts": q_retention_cohorts,
+        "q_table_profile": q_table_profile,
         "q_phrase_search": q_phrase_search,
         "q_asof_facts": q_asof_facts,
         "q_pred_cardinality": q_pred_cardinality,
@@ -2483,6 +2522,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q_truth_discovery": duck_truth_discovery_sql(gt, pages),
         "q_vocab_growth": TS.duck_vocab_growth_sql(gram=2),
+        "q_el_candidates": P.golden_el_candidates_sql(),
+        "q_retention_cohorts": EV.duck_retention_sql(),
+        "q_table_profile": DG.duck_table_profile_sql(
+            "orders", PROFILE_COLS
+        ),
         "q_split_leakage": D.duck_split_leakage_sql(
             f"select id_a, id_b from ({_exact_jaccard_sql()})",
             f"""case when {sql_h1('doc_id', 23)} % 1000 < 10 then 'test'

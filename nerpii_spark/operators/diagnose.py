@@ -90,3 +90,58 @@ from b
 join hot h on h.bucket = b.bucket and h.key = b.key and h.n = b.n
 group by 1
 """
+
+
+def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style per-column profile -> (column, n_rows, n_nulls,
+    n_distinct, min_val, max_val): the statistics collection pass a
+    lakehouse runs before planning (NDVs feed join-size estimates,
+    min/max feed zone-map pruning) and the first data-quality report
+    run on any new ingest. min/max compute on the NATIVE type and cast
+    to string afterwards (string-casting first would order '10' < '9').
+    Float columns are the caller's responsibility to exclude or
+    pre-quantize — engine float-to-string formatting differs.
+
+    Scale shape: ONE corpus pass — a single global aggregate carrying
+    per-column (count, count-nulls, approx-free exact NDV, min, max);
+    the count-distincts expand the input |cols| ways pre-shuffle but
+    every leg partially aggregates map-side and the reducer state is
+    one row. The long-format output is a driver-side stack of that
+    single row — |cols| rows total, no second job."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).cast("bigint")
+            .alias(f"{c}__nulls"),
+            F.count_distinct(c).cast("bigint").alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__nd, {c}__min, {c}__max" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack})"
+            " as (column, n_nulls, n_distinct, min_val, max_val)"
+        ),
+        F.col("_n").alias("n_rows"),
+    ).select("column", "n_rows", "n_nulls", "n_distinct",
+             "min_val", "max_val")
+
+
+def duck_table_profile_sql(rel: str, cols: list[str]) -> str:
+    """Oracle twin: one union-all branch per column (DuckDB runs them
+    over a shared scan; the comparison is on values, not plan)."""
+    branches = [
+        f"""select '{c}' as "column",
+       cast(count(*) as bigint) as n_rows,
+       cast(count(*) - count({c}) as bigint) as n_nulls,
+       cast(count(distinct {c}) as bigint) as n_distinct,
+       cast(min({c}) as varchar) as min_val,
+       cast(max({c}) as varchar) as max_val
+from {rel}"""
+        for c in cols
+    ]
+    return "\nunion all\n".join(branches)

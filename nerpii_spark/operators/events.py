@@ -445,3 +445,60 @@ select *,
             else cast(null as bigint) end as conv3_milli
 from agg
 """
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention triangle -> (cohort_day, day_offset, n_users):
+    users grouped by FIRST-SEEN calendar day, counted as retained on
+    every later day they produce any event (day_offset = calendar days
+    since the cohort day; offset 0 is the cohort size). The standard
+    product-analytics read ("of users who arrived Monday, how many
+    came back Wednesday") and, for a crawl corpus, the re-visit
+    cadence of hosts/users without assuming any fixed horizon.
+
+    Calendar-day semantics on purpose: both engines cast timestamp ->
+    date and difference whole dates, so no epoch conversion and no
+    timezone-pin dependence (the entity_timeline note) — datediff on
+    DATEs is tz-free in both dialects.
+
+    Scale shape: first-seen = ONE map-side-combined min agg on
+    user_id; events join back user-keyed (high-cardinality, no skew —
+    a hyperactive user inflates one probe partition, AQE splits it);
+    the (user, day) dedup combines map-side; the final (cohort, off)
+    rollup is bounded by days^2 / 2 rows. No window functions."""
+    firsts = events.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts")
+    )
+    per_day = (
+        events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.col("first_ts").cast("date").alias("cohort_day"),
+            F.datediff(
+                F.col("ts").cast("date"), F.col("first_ts").cast("date")
+            ).cast("bigint").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return per_day.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
+def duck_retention_sql(rel: str = "events") -> str:
+    """Oracle twin (date_diff('day', ...) over whole DATEs == Spark
+    datediff on casts — calendar days, tz-free)."""
+    return f"""
+with firsts as (
+  select user_id, min(ts) as first_ts from {rel} group by 1
+),
+per_day as (
+  select distinct e.user_id,
+         cast(f.first_ts as date) as cohort_day,
+         cast(date_diff('day', cast(f.first_ts as date),
+                        cast(e.ts as date)) as bigint) as day_offset
+  from {rel} e join firsts f using (user_id)
+)
+select cohort_day, day_offset, cast(count(*) as bigint) as n_users
+from per_day group by 1, 2
+"""

@@ -899,3 +899,50 @@ select canonical,
 from ({resolved_sql})
 group by 1
 """
+
+
+def el_candidates(
+    mentions: DataFrame, types: list[str] | None = None
+) -> DataFrame:
+    """Entity-linking candidate table with commonness priors ->
+    (norm, entity_type, canonical, n_mentions, prior_e6, rk): for each
+    normalized surface form, the canonical entities it could link to
+    (one per entity type under the linker's clustering) ranked by the
+    corpus commonness prior p(entity | surface) = n(surface as this
+    entity) / n(surface) — the anchor-text prior of Milne & Witten
+    2008 that seeds every EL disambiguator before context is consulted.
+    An unambiguous surface yields one rk=1 row with prior 1e6; a
+    cross-type surface ("washington" PERSON vs LOCATION) yields one
+    ranked row per reading, and the consumer thresholds or re-ranks
+    with context.
+
+    Scale shape: rides _linked_members (one groupBy(type, norm) +
+    the certified LSH->CC linking) — already ONE row per distinct
+    (type, norm) with corpus mention counts aggregated; the
+    cross-type total is a map-side-combined agg on norm
+    (vocabulary-bounded) joined back vocabulary-keyed; the rank
+    window partitions on norm where each partition is <= |types|
+    rows BY CONSTRUCTION, so a Zipf-hot surface cannot hot-spot a
+    reducer. Deterministic ties: (n_mentions desc, entity_type asc)."""
+    from pyspark.sql import Window as W
+
+    m = _linked_members(mentions, types, N_BANDS, TAU_STRING).select(
+        "entity_type", "norm", "n_mentions", "canonical"
+    )
+    totals = m.groupBy("norm").agg(
+        F.sum("n_mentions").cast("bigint").alias("n_surface")
+    )
+    w = W.partitionBy("norm").orderBy(
+        F.desc("n_mentions"), F.asc("entity_type")
+    )
+    return (
+        m.join(totals, "norm")
+        .select(
+            "norm", "entity_type", "canonical",
+            F.col("n_mentions").cast("bigint").alias("n_mentions"),
+            F.expr("(1000000 * n_mentions) div n_surface").alias(
+                "prior_e6"
+            ),
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+    )

@@ -802,3 +802,32 @@ from (select * from vals where t < 3) lateral view explode({case}) as tr
 select doc_id, tr.s as subj, tr.p as pred, tr.o as obj
 from (select doc_id, unnest({case}) as tr from vals where t < 3)
 """
+
+
+def golden_el_candidates_sql(doc_rel: str = "documents") -> str:
+    """(norm, entity_type, canonical, n_mentions, prior_e6, rk) ground
+    truth for link.el_candidates: per planted surface form, its
+    candidate canonical entities across types ranked by the corpus
+    commonness prior — a match certifies both the linker's clustering
+    AND the prior arithmetic."""
+    return f"""
+{golden_entity_mentions_cte(doc_rel)}
+, m as (
+  select entity_type, k, norm, cast(c as bigint) as n_mentions
+  from counts
+),
+tot as (
+  select norm, cast(sum(c) as bigint) as n_surface from counts group by 1
+)
+select m.norm, m.entity_type, cn.canonical, m.n_mentions,
+       cast((1000000 * m.n_mentions) // t.n_surface as bigint)
+         as prior_e6,
+       cast(row_number() over (partition by m.norm
+                               order by m.n_mentions desc,
+                                        m.entity_type asc) as bigint)
+         as rk
+from m
+join tot t using (norm)
+join canon cn on cn.entity_type = m.entity_type and cn.k = m.k
+             and cn.rk = 1
+"""

@@ -1,0 +1,115 @@
+"""Wave-7 operators: EL candidate priors, retention cohorts,
+ANALYZE-style table profiling."""
+
+from pyspark.sql import functions as F
+
+from nerpii_spark.operators.diagnose import table_profile
+from nerpii_spark.operators.events import retention_cohorts
+from nerpii_spark.operators.link import el_candidates
+
+
+# ---------------------------------------------------------------------------
+# el_candidates
+# ---------------------------------------------------------------------------
+
+
+def _mentions(spark, rows):
+    """rows: (doc_id, entity_type, mention)."""
+    return spark.createDataFrame(
+        rows, "doc_id bigint, entity_type string, mention string"
+    )
+
+
+def test_el_candidates_cross_type_prior(spark):
+    # "washington" appears 3x as LOCATION, 1x as PERSON -> two ranked
+    # candidates with priors 750000 / 250000
+    rows = (
+        [(i, "LOCATION", "Washington") for i in range(3)]
+        + [(9, "PERSON", "Washington")]
+        + [(10, "ORGANIZATION", "Acme Corp")]
+    )
+    out = el_candidates(_mentions(spark, rows)).collect()
+    wa = sorted(
+        [r for r in out if r["norm"] == "washington"],
+        key=lambda r: r["rk"],
+    )
+    assert [(r["entity_type"], r["n_mentions"], r["prior_e6"], r["rk"])
+            for r in wa] == [
+        ("LOCATION", 3, 750_000, 1),
+        ("PERSON", 1, 250_000, 2),
+    ]
+    acme = [r for r in out if r["norm"] == "acme corp"]
+    assert len(acme) == 1 and acme[0]["prior_e6"] == 1_000_000
+    assert acme[0]["rk"] == 1
+
+
+def test_el_candidates_casing_folds_into_one_surface(spark):
+    rows = [(0, "PERSON", "Ada Lovelace"), (1, "PERSON", "ada lovelace"),
+            (2, "PERSON", "ADA  LOVELACE")]
+    out = el_candidates(_mentions(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["norm"] == "ada lovelace" and r["n_mentions"] == 3
+    assert r["prior_e6"] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# retention_cohorts
+# ---------------------------------------------------------------------------
+
+
+def test_retention_cohorts_triangle(spark):
+    # u1 first seen day0, active day0+day2; u2 first seen day0, only
+    # day0; u3 first seen day1, active day1 twice (dedup) + day2
+    ev = spark.createDataFrame(
+        [
+            (0, "2024-01-01 10:00:00", 1),
+            (1, "2024-01-03 09:00:00", 1),
+            (2, "2024-01-01 23:59:59", 2),
+            (3, "2024-01-02 00:00:01", 3),
+            (4, "2024-01-02 11:00:00", 3),
+            (5, "2024-01-03 05:00:00", 3),
+        ],
+        "event_id bigint, ts string, user_id bigint",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(str(r["cohort_day"]), r["day_offset"]): r["n_users"]
+           for r in retention_cohorts(ev).collect()}
+    assert out == {
+        ("2024-01-01", 0): 2,   # u1, u2
+        ("2024-01-01", 2): 1,   # u1 returns
+        ("2024-01-02", 0): 1,   # u3 (same-day dup counted once)
+        ("2024-01-02", 1): 1,   # u3 returns
+    }
+
+
+def test_retention_cohorts_calendar_day_boundary(spark):
+    # 23:59 -> 00:01 next day is day_offset 1 even though < 1h elapsed
+    ev = spark.createDataFrame(
+        [(0, "2024-01-01 23:59:00", 7), (1, "2024-01-02 00:01:00", 7)],
+        "event_id bigint, ts string, user_id bigint",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sorted(
+        (r["day_offset"], r["n_users"])
+        for r in retention_cohorts(ev).collect()
+    )
+    assert out == [(0, 1), (1, 1)]
+
+
+# ---------------------------------------------------------------------------
+# table_profile
+# ---------------------------------------------------------------------------
+
+
+def test_table_profile_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "b"), (2, None), (10, "a"), (2, "a")],
+        "k bigint, s string",
+    )
+    out = {r["column"]: r for r in table_profile(df, ["k", "s"]).collect()}
+    k = out["k"]
+    assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (4, 0, 3)
+    # min/max on the NATIVE type: 10 > 9 numerically ('10' < '2' as str)
+    assert (k["min_val"], k["max_val"]) == ("1", "10")
+    s = out["s"]
+    assert (s["n_nulls"], s["n_distinct"]) == (1, 2)
+    assert (s["min_val"], s["max_val"]) == ("a", "b")
