@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-172 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+173 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -2055,6 +2055,16 @@ def q_scd2_facts(spark, sf):
     return scd2_facts(p["triples"], p["pages"])
 
 
+def q_sssp_weighted(spark, sf):
+    """Weighted multi-source shortest paths over the host graph
+    (webgraph.sssp_weighted): bounded Bellman-Ford from the authority
+    core with link-mass-aware edge costs — crawl_depth upgraded from
+    hop count to the distance frontier scheduling actually ranks by.
+    One edge-keyed join + min agg per round, localCheckpoint'd;
+    all-bigint; chained-CTE oracle replays the bounded relaxation."""
+    return WG.sssp_weighted(_pipeline(spark, sf)["pages"])
+
+
 def q_el_candidates(spark, sf):
     """Entity-linking candidate table with commonness priors
     (link.el_candidates): per surface form, its candidate canonical
@@ -2175,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_growth": q_vocab_growth,
         "q_split_leakage": q_split_leakage,
         "q_el_candidates": q_el_candidates,
+        "q_sssp_weighted": q_sssp_weighted,
         "q_retention_cohorts": q_retention_cohorts,
         "q_table_profile": q_table_profile,
         "q_phrase_search": q_phrase_search,
@@ -2523,6 +2534,7 @@ def oracle_sql() -> dict[str, str]:
         "q_truth_discovery": duck_truth_discovery_sql(gt, pages),
         "q_vocab_growth": TS.duck_vocab_growth_sql(gram=2),
         "q_el_candidates": P.golden_el_candidates_sql(),
+        "q_sssp_weighted": WG.duck_sssp_weighted_sql(pages),
         "q_retention_cohorts": EV.duck_retention_sql(),
         "q_table_profile": DG.duck_table_profile_sql(
             "orders", PROFILE_COLS

@@ -2540,3 +2540,108 @@ select deg.n as host, d,
        else cast(0 as bigint) end as coeff_e6
 from deg left join corners on corners.n = deg.n
 """
+
+
+SSSP_ROUNDS = 4
+
+
+def sssp_weighted(
+    pages: DataFrame,
+    n_seeds: int = BFS_SEEDS,
+    n_rounds: int = SSSP_ROUNDS,
+) -> DataFrame:
+    """Weighted multi-source shortest paths over the DIRECTED host
+    graph -> (host, cost_e6): bounded Bellman-Ford from the authority
+    core (same top-in-degree seeds as crawl_depth), where an edge's
+    cost is cheap when many links carry it — cost_e6(u, v) = 1e6 div
+    (1 + n_links(u, v)) + 1 (the +1 keeps every hop strictly
+    positive, so cost is a path-length refinement, not free). This is
+    crawl_depth's metric upgraded from hop count to link-mass-aware
+    distance: two hosts one hop apart over a single stray link are
+    FARTHER than two hosts three hops apart over heavily-linked spines,
+    which is what frontier scheduling actually wants to rank by.
+
+    Rounds are FIXED (n_rounds), not convergence-tested: the result is
+    "cheapest path using <= n_rounds edges", the budgeted semantics of
+    crawl planning, replayed identically by the chained-CTE oracle.
+
+    Scale shape: each round is ONE equi-join of the current distance
+    table against the weighted edge list (edge-keyed, high-cardinality
+    (u, v) — a hub host inflates a probe side, AQE splits it) + one
+    map-side-combined min agg, localCheckpoint'd per round (the
+    CC/PageRank discipline). All-bigint: cost <= n_rounds * (1e6 + 1),
+    nowhere near overflow."""
+    e = web_graph(pages).where(
+        F.col("src_host") != F.col("dst_host")
+    ).select(
+        F.col("src_host").alias("u"),
+        F.col("dst_host").alias("v"),
+        F.expr("(1000000 div (1 + n_links)) + 1").cast("bigint").alias(
+            "w"
+        ),
+    ).localCheckpoint(eager=True)
+    indeg = e.groupBy(F.col("v").alias("host")).agg(
+        F.count("*").alias("indeg")
+    )
+    seeds = (
+        indeg.orderBy(F.desc("indeg"), F.asc("host"))
+        .limit(n_seeds)
+        .select("host")
+    )
+    dist = seeds.select(
+        "host", F.lit(0).cast("bigint").alias("cost_e6")
+    ).localCheckpoint(eager=True)
+    for _ in range(n_rounds):
+        relaxed = (
+            dist.join(e, dist.host == e.u)
+            .select(
+                F.col("v").alias("host"),
+                (F.col("cost_e6") + F.col("w")).alias("cost_e6"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("host")
+            .agg(F.min("cost_e6").cast("bigint").alias("cost_e6"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
+def duck_sssp_weighted_sql(
+    pages_sql_duck: str,
+    n_seeds: int = BFS_SEEDS,
+    n_rounds: int = SSSP_ROUNDS,
+) -> str:
+    """Oracle: the same bounded relaxation as chained CTEs. Literal-int
+    trap: 1000000 // (1 + n_links) stays in range, but cast the
+    running sums to bigint (DuckDB sum/min promote)."""
+    ctes = [
+        f"""e as (
+  select src_host as u, dst_host as v,
+         cast((1000000 // (1 + count(*))) + 1 as bigint) as w
+  from ({duck_planted_links_sql(pages_sql_duck)})
+  where src_host <> dst_host
+  group by 1, 2
+)""",
+        f"""seeds as (
+  select host from (
+    select v as host, count(*) as indeg from e group by 1
+  ) order by indeg desc, host asc limit {n_seeds}
+)""",
+        "d0 as (select host, cast(0 as bigint) as cost_e6 from seeds)",
+    ]
+    prev = "d0"
+    for i in range(1, n_rounds + 1):
+        ctes.append(
+            f"""d{i} as (
+  select host, cast(min(cost_e6) as bigint) as cost_e6 from (
+    select host, cost_e6 from {prev}
+    union all
+    select e.v as host, d.cost_e6 + e.w as cost_e6
+    from {prev} d join e on d.host = e.u
+  ) group by 1
+)"""
+        )
+        prev = f"d{i}"
+    return "with " + ",\n".join(ctes) + f"\nselect host, cost_e6 from {prev}"

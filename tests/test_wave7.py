@@ -113,3 +113,63 @@ def test_table_profile_stats(spark):
     s = out["s"]
     assert (s["n_nulls"], s["n_distinct"]) == (1, 2)
     assert (s["min_val"], s["max_val"]) == ("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# sssp_weighted
+# ---------------------------------------------------------------------------
+
+
+def _with_fake_web_graph(spark, edges, fn):
+    """edges: (src_host, dst_host, n_links). Runs fn() with
+    webgraph.web_graph patched to the crafted edge list."""
+    import nerpii_spark.operators.webgraph as WG
+
+    e = spark.createDataFrame(
+        edges, "src_host string, dst_host string, n_links bigint"
+    )
+    orig = WG.web_graph
+    try:
+        WG.web_graph = lambda pages: e
+        return fn(WG)
+    finally:
+        WG.web_graph = orig
+
+
+def test_sssp_cheap_multihop_beats_expensive_direct(spark):
+    # seed = s (highest in-degree). s->t direct over 1 stray link
+    # costs 500001; s->a->t over massive links costs 2*(1e6//1e6+1+1)
+    # = far less. Bellman-Ford must take the 2-hop path.
+    edges = [
+        ("s", "t", 1),             # w = 1e6//2 + 1 = 500001
+        ("s", "a", 999_999),       # w = 1e6//1e6 + 1 = 2
+        ("a", "t", 999_999),       # w = 2
+        # make s the top-in-degree seed
+        ("x1", "s", 1), ("x2", "s", 1), ("x3", "s", 1),
+    ]
+    out = _with_fake_web_graph(
+        spark, edges,
+        lambda WG: {r["host"]: r["cost_e6"]
+                    for r in WG.sssp_weighted(None, n_seeds=1).collect()},
+    )
+    assert out["s"] == 0
+    assert out["a"] == 2
+    assert out["t"] == 4  # NOT 500001
+
+
+def test_sssp_round_budget_limits_reach(spark):
+    # chain s -> c1 -> c2 -> c3 (+ in-links making s the seed);
+    # with n_rounds=2 only c1, c2 are reachable
+    edges = [
+        ("s", "c1", 999_999), ("c1", "c2", 999_999),
+        ("c2", "c3", 999_999),
+        ("x1", "s", 1), ("x2", "s", 1), ("x3", "s", 1),
+    ]
+    out = _with_fake_web_graph(
+        spark, edges,
+        lambda WG: {r["host"]: r["cost_e6"]
+                    for r in WG.sssp_weighted(
+                        None, n_seeds=1, n_rounds=2).collect()},
+    )
+    assert set(out) == {"s", "c1", "c2"}
+    assert (out["c1"], out["c2"]) == (2, 4)
