@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-173 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+174 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -2055,6 +2055,17 @@ def q_scd2_facts(spark, sf):
     return scd2_facts(p["triples"], p["pages"])
 
 
+def q_tokenizer_fertility(spark, sf):
+    """Per-language BPE fertility (bpe.tokenizer_fertility): tokens
+    per whitespace word as an e6 integer — the first metric tokenizer
+    papers compare, and what the mixture/vocab-budget decisions key
+    on. Merge fold evaluates over the distinct word vocabulary only;
+    the corpus contributes one (lang, word) count agg. Oracle
+    re-trains AND re-encodes with the independent recursive
+    replace-first chain."""
+    return BPE.tokenizer_fertility(_load(spark, sf, "documents"))
+
+
 def q_sssp_weighted(spark, sf):
     """Weighted multi-source shortest paths over the host graph
     (webgraph.sssp_weighted): bounded Bellman-Ford from the authority
@@ -2186,6 +2197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_split_leakage": q_split_leakage,
         "q_el_candidates": q_el_candidates,
         "q_sssp_weighted": q_sssp_weighted,
+        "q_tokenizer_fertility": q_tokenizer_fertility,
         "q_retention_cohorts": q_retention_cohorts,
         "q_table_profile": q_table_profile,
         "q_phrase_search": q_phrase_search,
@@ -2535,6 +2547,7 @@ def oracle_sql() -> dict[str, str]:
         "q_vocab_growth": TS.duck_vocab_growth_sql(gram=2),
         "q_el_candidates": P.golden_el_candidates_sql(),
         "q_sssp_weighted": WG.duck_sssp_weighted_sql(pages),
+        "q_tokenizer_fertility": BPE.duck_tokenizer_fertility_sql(),
         "q_retention_cohorts": EV.duck_retention_sql(),
         "q_table_profile": DG.duck_table_profile_sql(
             "orders", PROFILE_COLS

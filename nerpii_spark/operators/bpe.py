@@ -329,3 +329,131 @@ where c.word <> ''
 group by c.doc_id
 """
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_merges: int = N_MERGES,
+) -> DataFrame:
+    """Tokenizer-quality report per language -> (lang, n_words,
+    n_tokens, fertility_e6): fertility = BPE tokens emitted per
+    whitespace word (1e6-scaled integer), THE metric tokenizer papers
+    compare first — a tokenizer trained on English text typically
+    shatters under-represented languages into characters (fertility
+    >> 1), and the mixture/vocab decisions (mix_weights, bpe_merges
+    budget) are made off exactly this table.
+
+    Scale shape mirrors bpe_encode: the merge fold evaluates over the
+    DISTINCT WORD VOCABULARY only; the corpus contributes one
+    map-side-combined (lang, word) count agg; fertility is then a
+    VOCABULARY-sized broadcast join of word->ntok onto those counts +
+    one <= |langs|-row rollup (sum(c*ntok) / sum(c)) — the corpus
+    token stream is never carried past the count agg.
+
+    `merges=None` trains on `docs` first (one driver row per merge)."""
+    if merges is None:
+        merges = [
+            (r["sym_a"], r["sym_b"])
+            for r in bpe_merges(docs, text_col, n_merges).collect()
+        ]
+    wc = (
+        docs.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias(
+                "word"
+            ),
+        )
+        .where(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    vocab = wc.select("word").distinct().withColumn(
+        "seq", F.split("word", "")
+    )
+    for a, b in merges:
+        vocab = vocab.withColumn("seq", F.expr(_merge_expr(a, b)))
+    wmap = vocab.select("word", F.size("seq").cast("bigint").alias("ntok"))
+    return (
+        wc.join(F.broadcast(wmap), "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_words"),
+            F.sum(F.col("c") * F.col("ntok")).cast("bigint").alias(
+                "n_tokens"
+            ),
+        )
+        .select(
+            "lang", "n_words", "n_tokens",
+            F.expr("(1000000 * n_tokens) div n_words").alias(
+                "fertility_e6"
+            ),
+        )
+    )
+
+
+def duck_tokenizer_fertility_sql(
+    docs_rel: str = "documents", text_col: str = "text",
+    n_merges: int = N_MERGES,
+) -> str:
+    """Oracle: the independent recursive replace-first training+encode
+    chain (duck_bpe_encode_sql's e{k} CTEs), rolled up per language
+    with the same integer fertility arithmetic."""
+    ctes, _ = _duck_training_ctes(docs_rel, text_col, n_merges)
+    enc = [
+        f"""
+e0 as (
+  select word, array_to_string(string_split(word, ''), ' ') as seq
+  from (select distinct word from (
+    select unnest(string_split(lower({text_col}), ' ')) as word
+    from {docs_rel}) where word <> '')
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        enc.append(
+            f"""
+er{k} as (
+  select e.word, ' ' || e.seq || ' ' as cur from e{k - 1} e
+  union all
+  select r.word,
+         substring(r.cur, 1, position(m.pat in r.cur) - 1)
+           || m.rep
+           || substring(r.cur, position(m.pat in r.cur) + length(m.pat))
+  from er{k} r, m{k} m
+  where position(m.pat in r.cur) > 0
+),
+e{k} as (
+  select word, trim(cur) as seq
+  from er{k} r
+  where not exists (
+    select 1 from m{k} m where position(m.pat in r.cur) > 0
+  )
+)"""
+        )
+    return (
+        "with recursive " + ",".join(ctes + enc) + f""",
+wc as (
+  select lang, word, cast(count(*) as bigint) as c
+  from (select lang,
+               unnest(string_split(lower({text_col}), ' ')) as word
+        from {docs_rel})
+  where word <> ''
+  group by 1, 2
+),
+wt as (
+  select word, cast(len(string_split(seq, ' ')) as bigint) as ntok
+  from e{n_merges}
+),
+agg as (
+  select lang, cast(sum(c) as bigint) as n_words,
+         cast(sum(c * ntok) as bigint) as n_tokens
+  from wc join wt using (word)
+  group by 1
+)
+select lang, n_words, n_tokens,
+       cast((1000000 * n_tokens) // n_words as bigint) as fertility_e6
+from agg
+"""
+    )

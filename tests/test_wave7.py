@@ -173,3 +173,29 @@ def test_sssp_round_budget_limits_reach(spark):
     )
     assert set(out) == {"s", "c1", "c2"}
     assert (out["c1"], out["c2"]) == (2, 4)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_fertility
+# ---------------------------------------------------------------------------
+
+
+def test_tokenizer_fertility_explicit_merges(spark):
+    from nerpii_spark.operators.bpe import tokenizer_fertility
+
+    # merges (a,b)->(ab): "ab" encodes as 1 token, "cd" as 2 chars.
+    # en corpus: "ab ab cd" -> words 3, tokens 1+1+2 = 4
+    # xx corpus: "cd" -> words 1, tokens 2 (fertility 2.0)
+    docs = spark.createDataFrame(
+        [(0, "en", "ab ab cd"), (1, "xx", "cd")],
+        "doc_id bigint, lang string, text string",
+    )
+    out = {r["lang"]: r for r in tokenizer_fertility(
+        docs, merges=[("a", "b")]).collect()}
+    en = out["en"]
+    assert (en["n_words"], en["n_tokens"]) == (3, 4)
+    assert en["fertility_e6"] == 1_333_333
+    xx = out["xx"]
+    assert (xx["n_words"], xx["n_tokens"], xx["fertility_e6"]) == (
+        1, 2, 2_000_000
+    )
