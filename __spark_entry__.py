@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-174 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+175 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks), the
@@ -2055,6 +2055,23 @@ def q_scd2_facts(spark, sf):
     return scd2_facts(p["triples"], p["pages"])
 
 
+def q_join_estimate(spark, sf):
+    """Optimizer-statistics audit (diagnose.join_estimate): the
+    textbook |L|*|R|/max(ndv) equi-join cardinality estimate next to
+    the true join count (orders x customer on custkey), err_e6
+    quantifying how far skew bends the uniformity assumption — the
+    report that decides whether ANALYZE stats can be trusted for join
+    ordering. Two 1-row stat aggs + the audited join; 1-row broadcast
+    crossJoins."""
+    o = _load(spark, sf, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    c = _load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    return DG.join_estimate(o, c, "k")
+
+
 def q_tokenizer_fertility(spark, sf):
     """Per-language BPE fertility (bpe.tokenizer_fertility): tokens
     per whitespace word as an e6 integer — the first metric tokenizer
@@ -2198,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_el_candidates": q_el_candidates,
         "q_sssp_weighted": q_sssp_weighted,
         "q_tokenizer_fertility": q_tokenizer_fertility,
+        "q_join_estimate": q_join_estimate,
         "q_retention_cohorts": q_retention_cohorts,
         "q_table_profile": q_table_profile,
         "q_phrase_search": q_phrase_search,
@@ -2548,6 +2566,11 @@ def oracle_sql() -> dict[str, str]:
         "q_el_candidates": P.golden_el_candidates_sql(),
         "q_sssp_weighted": WG.duck_sssp_weighted_sql(pages),
         "q_tokenizer_fertility": BPE.duck_tokenizer_fertility_sql(),
+        "q_join_estimate": DG.duck_join_estimate_sql(
+            "(select o_custkey as k from orders)",
+            "(select c_custkey as k from customer)",
+            "k",
+        ),
         "q_retention_cohorts": EV.duck_retention_sql(),
         "q_table_profile": DG.duck_table_profile_sql(
             "orders", PROFILE_COLS

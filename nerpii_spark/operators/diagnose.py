@@ -145,3 +145,80 @@ from {rel}"""
         for c in cols
     ]
     return "\nunion all\n".join(branches)
+
+
+def join_estimate(
+    left: DataFrame, right: DataFrame, key: str
+) -> DataFrame:
+    """Optimizer-statistics join-size estimation audit -> ONE row
+    (n_left, n_right, ndv_left, ndv_right, est_rows, actual_rows,
+    err_e6): the textbook equi-join cardinality estimate
+    |L ⋈ R| ≈ |L| * |R| / max(ndv_L, ndv_R) (uniformity + containment
+    assumptions — what every cost-based optimizer, Catalyst's CBO
+    included, computes from ANALYZE stats) next to the TRUE join
+    count, with err_e6 = 1e6 * actual / est. The report that tells
+    you whether your stats are good enough to trust the planner's
+    join ordering, and by how much skew breaks the uniformity
+    assumption (err >> 1e6 = a hot key the estimate halved away).
+
+    Scale shape: two independent map-side-combined single-row aggs
+    (count + exact NDV per side) + the actual join count — the join
+    is the thing being audited, so its cost is the point; the three
+    1-row results combine via broadcast crossJoins (the 1-row
+    normalizer pattern). All-bigint; est uses div (floor) in both
+    engines."""
+    ls = left.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_left"),
+        F.count_distinct(key).cast("bigint").alias("ndv_left"),
+    )
+    rs = right.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_right"),
+        F.count_distinct(key).cast("bigint").alias("ndv_right"),
+    )
+    actual = left.select(key).join(right.select(key), key).agg(
+        F.count(F.lit(1)).cast("bigint").alias("actual_rows")
+    )
+    return (
+        ls.crossJoin(F.broadcast(rs))
+        .crossJoin(F.broadcast(actual))
+        .select(
+            "n_left", "n_right", "ndv_left", "ndv_right",
+            F.expr(
+                "(n_left * n_right) div greatest(ndv_left, ndv_right)"
+            ).alias("est_rows"),
+            "actual_rows",
+            F.expr(
+                "(1000000 * actual_rows) div"
+                " ((n_left * n_right) div greatest(ndv_left, ndv_right))"
+            ).alias("err_e6"),
+        )
+    )
+
+
+def duck_join_estimate_sql(left_rel: str, right_rel: str, key: str) -> str:
+    """Oracle twin. Literal-int trap: counts are bigint already, so the
+    products stay bigint; greatest() exists in both dialects."""
+    return f"""
+with ls as (
+  select cast(count(*) as bigint) as n_left,
+         cast(count(distinct {key}) as bigint) as ndv_left
+  from {left_rel}
+),
+rs as (
+  select cast(count(*) as bigint) as n_right,
+         cast(count(distinct {key}) as bigint) as ndv_right
+  from {right_rel}
+),
+act as (
+  select cast(count(*) as bigint) as actual_rows
+  from {left_rel} l join {right_rel} r using ({key})
+)
+select n_left, n_right, ndv_left, ndv_right,
+       cast((n_left * n_right) // greatest(ndv_left, ndv_right)
+            as bigint) as est_rows,
+       actual_rows,
+       cast((1000000 * actual_rows) //
+            ((n_left * n_right) // greatest(ndv_left, ndv_right))
+            as bigint) as err_e6
+from ls, rs, act
+"""

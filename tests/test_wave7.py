@@ -199,3 +199,30 @@ def test_tokenizer_fertility_explicit_merges(spark):
     assert (xx["n_words"], xx["n_tokens"], xx["fertility_e6"]) == (
         1, 2, 2_000_000
     )
+
+
+# ---------------------------------------------------------------------------
+# join_estimate
+# ---------------------------------------------------------------------------
+
+
+def test_join_estimate_uniform_vs_skew(spark):
+    from nerpii_spark.operators.diagnose import join_estimate
+
+    # uniform: L = 4 rows over 2 keys, R = 2 rows over 2 keys
+    # est = 4*2 // 2 = 4 = actual -> err exactly 1e6
+    L = spark.createDataFrame([(1,), (1,), (2,), (2,)], "k bigint")
+    R = spark.createDataFrame([(1,), (2,)], "k bigint")
+    r = join_estimate(L, R, "k").collect()[0]
+    assert (r["est_rows"], r["actual_rows"], r["err_e6"]) == (
+        4, 4, 1_000_000
+    )
+
+    # skew: both sides hot on key 1 -> actual (3*3 + 1 = 10) above
+    # the uniform estimate (4*4 // 2 = 8): err = 1.25e6
+    L2 = spark.createDataFrame([(1,), (1,), (1,), (2,)], "k bigint")
+    R2 = spark.createDataFrame([(1,), (1,), (1,), (2,)], "k bigint")
+    r2 = join_estimate(L2, R2, "k").collect()[0]
+    assert r2["est_rows"] == 8
+    assert r2["actual_rows"] == 10
+    assert r2["err_e6"] == 1_250_000
