@@ -24,7 +24,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cores: int, attempts: int = 3) -> dict:
+def run_level(cores: int, attempts: int | None = None) -> dict:
+    if attempts is None:
+        attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
     """Best-of-N fresh-process runs (the host shows up-to-3x noisy-neighbor
     variance; min wall == honest machine capacity). The process tree is
     PINNED to `cores` CPUs with taskset: local[N] only caps task slots, and
