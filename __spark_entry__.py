@@ -118,6 +118,8 @@ from nerpii_spark.operators.profile import (
     column_profile_sql,
     duck_dp_noisy_counts_sql,
     duck_k_anonymity_sql,
+    duck_reident_risk_sql,
+    generalization_ladder_sql,
 )
 from nerpii_spark.sources import pages as P
 
@@ -1504,6 +1506,79 @@ def q_k_anonymity(spark, sf):
     )
 
 
+def q_reident_risk(spark, sf):
+    """Aggregate disclosure-risk report (profile.reident_risk) over the
+    planted personal-info fixture with the classic quasi-identifier
+    tuple (city, state, zip): uniqueness / marketer / journalist risk
+    as exact integer ppm. One class-count agg + one 8-number fold; the
+    zip column makes essentially every row a population unique — the
+    Sweeney result the masking stage exists to break."""
+    from nerpii_spark.operators.profile import reident_risk
+
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_rr")
+    pi = spark.sql(P.personal_info_sql("spark", doc_rel="nerpii_documents_rr"))
+    return reident_risk(pi, ["city", "state", "zip"])
+
+
+def q_generalize_ladder(spark, sf):
+    """Generalization ladder (profile.generalization_ladder_sql): k-
+    anonymity statistics at four coarsening levels of the personal-info
+    quasi-identifiers — (city,state,zip) -> (state,zip3) -> (state) ->
+    (*) — the privacy-utility curve that decides how much detail a
+    release can keep. Four tiny aggs over one scan, dual-dialect SQL."""
+    from nerpii_spark.operators.profile import generalization_ladder_sql
+
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_gl")
+    spark.sql(
+        "create or replace temporary view nerpii_pi_gl as "
+        + P.personal_info_sql("spark", doc_rel="nerpii_documents_gl")
+    )
+    return spark.sql(generalization_ladder_sql("spark", "nerpii_pi_gl"))
+
+
+def q_manifest_prune(spark, sf):
+    """File-skipping audit (layout.manifest_prune_sql): min/max manifest
+    pruning simulated for the same rows under the Z-order layout vs a
+    time-only layout against a fixed 6-predicate box workload —
+    (layout, pred_id, files_total, files_scanned, rows_scanned). The
+    numbers certify why write_zordered exists: time files span the full
+    user axis, so user-constrained predicates skip nothing there."""
+    ev = _load(spark, sf, "events")
+    ev.createOrReplaceTempView("nerpii_events_prune")
+    return spark.sql(LAY.manifest_prune_sql("spark", "nerpii_events_prune"))
+
+
+def q_compaction_plan(spark, sf):
+    """Small-file compaction planner (layout.compaction_plan): bin-pack
+    a (lang, file, bytes) manifest — derived deterministically from
+    documents as 256 hash files per lang — into target-size output
+    files; files already at target ride solo. Pure manifest arithmetic
+    (one window + one agg over file-count-scale rows); the data files
+    are never read, exactly like Iceberg's rewrite_data_files planner."""
+    files = (
+        _load(spark, sf, "documents")
+        .groupBy(
+            F.col("lang").alias("part"),
+            (F.col("doc_id") % 256).cast("bigint").alias("file_id"),
+        )
+        .agg(F.expr("cast(sum(n_chars) as bigint)").alias("bytes"))
+    )
+    return LAY.compaction_plan(files, target_bytes=16384)
+
+
+def q_snapshot_expiry(spark, sf):
+    """Snapshot-retention plan (layout.snapshot_expiry_sql): Iceberg's
+    expire_snapshots dual gate (newest 5 per table OR younger than 48 h
+    of the table head) over a snapshot log derived from the event
+    stream (one commit per event_type x hour). Metadata-scale windows;
+    timezone-free integer epoch comparison on both engines."""
+    ev = _load(spark, sf, "events")
+    ev.createOrReplaceTempView("nerpii_events_snap")
+    return spark.sql(LAY.snapshot_expiry_sql("spark", "nerpii_events_snap"))
+
+
 def q_pii_by_domain(spark, sf):
     """PII density rollup: mentions per domain over the cleaned pages —
     the prioritization signal a masking stage consumes. Mention counts
@@ -2208,7 +2283,13 @@ def q_clustering_coeff(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # r3 wave-6 (newest, no driver row yet):
+        # r3 wave-8 (newest, no driver row yet):
+        "q_reident_risk": q_reident_risk,
+        "q_generalize_ladder": q_generalize_ladder,
+        "q_manifest_prune": q_manifest_prune,
+        "q_compaction_plan": q_compaction_plan,
+        "q_snapshot_expiry": q_snapshot_expiry,
+        # r3 wave-6 (no driver row yet):
         "q_truth_discovery": q_truth_discovery,
         "q_vocab_growth": q_vocab_growth,
         "q_split_leakage": q_split_leakage,
@@ -2532,6 +2613,20 @@ def _extras_oracles() -> dict[str, str]:
         "q_tfidf_topk": TS.duck_tfidf_topk_sql(5),
         "q_decontaminate": D.duck_decontaminate_sql(),
         "q_decontaminate_bloom": D.duck_decontaminate_bloom_sql(),
+        "q_reident_risk": duck_reident_risk_sql(
+            f"({P.personal_info_sql('duck')}) pi", ["city", "state", "zip"]
+        ),
+        "q_generalize_ladder": generalization_ladder_sql(
+            "duck", f"({P.personal_info_sql('duck')}) pi"
+        ),
+        "q_manifest_prune": LAY.manifest_prune_sql("duck", "events"),
+        "q_compaction_plan": LAY.duck_compaction_plan_sql(
+            "select lang as part, cast(doc_id % 256 as bigint) as file_id,"
+            " cast(sum(n_chars) as bigint) as bytes"
+            " from documents group by 1, 2",
+            target_bytes=16384,
+        ),
+        "q_snapshot_expiry": LAY.snapshot_expiry_sql("duck", "events"),
         "q_k_anonymity": duck_k_anonymity_sql(
             "customer", K_ANON_QUASI, K_ANON_SENS, k=K_ANON_K, l_div=K_ANON_L
         ),

@@ -25,7 +25,7 @@ dimension cannot overload a writer task. The stats query shuffles only
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # 16-bit -> even bit positions of a 32-bit word (classic mask spread)
@@ -139,3 +139,252 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# table maintenance: manifest pruning audit, small-file compaction,
+# snapshot retention — the Iceberg housekeeping jobs a checkpointed
+# pipeline schedules around its data (SURVEY §2's materialize stage).
+# ---------------------------------------------------------------------------
+
+# fixed predicate workload for the pruning audit: (pred_id, xlo, xhi,
+# ylo, yhi) half-open boxes over the NORMALIZED (time, user) key space
+# (each axis min/max-scaled to 0..65535, so bands are fractions of the
+# observed span at every sf). p1/p2 constrain one dimension, p3-p6
+# both — the case Z-order exists for.
+PRUNE_PREDS: list[tuple[int, int, int, int, int]] = [
+    (1, 16384, 32768, 0, 65536),
+    (2, 0, 65536, 0, 16384),
+    (3, 16384, 32768, 0, 16384),
+    (4, 49152, 65536, 49152, 65536),
+    (5, 0, 8192, 0, 8192),
+    (6, 32768, 36864, 16384, 24576),
+]
+
+TIME_FILE_WIDTH = 256  # time-only layout: 65536-wide x axis / 256 files
+
+# raw epoch minutes (timezone-free; the un-wrapped form of X_SQL)
+EPMIN_SQL = {
+    "spark": f"({_SPARK_EPOCH_S} div 60)",
+    "duck": "((epoch_ms(ts) // 1000) // 60)",
+}
+
+
+def prune_dims_sql(dialect: str, rel: str = "events") -> str:
+    """Normalized audit dimensions -> `select x, y from ...`: time
+    minutes and user_id each min/max-scaled to the full 16-bit Morton
+    domain. Raw user ids occupy a tiny prefix of 0..65535 (150 users at
+    sf0.01), so the top interleave bits would never differentiate them
+    and bucket bounding boxes would span the whole axis — normalization
+    is what makes min/max skipping measurable, exactly the reason
+    OPTIMIZE ZORDER BY clusters on range-partitioned rank, not raw
+    values. The min/max pass is one 4-number scalar agg broadcast back
+    via cross join; `greatest(span, 1)` guards the degenerate
+    single-value axis."""
+    div = "div" if dialect == "spark" else "//"
+    ep = EPMIN_SQL[dialect]
+    return f"""
+  select cast((t - tmn) * 65535 {div} greatest(tmx - tmn, 1) as bigint) as x,
+         cast((u - umn) * 65535 {div} greatest(umx - umn, 1) as bigint) as y
+  from (select {ep} as t, user_id as u from {rel}) raw
+  cross join (
+    select min({ep}) as tmn, max({ep}) as tmx,
+           min(user_id) as umn, max(user_id) as umx
+    from {rel}
+  ) b
+"""
+
+
+def manifest_prune_sql(dialect: str, rel: str = "events") -> str:
+    """File-skipping effectiveness audit -> one row per (layout,
+    pred_id): (files_total, files_scanned, rows_scanned). Simulates the
+    manifest min/max pruning an Iceberg/Delta reader performs, under
+    TWO physical layouts of the same rows — 'zorder' (files = 256
+    Morton-key ranges over the normalized dims, see prune_dims_sql)
+    and 'time' (files = 256 time-axis ranges, the naive layout) —
+    against the fixed PRUNE_PREDS box workload. A file is scanned iff
+    its (min_x..max_x, min_y..max_y) bounding box intersects the
+    predicate box; the audit certifies WHY the Z-order writer exists:
+    time-partitioned files span the full user axis, so user-constrained
+    predicates (p2-p6) skip nothing there while the Morton layout
+    bounds both axes per file (256 buckets = a 16x16 grid, each file
+    box <= 4096 on each side).
+
+    Scale shape: per-file stats are one map-side-combined agg per
+    layout (256 rows each at any corpus size — file count, not row
+    count) plus one 4-number min/max scalar agg for normalization; the
+    predicate join is a constant 6-row broadcast cross join over those
+    512 stat rows; the final agg folds 3072 rows. Nothing row-scale
+    ever shuffles."""
+    div = "div" if dialect == "spark" else "//"
+    z = zorder_sql(dialect, "x", "y")
+    vals = ", ".join(f"({p}, {a}, {b}, {c}, {d})"
+                     for p, a, b, c, d in PRUNE_PREDS)
+    preds = (
+        f"select * from values {vals} as p(pred_id, xlo, xhi, ylo, yhi)"
+        if dialect == "spark"
+        else f"select * from (values {vals}) p(pred_id, xlo, xhi, ylo, yhi)"
+    )
+    return f"""
+with d as (
+{prune_dims_sql(dialect, rel)}
+),
+files as (
+  select 'zorder' as layout,
+         cast({z} {div} {1 << (32 - N_BUCKETS_BITS)} as bigint) as file_id,
+         cast(count(*) as bigint) as n_rows,
+         min(x) as min_x, max(x) as max_x,
+         min(y) as min_y, max(y) as max_y
+  from d group by 1, 2
+  union all
+  select 'time' as layout,
+         cast(x {div} {TIME_FILE_WIDTH} as bigint) as file_id,
+         cast(count(*) as bigint) as n_rows,
+         min(x) as min_x, max(x) as max_x,
+         min(y) as min_y, max(y) as max_y
+  from d group by 1, 2
+),
+preds as ({preds})
+select layout, cast(pred_id as bigint) as pred_id,
+       cast(count(*) as bigint) as files_total,
+       cast(sum(case when min_x < xhi and max_x >= xlo
+                      and min_y < yhi and max_y >= ylo
+                then 1 else 0 end) as bigint) as files_scanned,
+       cast(sum(case when min_x < xhi and max_x >= xlo
+                      and min_y < yhi and max_y >= ylo
+                then n_rows else 0 end) as bigint) as rows_scanned
+from files cross join preds
+group by layout, pred_id
+"""
+
+
+def compaction_plan(
+    files: DataFrame, target_bytes: int, solo_base: int = 1 << 20
+) -> DataFrame:
+    """Small-file compaction (OPTIMIZE/rewrite_data_files) planner over
+    a file manifest (part_col, file_id, bytes) -> one row per planned
+    output file: (part, bin_id, n_files, bytes_total, kind). Files
+    already >= target_bytes are left alone (kind='solo', bin_id =
+    solo_base + file_id, disjoint from packed bins by construction);
+    smaller files are packed per partition in file_id order by running
+    size: bin = floor(cumulative-bytes-before / target) — the
+    sequence-packing idiom (textstats.pack_sequences) applied to table
+    maintenance, guaranteeing every packed bin except the partition's
+    last holds >= target bytes once the next file would overflow it.
+
+    Scale shape: the manifest is metadata (one row per FILE, ~1e6 rows
+    for a 100 TB table at 128 MB files — driver-free but tiny for a
+    shuffle); one window partitioned by the table partition column
+    (bounded fan-in per partition), one map-side-combinable agg. The
+    data files themselves are never read: planning is pure manifest
+    arithmetic, exactly like Iceberg's bin-packing planner."""
+    w = (
+        Window.partitionBy("part")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    small = files.where(F.col("bytes") < target_bytes)
+    packed = (
+        small.withColumn(
+            "cum_before",
+            F.coalesce(F.sum("bytes").over(w), F.lit(0)).cast("bigint"),
+        )
+        .select(
+            "part",
+            F.expr(f"cum_before div {target_bytes}").alias("bin_id"),
+            "bytes",
+        )
+        .groupBy("part", "bin_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("bytes_total"),
+        )
+        .withColumn("kind", F.lit("packed"))
+    )
+    solo = files.where(F.col("bytes") >= target_bytes).select(
+        "part",
+        (F.col("file_id") + solo_base).cast("bigint").alias("bin_id"),
+        F.lit(1).cast("bigint").alias("n_files"),
+        F.col("bytes").cast("bigint").alias("bytes_total"),
+        F.lit("solo").alias("kind"),
+    )
+    return packed.unionByName(solo)
+
+
+def duck_compaction_plan_sql(
+    files_sql: str, target_bytes: int, solo_base: int = 1 << 20
+) -> str:
+    """DuckDB twin of compaction_plan (window sum cast per the HUGEINT
+    trap; same running-sum bin arithmetic)."""
+    return f"""
+with manifest as ({files_sql}),
+small as (
+  select part, file_id, bytes,
+         cast(coalesce(sum(bytes) over (
+           partition by part order by file_id
+           rows between unbounded preceding and 1 preceding
+         ), 0) as bigint) as cum_before
+  from manifest where bytes < {target_bytes}
+)
+select part, cum_before // {target_bytes} as bin_id,
+       cast(count(*) as bigint) as n_files,
+       cast(sum(bytes) as bigint) as bytes_total,
+       'packed' as kind
+from small group by 1, 2
+union all
+select part, cast(file_id + {solo_base} as bigint) as bin_id,
+       cast(1 as bigint) as n_files,
+       cast(bytes as bigint) as bytes_total,
+       'solo' as kind
+from manifest where bytes >= {target_bytes}
+"""
+
+
+SNAP_RETAIN_LAST = 5        # keep the newest N snapshots per table
+SNAP_RETAIN_HOURS = 48      # ...plus anything younger than this
+
+
+def snapshot_expiry_sql(dialect: str, rel: str = "events") -> str:
+    """Snapshot-retention plan (expire_snapshots) -> one row per
+    snapshot: (tbl, snap_ts, n_rows, rn, action). The snapshot log is
+    derived deterministically from the event stream (one snapshot per
+    (event_type, hour) — each table commit in a streaming sink's
+    foreachBatch cadence); the policy is Iceberg's standard dual gate:
+    keep the newest SNAP_RETAIN_LAST snapshots per table AND any
+    snapshot within SNAP_RETAIN_HOURS of that table's head, expire the
+    rest. Timestamps compare via the timezone-free integer epoch idiom
+    (layout.X_SQL): field extraction on the Spark side, epoch_ms on
+    DuckDB, so no session-timezone pin is load-bearing.
+
+    Scale shape: the snapshot log is metadata (hours x tables, not
+    rows); building it is one map-side-combined agg over the stream,
+    then two window functions partitioned by table over the tiny log.
+    The expire DELETE this plan drives touches only manifest entries."""
+    if dialect == "spark":
+        ep = (
+            "(cast(datediff(cast(snap_ts as date), date '1970-01-01')"
+            " as bigint) * 86400 + hour(snap_ts) * 3600"
+            " + minute(snap_ts) * 60 + second(snap_ts))"
+        )
+        trunc = "date_trunc('hour', ts)"
+    else:
+        ep = "(epoch_ms(snap_ts) // 1000)"
+        trunc = "date_trunc('hour', ts)"
+    return f"""
+with snaps as (
+  select event_type as tbl, {trunc} as snap_ts,
+         cast(count(*) as bigint) as n_rows
+  from {rel} group by 1, 2
+),
+ranked as (
+  select tbl, snap_ts, n_rows, {ep} as ep,
+         row_number() over (partition by tbl order by snap_ts desc) as rn,
+         max({ep}) over (partition by tbl) as head_ep
+  from snaps
+)
+select tbl, snap_ts, n_rows, cast(rn as bigint) as rn,
+       case when rn <= {SNAP_RETAIN_LAST}
+              or ep >= head_ep - {SNAP_RETAIN_HOURS * 3600}
+            then 'keep' else 'expire' end as action
+from ranked
+"""

@@ -560,3 +560,127 @@ select {key_col},
                 cast(0 as bigint)) as {out_col}
 from noise
 """
+
+
+# ---------------------------------------------------------------------------
+# privacy risk: aggregate re-identification metrics + generalization ladder
+# ---------------------------------------------------------------------------
+
+
+def reident_risk(df: DataFrame, quasi_cols: list[str]) -> DataFrame:
+    """Table-level re-identification risk summary over the equivalence
+    classes of the quasi-identifier tuple -> ONE row:
+    (n_rows, n_classes, n_unique_rows, min_k, max_k, uniq_ppm,
+    marketer_ppm, journalist_ppm). The standard disclosure-risk triple
+    (El Emam & Dankar 2008): journalist risk = 1/min_k (worst-case
+    class), marketer risk = n_classes/n_rows (expected fraction
+    re-identified by matching every row), uniqueness = population
+    uniques (Sweeney's 87%-of-US result is exactly this number over
+    (zip, birth date, sex)). All ratios are released as exact integer
+    parts-per-million (bigint floor division) — the repo's no-float
+    convention, bit-identical across engines.
+
+    Scale shape: one map-side-combined count per quasi tuple, then one
+    8-number global fold; nothing but (quasi, count) ever shuffles and
+    the final agg is a single-partition fold over already-tiny class
+    rows. No collect, no window."""
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    return (
+        classes.agg(
+            F.sum("k").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_classes"),
+            F.sum(F.when(F.col("k") == 1, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_unique_rows"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .select(
+            "n_rows",
+            "n_classes",
+            "n_unique_rows",
+            "min_k",
+            "max_k",
+            F.expr("1000000 * n_unique_rows div n_rows").alias("uniq_ppm"),
+            F.expr("1000000 * n_classes div n_rows").alias("marketer_ppm"),
+            F.expr("1000000 div min_k").alias("journalist_ppm"),
+        )
+    )
+
+
+def duck_reident_risk_sql(rel: str, quasi_cols: list[str]) -> str:
+    """DuckDB twin of reident_risk (sum(bigint)->HUGEINT recast per the
+    dialect trap; // is DuckDB's integer floor division)."""
+    q = ", ".join(quasi_cols)
+    return f"""
+with classes as (
+  select cast(count(*) as bigint) as k from {rel} group by {q}
+),
+agg as (
+  select cast(sum(k) as bigint) as n_rows,
+         cast(count(*) as bigint) as n_classes,
+         cast(sum(case when k = 1 then 1 else 0 end) as bigint)
+           as n_unique_rows,
+         cast(min(k) as bigint) as min_k,
+         cast(max(k) as bigint) as max_k
+  from classes
+)
+select n_rows, n_classes, n_unique_rows, min_k, max_k,
+       1000000 * n_unique_rows // n_rows as uniq_ppm,
+       1000000 * n_classes // n_rows as marketer_ppm,
+       1000000 // min_k as journalist_ppm
+from agg
+"""
+
+
+# generalization ladder for the personal-info fixture: each level COARSENS
+# the quasi-identifier tuple (zip -> 3-digit prefix -> drop; city -> drop),
+# the anonymization move k-anonymity prescribes when classes are too small.
+# Every expression is valid in BOTH Spark SQL and DuckDB SQL verbatim.
+GENERALIZE_LEVELS: list[tuple[int, list[str]]] = [
+    (0, ["city", "state", "zip"]),
+    (1, ["state", "substr(zip, 1, 3)"]),
+    (2, ["state"]),
+    (3, ["'*'"]),
+]
+
+
+def generalization_ladder_sql(
+    dialect: str,
+    rel: str,
+    levels: list[tuple[int, list[str]]] | None = None,
+    k: int = 10,
+) -> str:
+    """Privacy-utility ladder -> one row per generalization level:
+    (level, n_classes, min_k, n_unique_rows, anon_ppm) where anon_ppm is
+    the ppm of rows already hidden in classes of >= k. Read top-down it
+    answers the release question k-anonymity poses: how much do the
+    quasi-identifiers have to be coarsened before the table is safe to
+    publish (level 0 over (city, state, zip) reproduces the classic
+    everyone-is-unique result; dropping zip to its 3-digit prefix barely
+    helps; only state-level generalization reaches k).
+
+    Scale shape: one small group-by per level over the same scan (a
+    static UNION ALL of L tiny aggregations — Catalyst reuses the
+    materialized source via the shared subquery when `rel` is a view);
+    each branch shuffles only its class keys. L is a constant (4), so
+    this is L map-side-combined aggs, no window, no collect."""
+    div = "div" if dialect == "spark" else "//"
+    parts = []
+    for lvl, exprs in levels or GENERALIZE_LEVELS:
+        q = ", ".join(exprs)
+        parts.append(
+            f"""
+select cast({lvl} as bigint) as level,
+       cast(count(*) as bigint) as n_classes,
+       cast(min(k) as bigint) as min_k,
+       cast(sum(case when k = 1 then 1 else 0 end) as bigint)
+         as n_unique_rows,
+       (1000000 * cast(sum(case when k >= {k} then k else 0 end) as bigint))
+         {div} cast(sum(k) as bigint) as anon_ppm
+from (select cast(count(*) as bigint) as k from {rel} group by {q}) c{lvl}
+"""
+        )
+    return " union all ".join(parts)

@@ -1,0 +1,220 @@
+"""Wave-8 operators: aggregate re-identification risk, generalization
+ladder, manifest-pruning audit, compaction planner, snapshot expiry."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+from nerpii_spark.operators import layout as LAY
+from nerpii_spark.operators.profile import (
+    duck_reident_risk_sql,
+    generalization_ladder_sql,
+    reident_risk,
+)
+
+
+# ---------------------------------------------------------------------------
+# reident_risk
+# ---------------------------------------------------------------------------
+
+
+def _pi(spark, rows):
+    """rows: (city, state, zip)."""
+    return spark.createDataFrame(rows, "city string, state string, zip string")
+
+
+def test_reident_risk_hand_computed(spark):
+    # classes: (a,A,1)x3, (b,B,2)x2, (c,C,3)x1, (d,D,4)x1 ->
+    # 7 rows, 4 classes, 2 uniques, min_k=1, max_k=3
+    rows = (
+        [("a", "A", "1")] * 3 + [("b", "B", "2")] * 2
+        + [("c", "C", "3"), ("d", "D", "4")]
+    )
+    r = reident_risk(_pi(spark, rows), ["city", "state", "zip"]).collect()[0]
+    assert (r["n_rows"], r["n_classes"], r["n_unique_rows"],
+            r["min_k"], r["max_k"]) == (7, 4, 2, 1, 3)
+    assert r["uniq_ppm"] == 1_000_000 * 2 // 7
+    assert r["marketer_ppm"] == 1_000_000 * 4 // 7
+    assert r["journalist_ppm"] == 1_000_000  # a size-1 class exists
+
+
+def test_reident_risk_duck_twin_identical(spark):
+    rows = [("x", "X", str(i % 3)) for i in range(10)]
+    sp = reident_risk(_pi(spark, rows), ["city", "state", "zip"]).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "create table pi as select * from (values "
+        + ", ".join(f"('x', 'X', '{i % 3}')" for i in range(10))
+        + ") t(city, state, zip)"
+    )
+    dk = con.execute(
+        duck_reident_risk_sql("pi", ["city", "state", "zip"])
+    ).fetchone()
+    assert tuple(sp) == tuple(dk)
+
+
+# ---------------------------------------------------------------------------
+# generalization ladder
+# ---------------------------------------------------------------------------
+
+
+def test_generalize_ladder_monotone_on_fixture(spark):
+    from nerpii_spark.sources import pages as P
+
+    spark.read.parquet(f"{SF}/documents.parquet").createOrReplaceTempView(
+        "nerpii_documents_gl_t"
+    )
+    spark.sql(
+        "create or replace temporary view nerpii_pi_gl_t as "
+        + P.personal_info_sql("spark", doc_rel="nerpii_documents_gl_t")
+    )
+    rows = {
+        r["level"]: r
+        for r in spark.sql(
+            generalization_ladder_sql("spark", "nerpii_pi_gl_t")
+        ).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3}
+    # coarsening can only merge classes: min_k nondecreasing, uniques
+    # nonincreasing, anon coverage nondecreasing
+    for a, b in [(0, 1), (1, 2), (2, 3)]:
+        assert rows[a]["min_k"] <= rows[b]["min_k"]
+        assert rows[a]["n_unique_rows"] >= rows[b]["n_unique_rows"]
+        assert rows[a]["anon_ppm"] <= rows[b]["anon_ppm"]
+    # level 3 is the whole table in one class
+    assert rows[3]["n_classes"] == 1
+    assert rows[3]["anon_ppm"] == 1_000_000
+    # level 0 reproduces the everyone-is-unique result (zip is per-row)
+    assert rows[0]["anon_ppm"] == 0
+
+
+# ---------------------------------------------------------------------------
+# manifest pruning audit
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_prune_zorder_skips_user_constrained_preds(spark):
+    spark.read.parquet(f"{SF}/events.parquet").createOrReplaceTempView(
+        "nerpii_events_prune_t"
+    )
+    out = {
+        (r["layout"], r["pred_id"]): r
+        for r in spark.sql(
+            LAY.manifest_prune_sql("spark", "nerpii_events_prune_t")
+        ).collect()
+    }
+    assert len(out) == 2 * len(LAY.PRUNE_PREDS)
+    # time-layout files span the full user axis -> the pure-y predicate
+    # (p2) scans every file there; zorder bounds y per file and skips
+    t2, z2 = out[("time", 2)], out[("zorder", 2)]
+    assert t2["files_scanned"] == t2["files_total"]
+    assert z2["files_scanned"] < z2["files_total"]
+    # boxes constrained on BOTH axes: zorder scans a strictly smaller
+    # row volume than the time layout
+    for p in (3, 5):
+        assert (
+            out[("zorder", p)]["rows_scanned"]
+            <= out[("time", p)]["rows_scanned"]
+        )
+    # pruning is sound: every matching ROW lives in a scanned file,
+    # so rows_scanned >= true selectivity count for every (layout, pred)
+    dims = LAY.prune_dims_sql("spark", "nerpii_events_prune_t")
+    for (pid, xlo, xhi, ylo, yhi) in LAY.PRUNE_PREDS:
+        true_n = spark.sql(
+            f"select count(*) as n from ({dims}) d"
+            f" where x >= {xlo} and x < {xhi}"
+            f" and y >= {ylo} and y < {yhi}"
+        ).collect()[0]["n"]
+        for lay in ("zorder", "time"):
+            assert out[(lay, pid)]["rows_scanned"] >= true_n
+
+
+# ---------------------------------------------------------------------------
+# compaction planner
+# ---------------------------------------------------------------------------
+
+
+def _manifest(spark, rows):
+    """rows: (part, file_id, bytes)."""
+    return spark.createDataFrame(
+        rows, "part string, file_id bigint, bytes bigint"
+    )
+
+
+def test_compaction_plan_hand_computed(spark):
+    # part a: smalls 60+60+60+60 at target 100 -> cum_before 0,60,120,180
+    # -> bins 0,0,1,1; one 500-byte file rides solo
+    rows = [("a", i, 60) for i in range(4)] + [("a", 99, 500)]
+    out = {
+        (r["part"], r["bin_id"], r["kind"]): r
+        for r in LAY.compaction_plan(
+            _manifest(spark, rows), target_bytes=100
+        ).collect()
+    }
+    assert out[("a", 0, "packed")]["n_files"] == 2
+    assert out[("a", 0, "packed")]["bytes_total"] == 120
+    assert out[("a", 1, "packed")]["n_files"] == 2
+    solo = out[("a", 99 + (1 << 20), "solo")]
+    assert (solo["n_files"], solo["bytes_total"]) == (1, 500)
+    assert len(out) == 3
+
+
+def test_compaction_plan_every_nonlast_bin_reaches_target(spark):
+    files = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .groupBy(
+            F.col("lang").alias("part"),
+            (F.col("doc_id") % 256).cast("bigint").alias("file_id"),
+        )
+        .agg(F.expr("cast(sum(n_chars) as bigint)").alias("bytes"))
+    )
+    plan = LAY.compaction_plan(files, target_bytes=16384).collect()
+    packed = [r for r in plan if r["kind"] == "packed"]
+    last_bin = {}
+    for r in packed:
+        last_bin[r["part"]] = max(last_bin.get(r["part"], -1), r["bin_id"])
+    for r in packed:
+        if r["bin_id"] != last_bin[r["part"]]:
+            # bin closes only once the running sum crosses target
+            assert r["bytes_total"] >= 16384 - 0  # closed bins reach target
+    # conservation: every small file's bytes land in exactly one bin
+    total_small = (
+        files.where(F.col("bytes") < 16384)
+        .agg(F.expr("cast(sum(bytes) as bigint)").alias("b"))
+        .collect()[0]["b"]
+    )
+    assert sum(r["bytes_total"] for r in packed) == total_small
+
+
+# ---------------------------------------------------------------------------
+# snapshot expiry
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_expiry_policy(spark):
+    spark.read.parquet(f"{SF}/events.parquet").createOrReplaceTempView(
+        "nerpii_events_snap_t"
+    )
+    rows = spark.sql(
+        LAY.snapshot_expiry_sql("spark", "nerpii_events_snap_t")
+    ).collect()
+    by_tbl = {}
+    for r in rows:
+        by_tbl.setdefault(r["tbl"], []).append(r)
+    assert len(by_tbl) == 5  # one table per event type
+    for tbl, snaps in by_tbl.items():
+        snaps.sort(key=lambda r: r["rn"])
+        head = max(r["snap_ts"] for r in snaps)
+        for r in snaps:
+            age_s = (head - r["snap_ts"]).total_seconds()
+            expect = (
+                "keep"
+                if r["rn"] <= LAY.SNAP_RETAIN_LAST
+                or age_s <= LAY.SNAP_RETAIN_HOURS * 3600
+                else "expire"
+            )
+            assert r["action"] == expect, (tbl, r)
+        # the 30-day stream must actually exercise both branches
+        acts = {r["action"] for r in snaps}
+        assert acts == {"keep", "expire"}
