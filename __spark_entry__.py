@@ -1506,6 +1506,23 @@ def q_k_anonymity(spark, sf):
     )
 
 
+def q_expectations(spark, sf):
+    """Data-quality expectations gate (diagnose.expectations_report —
+    the Deequ-style constraint suite a pipeline runs before publishing
+    a snapshot): 10 checks over pages/mentions/triples — non-empty
+    fields, url uniqueness, lang/entity-type/predicate vocabularies,
+    duplicate assertions, doc_id referential integrity. One
+    conditional-count agg per table + two doc_id-keyed FK left joins;
+    constant ~10 rows out, the `passed` bit blocks the publish."""
+    from nerpii_spark.operators.diagnose import expectations_report
+
+    p = _pipeline(spark, sf)
+    return expectations_report(
+        p["clean"], p["mentions"].select("doc_id", "entity_type", "mention"),
+        p["triples"], langs=sorted(G.LANG_STOPWORDS),
+    )
+
+
 def q_reident_risk(spark, sf):
     """Aggregate disclosure-risk report (profile.reident_risk) over the
     planted personal-info fixture with the classic quasi-identifier
@@ -2284,6 +2301,7 @@ def q_clustering_coeff(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r3 wave-8 (newest, no driver row yet):
+        "q_expectations": q_expectations,
         "q_reident_risk": q_reident_risk,
         "q_generalize_ladder": q_generalize_ladder,
         "q_manifest_prune": q_manifest_prune,
@@ -2656,6 +2674,9 @@ def oracle_sql() -> dict[str, str]:
     female = G.sql_str_list([n.lower() for n in G.FIRST_FEMALE])
     male = G.sql_str_list([n.lower() for n in G.FIRST_MALE])
     return {
+        "q_expectations": DG.duck_expectations_sql(
+            pages, gm, gt, langs=sorted(G.LANG_STOPWORDS)
+        ),
         "q_truth_discovery": duck_truth_discovery_sql(gt, pages),
         "q_vocab_growth": TS.duck_vocab_growth_sql(gram=2),
         "q_el_candidates": P.golden_el_candidates_sql(),

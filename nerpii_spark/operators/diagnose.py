@@ -222,3 +222,230 @@ select n_left, n_right, ndv_left, ndv_right,
             as bigint) as err_e6
 from ls, rs, act
 """
+
+
+# ---------------------------------------------------------------------------
+# data-quality expectations gate (Deequ-style) over the KG pipeline outputs
+# ---------------------------------------------------------------------------
+
+# the planted relation-extraction schema (sources/pages.py:780-782) — the
+# predicate vocabulary a shipped triple snapshot must stay inside
+KNOWN_PREDS = [
+    "works_at", "located_in", "has_email", "has_phone", "lives_in",
+]
+# the reference's detector entity surface (SURVEY §2.3)
+KNOWN_ENTITY_TYPES = [
+    "PERSON", "ORGANIZATION", "LOCATION", "EMAIL_ADDRESS", "PHONE_NUMBER",
+    "URL", "ADDRESS", "ZIPCODE", "US_SSN", "CREDIT_CARD_NUMBER",
+]
+
+
+def _in_list(col: str, vals: list[str]) -> str:
+    return f"{col} in ({', '.join(repr(v) for v in vals)})"
+
+
+def expectations_report(
+    clean: DataFrame,
+    mentions: DataFrame,
+    triples: DataFrame,
+    langs: list[str] | None = None,
+    span_checks: bool = False,
+) -> DataFrame:
+    """Constraint-suite verification (the Deequ/Great-Expectations gate
+    a pipeline runs BEFORE publishing a snapshot) -> one row per check:
+    (check_id, n_checked, n_violations, passed). Checks: page text
+    non-empty, url uniqueness, lang vocabulary; mention surface
+    non-empty, entity-type vocabulary, doc_id referential integrity
+    against pages; triple fields non-empty, predicate vocabulary,
+    duplicate assertions, doc_id referential integrity. With
+    span_checks=True two structural checks on mention offsets are
+    added (begin >= 0, end > begin) — excluded from the driver oracle
+    because the golden-mention truth carries no offsets.
+
+    Scale shape: each table contributes ONE map-side-combined
+    conditional-count agg (uniqueness via count distinct — Spark's
+    two-phase expand, never a window); the two FK checks are LEFT
+    joins against the distinct page-id set with a null-probe count
+    folded in the same pass — the only row-scale exchanges, keyed on
+    doc_id (uniform by construction). Output is a constant ~10 rows;
+    a failed `passed` bit is what blocks the downstream publish."""
+    langs = sorted(langs) if langs else None
+    lang_pred = (
+        _in_list("lang", langs) if langs else "lang is not null"
+    )
+
+    def rows(agg_df, checks):
+        # one stack() over the single agg row -> (check_id, n, v)
+        stack = ", ".join(
+            f"'{cid}', {n}, {v}" for cid, n, v in checks
+        )
+        return agg_df.selectExpr(
+            f"stack({len(checks)}, {stack}) as (check_id, n_checked,"
+            " n_violations)"
+        )
+
+    p = clean.agg(
+        F.expr("cast(count(*) as bigint)").alias("n"),
+        F.expr(
+            "cast(coalesce(sum(case when text is null or length(text) = 0"
+            " then 1 else 0 end), 0) as bigint)"
+        ).alias("v_text"),
+        F.expr("cast(count(*) - count(distinct url) as bigint)").alias(
+            "v_url"
+        ),
+        F.expr(
+            f"cast(coalesce(sum(case when not ({lang_pred}) then 1 else 0"
+            " end), 0) as bigint)"
+        ).alias("v_lang"),
+    )
+    p_rows = rows(p, [
+        ("pages_text_nonempty", "n", "v_text"),
+        ("pages_url_unique", "n", "v_url"),
+        ("pages_lang_known", "n", "v_lang"),
+    ])
+
+    page_ids = clean.select("doc_id").distinct().withColumn(
+        "_hit", F.lit(1)
+    )
+    m = mentions.join(page_ids, "doc_id", "left").agg(
+        F.expr("cast(count(*) as bigint)").alias("n"),
+        F.expr(
+            "cast(coalesce(sum(case when mention is null or length(mention) = 0"
+            " then 1 else 0 end), 0) as bigint)"
+        ).alias("v_empty"),
+        F.expr(
+            f"cast(coalesce(sum(case when not ({_in_list('entity_type', KNOWN_ENTITY_TYPES)})"
+            " then 1 else 0 end), 0) as bigint)"
+        ).alias("v_type"),
+        F.expr(
+            "cast(coalesce(sum(case when _hit is null then 1 else 0 end), 0) as bigint)"
+        ).alias("v_fk"),
+        *(
+            [
+                F.expr(
+                    "cast(coalesce(sum(case when `begin` < 0 then 1 else 0"
+                    " end), 0) as bigint)"
+                ).alias("v_beg"),
+                F.expr(
+                    "cast(coalesce(sum(case when `end` <= `begin` then 1"
+                    " else 0 end), 0) as bigint)"
+                ).alias("v_end"),
+            ]
+            if span_checks
+            else []
+        ),
+    )
+    m_checks = [
+        ("mentions_surface_nonempty", "n", "v_empty"),
+        ("mentions_type_known", "n", "v_type"),
+        ("mentions_doc_fk", "n", "v_fk"),
+    ]
+    if span_checks:
+        m_checks += [
+            ("mentions_begin_nonneg", "n", "v_beg"),
+            ("mentions_end_after_begin", "n", "v_end"),
+        ]
+    m_rows = rows(m, m_checks)
+
+    t = triples.join(page_ids, "doc_id", "left").agg(
+        F.expr("cast(count(*) as bigint)").alias("n"),
+        F.expr(
+            "cast(coalesce(sum(case when subj is null or length(subj) = 0"
+            " or pred is null or length(pred) = 0"
+            " or obj is null or length(obj) = 0 then 1 else 0 end), 0)"
+            " as bigint)"
+        ).alias("v_empty"),
+        F.expr(
+            f"cast(coalesce(sum(case when not ({_in_list('pred', KNOWN_PREDS)})"
+            " then 1 else 0 end), 0) as bigint)"
+        ).alias("v_pred"),
+        F.expr(
+            "cast(count(*) - count(distinct struct(doc_id, subj, pred, obj))"
+            " as bigint)"
+        ).alias("v_dup"),
+        F.expr(
+            "cast(coalesce(sum(case when _hit is null then 1 else 0 end), 0) as bigint)"
+        ).alias("v_fk"),
+    )
+    t_rows = rows(t, [
+        ("triples_fields_nonempty", "n", "v_empty"),
+        ("triples_pred_known", "n", "v_pred"),
+        ("triples_dup_assertions", "n", "v_dup"),
+        ("triples_doc_fk", "n", "v_fk"),
+    ])
+
+    return (
+        p_rows.unionByName(m_rows)
+        .unionByName(t_rows)
+        .select(
+            "check_id",
+            "n_checked",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+    )
+
+
+def duck_expectations_sql(
+    pages_sql: str,
+    mentions_sql: str,
+    triples_sql: str,
+    langs: list[str] | None = None,
+) -> str:
+    """Oracle twin of expectations_report (driver check set — no span
+    checks, the golden mentions carry no offsets). sum()/count() cast
+    back from HUGEINT per the dialect trap."""
+    langs = sorted(langs) if langs else None
+    lang_pred = _in_list("lang", langs) if langs else "lang is not null"
+    tk = _in_list("entity_type", KNOWN_ENTITY_TYPES)
+    pk = _in_list("pred", KNOWN_PREDS)
+    return f"""
+with pages as ({pages_sql}),
+mentions as ({mentions_sql}),
+triples as ({triples_sql}),
+pids as (select distinct doc_id from pages),
+p as (
+  select cast(count(*) as bigint) as n,
+         cast(sum(case when text is null or length(text) = 0
+              then 1 else 0 end) as bigint) as v_text,
+         cast(count(*) - count(distinct url) as bigint) as v_url,
+         cast(sum(case when not ({lang_pred}) then 1 else 0 end)
+              as bigint) as v_lang
+  from pages
+),
+m as (
+  select cast(count(*) as bigint) as n,
+         cast(sum(case when mention is null or length(mention) = 0
+              then 1 else 0 end) as bigint) as v_empty,
+         cast(sum(case when not ({tk}) then 1 else 0 end) as bigint)
+           as v_type,
+         cast(sum(case when pids.doc_id is null then 1 else 0 end)
+              as bigint) as v_fk
+  from mentions left join pids on mentions.doc_id = pids.doc_id
+),
+t as (
+  select cast(count(*) as bigint) as n,
+         cast(sum(case when subj is null or length(subj) = 0
+              or pred is null or length(pred) = 0
+              or obj is null or length(obj) = 0 then 1 else 0 end)
+              as bigint) as v_empty,
+         cast(sum(case when not ({pk}) then 1 else 0 end) as bigint)
+           as v_pred,
+         cast(count(*) - count(distinct (triples.doc_id, subj, pred, obj))
+              as bigint) as v_dup,
+         cast(sum(case when pids.doc_id is null then 1 else 0 end)
+              as bigint) as v_fk
+  from triples left join pids on triples.doc_id = pids.doc_id
+)
+select 'pages_text_nonempty' as check_id, n as n_checked,
+       v_text as n_violations, v_text = 0 as passed from p
+union all select 'pages_url_unique', n, v_url, v_url = 0 from p
+union all select 'pages_lang_known', n, v_lang, v_lang = 0 from p
+union all select 'mentions_surface_nonempty', n, v_empty, v_empty = 0 from m
+union all select 'mentions_type_known', n, v_type, v_type = 0 from m
+union all select 'mentions_doc_fk', n, v_fk, v_fk = 0 from m
+union all select 'triples_fields_nonempty', n, v_empty, v_empty = 0 from t
+union all select 'triples_pred_known', n, v_pred, v_pred = 0 from t
+union all select 'triples_dup_assertions', n, v_dup, v_dup = 0 from t
+union all select 'triples_doc_fk', n, v_fk, v_fk = 0 from t
+"""

@@ -218,3 +218,113 @@ def test_snapshot_expiry_policy(spark):
         # the 30-day stream must actually exercise both branches
         acts = {r["action"] for r in snaps}
         assert acts == {"keep", "expire"}
+
+
+# ---------------------------------------------------------------------------
+# expectations gate
+# ---------------------------------------------------------------------------
+
+
+def test_expectations_planted_violations(spark):
+    from nerpii_spark.operators.diagnose import expectations_report
+
+    clean = spark.createDataFrame(
+        [
+            (1, "http://a.com/x", "en", "good text"),
+            (2, "http://a.com/x", "en", ""),          # dup url + empty text
+            (3, "http://b.com/y", "xx", "more text"), # unknown lang
+        ],
+        "doc_id bigint, url string, lang string, text string",
+    )
+    mentions = spark.createDataFrame(
+        [
+            (1, "PERSON", "Alice"),
+            (2, "ALIEN", "Zork"),    # unknown type
+            (9, "PERSON", ""),       # missing doc + empty surface
+        ],
+        "doc_id bigint, entity_type string, mention string",
+    )
+    triples = spark.createDataFrame(
+        [
+            (1, "Alice", "works_at", "Acme"),
+            (1, "Alice", "works_at", "Acme"),   # duplicate assertion
+            (2, "Bob", "eats", "Pizza"),        # unknown predicate
+            (9, "Carol", "lives_in", ""),       # missing doc + empty obj
+        ],
+        "doc_id bigint, subj string, pred string, obj string",
+    )
+    out = {
+        r["check_id"]: r
+        for r in expectations_report(
+            clean, mentions, triples, langs=["en", "it"]
+        ).collect()
+    }
+    expect = {
+        "pages_text_nonempty": (3, 1),
+        "pages_url_unique": (3, 1),
+        "pages_lang_known": (3, 1),
+        "mentions_surface_nonempty": (3, 1),
+        "mentions_type_known": (3, 1),
+        "mentions_doc_fk": (3, 1),
+        "triples_fields_nonempty": (4, 1),
+        "triples_pred_known": (4, 1),
+        "triples_dup_assertions": (4, 1),
+        "triples_doc_fk": (4, 1),
+    }
+    assert set(out) == set(expect)
+    for cid, (n, v) in expect.items():
+        r = out[cid]
+        assert (r["n_checked"], r["n_violations"], r["passed"]) == (
+            n, v, False
+        ), cid
+
+
+def test_expectations_span_checks_opt_in(spark):
+    from nerpii_spark.operators.diagnose import expectations_report
+
+    clean = spark.createDataFrame(
+        [(1, "http://a.com", "en", "text")],
+        "doc_id bigint, url string, lang string, text string",
+    )
+    mentions = spark.createDataFrame(
+        [
+            (1, "PERSON", "Alice", 0, 5),
+            (1, "PERSON", "Bob", -2, 1),   # negative begin
+            (1, "PERSON", "Eve", 7, 7),    # empty span
+        ],
+        "doc_id bigint, entity_type string, mention string,"
+        " begin bigint, end bigint",
+    )
+    triples = spark.createDataFrame(
+        [], "doc_id bigint, subj string, pred string, obj string"
+    )
+    out = {
+        r["check_id"]: r
+        for r in expectations_report(
+            clean, mentions, triples, span_checks=True
+        ).collect()
+    }
+    assert out["mentions_begin_nonneg"]["n_violations"] == 1
+    assert out["mentions_end_after_begin"]["n_violations"] == 1
+    assert len(out) == 12
+    # empty triples: zero checked, zero violations, still passes
+    assert out["triples_doc_fk"]["n_checked"] == 0
+    assert out["triples_doc_fk"]["passed"]
+
+
+def test_expectations_green_on_planted_corpus(spark):
+    import __spark_entry__ as E
+
+    out = {r["check_id"]: r for r in
+           E.q_expectations(spark, SF.replace("0.01", "0.001")).collect()}
+    assert len(out) == 10
+    # every structural/vocabulary/FK check passes on the planted corpus...
+    for cid, r in out.items():
+        if cid != "triples_dup_assertions":
+            assert r["passed"], (cid, r["n_violations"])
+    # ...and the dup check correctly SURFACES the one planted collision
+    # (doc 229 asserts "Acme LLC located_in Seattle" twice — two
+    # works_at sentences drawing the same org+city) — data-inherent
+    # redundancy, exactly what the gate exists to report
+    assert out["triples_dup_assertions"]["n_violations"] == 1
+    assert not out["triples_dup_assertions"]["passed"]
