@@ -53,8 +53,10 @@ from nerpii_spark.operators.extract import (
     extract_triples,
     duck_hits_sql,
     duck_kg_negative_samples_sql,
+    duck_pagerank_incremental_sql,
     duck_pagerank_sql,
     duck_pagerank_weighted_sql,
+    pagerank_incremental,
     hits,
     duck_neighbor_sample_sql,
     duck_random_walks_sql,
@@ -1506,6 +1508,25 @@ def q_k_anonymity(spark, sf):
     )
 
 
+def q_pagerank_incremental(spark, sf):
+    """Warm-started incremental PageRank over the host graph
+    (extract.pagerank_incremental — the rank analog of the incremental
+    linker): ranks for 3/4 of the crawl persist as base state, the
+    remaining 1/4 folds in as a delta batch and the damped update
+    resumes from the warm vector for 2 rounds instead of iterating the
+    merged graph from uniform. Same per-round plan as q_host_pagerank;
+    the saving is rounds. Oracle replays base fixed point + warm
+    rounds bit-for-bit over the planted link truth."""
+    pages = _pipeline(spark, sf)["pages"]
+    base = WG.host_edges_for_pagerank(
+        pages.where(F.expr("doc_id % 4 != 0"))
+    )
+    delta = WG.host_edges_for_pagerank(
+        pages.where(F.expr("doc_id % 4 = 0"))
+    )
+    return pagerank_incremental(base, delta)
+
+
 def q_expectations(spark, sf):
     """Data-quality expectations gate (diagnose.expectations_report —
     the Deequ-style constraint suite a pipeline runs before publishing
@@ -2301,6 +2322,7 @@ def q_clustering_coeff(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r3 wave-8 (newest, no driver row yet):
+        "q_pagerank_incremental": q_pagerank_incremental,
         "q_expectations": q_expectations,
         "q_reident_risk": q_reident_risk,
         "q_generalize_ladder": q_generalize_ladder,
@@ -2674,6 +2696,12 @@ def oracle_sql() -> dict[str, str]:
     female = G.sql_str_list([n.lower() for n in G.FIRST_FEMALE])
     male = G.sql_str_list([n.lower() for n in G.FIRST_MALE])
     return {
+        "q_pagerank_incremental": duck_pagerank_incremental_sql(
+            f"select src_host as subj, dst_host as obj from"
+            f" ({WG.duck_planted_links_sql(f'select * from ({pages}) where doc_id % 4 <> 0')})",
+            f"select src_host as subj, dst_host as obj from"
+            f" ({WG.duck_planted_links_sql(f'select * from ({pages}) where doc_id % 4 = 0')})",
+        ),
         "q_expectations": DG.duck_expectations_sql(
             pages, gm, gt, langs=sorted(G.LANG_STOPWORDS)
         ),
