@@ -73,3 +73,101 @@ def run_triple_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def quarantine_batch_sink(
+    out_root: str,
+    quarantine_root: str,
+    checks: list[tuple[str, str]],
+):
+    """foreachBatch callback implementing the streaming half of the
+    expectations gate (operators/diagnose.expectations_report): rows
+    passing every check stream to the main sink, rows tripping any
+    check divert to a quarantine table carrying `reasons` (the array of
+    tripped check ids) — the dead-letter-queue pattern, so one malformed
+    crawl record can neither poison the published table nor kill the
+    stream. `checks` is [(check_id, violation_predicate_sql)].
+
+    Both writes stay idempotent under micro-batch replay exactly like
+    idempotent_batch_sink: partitioned by batch_id, dynamic partition
+    overwrite, so a crash-replayed batch rewrites its own two
+    partitions byte-identically. Scale shape: the reasons array is one
+    chained-projection pass over the micro-batch (whole-stage codegen,
+    no shuffle); the batch is cached once so the two filtered writes
+    do not recompute the upstream extractor."""
+    reasons = (
+        "filter(array("
+        + ", ".join(
+            f"case when ({pred}) then '{cid}' end" for cid, pred in checks
+        )
+        + "), x -> x is not null)"
+    )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        classified = (
+            batch_df.withColumn("reasons", F.expr(reasons))
+            .withColumn("batch_id", F.lit(batch_id))
+            .cache()
+        )
+        try:
+            (
+                classified.where(F.size("reasons") == 0)
+                .drop("reasons")
+                .write.partitionBy("batch_id")
+                .mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(out_root)
+            )
+            (
+                classified.where(F.size("reasons") > 0)
+                .write.partitionBy("batch_id")
+                .mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(quarantine_root)
+            )
+        finally:
+            classified.unpersist()
+
+    return _write
+
+
+# default check set for the page stream: the streaming subset of
+# diagnose.expectations_report's per-row constraints (table-level
+# checks — uniqueness, FK — stay in the batch gate; a micro-batch
+# cannot see global state)
+PAGE_STREAM_CHECKS: list[tuple[str, str]] = [
+    ("empty_text", "text is null or length(text) = 0"),
+    ("bad_url", "url is null or url not rlike '^https?://'"),
+    ("missing_lang", "lang is null or length(lang) = 0"),
+]
+
+
+def run_validated_page_stream(
+    spark: SparkSession,
+    pages_dir: str,
+    out_root: str,
+    quarantine_root: str,
+    checkpoint_dir: str,
+    checks: list[tuple[str, str]] | None = None,
+) -> None:
+    """Drain pending page files through the quarantine gate
+    (availableNow trigger, same incremental-ingest unit as
+    run_triple_stream): valid pages publish, malformed pages land in
+    the dead-letter table with their tripped check ids."""
+    schema = spark.read.parquet(pages_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pages_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            quarantine_batch_sink(
+                out_root, quarantine_root, checks or PAGE_STREAM_CHECKS
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

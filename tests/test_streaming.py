@@ -729,3 +729,51 @@ def test_stateful_sessionize_random_streams_match_native(spark, tmp_path):
         }
         assert got == expected, (seed, got ^ expected)
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_quarantine_sink_splits_and_reasons(spark, tmp_path):
+    """Dead-letter gate: valid rows publish, malformed rows land in
+    quarantine with the exact tripped check ids; re-running with the
+    same checkpoint is a no-op (idempotent replay contract)."""
+    from nerpii_spark.streaming.sink import run_validated_page_stream
+
+    rows = [
+        (1, "http://a.example/x", "en", "good text"),
+        (2, "http://a.example/y", "en", ""),            # empty_text
+        (3, "ftp://bad.example/z", "en", "text"),       # bad_url
+        (4, "http://b.example/w", None, "text"),        # missing_lang
+        (5, None, "", None),                            # all three
+    ]
+    src = str(tmp_path / "vpages_src")
+    spark.createDataFrame(
+        rows, "doc_id bigint, url string, lang string, text string"
+    ).coalesce(1).write.parquet(src)
+    out = str(tmp_path / "vpages_out")
+    quar = str(tmp_path / "vpages_quar")
+    ckpt = str(tmp_path / "vpages_ckpt")
+
+    run_validated_page_stream(spark, src, out, quar, ckpt)
+
+    ok = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert ok == {1}
+    bad = {
+        r["doc_id"]: sorted(r["reasons"])
+        for r in spark.read.parquet(quar).collect()
+    }
+    assert bad == {
+        2: ["empty_text"],
+        3: ["bad_url"],
+        4: ["missing_lang"],
+        5: ["bad_url", "empty_text", "missing_lang"],
+    }
+
+    # replay: same checkpoint -> no new batches, outputs unchanged
+    before = sorted(
+        map(tuple, spark.read.parquet(out).drop("batch_id").collect())
+    )
+    run_validated_page_stream(spark, src, out, quar, ckpt)
+    after = sorted(
+        map(tuple, spark.read.parquet(out).drop("batch_id").collect())
+    )
+    assert before == after
+    assert spark.read.parquet(quar).count() == 4
