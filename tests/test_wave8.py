@@ -381,3 +381,48 @@ def test_pagerank_incremental_two_runs_identical(spark):
     # every rank positive, new node d present
     assert all(v > 0 for _, v in r1)
     assert {n for n, _ in r1} == {"a", "b", "c", "d"}
+
+
+# ---------------------------------------------------------------------------
+# bloom semi-join runtime filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_semi_join_exact_and_prefiltering(spark):
+    from nerpii_spark.operators.runtime_filter import (
+        bloom_build_keys,
+        bloom_semi_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(2000)], "k bigint, payload string"
+    )
+    dim = spark.createDataFrame(
+        [(i,) for i in range(0, 2000, 100)], "dk bigint"  # 20 of 2000 keys
+    )
+    out = bloom_semi_join(fact, dim, "k", "dk").collect()
+    # exactness: identical to the plain semi join
+    expect = {(i, f"v{i}") for i in range(0, 2000, 100)}
+    assert {(r["k"], r["payload"]) for r in out} == expect
+    # schema untouched: fact columns only, no helper columns leak
+    assert [f.name for f in bloom_semi_join(fact, dim, "k", "dk").schema] \
+        == ["k", "payload"]
+    # the pre-filter genuinely reduces the exact join's input: probing
+    # the bitmap alone (no exact join) keeps every true match and only
+    # a bounded FP tail — measured well under the fact count
+    bloom = {r["word"]: r["bits"] for r in
+             bloom_build_keys(dim, "dk").collect()}
+    from nerpii_spark.functions.hashing import h1, h2
+    from nerpii_spark.operators.dedup import BLOOM_BITS, BLOOM_K, BLOOM_SALT
+
+    survivors = 0
+    for i in range(2000):
+        hit = True
+        for j in range(BLOOM_K):
+            p = h2(h1(i, BLOOM_SALT), j) % BLOOM_BITS
+            if not (bloom.get(p // 32, 0) >> (p % 32)) & 1:
+                hit = False
+                break
+        survivors += hit
+    assert survivors >= 20            # no false negatives
+    assert survivors < 2000 * 0.05    # >95% of fact rows never reach the join
