@@ -1508,6 +1508,18 @@ def q_k_anonymity(spark, sf):
     )
 
 
+def q_lsh_tuning(spark, sf):
+    """LSH banding parameter advisor (dedup.lsh_tuning_report): for
+    five (n_bands, band_rows) layouts of the same 16 minhashes, the
+    expected candidate recall E[p(s)] = E[1-(1-s^r)^b] under the
+    OBSERVED exact-Jaccard distribution of the certified near-dup
+    pairs — the report that justifies the shipped r=1/b=16 choice and
+    quantifies what a sharper r=4 threshold would forfeit. S-curve is
+    an integer-exact constant table; the data side is a <= 21-row
+    histogram over the verified pair set."""
+    return D.lsh_tuning_report(D.ngram_jaccard_pairs(_dup_docs(spark, sf)))
+
+
 def q_bloom_semijoin(spark, sf):
     """Runtime Bloom-filter semi-join pushdown (runtime_filter.
     bloom_semi_join): lineitem ⋉ high-value orders with a certified
@@ -2347,6 +2359,7 @@ def q_clustering_coeff(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r3 wave-8 (newest, no driver row yet):
+        "q_lsh_tuning": q_lsh_tuning,
         "q_bloom_semijoin": q_bloom_semijoin,
         "q_pagerank_incremental": q_pagerank_incremental,
         "q_expectations": q_expectations,
@@ -2616,6 +2629,7 @@ def _extras_oracles() -> dict[str, str]:
             f"select id_a, id_b from ({exact_jaccard})"
         ),
         "q_dedup_ngram": exact_jaccard,
+        "q_lsh_tuning": D.duck_lsh_tuning_sql(exact_jaccard),
         "q_dedup_prefix": exact_jaccard,
         "q_dedup_containment": D.duck_containment_pairs_sql(dup),
         "q_quality_survivors": D.duck_quality_survivors_sql(

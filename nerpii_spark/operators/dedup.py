@@ -1739,3 +1739,107 @@ from comp join sp on comp.id = sp.doc_id
 group by lbl
 having count(*) >= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# LSH banding parameter tuning (S-curve report)
+# ---------------------------------------------------------------------------
+
+# candidate (n_bands, band_rows) layouts spending the same 16 minhashes
+LSH_GRID: list[tuple[int, int]] = [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]
+LSH_BUCKET_MILLI = 50  # similarity histogram bucket width (milli-Jaccard)
+
+
+def lsh_prob_rows(
+    floor_milli: int = int(JACCARD_TAU * 1000),
+    bucket_width: int = LSH_BUCKET_MILLI,
+    grid: list[tuple[int, int]] | None = None,
+) -> list[tuple[int, int, int, int]]:
+    """(bucket, n_bands, band_rows, p_e6) rows of the banding S-curve
+    p(s) = 1 - (1 - s^r)^b evaluated at each histogram bucket midpoint —
+    PURE integer arithmetic (e6 fixed point, floor at every multiply),
+    so the table is bit-identical wherever it is generated; it contains
+    no data, only constants, and is injected verbatim into both
+    dialects."""
+    rows = []
+    for bucket in range(floor_milli // bucket_width,
+                        1000 // bucket_width + 1):
+        s_e6 = min(bucket * bucket_width + bucket_width // 2, 1000) * 1000
+        for b, r in grid or LSH_GRID:
+            acc = s_e6
+            for _ in range(r - 1):
+                acc = acc * s_e6 // 1_000_000
+            miss = 1_000_000
+            for _ in range(b):
+                miss = miss * (1_000_000 - acc) // 1_000_000
+            rows.append((bucket, b, r, 1_000_000 - miss))
+    return rows
+
+
+def lsh_tuning_report(pairs: DataFrame) -> DataFrame:
+    """Banding parameter advisor -> one row per (n_bands, band_rows)
+    layout: (n_bands, band_rows, n_pairs, exp_recall_e6). Input is the
+    certified exact near-dup pair set WITH overlap counts (id_a, id_b,
+    n_inter, n_union) — the pairs the dedup stage MUST catch; the
+    report answers "what fraction would each banding layout of the same
+    16 minhashes have surfaced as candidates", i.e. the expected recall
+    E[p(s)] under the OBSERVED similarity distribution, not a textbook
+    uniform assumption. r=1/b=16 maximizes recall near the tau floor
+    (what minhash_dup_pairs ships); r=4 trades the flat tail for a
+    sharp threshold (fewer spurious candidates when tau is higher).
+
+    Scale shape: one projection + one <= 21-row histogram agg over the
+    (already small) verified pair table, a broadcast join against the
+    constant probability table, one 5-row rollup. All-bigint weighted
+    mean (sum(n*p) div sum(n)); the S-curve itself is constants, so no
+    cross-engine float ever evaluates."""
+    spark = pairs.sparkSession
+    probs = spark.createDataFrame(
+        lsh_prob_rows(),
+        "bucket bigint, n_bands bigint, band_rows bigint, p_e6 bigint",
+    )
+    hist = (
+        pairs.select(
+            F.expr(
+                f"(1000 * cast(n_inter as bigint) div"
+                f" cast(n_union as bigint)) div {LSH_BUCKET_MILLI}"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return (
+        hist.join(F.broadcast(probs), "bucket")
+        .groupBy("n_bands", "band_rows")
+        .agg(
+            F.expr("cast(sum(n) as bigint)").alias("n_pairs"),
+            F.expr(
+                "cast(sum(n * p_e6) as bigint) div cast(sum(n) as bigint)"
+            ).alias("exp_recall_e6"),
+        )
+    )
+
+
+def duck_lsh_tuning_sql(exact_pairs_sql: str) -> str:
+    """Oracle twin over the brute-force exact-Jaccard pair truth; the
+    probability table is the SAME lsh_prob_rows constants inlined as
+    VALUES (sum casts per the HUGEINT trap)."""
+    vals = ", ".join(f"({a}, {b}, {c}, {d})" for a, b, c, d in lsh_prob_rows())
+    return f"""
+with pairs as ({exact_pairs_sql}),
+hist as (
+  select (1000 * cast(n_inter as bigint) // cast(n_union as bigint))
+           // {LSH_BUCKET_MILLI} as bucket,
+         cast(count(*) as bigint) as n
+  from pairs group by 1
+),
+probs as (select * from (values {vals})
+          p(bucket, n_bands, band_rows, p_e6))
+select cast(n_bands as bigint) as n_bands,
+       cast(band_rows as bigint) as band_rows,
+       cast(sum(n) as bigint) as n_pairs,
+       cast(sum(n * p_e6) as bigint) // cast(sum(n) as bigint)
+         as exp_recall_e6
+from hist join probs using (bucket)
+group by 1, 2
+"""

@@ -737,3 +737,20 @@ def test_rule_mining_distinct_before_joins(spark):
     plan = _plan(E.q_rule_mining(spark, SF))
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_bloom_semi_join_probe_stages_are_broadcast_only(spark):
+    """The fact side passes all k Bloom probe filters via broadcast
+    word lookups — no SortMergeJoin anywhere, and at least k+1
+    broadcast joins (k probes + the final exact semi join over the
+    pre-filtered survivors)."""
+    from nerpii_spark.operators.dedup import BLOOM_K
+    from nerpii_spark.operators.runtime_filter import bloom_semi_join
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    big = spark.read.parquet(f"{SF}/orders.parquet").where(
+        "o_totalprice > 450000"
+    )
+    plan = _plan(bloom_semi_join(li, big, "l_orderkey", "o_orderkey"))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= BLOOM_K + 1

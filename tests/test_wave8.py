@@ -426,3 +426,48 @@ def test_bloom_semi_join_exact_and_prefiltering(spark):
         survivors += hit
     assert survivors >= 20            # no false negatives
     assert survivors < 2000 * 0.05    # >95% of fact rows never reach the join
+
+
+# ---------------------------------------------------------------------------
+# LSH banding tuning report
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_prob_rows_match_closed_form():
+    from nerpii_spark.operators.dedup import LSH_BUCKET_MILLI, lsh_prob_rows
+
+    for bucket, b, r, p_e6 in lsh_prob_rows():
+        s = min(bucket * LSH_BUCKET_MILLI + LSH_BUCKET_MILLI // 2, 1000) / 1000
+        expect = 1 - (1 - s ** r) ** b
+        # integer fixed-point floors at every multiply -> tiny downward
+        # bias only
+        assert abs(p_e6 / 1e6 - expect) < 2e-3, (bucket, b, r)
+        assert 0 <= p_e6 <= 1_000_000
+
+
+def test_lsh_tuning_report_hand_histogram(spark):
+    from nerpii_spark.operators.dedup import lsh_tuning_report
+
+    # two pairs at sim 0.525-bucket (21/40), one at 0.975-bucket (39/40)
+    pairs = spark.createDataFrame(
+        [(1, 2, 21, 40), (3, 4, 21, 40), (5, 6, 39, 40)],
+        "id_a bigint, id_b bigint, n_inter bigint, n_union bigint",
+    )
+    out = {(r["n_bands"], r["band_rows"]): r
+           for r in lsh_tuning_report(pairs).collect()}
+    assert set(out) == {(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)}
+    for v in out.values():
+        assert v["n_pairs"] == 3
+    # more rows per band = sharper curve = lower recall on this
+    # tau-floor-heavy distribution; r=1/b=16 (the shipped layout) wins
+    recalls = [out[(b, r)]["exp_recall_e6"]
+               for b, r in [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]]
+    assert recalls == sorted(recalls, reverse=True)
+    assert recalls[0] > 990_000
+    # weighted-mean arithmetic replays exactly
+    from nerpii_spark.operators.dedup import lsh_prob_rows
+
+    p = {(bk, b, r): v for bk, b, r, v in lsh_prob_rows()}
+    for (b, r), row in out.items():
+        expect = (2 * p[(10, b, r)] + 1 * p[(19, b, r)]) // 3
+        assert row["exp_recall_e6"] == expect
