@@ -107,6 +107,7 @@ from nerpii_spark.operators import similarity as SIM
 from nerpii_spark.operators import webgraph as WG
 from nerpii_spark.operators import textstats as TS
 from nerpii_spark.operators.mask import (
+    duck_mask_leakage_sql,
     duck_redact_text_sql,
     mask_table,
     mask_triples,
@@ -1508,6 +1509,26 @@ def q_k_anonymity(spark, sf):
     )
 
 
+def q_mask_leakage(spark, sf):
+    """Post-synthesis leakage audit (mask.mask_leakage_report): per
+    routed column, the ppm of cells where the keyed synthetic EQUALS
+    the original value — the release-time check that masking actually
+    replaced the PII (coincidence floor ~1/|gazetteer| per cell; a
+    rate spiking toward 1e6 means a copy-through). One row_id join +
+    one conditional-count agg; 12 rows out."""
+    from nerpii_spark.operators.mask import mask_leakage_report
+
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_leak")
+    pi = spark.sql(
+        P.personal_info_sql("spark", doc_rel="nerpii_documents_leak")
+    )
+    prof = column_profile(pi)
+    masked = mask_table(pi, prof, "row_id")
+    routed = route_columns(_PI_PROFILE, P.PERSONAL_INFO_COLS, {"state"})
+    return mask_leakage_report(pi, masked, sorted(routed), "row_id")
+
+
 def q_lsh_tuning(spark, sf):
     """LSH banding parameter advisor (dedup.lsh_tuning_report): for
     five (n_bands, band_rows) layouts of the same 16 minhashes, the
@@ -2359,6 +2380,7 @@ def q_clustering_coeff(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r3 wave-8 (newest, no driver row yet):
+        "q_mask_leakage": q_mask_leakage,
         "q_lsh_tuning": q_lsh_tuning,
         "q_bloom_semijoin": q_bloom_semijoin,
         "q_pagerank_incremental": q_pagerank_incremental,
@@ -3053,6 +3075,21 @@ def oracle_sql() -> dict[str, str]:
             from train full outer join emb on train.doc_id = emb.e_id
             group by 1, 2
         """,
+        "q_mask_leakage": duck_mask_leakage_sql(
+            P.personal_info_sql("duck"),
+            masked_select_sql(
+                "duck",
+                f"({P.personal_info_sql('duck')})",
+                P.PERSONAL_INFO_COLS,
+                route_columns(_PI_PROFILE, P.PERSONAL_INFO_COLS, {"state"}),
+                "row_id",
+                gender_col="first_name_gender",
+            ),
+            sorted(
+                route_columns(_PI_PROFILE, P.PERSONAL_INFO_COLS, {"state"})
+            ),
+            "row_id",
+        ),
         "q_mask_personal_info": masked_select_sql(
             "duck",
             f"({P.personal_info_sql('duck')})",

@@ -488,3 +488,97 @@ select s.doc_id as doc_id, {expand} as redacted
 from steps s left join cnt on s.doc_id = cnt.doc_id
 where s.step = coalesce(cnt.n, 0)
 """
+
+
+# ---------------------------------------------------------------------------
+# synthesis leakage audit
+# ---------------------------------------------------------------------------
+
+
+def mask_leakage_report(
+    orig: DataFrame,
+    masked: DataFrame,
+    cols: list[str],
+    key_col: str,
+) -> DataFrame:
+    """Post-synthesis leakage audit -> one row per routed column:
+    (column, n_cells, n_coincide, coincide_ppm). A cell "leaks" when
+    the synthetic value EQUALS the original — with keyed draws from
+    shared gazetteers that happens by coincidence at rate ~1/|list|
+    per cell (a masked city has a 1-in-32 chance of landing on the
+    true city), and this report is the release-time check that the
+    measured rate stays at that floor: a rate spiking toward 1e6 means
+    a column was routed to a copy-through or the draw degenerated —
+    the PII-masking analog of expectations_report. ppm arithmetic is
+    exact bigint (0 when the column has no non-null cells).
+
+    Scale shape: ONE key-equi join of the original and masked tables
+    (both sides already partition-aligned on the key in the pipeline)
+    + one conditional-count agg carrying 2 numbers per column; the
+    long-format output is a constant |cols|-row stack."""
+    o = orig.select(
+        key_col, *[F.col(c).alias(f"_o_{c}") for c in cols]
+    )
+    m = masked.select(
+        key_col, *[F.col(c).alias(f"_m_{c}") for c in cols]
+    )
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.expr(
+                f"cast(coalesce(sum(case when _o_{c} is not null"
+                " then 1 else 0 end), 0) as bigint)"
+            ).alias(f"n_{c}"),
+            F.expr(
+                f"cast(coalesce(sum(case when _o_{c} is not null"
+                f" and _m_{c} = _o_{c} then 1 else 0 end), 0) as bigint)"
+            ).alias(f"v_{c}"),
+        ]
+    one = o.join(m, key_col).agg(*aggs)
+    stack = ", ".join(f"'{c}', n_{c}, v_{c}" for c in cols)
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) as (column, n_cells, n_coincide)"
+    ).selectExpr(
+        "column",
+        "n_cells",
+        "n_coincide",
+        "case when n_cells = 0 then cast(0 as bigint)"
+        " else 1000000 * n_coincide div n_cells end as coincide_ppm",
+    )
+
+
+def duck_mask_leakage_sql(
+    orig_sql: str,
+    masked_sql: str,
+    cols: list[str],
+    key_col: str,
+) -> str:
+    """Oracle twin of mask_leakage_report (per-column union branches
+    over one joined agg CTE; sum casts per the HUGEINT trap)."""
+    sums = []
+    for c in cols:
+        sums.append(
+            f"cast(coalesce(sum(case when o.\"{c}\" is not null"
+            f" then 1 else 0 end), 0) as bigint) as n_{c}"
+        )
+        sums.append(
+            f"cast(coalesce(sum(case when o.\"{c}\" is not null"
+            f" and m.\"{c}\" = o.\"{c}\" then 1 else 0 end), 0)"
+            f" as bigint) as v_{c}"
+        )
+    branches = "\nunion all ".join(
+        f"select '{c}' as \"column\", n_{c} as n_cells,"
+        f" v_{c} as n_coincide,"
+        f" case when n_{c} = 0 then cast(0 as bigint)"
+        f" else 1000000 * v_{c} // n_{c} end as coincide_ppm from a"
+        for c in cols
+    )
+    return f"""
+with o as ({orig_sql}),
+m as ({masked_sql}),
+a as (
+  select {', '.join(sums)}
+  from o join m on o.{key_col} = m.{key_col}
+)
+{branches}
+"""

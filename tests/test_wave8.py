@@ -471,3 +471,45 @@ def test_lsh_tuning_report_hand_histogram(spark):
     for (b, r), row in out.items():
         expect = (2 * p[(10, b, r)] + 1 * p[(19, b, r)]) // 3
         assert row["exp_recall_e6"] == expect
+
+
+# ---------------------------------------------------------------------------
+# mask leakage audit
+# ---------------------------------------------------------------------------
+
+
+def test_mask_leakage_detects_copy_through(spark):
+    from nerpii_spark.operators.mask import mask_leakage_report
+
+    orig = spark.createDataFrame(
+        [(1, "Alice", "NYC"), (2, "Bob", "LA"), (3, None, "SF")],
+        "row_id bigint, name string, city string",
+    )
+    # name column was "masked" by copying through; city genuinely synthed
+    masked = spark.createDataFrame(
+        [(1, "Alice", "Rome"), (2, "Bob", "Oslo"), (3, "Eve", "SF")],
+        "row_id bigint, name string, city string",
+    )
+    out = {r["column"]: r for r in mask_leakage_report(
+        orig, masked, ["name", "city"], "row_id").collect()}
+    # null original cells don't count as checked
+    assert (out["name"]["n_cells"], out["name"]["n_coincide"]) == (2, 2)
+    assert out["name"]["coincide_ppm"] == 1_000_000  # copy-through caught
+    assert (out["city"]["n_cells"], out["city"]["n_coincide"]) == (3, 1)
+    assert out["city"]["coincide_ppm"] == 333_333
+
+
+def test_mask_leakage_floor_on_fixture(spark):
+    import __spark_entry__ as E
+
+    out = {r["column"]: r for r in
+           E.q_mask_leakage(spark, SF.replace("0.01", "0.001")).collect()}
+    assert len(out) == 12
+    # high-entropy synthetics can never coincide with originals
+    for c in ("ssn", "credit_card_number", "phone", "email", "web",
+              "address", "zip"):
+        assert out[c]["n_coincide"] == 0, c
+    # gazetteer-drawn columns sit at the 1/|list| coincidence floor —
+    # well under 10%, never a copy-through
+    for c in ("city", "state", "country", "first_name", "last_name"):
+        assert out[c]["coincide_ppm"] < 100_000, (c, out[c])
