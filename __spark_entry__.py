@@ -1509,6 +1509,14 @@ def q_k_anonymity(spark, sf):
     )
 
 
+def q_host_gini(spark, sf):
+    """Crawl-concentration Gini over pages-per-host (webgraph.
+    host_gini): the scalar that tracks mega-host drift, exact bigint
+    ppm via the rank-statistic formula; the sort runs over hosts, not
+    pages (overflow bound documented in the operator)."""
+    return WG.host_gini(_pipeline(spark, sf)["pages"])
+
+
 def q_mask_leakage(spark, sf):
     """Post-synthesis leakage audit (mask.mask_leakage_report): per
     routed column, the ppm of cells where the keyed synthetic EQUALS
@@ -2380,6 +2388,7 @@ def q_clustering_coeff(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r3 wave-8 (newest, no driver row yet):
+        "q_host_gini": q_host_gini,
         "q_mask_leakage": q_mask_leakage,
         "q_lsh_tuning": q_lsh_tuning,
         "q_bloom_semijoin": q_bloom_semijoin,
@@ -2767,6 +2776,7 @@ def oracle_sql() -> dict[str, str]:
                                  where o_totalprice > 450000)
             group by 1
         """,
+        "q_host_gini": WG.duck_host_gini_sql(pages),
         "q_pagerank_incremental": duck_pagerank_incremental_sql(
             f"select src_host as subj, dst_host as obj from"
             f" ({WG.duck_planted_links_sql(f'select * from ({pages}) where doc_id % 4 <> 0')})",

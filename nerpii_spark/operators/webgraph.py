@@ -2645,3 +2645,78 @@ def duck_sssp_weighted_sql(
         )
         prev = f"d{i}"
     return "with " + ",\n".join(ctes) + f"\nselect host, cost_e6 from {prev}"
+
+
+# ---------------------------------------------------------------------------
+# crawl concentration: Gini coefficient of pages-per-host
+# ---------------------------------------------------------------------------
+
+
+def host_gini(pages: DataFrame) -> DataFrame:
+    """Crawl-concentration report -> ONE row (n_hosts, total_pages,
+    gini_e6): the Gini coefficient of the pages-per-host distribution,
+    the single number that tracks whether the crawler is drifting into
+    a few mega-hosts (Gini -> 1e6) or spreading politely (-> 0); the
+    scheduling complement to host_quota_sample and the scalar summary
+    of the degree histogram's power-law tail. Exact rank-statistic
+    formula over the ascending order (ties broken by host for a total
+    order): G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)), released
+    as exact bigint ppm.
+
+    Scale shape: the per-host count is one map-side-combined agg (the
+    row-scale pass); the rank is ONE window over the host-cardinality
+    agg output — a rank statistic needs a total order by definition,
+    and that sort runs over hosts, not pages. Overflow bound (stated,
+    not silent): sum(i*x) <= n_hosts*total_pages and the e6 release
+    multiplies the numerator by 1e6, so bigint requires
+    n_hosts*total_pages < 9.2e12 — past that, pre-scale x (count in
+    thousands) before ranking, same plan."""
+    from pyspark.sql import Window
+
+    counts = (
+        pages.select(
+            F.expr(f"regexp_extract(url, '{_HOST_RE}', 1)").alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    w = Window.orderBy(F.asc("x"), F.asc("host"))
+    ranked = counts.withColumn(
+        "i", F.row_number().over(w).cast("bigint")
+    )
+    return ranked.agg(
+        F.expr("cast(count(*) as bigint)").alias("n_hosts"),
+        F.expr("cast(sum(x) as bigint)").alias("total_pages"),
+        F.expr("cast(sum(i * x) as bigint)").alias("_s"),
+    ).selectExpr(
+        "n_hosts",
+        "total_pages",
+        "(1000000 * (2 * _s - (n_hosts + 1) * total_pages))"
+        " div (n_hosts * total_pages) as gini_e6",
+    )
+
+
+def duck_host_gini_sql(pages_sql_duck: str) -> str:
+    """Oracle twin of host_gini (same rank order, same floor-div ppm;
+    sum casts per the HUGEINT trap)."""
+    return f"""
+with counts as (
+  select regexp_extract(url, '{_HOST_RE}', 1) as host,
+         cast(count(*) as bigint) as x
+  from ({pages_sql_duck}) group by 1
+),
+ranked as (
+  select x, cast(row_number() over (order by x asc, host asc) as bigint) as i
+  from counts
+),
+a as (
+  select cast(count(*) as bigint) as n_hosts,
+         cast(sum(x) as bigint) as total_pages,
+         cast(sum(i * x) as bigint) as s
+  from ranked
+)
+select n_hosts, total_pages,
+       (1000000 * (2 * s - (n_hosts + 1) * total_pages))
+         // (n_hosts * total_pages) as gini_e6
+from a
+"""

@@ -513,3 +513,33 @@ def test_mask_leakage_floor_on_fixture(spark):
     # well under 10%, never a copy-through
     for c in ("city", "state", "country", "first_name", "last_name"):
         assert out[c]["coincide_ppm"] < 100_000, (c, out[c])
+
+
+# ---------------------------------------------------------------------------
+# host gini
+# ---------------------------------------------------------------------------
+
+
+def test_host_gini_hand_computed(spark):
+    from nerpii_spark.operators.webgraph import host_gini
+
+    # hosts a:1, b:1, c:6 pages -> sorted x = [1,1,6], n=3, T=8
+    # s = 1*1 + 2*1 + 3*6 = 21; G = (42 - 4*8)/(3*8) = 10/24
+    rows = (
+        [("http://a.example/p",)] + [("http://b.example/p",)]
+        + [("http://c.example/%d" % i,) for i in range(6)]
+    )
+    r = host_gini(spark.createDataFrame(rows, "url string")).collect()[0]
+    assert (r["n_hosts"], r["total_pages"]) == (3, 8)
+    assert r["gini_e6"] == 1_000_000 * 10 // 24
+
+
+def test_host_gini_bounds(spark):
+    from nerpii_spark.operators.webgraph import host_gini
+
+    # perfectly equal distribution -> G = (n-1-... ) ~ 0 exactly:
+    # x_i all equal => 2*s = (n+1)*T => numerator 0
+    rows = [(f"http://h{i}.example/{j}",) for i in range(5)
+            for j in range(4)]
+    r = host_gini(spark.createDataFrame(rows, "url string")).collect()[0]
+    assert r["gini_e6"] == 0
