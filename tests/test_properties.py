@@ -267,3 +267,109 @@ def test_chunk_text_duckdb_invariants(n, window, overlap):
     for a, b in zip(chunks, chunks[1:]):
         k = min(overlap, len(b))
         assert a[stride:stride + k] == b[:k]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=50),
+                min_size=1, max_size=20))
+def test_host_gini_duck_matches_python_mirror(counts):
+    from nerpii_spark.operators.webgraph import duck_host_gini_sql
+
+    urls = []
+    for h, c in enumerate(counts):
+        urls += [f"http://h{h:03d}.example/p{j}" for j in range(c)]
+    vals = ", ".join(f"('{u}')" for u in urls)
+    row = duckdb.sql(
+        duck_host_gini_sql(f"select * from (values {vals}) t(url)")
+    ).fetchone()
+    # python mirror of the exact rank-statistic formula (same tie order:
+    # ascending count, then host string)
+    xs = [c for _, c in sorted(
+        ((f"h{h:03d}.example", c) for h, c in enumerate(counts)),
+        key=lambda t: (t[1], t[0]),
+    )]
+    n, tot = len(xs), sum(xs)
+    s = sum((i + 1) * x for i, x in enumerate(xs))
+    expect = (1_000_000 * (2 * s - (n + 1) * tot)) // (n * tot)
+    assert row == (n, tot, expect)
+    assert 0 <= row[2] < 1_000_000
+    if len(set(counts)) == 1:
+        assert row[2] == 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=400),
+                min_size=1, max_size=24),
+       st.integers(min_value=50, max_value=300))
+def test_compaction_plan_duck_conservation(sizes, target):
+    from nerpii_spark.operators.layout import duck_compaction_plan_sql
+
+    vals = ", ".join(
+        f"('p', {i}, {b})" for i, b in enumerate(sizes)
+    )
+    rows = duckdb.sql(duck_compaction_plan_sql(
+        f"select * from (values {vals}) t(part, file_id, bytes)", target
+    )).fetchall()
+    packed = [r for r in rows if r[4] == "packed"]
+    solo = [r for r in rows if r[4] == "solo"]
+    # conservation: every byte lands in exactly one plan row
+    assert sum(r[3] for r in rows) == sum(sizes)
+    assert sum(r[2] for r in rows) == len(sizes)
+    # solo files are exactly those at/above target
+    assert sum(r[2] for r in solo) == sum(1 for b in sizes if b >= target)
+    # TRUE packing invariants (each small file < target, so bin ids
+    # are contiguous): every bin < 2*target, and the cumulative bytes
+    # through every non-last bin k reach >= (k+1)*target
+    packed.sort(key=lambda r: r[1])
+    cum = 0
+    for i, r in enumerate(packed):
+        assert r[3] < 2 * target
+        cum += r[3]
+        if i < len(packed) - 1:
+            assert cum >= (r[1] + 1) * target
+    # bin id spaces are disjoint
+    assert not ({r[1] for r in packed} & {r[1] for r in solo})
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),
+              st.integers(min_value=0, max_value=5)),
+    min_size=1, max_size=40))
+def test_reident_risk_duck_invariants(rows):
+    from nerpii_spark.operators.profile import duck_reident_risk_sql
+
+    vals = ", ".join(f"('{c}', 'S', '{z}')" for c, z in rows)
+    r = duckdb.sql(duck_reident_risk_sql(
+        f"(select * from (values {vals}) t(city, state, zip)) pi",
+        ["city", "state", "zip"],
+    )).fetchone()
+    n_rows, n_classes, n_uniq, min_k, max_k, uniq_ppm, mkt_ppm, jrn_ppm = r
+    assert n_rows == len(rows)
+    from collections import Counter
+
+    ks = Counter((c, z) for c, z in rows)
+    assert n_classes == len(ks)
+    assert n_uniq == sum(1 for v in ks.values() if v == 1)
+    assert min_k == min(ks.values()) and max_k == max(ks.values())
+    assert uniq_ppm == 1_000_000 * n_uniq // n_rows
+    assert mkt_ppm == 1_000_000 * n_classes // n_rows
+    assert jrn_ppm == 1_000_000 // min_k
+
+
+def test_lsh_prob_table_monotone():
+    from nerpii_spark.operators.dedup import LSH_GRID, lsh_prob_rows
+
+    rows = lsh_prob_rows()
+    by = {}
+    for bucket, b, r, p in rows:
+        assert 0 <= p <= 1_000_000
+        by[(bucket, b, r)] = p
+    buckets = sorted({k[0] for k in by})
+    for b, r in LSH_GRID:
+        seq = [by[(bk, b, r)] for bk in buckets]
+        # p(s) nondecreasing in s for every layout
+        assert seq == sorted(seq)
+    # at fixed r, more bands can only raise the hit probability
+    for bk in buckets:
+        assert by[(bk, 16, 1)] >= by[(bk, 1, 16)]

@@ -171,13 +171,20 @@ def test_compaction_plan_every_nonlast_bin_reaches_target(spark):
     )
     plan = LAY.compaction_plan(files, target_bytes=16384).collect()
     packed = [r for r in plan if r["kind"] == "packed"]
-    last_bin = {}
+    by_part = {}
     for r in packed:
-        last_bin[r["part"]] = max(last_bin.get(r["part"], -1), r["bin_id"])
-    for r in packed:
-        if r["bin_id"] != last_bin[r["part"]]:
-            # bin closes only once the running sum crosses target
-            assert r["bytes_total"] >= 16384 - 0  # closed bins reach target
+        by_part.setdefault(r["part"], []).append(r)
+    for part, rows in by_part.items():
+        rows.sort(key=lambda r: r["bin_id"])
+        cum = 0
+        for i, r in enumerate(rows):
+            # every bin stays under 2*target (smalls never skip a bin)
+            assert r["bytes_total"] < 2 * 16384
+            cum += r["bytes_total"]
+            if i < len(rows) - 1:
+                # the TRUE packing invariant: bin k closes only after
+                # the cumulative stream passes (k+1)*target
+                assert cum >= (r["bin_id"] + 1) * 16384, (part, r)
     # conservation: every small file's bytes land in exactly one bin
     total_small = (
         files.where(F.col("bytes") < 16384)
