@@ -1509,6 +1509,65 @@ def q_k_anonymity(spark, sf):
     )
 
 
+def q_split_temporal(spark, sf):
+    """Temporal holdout split — the leakage-free complement to the
+    hash split (q_split_assign) for anything time-ordered: train on
+    the first 80% of the crawl clock, validate on the next 10%, test
+    on the tail; boundaries are exact integer fractions of the
+    observed [min, max] epoch span (one 2-number agg broadcast back),
+    so no future byte can inform a past-split model. Output per
+    split: (split, n_docs, min_epoch, max_epoch)."""
+    pages = _pipeline(spark, sf)["pages"]
+    ep = (
+        "(cast(datediff(cast(warc_ts as date), date '1970-01-01')"
+        " as bigint) * 86400 + hour(warc_ts) * 3600"
+        " + minute(warc_ts) * 60 + second(warc_ts))"
+    )
+    b = pages.agg(
+        F.expr(f"min({ep})").alias("lo"), F.expr(f"max({ep})").alias("hi")
+    )
+    return (
+        pages.select(F.expr(ep).alias("e"))
+        .crossJoin(F.broadcast(b))
+        .selectExpr(
+            "case when (e - lo) * 10 < (hi - lo) * 8 then 'train'"
+            " when (e - lo) * 10 < (hi - lo) * 9 then 'val'"
+            " else 'test' end as split",
+            "e",
+        )
+        .groupBy("split")
+        .agg(
+            F.expr("cast(count(*) as bigint)").alias("n_docs"),
+            F.expr("cast(min(e) as bigint)").alias("min_epoch"),
+            F.expr("cast(max(e) as bigint)").alias("max_epoch"),
+        )
+    )
+
+
+def q_lang_drift(spark, sf):
+    """Metadata-vs-content language drift audit: cross-tabulate the
+    crawl's CLAIMED lang column against the content-based stopword
+    classifier -> (lang_meta, lang_pred, n_docs). Crawl metadata lies
+    constantly (server headers, TLD guesses, stale sitemaps); this is
+    the report that decides whether downstream lang partitioning can
+    trust the metadata or must re-derive lang from content. On the
+    planted corpus it correctly EXPOSES the drift: the synthetic text
+    is English-vocabulary filler under rotated metadata labels, so
+    only the en rows agree — pinned in pytest (the classifier itself
+    is accuracy-certified separately on a 12-language planted slice in
+    tests/test_extras.py). One projection + one map-side-combined
+    two-key agg; |langs|^2-bounded output."""
+    d = _load(spark, sf, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("lang_meta"),
+            F.expr(TS.lang_id_sql("spark", "text")).alias("lang_pred"),
+        )
+        .groupBy("lang_meta", "lang_pred")
+        .agg(F.expr("cast(count(*) as bigint)").alias("n_docs"))
+    )
+
+
 def q_host_gini(spark, sf):
     """Crawl-concentration Gini over pages-per-host (webgraph.
     host_gini): the scalar that tracks mega-host drift, exact bigint
@@ -2388,6 +2447,8 @@ def q_clustering_coeff(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r3 wave-8 (newest, no driver row yet):
+        "q_split_temporal": q_split_temporal,
+        "q_lang_drift": q_lang_drift,
         "q_host_gini": q_host_gini,
         "q_mask_leakage": q_mask_leakage,
         "q_lsh_tuning": q_lsh_tuning,
@@ -2776,6 +2837,25 @@ def oracle_sql() -> dict[str, str]:
                                  where o_totalprice > 450000)
             group by 1
         """,
+        "q_split_temporal": f"""
+            with p as ({pages}),
+            e as (select cast({P.BASE_EPOCH} + doc_id as bigint) as e
+                  from p),
+            b as (select min(e) as lo, max(e) as hi from e)
+            select case when (e - lo) * 10 < (hi - lo) * 8 then 'train'
+                        when (e - lo) * 10 < (hi - lo) * 9 then 'val'
+                        else 'test' end as split,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(min(e) as bigint) as min_epoch,
+                   cast(max(e) as bigint) as max_epoch
+            from e cross join b group by 1
+        """,
+        "q_lang_drift": (
+            f"select lang as lang_meta,"
+            f" {TS.lang_id_sql('duck', 'text')} as lang_pred,"
+            " cast(count(*) as bigint) as n_docs"
+            " from documents group by 1, 2"
+        ),
         "q_host_gini": WG.duck_host_gini_sql(pages),
         "q_pagerank_incremental": duck_pagerank_incremental_sql(
             f"select src_host as subj, dst_host as obj from"

@@ -550,3 +550,43 @@ def test_host_gini_bounds(spark):
             for j in range(4)]
     r = host_gini(spark.createDataFrame(rows, "url string")).collect()[0]
     assert r["gini_e6"] == 0
+
+
+# ---------------------------------------------------------------------------
+# temporal split + lang-id confusion
+# ---------------------------------------------------------------------------
+
+
+def test_split_temporal_ordered_and_proportioned(spark):
+    import __spark_entry__ as E
+
+    rows = {r["split"]: r for r in
+            E.q_split_temporal(spark, SF).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    # strict temporal ordering: no future byte leaks into a past split
+    assert rows["train"]["max_epoch"] < rows["val"]["min_epoch"]
+    assert rows["val"]["max_epoch"] < rows["test"]["min_epoch"]
+    # the planted clock is uniform in doc_id -> ~80/10/10
+    total = sum(r["n_docs"] for r in rows.values())
+    assert abs(rows["train"]["n_docs"] / total - 0.8) < 0.02
+    assert abs(rows["val"]["n_docs"] / total - 0.1) < 0.02
+
+
+def test_lang_drift_exposes_metadata_content_mismatch(spark):
+    import __spark_entry__ as E
+
+    rows = E.q_lang_drift(spark, SF).collect()
+    per_meta = {}
+    for r in rows:
+        per_meta.setdefault(r["lang_meta"], []).append(r)
+    assert len(per_meta) == 5
+    for lang, rs in per_meta.items():
+        best = max(rs, key=lambda r: r["n_docs"])
+        if lang == "en":
+            # en metadata agrees with content
+            assert best["lang_pred"] == "en"
+        else:
+            # the planted corpus text is English-vocabulary filler
+            # under rotated metadata labels — the audit must SURFACE
+            # that drift, not average it away
+            assert best["lang_pred"] != lang, (lang, rs)
