@@ -1516,8 +1516,10 @@ def q_split_temporal(spark, sf):
     on the tail; boundaries are exact integer fractions of the
     observed [min, max] epoch span (one 2-number agg broadcast back),
     so no future byte can inform a past-split model. Output per
-    split: (split, n_docs, min_epoch, max_epoch)."""
-    pages = _pipeline(spark, sf)["pages"]
+    split: (split, n_docs, min_epoch, max_epoch). Reads the CACHED
+    clean stage (same warc_ts as pages) — the raw pages DF would
+    regenerate the planted html on both scans."""
+    pages = _pipeline(spark, sf)["clean"]
     ep = (
         "(cast(datediff(cast(warc_ts as date), date '1970-01-01')"
         " as bigint) * 86400 + hour(warc_ts) * 3600"
@@ -1573,7 +1575,7 @@ def q_host_gini(spark, sf):
     host_gini): the scalar that tracks mega-host drift, exact bigint
     ppm via the rank-statistic formula; the sort runs over hosts, not
     pages (overflow bound documented in the operator)."""
-    return WG.host_gini(_pipeline(spark, sf)["pages"])
+    return WG.host_gini(_pipeline(spark, sf)["clean"])
 
 
 def q_mask_leakage(spark, sf):
@@ -1641,8 +1643,10 @@ def q_pagerank_incremental(spark, sf):
     resumes from the warm vector for 2 rounds instead of iterating the
     merged graph from uniform. Same per-round plan as q_host_pagerank;
     the saving is rounds. Oracle replays base fixed point + warm
-    rounds bit-for-bit over the planted link truth."""
-    pages = _pipeline(spark, sf)["pages"]
+    rounds bit-for-bit over the planted link truth. Reads the CACHED
+    clean stage (html survives S1) so the two filtered scans don't
+    regenerate the planted corpus."""
+    pages = _pipeline(spark, sf)["clean"]
     base = WG.host_edges_for_pagerank(
         pages.where(F.expr("doc_id % 4 != 0"))
     )

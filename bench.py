@@ -188,6 +188,21 @@ def main() -> int:
         "q_phrase_search",
         "q_vocab_growth",
         "q_split_leakage",
+        # wave-8/9 (r3 late additions)
+        "q_expectations",
+        "q_pagerank_incremental",
+        "q_bloom_semijoin",
+        "q_lsh_tuning",
+        # q_mask_leakage excluded like the other masking queries: its
+        # cost is column_profile's detection scan, benched via e2e
+        "q_host_gini",
+        "q_manifest_prune",
+        "q_compaction_plan",
+        "q_snapshot_expiry",
+        "q_reident_risk",
+        "q_generalize_ladder",
+        "q_split_temporal",
+        "q_lang_drift",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [
