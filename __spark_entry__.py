@@ -1509,6 +1509,26 @@ def q_k_anonymity(spark, sf):
     )
 
 
+def q_window_user_hll(spark, sf):
+    """Windowed distinct-user HLL (streaming/windows.
+    windowed_user_hll_registers + sketch.hll_estimate_from_registers):
+    per (day window, event_type) the 64-register sketch state — whose
+    merge op (register max) is exactly what a streaming agg maintains
+    with 64-rows-per-open-window state, vs count-distinct state that
+    grows with users — rolled up on read with the raw estimator +
+    small-range linear-counting branch in the shared integer log2
+    fixed point. Same code runs the streaming half (batch-equality +
+    accuracy gated in tests/test_streaming.py); oracle replays
+    registers, estimator and LC branch bit-for-bit."""
+    from nerpii_spark.operators.sketch import hll_estimate_from_registers
+    from nerpii_spark.streaming.windows import windowed_user_hll_registers
+
+    regs = windowed_user_hll_registers(_load(spark, sf, "events"))
+    return hll_estimate_from_registers(
+        regs, ["window_start", "event_type"]
+    )
+
+
 def q_split_temporal(spark, sf):
     """Temporal holdout split — the leakage-free complement to the
     hash split (q_split_assign) for anything time-ordered: train on
@@ -2451,6 +2471,7 @@ def q_clustering_coeff(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r3 wave-8 (newest, no driver row yet):
+        "q_window_user_hll": q_window_user_hll,
         "q_split_temporal": q_split_temporal,
         "q_lang_drift": q_lang_drift,
         "q_host_gini": q_host_gini,
@@ -2841,6 +2862,7 @@ def oracle_sql() -> dict[str, str]:
                                  where o_totalprice > 450000)
             group by 1
         """,
+        "q_window_user_hll": SK.duck_windowed_user_hll_sql("events"),
         "q_split_temporal": f"""
             with p as ({pages}),
             e as (select cast({P.BASE_EPOCH} + doc_id as bigint) as e

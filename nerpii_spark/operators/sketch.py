@@ -255,3 +255,99 @@ select token,
 from probe left join counters using (r, c)
 group by token
 """
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, keys: list[str], rho_col: str = "rho"
+) -> DataFrame:
+    """Estimate-on-read over materialized HLL register state ->
+    (*keys, est_distinct, s_sum, n_regs_hit): the rollup half of the
+    sketch split out so register maxima can be produced ANYWHERE the
+    merge operation (max per register) runs — a batch groupBy, a
+    streaming windowed aggregation (streaming/windows.
+    windowed_user_hll_registers), or a union of per-shard sketch
+    tables — and the estimate stays one tiny closed-form aggregation
+    over <= 64 rows per key (unseen registers in closed form; PLUS the
+    small-range linear-counting branch lc = m*ln(m/(m-V)) the windowed
+    distinct-users regime needs — n << m biases the raw harmonic
+    estimator high — in the shared integer log2 fixed point, so the
+    branch replays bit-for-bit in DuckDB)."""
+    from ..functions.intmath import FP_ONE, log2fp, spark_log2fp_cols
+
+    s = regs.groupBy(*keys).agg(
+        (
+            F.sum(F.expr(_pow2_sql("spark", f"{RHO_CAP} - {rho_col}")))
+            + (F.lit(M_REGS) - F.count("*"))
+            * F.expr(_pow2_sql("spark", str(RHO_CAP)))
+        ).cast("bigint").alias("s_sum"),
+        F.count("*").cast("bigint").alias("n_regs_hit"),
+    )
+    s = s.withColumn("_raw", F.expr(
+        f"cast(({_EST_NUM} div ({_EST_DEN} * s_sum)) as bigint)"
+    ))
+    # small-range (linear counting) branch — the windowed-users regime
+    # (n << m) where the raw harmonic estimator is biased high:
+    # lc = m * ln(m / (m - V)), in the shared log2 fixed point so the
+    # value replays bit-for-bit in DuckDB (duck_log2fp_expr twin)
+    s = s.withColumn("_mv", F.expr(
+        f"cast(greatest({M_REGS} - n_regs_hit, 1) as bigint)"
+    ))
+    s = spark_log2fp_cols(s, "_mv", "_l2mv")
+    lc = (
+        f"cast(({M_REGS} * ({log2fp(M_REGS)} - _l2mv) * 693147)"
+        f" div cast({FP_ONE * 1000000} as bigint) as bigint)"
+    )
+    return s.select(
+        *keys,
+        F.expr(
+            f"case when n_regs_hit < {M_REGS} and _raw <= {5 * M_REGS // 2}"
+            f" then {lc} else _raw end as est_distinct"
+        ),
+        "s_sum",
+        "n_regs_hit",
+    )
+
+
+def duck_windowed_user_hll_sql(events_rel: str = "events") -> str:
+    """DuckDB replay twin of windowed_user_hll_registers +
+    hll_estimate_from_registers over the events table: same hash
+    chain, register maxima, closed-form sum, raw estimator and
+    small-range linear-counting branch (fixed-point log2 via
+    duck_log2fp_expr), bit-for-bit."""
+    from ..functions.hashing import sql_h1, sql_h2
+    from ..functions.intmath import FP_ONE, duck_log2fp_expr, log2fp
+
+    w_expr = sql_h2(sql_h1("user_id", 5), 5)
+    u_expr = sql_h2("w", 7)
+    raw = f"({_EST_NUM} // ({_EST_DEN} * s_sum))"
+    l2 = duck_log2fp_expr(f"greatest({M_REGS} - n_regs_hit, 1)")
+    lc = (
+        f"(({M_REGS} * ({log2fp(M_REGS)} - {l2}) * 693147)"
+        f" // cast({FP_ONE * 1000000} as bigint))"
+    )
+    return f"""
+with hs as (
+  select cast(date_trunc('day', ts) as timestamp) as window_start,
+         event_type,
+         {w_expr} as w
+  from {events_rel}
+),
+regs as (
+  select window_start, event_type, w % {M_REGS} as j,
+         max({_rho_sql(u_expr)}) as rho
+  from hs group by 1, 2, 3
+),
+s as (
+  select window_start, event_type,
+         cast(sum({_pow2_sql("duck", f"{RHO_CAP} - rho")})
+              + ({M_REGS} - count(*))
+                * {_pow2_sql("duck", str(RHO_CAP))} as bigint) as s_sum,
+         cast(count(*) as bigint) as n_regs_hit
+  from regs group by 1, 2
+)
+select window_start, event_type,
+       cast(case when n_regs_hit < {M_REGS} and {raw} <= {5 * M_REGS // 2}
+                 then {lc} else {raw} end as bigint) as est_distinct,
+       s_sum, n_regs_hit
+from s
+"""

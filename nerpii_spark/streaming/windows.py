@@ -52,3 +52,45 @@ def stream_events_from_dir(spark, path: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
+
+
+def windowed_user_hll_registers(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Windowed distinct-user HLL state -> (window_start, event_type,
+    j, rho): the mergeable 64-register sketch (operators/sketch.py)
+    produced BY a streaming aggregation — register max IS the sketch's
+    merge operation, so it is exactly the shape Structured Streaming
+    can maintain incrementally (one stateful agg keyed by
+    (window, type, register); state is bounded at 64 rows per open
+    window x type regardless of user cardinality — the whole point vs
+    a streaming count-distinct, whose state grows with users). The
+    estimate is computed ON READ over the materialized register table
+    (sketch.hll_estimate_from_registers), the lakehouse
+    pre-aggregate-to-sketch-state pattern; registers from different
+    shards/streams union and re-max losslessly."""
+    from nerpii_spark.functions.hashing import sql_h1, sql_h2
+    from nerpii_spark.operators.sketch import M_REGS, RHO_CAP, _rho_sql
+
+    src = events.withWatermark("ts", watermark) if watermark else events
+    w_expr = sql_h2(sql_h1("user_id", 5), 5)
+    hs = src.select(
+        F.col("ts"), F.col("event_type"), F.expr(w_expr).alias("w")
+    ).select(
+        "ts",
+        "event_type",
+        (F.col("w") % M_REGS).alias("j"),
+        F.expr(_rho_sql(sql_h2("w", 7))).alias("r"),
+    )
+    return (
+        hs.groupBy(F.window("ts", window).alias("win"), "event_type", "j")
+        .agg(F.max("r").alias("rho"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "j",
+            "rho",
+        )
+    )

@@ -777,3 +777,62 @@ def test_quarantine_sink_splits_and_reasons(spark, tmp_path):
     )
     assert before == after
     assert spark.read.parquet(quar).count() == 4
+
+
+def test_windowed_hll_registers_stream_equals_batch_and_estimates(
+    spark, tmp_path
+):
+    """The mergeable-sketch streaming pattern: register maxima
+    maintained BY a streaming windowed agg equal the batch registers
+    bit-for-bit, and the estimate-on-read rollup lands within HLL
+    error of the exact windowed distinct-user counts."""
+    from nerpii_spark.operators.sketch import hll_estimate_from_registers
+    from nerpii_spark.streaming.windows import (
+        stream_events_from_dir,
+        windowed_user_hll_registers,
+    )
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    src_dir = str(tmp_path / "hll_stream")
+    events.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+    cols = ["window_start", "event_type", "j", "rho"]
+    batch_regs = _collect_sorted(
+        windowed_user_hll_registers(spark.read.parquet(src_dir)), cols
+    )
+    q = (
+        windowed_user_hll_registers(
+            stream_events_from_dir(spark, src_dir), watermark="1 hour"
+        )
+        .writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = _collect_sorted(spark.sql("select * from hll_regs"), cols)
+    finally:
+        q.stop()
+    assert got == batch_regs  # merge op == max -> bit-identical state
+
+    # estimate-on-read vs exact truth, standard HLL error bound
+    est = {
+        (r["window_start"], r["event_type"]): r["est_distinct"]
+        for r in hll_estimate_from_registers(
+            spark.sql("select * from hll_regs"),
+            ["window_start", "event_type"],
+        ).collect()
+    }
+    truth = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(src_dir)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .collect()
+    }
+    assert set(est) == set(truth)
+    for k, n in truth.items():
+        # 64 registers -> ~13% std error; allow 3 sigma + small-n slack
+        assert abs(est[k] - n) <= max(0.4 * n, 8), (k, est[k], n)
