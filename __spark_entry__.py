@@ -1509,6 +1509,45 @@ def q_k_anonymity(spark, sf):
     )
 
 
+def q_triple_eval(spark, sf):
+    """The north-rule metric AS A QUERY: precision/recall of the
+    pipeline's emitted (doc_id, subj, pred, obj) triples against the
+    planted golden truth, in exact ppm -> one row (n_pred, n_true,
+    n_correct, precision_ppm, recall_ppm). Truth is derivable in BOTH
+    dialects from the same planted chain, so the Spark side joins
+    pipeline output to Spark-side truth while the oracle replays
+    truth-vs-truth — any divergence of the real pipeline from truth
+    breaks the hash match, making the P/R=1.0 claim a certified value,
+    not a narrative. Two distinct-collapses + one equi-join on the
+    4-tuple + a 1-row fold."""
+    t = (
+        _pipeline(spark, sf)["triples"]
+        .select("doc_id", "subj", "pred", "obj")
+        .distinct()
+    )
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_eval")
+    g = spark.sql(
+        P.golden_triples_sql("spark", doc_rel="nerpii_documents_eval")
+    ).distinct()
+    npred = t.agg(F.expr("cast(count(*) as bigint)").alias("n_pred"))
+    ntrue = g.agg(F.expr("cast(count(*) as bigint)").alias("n_true"))
+    ncorr = t.join(g, ["doc_id", "subj", "pred", "obj"]).agg(
+        F.expr("cast(count(*) as bigint)").alias("n_correct")
+    )
+    return (
+        npred.crossJoin(F.broadcast(ntrue))
+        .crossJoin(F.broadcast(ncorr))
+        .selectExpr(
+            "n_pred",
+            "n_true",
+            "n_correct",
+            "1000000 * n_correct div n_pred as precision_ppm",
+            "1000000 * n_correct div n_true as recall_ppm",
+        )
+    )
+
+
 def q_window_user_hll(spark, sf):
     """Windowed distinct-user HLL (streaming/windows.
     windowed_user_hll_registers + sketch.hll_estimate_from_registers):
@@ -2471,6 +2510,7 @@ def q_clustering_coeff(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r3 wave-8 (newest, no driver row yet):
+        "q_triple_eval": q_triple_eval,
         "q_window_user_hll": q_window_user_hll,
         "q_split_temporal": q_split_temporal,
         "q_lang_drift": q_lang_drift,
@@ -2861,6 +2901,19 @@ def oracle_sql() -> dict[str, str]:
             where l_orderkey in (select o_orderkey from orders
                                  where o_totalprice > 450000)
             group by 1
+        """,
+        "q_triple_eval": f"""
+            with t as (select distinct doc_id, subj, pred, obj
+                       from ({gt})),
+            g as (select distinct doc_id, subj, pred, obj from ({gt})),
+            np as (select cast(count(*) as bigint) as n_pred from t),
+            nt as (select cast(count(*) as bigint) as n_true from g),
+            nc as (select cast(count(*) as bigint) as n_correct
+                   from t join g using (doc_id, subj, pred, obj))
+            select n_pred, n_true, n_correct,
+                   1000000 * n_correct // n_pred as precision_ppm,
+                   1000000 * n_correct // n_true as recall_ppm
+            from np cross join nt cross join nc
         """,
         "q_window_user_hll": SK.duck_windowed_user_hll_sql("events"),
         "q_split_temporal": f"""

@@ -590,3 +590,18 @@ def test_lang_drift_exposes_metadata_content_mismatch(spark):
             # under rotated metadata labels — the audit must SURFACE
             # that drift, not average it away
             assert best["lang_pred"] != lang, (lang, rs)
+
+
+# ---------------------------------------------------------------------------
+# triple P/R eval
+# ---------------------------------------------------------------------------
+
+
+def test_triple_eval_certifies_pr_one(spark):
+    import __spark_entry__ as E
+
+    r = E.q_triple_eval(spark, SF.replace("0.01", "0.001")).collect()[0]
+    # the north-rule criterion (P/R >= 0.95), measured: exactly 1.0
+    assert r["precision_ppm"] == 1_000_000
+    assert r["recall_ppm"] == 1_000_000
+    assert r["n_pred"] == r["n_true"] == r["n_correct"] > 0
