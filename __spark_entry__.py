@@ -1509,6 +1509,21 @@ def q_k_anonymity(spark, sf):
     )
 
 
+def q_dedup_incremental(spark, sf):
+    """Incremental near-dedup (dedup.incremental_dup_pairs): the delta
+    quarter of the dup corpus (doc_id % 4 == 0, the repo's incremental
+    split convention) probed against the persisted band index of the
+    base three quarters — pairs touching the delta only, delta-sized
+    probe join, base never self-joined. Oracle = brute-force exact
+    Jaccard truth restricted to delta-touching pairs, certifying
+    candidate completeness of the incremental path too."""
+    d = _dup_docs(spark, sf)
+    return D.incremental_dup_pairs(
+        d.where(F.expr("doc_id % 4 != 0")),
+        d.where(F.expr("doc_id % 4 = 0")),
+    )
+
+
 def q_triple_eval(spark, sf):
     """The north-rule metric AS A QUERY: precision/recall of the
     pipeline's emitted (doc_id, subj, pred, obj) triples against the
@@ -2510,6 +2525,7 @@ def q_clustering_coeff(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r3 wave-8 (newest, no driver row yet):
+        "q_dedup_incremental": q_dedup_incremental,
         "q_triple_eval": q_triple_eval,
         "q_window_user_hll": q_window_user_hll,
         "q_split_temporal": q_split_temporal,
@@ -2786,6 +2802,10 @@ def _extras_oracles() -> dict[str, str]:
             f"select id_a, id_b from ({exact_jaccard})"
         ),
         "q_dedup_ngram": exact_jaccard,
+        "q_dedup_incremental": (
+            f"select id_a, id_b from ({exact_jaccard})"
+            " where id_a % 4 = 0 or id_b % 4 = 0"
+        ),
         "q_lsh_tuning": D.duck_lsh_tuning_sql(exact_jaccard),
         "q_dedup_prefix": exact_jaccard,
         "q_dedup_containment": D.duck_containment_pairs_sql(dup),

@@ -1843,3 +1843,95 @@ select cast(n_bands as bigint) as n_bands,
 from hist join probs using (bucket)
 group by 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dedup: delta crawl vs persisted corpus state
+# ---------------------------------------------------------------------------
+
+
+def incremental_dup_pairs(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 16,
+    max_bucket: int = 64,
+    tau: float = JACCARD_TAU,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING a delta batch -> (id_a, id_b): the
+    production shape of minhash_dup_pairs — a daily crawl never
+    re-dedups the whole corpus, it probes the NEW documents against
+    the persisted band index (here recomputed from `base`; in
+    production a bucketed table keyed by (band, mh), exactly what
+    catalog.write_bucketed materializes) and verifies candidates
+    exactly. Same banding family, shingle pass, bucket cap and int64
+    verify join as the full operator, so incremental ∪ base-internal
+    pairs == the from-scratch pair set (consistency + oracle-certified
+    in tests; the dedup analog of link.incremental_link_entities and
+    extract.pagerank_incremental).
+
+    Scale shape: the probe join is DELTA-sized on the left — the base
+    corpus is touched only through the band index lookup (co-located
+    when the index is bucketed), never self-joined; the bucket-cap
+    count runs over the combined band table (counts merge map-side);
+    verification ships int64 hash arrays for the candidate ids only.
+    Base-base pairs are excluded by construction (they were emitted
+    when THEIR batch arrived)."""
+    nb = with_hashed_shingles(base).select(
+        F.col(id_col).alias("sid"), "hsh"
+    ).localCheckpoint(eager=False)
+    nd = with_hashed_shingles(delta).select(
+        F.col(id_col).alias("sid"), "hsh"
+    ).localCheckpoint(eager=False)
+
+    def bands(nodes):
+        return nodes.select(
+            "sid",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {n_bands - 1}),"
+                    " b -> named_struct('band', b, 'mh',"
+                    " array_min(transform(hsh, h -> xxhash64(h, b)))))"
+                )
+            ).alias("bk"),
+        ).select("sid", "bk.band", "bk.mh")
+    bands_all = bands(nb).unionByName(bands(nd)).localCheckpoint(
+        eager=False
+    )
+    bands_delta = bands(nd)
+    # bucket cap over the COMBINED index (a boilerplate band key is hot
+    # regardless of which batch its members arrived in)
+    ok = (
+        bands_all.groupBy("band", "mh")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") <= max_bucket)
+        .select("band", "mh")
+    )
+    cand = (
+        bands_delta.join(ok, ["band", "mh"])
+        .select("band", "mh", F.col("sid").alias("id_d"))
+        .join(
+            bands_all.select("band", "mh", F.col("sid").alias("id_o")),
+            ["band", "mh"],
+        )
+        .where(F.col("id_d") != F.col("id_o"))
+        .select(
+            F.least("id_d", "id_o").alias("id_a"),
+            F.greatest("id_d", "id_o").alias("id_b"),
+        )
+        .distinct()
+    )
+    nodes_all = nb.unionByName(nd)
+    a = nodes_all.select(F.col("sid").alias("id_a"), F.col("hsh").alias("h_a"))
+    b = nodes_all.select(F.col("sid").alias("id_b"), F.col("hsh").alias("h_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .where(
+            F.expr(
+                "size(array_intersect(h_a, h_b)) >="
+                f" {tau} * size(array_union(h_a, h_b))"
+            )
+        )
+        .select("id_a", "id_b")
+    )

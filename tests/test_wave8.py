@@ -605,3 +605,38 @@ def test_triple_eval_certifies_pr_one(spark):
     assert r["precision_ppm"] == 1_000_000
     assert r["recall_ppm"] == 1_000_000
     assert r["n_pred"] == r["n_true"] == r["n_correct"] > 0
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dedup
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_consistent_with_full(spark):
+    """incremental(base, delta) must equal the from-scratch pair set
+    restricted to delta-touching pairs — incremental == full by
+    construction, the same consistency contract the incremental
+    linker carries."""
+    from nerpii_spark.operators.dedup import (
+        incremental_dup_pairs,
+        minhash_dup_pairs,
+    )
+    import __spark_entry__ as E
+
+    d = E._dup_docs(spark, SF)
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dup_pairs(d).collect()
+    }
+    expect = {(a, b) for a, b in full if a % 4 == 0 or b % 4 == 0}
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_dup_pairs(
+            d.where(F.expr("doc_id % 4 != 0")),
+            d.where(F.expr("doc_id % 4 = 0")),
+        ).collect()
+    }
+    assert got == expect
+    # and base-base pairs never leak out of the incremental path
+    assert all(a % 4 == 0 or b % 4 == 0 for a, b in got)
+    assert got  # the split actually exercises cross-batch pairs
