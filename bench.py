@@ -203,6 +203,9 @@ def main() -> int:
         "q_generalize_ladder",
         "q_split_temporal",
         "q_lang_drift",
+        "q_dedup_incremental",
+        "q_window_user_hll",
+        "q_triple_eval",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [
