@@ -509,6 +509,21 @@ def q_fuzzy_match(spark, sf):
     return fuzzy_surface_pairs(_pipeline(spark, sf)["mentions"])
 
 
+def q_linkage_weights(spark, sf):
+    """Fellegi-Sunter record-linkage parameter estimation
+    (link.fellegi_sunter_weights): m/u agreement probabilities in exact
+    integer ppm for four comparison features over PERSON surface pairs
+    from SORTED-NEIGHBORHOOD blocking (surname block, rank window 12) —
+    the third blocking flavor next to LSH banding and FastSS deletion
+    neighborhoods, with pair count linear in the distinct-surface
+    vocabulary by construction. Oracle replays blocking + estimator
+    over the planted person surfaces (lower(person) IS the mention
+    norm), so a bit-match certifies both."""
+    from nerpii_spark.operators.link import fellegi_sunter_weights
+
+    return fellegi_sunter_weights(_pipeline(spark, sf)["mentions"])
+
+
 def q_frontier(spark, sf):
     """Politeness-capped recrawl frontier: per host the k stalest pages
     via the two-phase salted window (webgraph.crawl_frontier); oracle =
@@ -2524,7 +2539,9 @@ def q_clustering_coeff(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # r3 wave-8 (newest, no driver row yet):
+        # r3 wave-10 (newest, no driver row yet):
+        "q_linkage_weights": q_linkage_weights,
+        # r3 wave-8 (no driver row yet):
         "q_dedup_incremental": q_dedup_incremental,
         "q_triple_eval": q_triple_eval,
         "q_window_user_hll": q_window_user_hll,
@@ -3083,6 +3100,9 @@ def oracle_sql() -> dict[str, str]:
             n_iter=3,
         ),
         "q_fuzzy_match": L.duck_fuzzy_pairs_sql(gm),
+        "q_linkage_weights": L.duck_fellegi_sunter_sql(
+            P.vals_cte_sql("duck", "documents")
+        ),
         "q_type_vote": L.duck_surface_type_vote_sql(gm),
         "q_triple_support": duck_triple_support_sql(gt, pages),
         "q_entity_timeline": L.duck_entity_timeline_sql(

@@ -946,3 +946,197 @@ def el_candidates(
             F.row_number().over(w).cast("bigint").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter linkage weights (sorted-neighborhood blocking)
+# ---------------------------------------------------------------------------
+
+SNM_WINDOW = 12
+SNM_FEATURES = ("f_first", "f_pre3", "f_ntok", "f_lev2")
+
+
+def fellegi_sunter_weights(
+    mentions: DataFrame, window: int = SNM_WINDOW
+) -> DataFrame:
+    """Probabilistic record-linkage parameter estimation (Fellegi &
+    Sunter 1969) over PERSON surface forms -> one row per comparison
+    feature: (feature, n_match, n_unmatch, agree_match, agree_unmatch,
+    m_ppm, u_ppm). m = P(feature agrees | pair is a true match) and
+    u = P(agrees | non-match) are the quantities whose log-ratio is the
+    FS match weight; both are reported as exact integer parts-per-
+    million ((1e6 * agree) div n, -1 when the class is empty), so the
+    row set is bit-comparable across engines with no float in sight.
+
+    Candidate generation is SORTED-NEIGHBORHOOD blocking (Hernandez &
+    Stolfo 1995) — the third blocking flavor in this repo next to
+    MinHash-LSH banding (lsh_candidate_pairs) and equi-key buckets:
+    distinct normalized surfaces are blocked on their LAST token (the
+    surname block of classical deduplication), sorted by full surface
+    inside the block, and each surface pairs with its next `window`
+    neighbors only. Pair count is <= window * |surfaces| BY
+    CONSTRUCTION — linear, not quadratic, at any block size.
+
+    Truth labels come from the surface strings themselves: the planted
+    cluster key is first-token + last-token (pages.py person_key — caps
+    variants collapse under the mention norm, middle initials drop), so
+    a pair matches iff those agree. Features are deliberately noisy
+    against that label: first-token equality (degenerate-strong on this
+    corpus: within a surname block it implies the key — the estimator
+    faithfully reports m_ppm = 1e6, u_ppm = 0), 3-char first-name
+    prefix, token-count agreement (middle-initial presence), and
+    levenshtein <= 2 (one-letter mid variants agree, insertions don't).
+
+    Scale shape: the pair base is the DISTINCT-surface table
+    (vocabulary-bounded, one groupBy of the mention stream, same
+    collapse surface_nodes uses), not the corpus; the rank window
+    partitions per surname block — block granularity is the skew knob
+    (a hotter corpus moves to (last, first-char) keys), and rows per
+    block are distinct surfaces, orders of magnitude under mention
+    counts. The window self-join is an equi-join on the block key with
+    a rank band predicate; the final agg is 4 conditional counts."""
+    surfaces = (
+        mentions.where(F.col("entity_type") == "PERSON")
+        .select(F.expr(_NORM).alias("norm"))
+        .groupBy("norm")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "norm",
+            F.expr("split(norm, ' ')").alias("toks"),
+        )
+        .select(
+            "norm",
+            F.expr("element_at(toks, 1)").alias("first_tok"),
+            F.expr("element_at(toks, -1)").alias("blk"),
+            F.expr("size(toks)").alias("ntok"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    ranked = surfaces.withColumn(
+        "rk", F.row_number().over(W.partitionBy("blk").orderBy("norm"))
+    ).localCheckpoint(eager=False)
+    a = ranked.select(
+        F.col("blk"),
+        F.col("norm").alias("na"),
+        F.col("first_tok").alias("fa"),
+        F.col("ntok").alias("ta"),
+        F.col("rk").alias("ra"),
+    )
+    b = ranked.select(
+        F.col("blk"),
+        F.col("norm").alias("nb"),
+        F.col("first_tok").alias("fb"),
+        F.col("ntok").alias("tb"),
+        F.col("rk").alias("rb"),
+    )
+    pairs = a.join(b, "blk").where(
+        (F.col("rb") > F.col("ra")) & (F.col("rb") <= F.col("ra") + window)
+    )
+    feats = pairs.select(
+        F.expr("concat(fa, ' ', blk) = concat(fb, ' ', blk)").alias(
+            "is_match"
+        ),
+        F.explode(
+            F.expr(
+                "array("
+                " named_struct('feature', 'f_first', 'agree', fa = fb),"
+                " named_struct('feature', 'f_pre3', 'agree',"
+                "   substring(fa, 1, 3) = substring(fb, 1, 3)),"
+                " named_struct('feature', 'f_ntok', 'agree', ta = tb),"
+                " named_struct('feature', 'f_lev2', 'agree',"
+                "   levenshtein(na, nb) <= 2))"
+            )
+        ).alias("fx"),
+    ).select("is_match", "fx.feature", "fx.agree")
+    agg = feats.groupBy("feature").agg(
+        F.expr("cast(count_if(is_match) as bigint)").alias("n_match"),
+        F.expr("cast(count_if(not is_match) as bigint)").alias("n_unmatch"),
+        F.expr("cast(count_if(is_match and agree) as bigint)").alias(
+            "agree_match"
+        ),
+        F.expr("cast(count_if(not is_match and agree) as bigint)").alias(
+            "agree_unmatch"
+        ),
+    )
+    return agg.select(
+        "feature",
+        "n_match",
+        "n_unmatch",
+        "agree_match",
+        "agree_unmatch",
+        F.expr(
+            "case when n_match = 0 then cast(-1 as bigint)"
+            " else (cast(1000000 as bigint) * agree_match) div n_match end"
+        ).alias("m_ppm"),
+        F.expr(
+            "case when n_unmatch = 0 then cast(-1 as bigint)"
+            " else (cast(1000000 as bigint) * agree_unmatch)"
+            " div n_unmatch end"
+        ).alias("u_ppm"),
+    )
+
+
+def duck_fellegi_sunter_sql(
+    vals_cte: str, window: int = SNM_WINDOW
+) -> str:
+    """Oracle twin of fellegi_sunter_weights: the same sorted-
+    neighborhood pairing and ppm arithmetic over the PLANTED person
+    surfaces (vals_cte_sql) — distinct lower(person) is exactly the
+    mention norm for the planted corpus, so a bit-match certifies both
+    the blocking and the estimator. Integer division is `//` (floor on
+    positives, same as Spark `div`); literal 1000000 products go
+    through bigint casts (the int32-literal overflow trap)."""
+    return f"""
+{vals_cte}
+, fs_surf as (
+  select norm, sp[1] as first_tok, sp[-1] as blk, len(sp) as ntok
+  from (
+    select norm, string_split(norm, ' ') as sp
+    from (select distinct lower(person) as norm from vals
+          where t in (0, 1, 2))
+  )
+),
+fs_ranked as (
+  select *, row_number() over (partition by blk order by norm) as rk
+  from fs_surf
+),
+fs_pairs as materialized (
+  select a.na, a.fa, a.ta, b.nb, b.fb, b.tb,
+         (a.fa = b.fb) as is_match
+  from (select blk, norm as na, first_tok as fa, ntok as ta, rk as ra
+        from fs_ranked) a
+  join (select blk, norm as nb, first_tok as fb, ntok as tb, rk as rb
+        from fs_ranked) b
+  using (blk)
+  where b.rb > a.ra and b.rb <= a.ra + {window}
+),
+fs_feats as (
+  select is_match, 'f_first' as feature, (fa = fb) as agree from fs_pairs
+  union all
+  select is_match, 'f_pre3', (substring(fa, 1, 3) = substring(fb, 1, 3))
+  from fs_pairs
+  union all
+  select is_match, 'f_ntok', (ta = tb) from fs_pairs
+  union all
+  select is_match, 'f_lev2', (levenshtein(na, nb) <= 2) from fs_pairs
+),
+fs_agg as (
+  select feature,
+         cast(count(*) filter (is_match) as bigint) as n_match,
+         cast(count(*) filter (not is_match) as bigint) as n_unmatch,
+         cast(count(*) filter (is_match and agree) as bigint)
+             as agree_match,
+         cast(count(*) filter (not is_match and agree) as bigint)
+             as agree_unmatch
+  from fs_feats group by 1
+)
+select feature, n_match, n_unmatch, agree_match, agree_unmatch,
+       case when n_match = 0 then cast(-1 as bigint)
+            else (cast(1000000 as bigint) * agree_match) // n_match
+       end as m_ppm,
+       case when n_unmatch = 0 then cast(-1 as bigint)
+            else (cast(1000000 as bigint) * agree_unmatch) // n_unmatch
+       end as u_ppm
+from fs_agg
+"""
