@@ -524,6 +524,16 @@ def q_linkage_weights(spark, sf):
     return fellegi_sunter_weights(_pipeline(spark, sf)["mentions"])
 
 
+def q_textrank(spark, sf):
+    """TextRank keyword top-20 (textstats.textrank_topk): bigint
+    fixed-point weighted PageRank over the symmetric min_pair-floored
+    word-bigram graph of the documents corpus — graph-based keyword
+    extraction for KG concept mining, riding the certified
+    pagerank_weighted integer iteration, so the DuckDB replay is
+    bit-exact including the top-k boundary."""
+    return TS.textrank_topk(_load(spark, sf, "documents"))
+
+
 def q_frontier(spark, sf):
     """Politeness-capped recrawl frontier: per host the k stalest pages
     via the two-phase salted window (webgraph.crawl_frontier); oracle =
@@ -2541,6 +2551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r3 wave-10 (newest, no driver row yet):
         "q_linkage_weights": q_linkage_weights,
+        "q_textrank": q_textrank,
         # r3 wave-8 (no driver row yet):
         "q_dedup_incremental": q_dedup_incremental,
         "q_triple_eval": q_triple_eval,
@@ -3103,6 +3114,7 @@ def oracle_sql() -> dict[str, str]:
         "q_linkage_weights": L.duck_fellegi_sunter_sql(
             P.vals_cte_sql("duck", "documents")
         ),
+        "q_textrank": TS.duck_textrank_sql(),
         "q_type_vote": L.duck_surface_type_vote_sql(gm),
         "q_triple_support": duck_triple_support_sql(gt, pages),
         "q_entity_timeline": L.duck_entity_timeline_sql(

@@ -1898,3 +1898,113 @@ from post p0{joins}
 where p0.term = '{terms[0]}'
 group by p0.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (word-graph PageRank)
+# ---------------------------------------------------------------------------
+
+TR_TOPK = 20
+TR_MIN_PAIR = 3
+TR_ITER = 2
+
+
+def textrank_topk(
+    docs: DataFrame,
+    k: int = TR_TOPK,
+    min_pair: int = TR_MIN_PAIR,
+    n_iter: int = TR_ITER,
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) -> the k
+    corpus words with highest PageRank over the word-cooccurrence
+    graph: nodes are words, undirected edges are adjacent-word bigrams
+    weighted by corpus multiplicity (floored at min_pair), ranks are
+    the CERTIFIED bigint fixed-point weighted PageRank
+    (extract.pagerank_weighted — share-normalized integer flow, so the
+    oracle replays bit-for-bit). Output (rk, word, rank_e12) with the
+    deterministic (rank desc, word asc) order.
+
+    Scale shape: the bigram count map-side combines (Zipf-hot pairs
+    arrive pre-summed) over a PRE-PROJECTED token array (bigrams_sql's
+    no-CSE contract); the count table is localCheckpoint'd before the
+    two-direction union so symmetrization doesn't recompute it; the
+    graph is vocabulary^2-bounded and min_pair-floored, orders of
+    magnitude under corpus size, and each PageRank round is one
+    equi-join + one combined groupBy (pagerank_weighted's audited
+    plan). The final top-k is orderBy+limit — TakeOrderedAndProject,
+    per-partition heads only; the rank index is a window over the
+    already-collected k rows."""
+    from pyspark.sql import Window as W
+
+    from .extract import pagerank_weighted
+
+    ws = docs.select(F.expr(f"split(lower({text_col}), ' ')").alias("ws"))
+    bg = (
+        ws.where(F.expr("size(ws) >= 2"))
+        .select(
+            F.explode(
+                F.expr(bigrams_sql("spark", text_col, pre_split="ws"))
+            ).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .where(F.col("w") >= min_pair)
+        .select(
+            F.expr("split_part(bg, ' ', 1)").alias("w1"),
+            F.expr("split_part(bg, ' ', 2)").alias("w2"),
+            "w",
+        )
+        .where(F.col("w1") != F.col("w2"))
+        .localCheckpoint(eager=False)
+    )
+    edges = bg.select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst"), "w"
+    ).unionAll(
+        bg.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), "w")
+    )
+    ranks = pagerank_weighted(edges, n_iter=n_iter)
+    top = ranks.orderBy(F.desc("rank_e12"), F.asc("node")).limit(k)
+    return top.select(
+        F.row_number()
+        .over(W.orderBy(F.desc("rank_e12"), F.asc("node")))
+        .cast("bigint")
+        .alias("rk"),
+        F.col("node").alias("word"),
+        "rank_e12",
+    )
+
+
+def duck_textrank_sql(
+    k: int = TR_TOPK,
+    min_pair: int = TR_MIN_PAIR,
+    n_iter: int = TR_ITER,
+    doc_rel: str = "documents",
+) -> str:
+    """Oracle twin of textrank_topk: the same symmetric min_pair-floored
+    bigram graph fed to duck_pagerank_weighted_sql (the bit-exact
+    integer replay), single global row_number for the top-k (equal to
+    Spark's TakeOrdered under the total (rank desc, word) order). The
+    directed-edge union inlines the bigram-count subtree twice; the
+    enclosing `raw as materialized` CTE evaluates the union once."""
+    from .extract import duck_pagerank_weighted_sql
+
+    bgw = f"""
+  select split_part(bg, ' ', 1) as w1, split_part(bg, ' ', 2) as w2, w
+  from (select bg, cast(count(*) as bigint) as w
+        from (select unnest({bigrams_sql('duckdb', 'text')}) as bg
+              from {doc_rel})
+        group by 1 having count(*) >= {min_pair})
+  where split_part(bg, ' ', 1) <> split_part(bg, ' ', 2)"""
+    edges_sql = (
+        f"select w1 as src, w2 as dst, w from ({bgw})"
+        f" union all select w2 as src, w1 as dst, w from ({bgw})"
+    )
+    return f"""
+select * from (
+  select cast(row_number() over (order by rank_e12 desc, node asc)
+              as bigint) as rk,
+         node as word, rank_e12
+  from ({duck_pagerank_weighted_sql(edges_sql, n_iter=n_iter)})
+) where rk <= {k}
+"""
