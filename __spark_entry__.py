@@ -534,6 +534,22 @@ def q_textrank(spark, sf):
     return TS.textrank_topk(_load(spark, sf, "documents"))
 
 
+def q_quantile_sketch(spark, sf):
+    """Mergeable HDR-style quantile sketch (sketch.hdr_quantiles) over
+    lineitem price cents: p50/p90/p99 bands from 8-per-octave log2
+    buckets — the mergeable-quantiles companion to the exact
+    q_percentiles histogram (shard sketches merge by ADDITION; <= 12.5%
+    relative-error bands at any value range). One map-side-combined
+    groupBy into <= 504 cells; integer bin()/shift bucket map replayed
+    bit-exactly by the oracle."""
+    from nerpii_spark.operators.sketch import hdr_quantiles
+
+    return hdr_quantiles(
+        _load(spark, sf, "lineitem"),
+        "cast(round(l_extendedprice * 100) as bigint)",
+    )
+
+
 def q_frontier(spark, sf):
     """Politeness-capped recrawl frontier: per host the k stalest pages
     via the two-phase salted window (webgraph.crawl_frontier); oracle =
@@ -2552,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r3 wave-10 (newest, no driver row yet):
         "q_linkage_weights": q_linkage_weights,
         "q_textrank": q_textrank,
+        "q_quantile_sketch": q_quantile_sketch,
         # r3 wave-8 (no driver row yet):
         "q_dedup_incremental": q_dedup_incremental,
         "q_triple_eval": q_triple_eval,
@@ -3115,6 +3132,11 @@ def oracle_sql() -> dict[str, str]:
             P.vals_cte_sql("duck", "documents")
         ),
         "q_textrank": TS.duck_textrank_sql(),
+        "q_quantile_sketch": SK.duck_hdr_quantiles_sql(
+            "select cast(round(l_extendedprice * 100) as bigint) as v_c"
+            " from lineitem",
+            "v_c",
+        ),
         "q_type_vote": L.duck_surface_type_vote_sql(gm),
         "q_triple_support": duck_triple_support_sql(gt, pages),
         "q_entity_timeline": L.duck_entity_timeline_sql(

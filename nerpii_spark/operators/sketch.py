@@ -351,3 +351,134 @@ select window_start, event_type,
        s_sum, n_regs_hit
 from s
 """
+
+
+# ---------------------------------------------------------------------------
+# HDR-style mergeable quantile sketch (log2 buckets, 3-bit mantissa)
+# ---------------------------------------------------------------------------
+
+HDR_PS = (50, 90, 99)
+HDR_SUB = 8  # sub-buckets per octave (3 mantissa bits)
+
+
+def hdr_quantiles(
+    df: DataFrame, value_expr: str, ps: tuple[int, ...] = HDR_PS
+) -> DataFrame:
+    """Mergeable quantile SKETCH (HdrHistogram / DDSketch family) ->
+    one row per requested percentile: (p, bucket, est_lo, est_hi,
+    cum_n, n). The third mergeable sketch next to HLL and Count-Min:
+    positive bigint values map to bucket = 8*floor(log2(v)) + 3-bit
+    mantissa, giving <= 12.5% relative-error bands at ANY value range;
+    the sketch state is just per-bucket counts, so shards merge by
+    ADDITION — the property exact q_percentiles (full value histogram)
+    lacks when value cardinality itself is unbounded.
+
+    Every step is integer: the octave is length(bin(v)) - 1 (identical
+    built-in in Spark and DuckDB, no libm log2 at bucket boundaries),
+    the mantissa is ((v - 2^m) * 8) div 2^m via bigint shifts (the
+    int32 shift-literal trap is pre-empted with casts), the rank target
+    is ceil(p*n/100) = (p*n + 99) div 100.
+
+    Scale shape: ONE map-side-combined groupBy over the corpus into
+    <= 8*63 cells; everything after (cumulative window, 3-row target
+    join, min_by) runs on the sketch, not the data. The window's
+    single partition holds <= 504 rows BY CONSTRUCTION."""
+    from pyspark.sql import Window as W
+
+    one = "cast(1 as bigint)"
+    sk = (
+        df.select(F.expr(value_expr).cast("bigint").alias("v"))
+        .where(F.col("v") >= 1)
+        .select(F.expr("cast(length(bin(v)) - 1 as int)").alias("m"), "v")
+        .select(
+            F.expr(
+                f"cast(m as bigint) * {HDR_SUB} + ((v - shiftleft({one}, m))"
+                f" * {HDR_SUB}) div shiftleft({one}, m)"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    cum = sk.select(
+        "bucket",
+        F.sum("cnt")
+        .over(W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_n"),
+    )
+    tot = sk.agg(F.sum("cnt").cast("bigint").alias("n"))
+    targets = tot.select(
+        F.explode(
+            F.array(*[F.lit(int(p)).cast("bigint") for p in ps])
+        ).alias("p"),
+        "n",
+    ).select("p", "n", F.expr("(p * n + 99) div 100").alias("target"))
+    hit = (
+        targets.join(cum, F.col("cum_n") >= F.col("target"))
+        .groupBy("p", "n")
+        .agg(
+            F.min("bucket").cast("bigint").alias("bucket"),
+            F.expr("cast(min_by(cum_n, bucket) as bigint)").alias("cum_n"),
+        )
+    )
+    return hit.select(
+        "p",
+        "bucket",
+        F.expr(
+            f"(shiftleft({one}, cast(bucket div {HDR_SUB} as int))"
+            f" * ({HDR_SUB} + bucket % {HDR_SUB})) div {HDR_SUB}"
+        ).alias("est_lo"),
+        F.expr(
+            f"(shiftleft({one}, cast(bucket div {HDR_SUB} as int))"
+            f" * ({HDR_SUB} + 1 + bucket % {HDR_SUB})) div {HDR_SUB}"
+        ).alias("est_hi"),
+        "cum_n",
+        "n",
+    )
+
+
+def duck_hdr_quantiles_sql(
+    rel_sql: str, value_expr: str, ps: tuple[int, ...] = HDR_PS
+) -> str:
+    """Oracle twin of hdr_quantiles: identical bucket map (bin() msb,
+    bigint-cast shifts), cumulative window, ceil-rank targets and
+    min-bucket pick — HUGEINT sums cast back at every level."""
+    plist = ", ".join(f"cast({int(p)} as bigint)" for p in ps)
+    one = "cast(1 as bigint)"
+    return f"""
+with vals_q as (
+  select cast({value_expr} as bigint) as v from ({rel_sql}) where {value_expr} >= 1
+),
+sk as (
+  select cast(m as bigint) * {HDR_SUB}
+         + ((v - ({one} << m)) * {HDR_SUB}) // ({one} << m) as bucket,
+         cast(count(*) as bigint) as cnt
+  from (select cast(length(bin(v)) - 1 as int) as m, v from vals_q)
+  group by 1
+),
+cum as (
+  select bucket,
+         cast(sum(cnt) over (order by bucket
+              rows between unbounded preceding and current row)
+              as bigint) as cum_n
+  from sk
+),
+tot as (select cast(sum(cnt) as bigint) as n from sk),
+targets as (
+  select p, n, (p * n + 99) // 100 as target
+  from (select unnest([{plist}]) as p), tot
+),
+hit as (
+  select t.p, t.n, cast(min(c.bucket) as bigint) as bucket,
+         cast(min_by(c.cum_n, c.bucket) as bigint) as cum_n
+  from targets t join cum c on c.cum_n >= t.target
+  group by 1, 2
+)
+select p, bucket,
+       (({one} << cast(bucket // {HDR_SUB} as int))
+        * ({HDR_SUB} + bucket % {HDR_SUB})) // {HDR_SUB} as est_lo,
+       (({one} << cast(bucket // {HDR_SUB} as int))
+        * ({HDR_SUB} + 1 + bucket % {HDR_SUB})) // {HDR_SUB} as est_hi,
+       cum_n, n
+from hit
+"""
