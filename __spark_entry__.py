@@ -550,6 +550,15 @@ def q_quantile_sketch(spark, sf):
     )
 
 
+def q_readability(spark, sf):
+    """Flesch reading-ease band histogram (textstats.readability_bands):
+    integer milli-point score from word/sentence/vowel-group counts —
+    the classic readability gate next to the stopword and Gopher
+    filters, whole-stage codegen throughout, one combined groupBy into
+    ~21 band cells."""
+    return TS.readability_bands(_load(spark, sf, "documents"))
+
+
 def q_frontier(spark, sf):
     """Politeness-capped recrawl frontier: per host the k stalest pages
     via the two-phase salted window (webgraph.crawl_frontier); oracle =
@@ -2569,6 +2578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_linkage_weights": q_linkage_weights,
         "q_textrank": q_textrank,
         "q_quantile_sketch": q_quantile_sketch,
+        "q_readability": q_readability,
         # r3 wave-8 (no driver row yet):
         "q_dedup_incremental": q_dedup_incremental,
         "q_triple_eval": q_triple_eval,
@@ -3132,6 +3142,7 @@ def oracle_sql() -> dict[str, str]:
             P.vals_cte_sql("duck", "documents")
         ),
         "q_textrank": TS.duck_textrank_sql(),
+        "q_readability": TS.duck_readability_sql(),
         "q_quantile_sketch": SK.duck_hdr_quantiles_sql(
             "select cast(round(l_extendedprice * 100) as bigint) as v_c"
             " from lineitem",

@@ -2008,3 +2008,98 @@ select * from (
   from ({duck_pagerank_weighted_sql(edges_sql, n_iter=n_iter)})
 ) where rk <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Readability (Flesch reading-ease, integer milli-points)
+# ---------------------------------------------------------------------------
+
+
+def _readability_exprs(dialect: str, text_expr: str) -> dict:
+    """Shared formula, per dialect: W = space-split word count, S =
+    sentence count ('.' occurrences, floored at 1), SYL = vowel-group
+    count over the whole lowercased text (vowel runs never cross a
+    space, so this equals the per-word sum without a per-element HOF
+    lambda — the interpreted-lambda anti-scale trap stays out of the
+    hot path). score_m = milli-points of 206.835 - 1.015*W/S -
+    84.6*SYL/W, integer divisions, clamped at 0 so band = score div 1e4
+    never hits the Spark-truncate vs DuckDB-floor negative-division
+    divergence."""
+    if dialect == "spark":
+        return dict(
+            w=f"cast(size(split({text_expr}, ' ')) as bigint)",
+            s=(
+                f"cast(greatest(size(regexp_extract_all({text_expr},"
+                f" '\\\\.', 0)), 1) as bigint)"
+            ),
+            syl=(
+                f"cast(size(regexp_extract_all(lower({text_expr}),"
+                f" '[aeiouy]+', 0)) as bigint)"
+            ),
+        )
+    return dict(
+        w=f"cast(len(string_split({text_expr}, ' ')) as bigint)",
+        s=(
+            f"cast(greatest(len(regexp_extract_all({text_expr},"
+            f" '\\.')), 1) as bigint)"
+        ),
+        syl=(
+            f"cast(len(regexp_extract_all(lower({text_expr}),"
+            f" '[aeiouy]+')) as bigint)"
+        ),
+    )
+
+
+def readability_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease histogram -> (band, n_docs, sum_words,
+    sum_sentences, sum_syllables): per-document integer milli-point
+    score (see _readability_exprs) bucketed into 10-point bands — the
+    classic length/syllable readability gate next to the stopword
+    (quality_scores) and Gopher (gopher_quality) filters. Whole-stage
+    codegen end to end: three regexp/split counts per row, one
+    map-side-combined groupBy into ~21 cells."""
+    e = _readability_exprs("spark", text_col)
+    scored = docs.select(
+        F.expr(e["w"]).alias("w"),
+        F.expr(e["s"]).alias("s"),
+        F.expr(e["syl"]).alias("syl"),
+    ).select(
+        "w",
+        "s",
+        "syl",
+        F.expr(
+            "greatest(cast(206835 as bigint) - (cast(1015 as bigint) * w)"
+            " div s - (cast(84600 as bigint) * syl) div w,"
+            " cast(0 as bigint))"
+        ).alias("score_m"),
+    )
+    return scored.groupBy(
+        F.expr("score_m div 10000").cast("bigint").alias("band")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("sum_words"),
+        F.sum("s").cast("bigint").alias("sum_sentences"),
+        F.sum("syl").cast("bigint").alias("sum_syllables"),
+    )
+
+
+def duck_readability_sql(doc_rel: str = "documents") -> str:
+    """Oracle twin of readability_bands: identical counts, milli-point
+    formula and clamp; HUGEINT sums cast back."""
+    e = _readability_exprs("duckdb", "text")
+    return f"""
+with scored as (
+  select w, s, syl,
+         greatest(cast(206835 as bigint) - (cast(1015 as bigint) * w) // s
+                  - (cast(84600 as bigint) * syl) // w,
+                  cast(0 as bigint)) as score_m
+  from (select {e['w']} as w, {e['s']} as s, {e['syl']} as syl
+        from {doc_rel})
+)
+select cast(score_m // 10000 as bigint) as band,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(w) as bigint) as sum_words,
+       cast(sum(s) as bigint) as sum_sentences,
+       cast(sum(syl) as bigint) as sum_syllables
+from scored group by 1
+"""
