@@ -1,0 +1,197 @@
+"""Wave-10 operators: Fellegi-Sunter linkage weights (sorted-
+neighborhood blocking), TextRank keywords, HDR-style mergeable quantile
+sketch, Flesch readability bands. Oracle equality is covered by
+tools/check_oracle.py; these tests pin the BEHAVIORAL properties the
+hash-match alone cannot express."""
+
+import re
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+from nerpii_spark.operators.link import (
+    SNM_WINDOW,
+    fellegi_sunter_weights,
+)
+from nerpii_spark.operators.sketch import hdr_quantiles
+from nerpii_spark.operators.textstats import readability_bands, textrank_topk
+
+
+def _mentions(spark, rows):
+    """rows: (entity_type, mention)."""
+    return spark.createDataFrame(rows, "entity_type string, mention string")
+
+
+# ---------------------------------------------------------------------------
+# fellegi_sunter_weights
+# ---------------------------------------------------------------------------
+
+
+def test_fs_hand_computed(spark):
+    # block 'smith' sorted: [ann smith, ann t. smith, bob smith];
+    # pairs (w=12): (ann, ann t.) match, (ann, bob) unmatch,
+    # (ann t., bob) unmatch. block 'jones': [cara jones] -> no pairs.
+    rows = [
+        ("PERSON", "Ann Smith"),
+        ("PERSON", "ann smith"),  # caps variant collapses pre-pairing
+        ("PERSON", "Ann T. Smith"),
+        ("PERSON", "Bob Smith"),
+        ("PERSON", "Cara Jones"),
+        ("ORGANIZATION", "Ann Smith"),  # wrong type: ignored
+    ]
+    out = {
+        r["feature"]: r
+        for r in fellegi_sunter_weights(_mentions(spark, rows)).collect()
+    }
+    assert set(out) == {"f_first", "f_pre3", "f_ntok", "f_lev2"}
+    for r in out.values():
+        assert (r["n_match"], r["n_unmatch"]) == (1, 2)
+    # the match pair is a middle-initial variant: first tokens agree,
+    # token counts differ, levenshtein('ann smith','ann t. smith') = 3
+    assert out["f_first"]["m_ppm"] == 1_000_000
+    assert out["f_first"]["u_ppm"] == 0
+    assert out["f_ntok"]["agree_match"] == 0 and out["f_ntok"]["m_ppm"] == 0
+    assert out["f_lev2"]["agree_match"] == 0
+    # 'ann t. smith' vs 'bob smith' and 'ann smith' vs 'bob smith'
+    # disagree on every feature except token count (one pair agrees)
+    assert out["f_ntok"]["agree_unmatch"] == 1
+    assert out["f_ntok"]["u_ppm"] == 500_000
+
+
+def test_fs_empty_class_sentinel(spark):
+    # one lone surface per block -> zero pairs in both classes -> the
+    # aggregation is empty (no feature rows), never a division error
+    rows = [("PERSON", "Ann Smith"), ("PERSON", "Bob Jones")]
+    assert fellegi_sunter_weights(_mentions(spark, rows)).count() == 0
+
+
+def test_fs_pair_bound_on_corpus(spark):
+    """Pair count is <= window * n_surfaces BY CONSTRUCTION (the
+    sorted-neighborhood linearity claim) on the real sf0.001 corpus."""
+    import __spark_entry__ as E
+
+    m = E._pipeline(spark, SF)["mentions"]
+    surfaces = (
+        m.where(F.col("entity_type") == "PERSON")
+        .select(F.expr("lower(regexp_replace(trim(mention), '\\\\s+', ' '))"))
+        .distinct()
+        .count()
+    )
+    out = fellegi_sunter_weights(m).collect()
+    n_pairs = out[0]["n_match"] + out[0]["n_unmatch"]
+    assert 0 < n_pairs <= SNM_WINDOW * surfaces
+    # and every feature row sees the same pair base
+    assert len({r["n_match"] + r["n_unmatch"] for r in out}) == 1
+
+
+# ---------------------------------------------------------------------------
+# textrank_topk
+# ---------------------------------------------------------------------------
+
+
+def test_textrank_shape_and_determinism(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = textrank_topk(docs, k=10).collect()
+    assert len(a) == 10
+    assert [r["rk"] for r in a] == list(range(1, 11))
+    # ranks are positive and sorted under the deterministic order
+    assert all(r["rank_e12"] > 0 for r in a)
+    pairs = [(r["rank_e12"], r["word"]) for r in a]
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+    b = textrank_topk(docs, k=10).collect()
+    assert a == b
+
+
+def test_textrank_hub_word_wins(spark):
+    # 'hub' cooccurs with every other word; TextRank must rank it first
+    docs = spark.createDataFrame(
+        [("hub aa", ), ("hub bb", ), ("hub cc", ), ("aa bb", )] * 3,
+        "text string",
+    )
+    top = textrank_topk(docs, k=4, min_pair=1).collect()
+    assert top[0]["word"] == "hub"
+
+
+# ---------------------------------------------------------------------------
+# hdr_quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_hdr_bands_contain_exact_quantiles(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    vals = sorted(
+        r[0]
+        for r in li.select(
+            F.expr("cast(round(l_extendedprice * 100) as bigint)")
+        ).collect()
+    )
+    n = len(vals)
+    out = hdr_quantiles(li, "cast(round(l_extendedprice * 100) as bigint)")
+    for r in out.collect():
+        exact = vals[-(-r["p"] * n // 100) - 1]  # ceil-rank element
+        assert r["est_lo"] <= exact < r["est_hi"]
+        # <= 12.5% relative band width (the 3-bit mantissa guarantee)
+        assert (r["est_hi"] - r["est_lo"]) * 8 <= r["est_lo"] + 7
+        assert r["n"] == n
+
+
+def test_hdr_sketch_merges_by_addition(spark):
+    """Sharded sketches folded by adding bucket counts equal the
+    one-shot sketch — the mergeability property that makes this a
+    sketch rather than a histogram of a single partition's values."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    expr = "cast(round(l_extendedprice * 100) as bigint)"
+    whole = {
+        (r["p"]): (r["bucket"], r["cum_n"], r["n"])
+        for r in hdr_quantiles(li, expr).collect()
+    }
+    sharded = hdr_quantiles(
+        li.where("l_orderkey % 2 = 0").unionAll(
+            li.where("l_orderkey % 2 != 0")
+        ),
+        expr,
+    )
+    assert {
+        (r["p"]): (r["bucket"], r["cum_n"], r["n"])
+        for r in sharded.collect()
+    } == whole
+
+
+# ---------------------------------------------------------------------------
+# readability_bands
+# ---------------------------------------------------------------------------
+
+
+def _score_m(text: str) -> int:
+    w = len(text.split(" "))
+    s = max(text.count("."), 1)
+    syl = len(re.findall(r"[aeiouy]+", text.lower()))
+    return max(206835 - (1015 * w) // s - (84600 * syl) // w, 0)
+
+
+def test_readability_hand_computed(spark):
+    texts = [
+        "The cat sat on the mat.",
+        "Intercontinental organizations systematically disambiguate.",
+        "go. go. go.",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r["band"]: (r["n_docs"], r["sum_words"], r["sum_sentences"],
+                    r["sum_syllables"])
+        for r in readability_bands(docs).collect()
+    }
+    import collections
+
+    exp = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for t in texts:
+        b = _score_m(t) // 10000
+        e = exp[b]
+        e[0] += 1
+        e[1] += len(t.split(" "))
+        e[2] += max(t.count("."), 1)
+        e[3] += len(re.findall(r"[aeiouy]+", t.lower()))
+    assert got == {b: tuple(v) for b, v in exp.items()}
+    # the polysyllabic doc must land in a strictly lower band
+    assert _score_m(texts[1]) < _score_m(texts[0])
