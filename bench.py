@@ -206,6 +206,11 @@ def main() -> int:
         "q_dedup_incremental",
         "q_window_user_hll",
         "q_triple_eval",
+        # wave-10 (r3 continuation)
+        "q_linkage_weights",
+        "q_textrank",
+        "q_quantile_sketch",
+        "q_readability",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [
