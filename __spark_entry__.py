@@ -48,6 +48,7 @@ from nerpii_spark.operators.detect import detect_mentions
 from nerpii_spark.operators.extract import (
     degree_histogram,
     duck_degree_histogram_sql,
+    duck_frequent_itemsets_sql,
     entity_cooccur,
     entity_degree,
     extract_triples,
@@ -548,6 +549,20 @@ def q_quantile_sketch(spark, sf):
         _load(spark, sf, "lineitem"),
         "cast(round(l_extendedprice * 100) as bigint)",
     )
+
+
+def q_itemsets(spark, sf):
+    """Distributed Apriori frequent itemsets (extract.frequent_itemsets)
+    over per-host entity baskets: frequent 1/2/3-sets of co-hosted
+    entity surfaces at a data-derived 5% support floor — k=3 sets
+    surface the org+city+state co-location patterns q_entity_cooccur's
+    per-doc pairs cannot. Candidate triads are generated from
+    L1-restricted baskets and pruned by three frequent-pair semi-joins
+    BEFORE counting (the Apriori property doing the scale work)."""
+    from nerpii_spark.operators.extract import frequent_itemsets
+
+    p = _pipeline(spark, sf)
+    return frequent_itemsets(p["mentions"], p["clean"])
 
 
 def q_readability(spark, sf):
@@ -2579,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_textrank": q_textrank,
         "q_quantile_sketch": q_quantile_sketch,
         "q_readability": q_readability,
+        "q_itemsets": q_itemsets,
         # r3 wave-8 (no driver row yet):
         "q_dedup_incremental": q_dedup_incremental,
         "q_triple_eval": q_triple_eval,
@@ -3143,6 +3159,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_textrank": TS.duck_textrank_sql(),
         "q_readability": TS.duck_readability_sql(),
+        "q_itemsets": duck_frequent_itemsets_sql(gm, pages),
         "q_quantile_sketch": SK.duck_hdr_quantiles_sql(
             "select cast(round(l_extendedprice * 100) as bigint) as v_c"
             " from lineitem",

@@ -211,6 +211,7 @@ def main() -> int:
         "q_textrank",
         "q_quantile_sketch",
         "q_readability",
+        "q_itemsets",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

@@ -2062,3 +2062,197 @@ join b{rounds} b on c.subj = b.subj and c.pred = b.pred and c.obj = b.obj
 group by c.subj, c.pred, c.obj, b.belief
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent itemsets (distributed Apriori over per-host entity baskets)
+# ---------------------------------------------------------------------------
+
+FI_SUPPORT_DIV = 1000  # support floor = max(3, basket_rows div 1000)
+FI_MAX_ITEMS = 64  # degenerate-basket guard (boilerplate hosts)
+
+
+def frequent_itemsets(mentions: DataFrame, pages: DataFrame) -> DataFrame:
+    """Distributed Apriori (Agrawal & Srikant 1994) over per-HOST entity
+    baskets -> (k, items, support): frequent 1/2/3-itemsets of entity
+    surfaces co-hosted on a domain, support floored at
+    max(2, n_baskets div 20) — the market-basket view of entity
+    relatedness one level above q_entity_cooccur's per-document pair
+    lift (baskets are hosts, and k=3 sets surface the org+city+state
+    co-location patterns pairs cannot).
+
+    The Apriori property does the scale work: candidate (a,b,c) triads
+    are generated ONLY from baskets restricted to frequent items (L1)
+    and are pruned by THREE frequent-pair (L2) semi-joins — (a,b),
+    (b,c), (a,c) — BEFORE the counting agg, so candidate volume is
+    bounded by the frequent-pair graph, not |basket|^3. L1 restriction
+    plus the FI_MAX_ITEMS window cap (the entity_cooccur degenerate-doc
+    guard, applied per host) bounds per-basket fan-out; L2 is
+    support-bounded (<= pair_occurrences/s rows), comfortably broadcast
+    at a 5% floor regardless of corpus size. All thresholds are integer
+    and derived from the data (n_baskets), so every scale replays
+    identically in the oracle."""
+    from pyspark.sql import Window as W
+
+    baskets = (
+        mentions.where(F.col("entity_type").isin(list(COOCCUR_TYPES)))
+        .select("doc_id", F.col("mention").alias("item"))
+        .join(
+            pages.select(
+                "doc_id",
+                F.expr(
+                    "regexp_extract(url, 'https?://([^/]+)', 1)"
+                ).alias("host"),
+            ),
+            "doc_id",
+        )
+        .select("host", "item")
+        .distinct()
+    )
+    thr = baskets.agg(
+        F.expr(
+            f"greatest(cast(3 as bigint),"
+            f" cast(count(*) as bigint) div {FI_SUPPORT_DIV})"
+        ).alias("s")
+    )
+    l1 = (
+        baskets.groupBy("item")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .crossJoin(F.broadcast(thr))
+        .where(F.col("support") >= F.col("s"))
+        .select("item", "support")
+        .localCheckpoint(eager=False)
+    )
+    hi = (
+        baskets.join(l1.select("item"), "item", "left_semi")
+        .withColumn("ni", F.count("*").over(W.partitionBy("host")))
+        .where(F.col("ni") <= FI_MAX_ITEMS)
+        .select("host", "item")
+        .localCheckpoint(eager=False)
+    )
+    pairs = (
+        hi.join(
+            hi.select(
+                F.col("host").alias("host_b"), F.col("item").alias("b")
+            ),
+            (F.col("host") == F.col("host_b")) & (F.col("item") < F.col("b")),
+        )
+        .groupBy(F.col("item").alias("a"), "b")
+        .agg(F.count("*").cast("bigint").alias("support"))
+    )
+    l2 = (
+        pairs.crossJoin(F.broadcast(thr))
+        .where(F.col("support") >= F.col("s"))
+        .select("a", "b", "support")
+        .localCheckpoint(eager=False)
+    )
+    l2k = l2.select("a", "b")
+    hp = (
+        hi.select(F.col("host"), F.col("item").alias("a"))
+        .join(
+            hi.select(F.col("host").alias("hb"), F.col("item").alias("b")),
+            (F.col("host") == F.col("hb")) & (F.col("a") < F.col("b")),
+        )
+        .select("host", "a", "b")
+        .join(F.broadcast(l2k), ["a", "b"], "left_semi")
+    )
+    tri = (
+        hp.join(
+            hi.select(F.col("host").alias("hc"), F.col("item").alias("c")),
+            (F.col("host") == F.col("hc")) & (F.col("b") < F.col("c")),
+        )
+        .select("host", "a", "b", "c")
+        .join(
+            F.broadcast(l2k.select(F.col("a").alias("b"), F.col("b").alias("c"))),
+            ["b", "c"],
+            "left_semi",
+        )
+        .join(
+            F.broadcast(l2k.select("a", F.col("b").alias("c"))),
+            ["a", "c"],
+            "left_semi",
+        )
+        .groupBy("a", "b", "c")
+        .agg(F.count("*").cast("bigint").alias("support"))
+    )
+    l3 = (
+        tri.crossJoin(F.broadcast(thr))
+        .where(F.col("support") >= F.col("s"))
+        .select("a", "b", "c", "support")
+    )
+    return (
+        l1.select(
+            F.lit(1).cast("bigint").alias("k"),
+            F.col("item").alias("items"),
+            "support",
+        )
+        .unionAll(
+            l2.select(
+                F.lit(2).cast("bigint").alias("k"),
+                F.expr("concat(a, '|', b)").alias("items"),
+                "support",
+            )
+        )
+        .unionAll(
+            l3.select(
+                F.lit(3).cast("bigint").alias("k"),
+                F.expr("concat(a, '|', b, '|', c)").alias("items"),
+                "support",
+            )
+        )
+    )
+
+
+def duck_frequent_itemsets_sql(mentions_sql: str, pages_sql: str) -> str:
+    """Oracle twin of frequent_itemsets: identical basket construction,
+    data-derived support floor, L1 restriction, FI_MAX_ITEMS cap and
+    triple L2 prune, unrolled as materialized CTEs."""
+    return f"""
+with fi_b as materialized (
+  select distinct regexp_extract(p.url, 'https?://([^/]+)', 1) as host,
+                  m.mention as item
+  from ({mentions_sql}) m join ({pages_sql}) p using (doc_id)
+  where m.entity_type in ('LOCATION', 'ORGANIZATION', 'PERSON')
+),
+fi_thr as materialized (
+  select greatest(cast(3 as bigint),
+                  cast(count(*) as bigint) // {FI_SUPPORT_DIV})
+         as s
+  from fi_b
+),
+fi_l1 as materialized (
+  select item, cast(count(*) as bigint) as support
+  from fi_b group by 1
+  having cast(count(*) as bigint) >= (select s from fi_thr)
+),
+fi_hi as materialized (
+  select host, item from (
+    select host, item, count(*) over (partition by host) as ni
+    from fi_b where item in (select item from fi_l1)
+  ) where ni <= {FI_MAX_ITEMS}
+),
+fi_l2 as materialized (
+  select a.item as a, b.item as b, cast(count(*) as bigint) as support
+  from fi_hi a join fi_hi b on a.host = b.host and a.item < b.item
+  group by 1, 2
+  having cast(count(*) as bigint) >= (select s from fi_thr)
+),
+fi_tri as materialized (
+  select t.a, t.b, c.item as c, cast(count(*) as bigint) as support
+  from (
+    select a.host, a.item as a, b.item as b
+    from fi_hi a join fi_hi b on a.host = b.host and a.item < b.item
+    where exists (select 1 from fi_l2 l where l.a = a.item and l.b = b.item)
+  ) t
+  join fi_hi c on c.host = t.host and t.b < c.item
+  where exists (select 1 from fi_l2 l where l.a = t.b and l.b = c.item)
+    and exists (select 1 from fi_l2 l where l.a = t.a and l.b = c.item)
+  group by 1, 2, 3
+  having cast(count(*) as bigint) >= (select s from fi_thr)
+)
+select cast(1 as bigint) as k, item as items, support from fi_l1
+union all
+select cast(2 as bigint), a || '|' || b, support from fi_l2
+union all
+select cast(3 as bigint), a || '|' || b || '|' || c, support from fi_tri
+"""

@@ -195,3 +195,82 @@ def test_readability_hand_computed(spark):
     assert got == {b: tuple(v) for b, v in exp.items()}
     # the polysyllabic doc must land in a strictly lower band
     assert _score_m(texts[1]) < _score_m(texts[0])
+
+
+# ---------------------------------------------------------------------------
+# frequent_itemsets
+# ---------------------------------------------------------------------------
+
+
+def test_itemsets_hand_computed(spark):
+    # 5 hosts; {x,y} co-hosted on 4, {x,y,z} on 3, {w} on 2.
+    # floor = max(3, rows div 1000) = 3.
+    rows = []
+    for h in ("h1", "h2", "h3"):
+        rows += [(h, "x"), (h, "y"), (h, "z")]
+    rows += [("h4", "x"), ("h4", "y"), ("h4", "w"), ("h5", "w")]
+    from nerpii_spark.operators.extract import frequent_itemsets
+
+    mentions = spark.createDataFrame(
+        [(i, "ORGANIZATION", it) for i, (h, it) in enumerate(rows)],
+        "doc_id long, entity_type string, mention string",
+    )
+    pages = spark.createDataFrame(
+        [(i, f"https://{h}.example/p") for i, (h, it) in enumerate(rows)],
+        "doc_id long, url string",
+    )
+    got = {
+        (r["k"], r["items"]): r["support"]
+        for r in frequent_itemsets(mentions, pages).collect()
+    }
+    assert got == {
+        (1, "x"): 4, (1, "y"): 4, (1, "z"): 3,
+        (2, "x|y"): 4, (2, "x|z"): 3, (2, "y|z"): 3,
+        (3, "x|y|z"): 3,
+    }
+    # 'w' (support 2) is below the floor everywhere; no pair with it
+
+
+def test_itemsets_apriori_prune_blocks_triad(spark):
+    # {a,b} and {b,c} frequent but {a,c} never co-hosted >= floor:
+    # the (a,c) semi-join must prune the a|b|c candidate even though
+    # a,b,c are all L1-frequent and a|b, b|c are L2-frequent.
+    rows = []
+    for h in ("h1", "h2", "h3"):
+        rows += [(h, "a"), (h, "b")]
+    for h in ("h4", "h5", "h6"):
+        rows += [(h, "b"), (h, "c")]
+    rows += [("h7", "a"), ("h7", "c"), ("h8", "a"), ("h8", "c")]
+    from nerpii_spark.operators.extract import frequent_itemsets
+
+    mentions = spark.createDataFrame(
+        [(i, "LOCATION", it) for i, (h, it) in enumerate(rows)],
+        "doc_id long, entity_type string, mention string",
+    )
+    pages = spark.createDataFrame(
+        [(i, f"https://{h}.example/p") for i, (h, it) in enumerate(rows)],
+        "doc_id long, url string",
+    )
+    got = {(r["k"], r["items"]) for r in
+           frequent_itemsets(mentions, pages).collect()}
+    assert (2, "a|b") in got and (2, "b|c") in got
+    assert (2, "a|c") not in got  # support 2 < floor 3
+    assert all(k != 3 for k, _ in got)
+
+
+def test_itemsets_sf001_consistency(spark):
+    """On the real corpus every k=2/k=3 set's support is <= the min
+    support of its subsets (the Apriori anti-monotone invariant)."""
+    import __spark_entry__ as E
+
+    out = E.queries()["q_itemsets"](spark, SF).collect()
+    sup = {r["items"]: r["support"] for r in out}
+    for r in out:
+        parts = r["items"].split("|")
+        if len(parts) >= 2:
+            for p in parts:
+                assert p in sup and r["support"] <= sup[p]
+        if len(parts) == 3:
+            a, b, c = parts
+            for pair in (f"{a}|{b}", f"{b}|{c}", f"{a}|{c}"):
+                assert pair in sup and r["support"] <= sup[pair]
