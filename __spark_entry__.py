@@ -551,6 +551,18 @@ def q_quantile_sketch(spark, sf):
     )
 
 
+def q_crawl_waves(spark, sf):
+    """Luby maximal-independent-set crawl waves (webgraph.luby_mis):
+    conflict-free parallel fetch scheduling — no two directly-linked
+    hosts share a wave; portable strhash priorities with (p, host)
+    lexicographic symmetry breaking, 12 fixed rounds + deterministic
+    wave=-1 for the unresolved tail. Per round two semi-joins + one
+    combined min agg + tie-break agg + two anti-joins, per-round
+    localCheckpoint (the CC fixpoint discipline); oracle replays every
+    round over the planted link set."""
+    return WG.luby_mis(_pipeline(spark, sf)["pages"])
+
+
 def q_itemsets(spark, sf):
     """Distributed Apriori frequent itemsets (extract.frequent_itemsets)
     over per-host entity baskets: frequent 1/2/3-sets of co-hosted
@@ -2595,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantile_sketch": q_quantile_sketch,
         "q_readability": q_readability,
         "q_itemsets": q_itemsets,
+        "q_crawl_waves": q_crawl_waves,
         # r3 wave-8 (no driver row yet):
         "q_dedup_incremental": q_dedup_incremental,
         "q_triple_eval": q_triple_eval,
@@ -3160,6 +3173,7 @@ def oracle_sql() -> dict[str, str]:
         "q_textrank": TS.duck_textrank_sql(),
         "q_readability": TS.duck_readability_sql(),
         "q_itemsets": duck_frequent_itemsets_sql(gm, pages),
+        "q_crawl_waves": WG.duck_luby_mis_sql(pages),
         "q_quantile_sketch": SK.duck_hdr_quantiles_sql(
             "select cast(round(l_extendedprice * 100) as bigint) as v_c"
             " from lineitem",

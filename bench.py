@@ -212,6 +212,7 @@ def main() -> int:
         "q_quantile_sketch",
         "q_readability",
         "q_itemsets",
+        "q_crawl_waves",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

@@ -2720,3 +2720,193 @@ select n_hosts, total_pages,
          // (n_hosts * total_pages) as gini_e6
 from a
 """
+
+
+# ---------------------------------------------------------------------------
+# Luby maximal independent set (crawl-wave scheduling)
+# ---------------------------------------------------------------------------
+
+# Measured on the planted hub graph: 7/499 residual at 8 rounds,
+# 0/499 at 10 (vs 33/499 at 8 when the reshuffle was accidentally a
+# no-op — see _mis_mult). 12 = headroom: a star hub's residual spokes
+# halve per round in expectation, and rounds run over the shrinking
+# residual only, so extra rounds cost residual-sized joins, not
+# corpus-sized ones.
+MIS_ROUNDS = 12
+
+
+def _mis_mult(r: int) -> int:
+    """Per-round priority multiplier: p_r(host) = base * A_r mod M with
+    M prime (hashing.M) is a universal-hash-family reshuffle — a
+    DIFFERENT bijection of Z_M each round, product < 2^62 so int64-safe
+    in both engines. This matters: strhash only folds the first
+    STRHASH_CHARS chars, so an APPENDED per-round salt never reaches
+    the polynomial on >=12-char hosts, and a PREPENDED salt is a common
+    prefix = a constant addend that preserves relative order except at
+    the modulus wrap (measured: both 'fresh' variants left the same
+    33/499 residual as fixed priorities at 8 rounds). A_r must be a
+    large spread constant — a small a makes a*x mod M piecewise
+    order-preserving with only a pieces — so A_r is itself
+    strhash('wave:r'), floored to 2 to stay a bijection."""
+    from ..functions.hashing import strhash
+
+    return max(2, strhash(f"wave:{r}"))
+
+
+def luby_mis(pages: DataFrame, n_rounds: int = MIS_ROUNDS) -> DataFrame:
+    """Crawl-wave scheduling by iterated Luby-style independent sets
+    (Luby 1986 symmetry breaking; greedy distance-1 coloring) ->
+    (host, wave): every linked host gets a wave, and no two
+    directly-linked hosts EVER share one — conflict-free parallel
+    fetch scheduling. Each round, the hosts whose (priority, host)
+    pair is lexicographically smaller than EVERY unscheduled
+    neighbor's form that wave (the local-minima independent set of
+    the residual graph) and ONLY they leave; their neighbors stay
+    eligible for later waves, which is what makes the output a
+    PARTITION rather than one MIS. Priorities are FRESH each round —
+    base = strhash(host) hashed ONCE into the checkpointed node list
+    (the linkpred constraint-propagation lesson), then reshuffled per
+    round by _mis_mult's multiplicative universal hash — which is what
+    Luby's analysis needs: with effectively-fixed priorities the
+    planted graph stalled at 33/499 after 8 rounds (a lexicographic
+    chain clears slowly); with real reshuffles it empties by round 10.
+    The DuckDB replay is bit-exact; the (p, host) lexicographic
+    compare makes hash collisions harmless.
+
+    Rounds are FIXED; anything still unscheduled after the last round
+    is reported as wave -1, deterministically (a production scheduler
+    iterates until empty; local minima clear a constant expected
+    fraction per round on bounded-degree graphs). Per round: two
+    semi-joins restrict edges to unscheduled nodes, ONE map-side-
+    combined min(p) agg + one tie-break min(host) agg over nodes whose
+    neighbor hits that min, one anti-join deactivates; active is
+    localCheckpoint'd so the iterative lineage stays flat — the
+    CC/PageRank fixpoint discipline."""
+    edges = sym_host_edges(pages)
+    from ..functions.hashing import M, sql_strhash
+
+    active = (
+        edges.select(
+            "node", F.expr(sql_strhash("node")).alias("base")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    waves = []
+    for r in range(1, n_rounds + 1):
+        pr = active.select(
+            "node",
+            ((F.col("base") * F.lit(_mis_mult(r))) % F.lit(M)).alias("p"),
+        )
+        ae = edges.join(active, "node", "left_semi").join(
+            active.select(F.col("node").alias("nbr")), "nbr", "left_semi"
+        )
+        nbp = ae.join(
+            pr.select(F.col("node").alias("nbr"), F.col("p").alias("pn")),
+            "nbr",
+        )
+        mp = nbp.groupBy("node").agg(F.min("pn").alias("mp"))
+        mu = (
+            nbp.join(mp, "node")
+            .where(F.col("pn") == F.col("mp"))
+            .groupBy("node")
+            .agg(F.min("nbr").alias("mu"))
+        )
+        mis = (
+            pr.join(mp, "node", "left")
+            .join(mu, "node", "left")
+            .where(
+                F.col("mp").isNull()
+                | (F.col("p") < F.col("mp"))
+                | ((F.col("p") == F.col("mp")) & (F.col("node") < F.col("mu")))
+            )
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        waves.append(
+            mis.select(
+                F.col("node").alias("host"),
+                F.lit(r).cast("bigint").alias("wave"),
+            )
+        )
+        active = active.join(mis, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+    out = waves[0]
+    for w in waves[1:]:
+        out = out.unionAll(w)
+    return out.unionAll(
+        active.select(
+            F.col("node").alias("host"), F.lit(-1).cast("bigint").alias("wave")
+        )
+    )
+
+
+def duck_luby_mis_sql(
+    pages_sql_duck: str, n_rounds: int = MIS_ROUNDS
+) -> str:
+    """Oracle twin of luby_mis: the same wave rounds unrolled as
+    chained MATERIALIZED CTEs over the PLANTED link set, identical
+    base-strhash + per-round _mis_mult multiplicative priorities,
+    (p, host) lexicographic rule and mis-only deactivation."""
+    from ..functions.hashing import M, sql_strhash
+
+    ctes = [
+        f"""
+links as materialized (
+  select distinct src_host as u, dst_host as v
+  from ({duck_planted_links_sql(pages_sql_duck)})
+  where src_host <> dst_host
+),
+e0 as materialized (
+  select u as node, v as nbr from links union select v, u from links
+),
+a0 as materialized (
+  select node, {sql_strhash('node')} as base
+  from (select distinct node from e0)
+)"""
+    ]
+    sel = []
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        mult = _mis_mult(r)
+        ctes.append(
+            f"""
+pr{r} as materialized (
+  select node, (base * cast({mult} as bigint)) % {M} as p from a{p}
+),
+nb{r} as materialized (
+  select e.node, cast(min(q.p) as bigint) as mp
+  from e0 e
+  join a{p} s on s.node = e.node
+  join pr{r} q on q.node = e.nbr
+  group by 1
+),
+mu{r} as materialized (
+  select e.node, min(e.nbr) as mu
+  from e0 e
+  join a{p} s on s.node = e.node
+  join pr{r} q on q.node = e.nbr
+  join nb{r} n on n.node = e.node and q.p = n.mp
+  group by 1
+),
+mis{r} as materialized (
+  select a.node
+  from pr{r} a
+  left join nb{r} n on n.node = a.node
+  left join mu{r} m on m.node = a.node
+  where n.mp is null or a.p < n.mp
+     or (a.p = n.mp and a.node < m.mu)
+),
+a{r} as materialized (
+  select a.node, a.base from a{p} a
+  where not exists (select 1 from mis{r} x where x.node = a.node)
+)"""
+        )
+        sel.append(
+            f"select node as host, cast({r} as bigint) as wave from mis{r}"
+        )
+    sel.append(
+        f"select node as host, cast(-1 as bigint) as wave from a{n_rounds}"
+    )
+    return "with " + ",".join(ctes) + "\n" + "\nunion all\n".join(sel)

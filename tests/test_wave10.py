@@ -274,3 +274,63 @@ def test_itemsets_sf001_consistency(spark):
             a, b, c = parts
             for pair in (f"{a}|{b}", f"{b}|{c}", f"{a}|{c}"):
                 assert pair in sup and r["support"] <= sup[pair]
+
+
+# ---------------------------------------------------------------------------
+# luby_mis
+# ---------------------------------------------------------------------------
+
+
+def test_mis_wave_independence_and_partition(spark):
+    """On the real sf0.001 host graph: (1) no two hosts sharing a wave
+    are adjacent — each wave is an independent set of the residual
+    graph (local minima, so independent but not necessarily maximal);
+    (2) waves partition the linked-host set; (3) re-running yields the
+    identical assignment — determinism of the strhash tie-broken rule."""
+    import __spark_entry__ as E
+    from nerpii_spark.operators.webgraph import luby_mis, sym_host_edges
+
+    pages = E._pipeline(spark, SF)["pages"]
+    edges = {
+        (r["node"], r["nbr"]) for r in sym_host_edges(pages).collect()
+    }
+    hosts = {u for u, _ in edges}
+    out = luby_mis(pages).collect()
+    wave = {r["host"]: r["wave"] for r in out}
+    assert set(wave) == hosts  # partition of the linked hosts
+    assert all(w == -1 or w >= 1 for w in wave.values())
+    # independence WITHIN each resolved wave (the scheduling guarantee:
+    # no two directly-linked hosts fetch in the same wave)
+    for u, v in edges:
+        if wave[u] > 0 and wave[u] == wave[v]:
+            raise AssertionError(f"adjacent {u},{v} share wave {wave[u]}")
+    # the fresh-per-round rehash should clear nearly everything in 8
+    # rounds on a bounded-degree graph; allow a small tail
+    unresolved = sum(1 for w in wave.values() if w == -1)
+    assert unresolved <= max(2, len(hosts) // 20)
+    # determinism
+    assert {(r["host"], r["wave"]) for r in luby_mis(pages).collect()} == {
+        (r["host"], r["wave"]) for r in out
+    }
+
+
+def test_mis_hand_graph(spark):
+    """Path a-b-c: waves are independent sets (b never shares a wave
+    with a or c) and, with at least one node resolving per round (the
+    global minimum is always a local minimum), all 3 resolve in <=3
+    rounds — no -1 tail."""
+    from nerpii_spark.operators.webgraph import luby_mis
+
+    html = '<a href="https://%s/">x</a>'
+    rows = [
+        (1, "https://a.example/p", (html % "b.example").encode()),
+        (2, "https://b.example/p", (html % "c.example").encode()),
+    ]
+    pages = spark.createDataFrame(
+        rows, "doc_id long, url string, html binary"
+    )
+    wave = {r["host"]: r["wave"] for r in luby_mis(pages).collect()}
+    assert set(wave) == {"a.example", "b.example", "c.example"}
+    assert all(w >= 1 for w in wave.values())
+    assert wave["b.example"] != wave["a.example"]
+    assert wave["b.example"] != wave["c.example"]
