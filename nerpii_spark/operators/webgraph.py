@@ -2782,63 +2782,73 @@ def luby_mis(pages: DataFrame, n_rounds: int = MIS_ROUNDS) -> DataFrame:
     neighbor hits that min, one anti-join deactivates; active is
     localCheckpoint'd so the iterative lineage stays flat — the
     CC/PageRank fixpoint discipline."""
-    edges = sym_host_edges(pages)
+    # materialize the symmetric edge list ONCE — it feeds two semi-joins
+    # and the neighbor-priority join EVERY round, and without this the
+    # live lineage re-runs the html anchor extraction per round (the
+    # CLAUDE.md self-join-recompute lesson)
+    edges = sym_host_edges(pages).localCheckpoint(eager=True)
     from ..functions.hashing import M, sql_strhash
 
-    active = (
-        edges.select(
-            "node", F.expr(sql_strhash("node")).alias("base")
-        )
+    # ONE state DataFrame (node, base, wave) and ONE checkpoint barrier
+    # per round, THREE shuffles per round total — the minimal residual-MIS
+    # round. Two fusions make it minimal, both identity-preserving:
+    #   * the node-side "is the node still active" semi-join is REDUNDANT:
+    #     mm rows for already-scheduled nodes are discarded by the
+    #     wave-IS-NULL branch of the state update, so only the NEIGHBOR
+    #     side needs the active restriction (and it gets it for free —
+    #     pn comes from joining the active-only priority projection);
+    #   * the mis join is GONE: a node's own priority is a pure function
+    #     of its checkpointed base, so the local-minimum test runs inline
+    #     in the state-update projection instead of a third join.
+    # (Naive form: 6 shuffles + 2 barriers/round, measured 6.0-6.6 s at
+    # sf0.01 where per-stage overhead dominates; this form ~5.3 s — and
+    # at scale the win is real work, not scheduling: two graph-sized
+    # semi-join exchanges and one mis-join exchange per round removed.
+    # Checkpointing every 2nd round instead was NOT faster — the doubled
+    # per-job lineage costs in planning what it saves in barriers.)
+    state = (
+        edges.select("node", F.expr(sql_strhash("node")).alias("base"))
         .distinct()
+        .withColumn("wave", F.lit(None).cast("bigint"))
         .localCheckpoint(eager=True)
     )
-    waves = []
     for r in range(1, n_rounds + 1):
-        pr = active.select(
-            "node",
-            ((F.col("base") * F.lit(_mis_mult(r))) % F.lit(M)).alias("p"),
+        mult = F.lit(_mis_mult(r))
+        pr = state.where(F.col("wave").isNull()).select(
+            F.col("node").alias("nbr"),
+            ((F.col("base") * mult) % F.lit(M)).alias("pn"),
         )
-        ae = edges.join(active, "node", "left_semi").join(
-            active.select(F.col("node").alias("nbr")), "nbr", "left_semi"
-        )
-        nbp = ae.join(
-            pr.select(F.col("node").alias("nbr"), F.col("p").alias("pn")),
-            "nbr",
-        )
-        mp = nbp.groupBy("node").agg(F.min("pn").alias("mp"))
-        mu = (
-            nbp.join(mp, "node")
-            .where(F.col("pn") == F.col("mp"))
+        # ONE lexicographic struct-min = (min active-nbr priority, min
+        # nbr among priority ties): identical by definition to the
+        # oracle's two-step min(pn) + tie-break min(nbr).
+        mm = (
+            edges.join(pr, "nbr")
             .groupBy("node")
-            .agg(F.min("nbr").alias("mu"))
-        )
-        mis = (
-            pr.join(mp, "node", "left")
-            .join(mu, "node", "left")
-            .where(
-                F.col("mp").isNull()
-                | (F.col("p") < F.col("mp"))
-                | ((F.col("p") == F.col("mp")) & (F.col("node") < F.col("mu")))
+            .agg(F.min(F.struct(F.col("pn"), F.col("nbr"))).alias("s"))
+            .select(
+                "node", F.col("s.pn").alias("mp"), F.col("s.nbr").alias("mu")
             )
-            .select("node")
+        )
+        p = (F.col("base") * mult) % F.lit(M)
+        state = (
+            state.join(mm, "node", "left")
+            .select(
+                "node",
+                "base",
+                F.when(F.col("wave").isNotNull(), F.col("wave"))
+                .when(
+                    F.col("mp").isNull()
+                    | (p < F.col("mp"))
+                    | ((p == F.col("mp")) & (F.col("node") < F.col("mu"))),
+                    F.lit(r).cast("bigint"),
+                )
+                .alias("wave"),
+            )
             .localCheckpoint(eager=True)
         )
-        waves.append(
-            mis.select(
-                F.col("node").alias("host"),
-                F.lit(r).cast("bigint").alias("wave"),
-            )
-        )
-        active = active.join(mis, "node", "left_anti").localCheckpoint(
-            eager=True
-        )
-    out = waves[0]
-    for w in waves[1:]:
-        out = out.unionAll(w)
-    return out.unionAll(
-        active.select(
-            F.col("node").alias("host"), F.lit(-1).cast("bigint").alias("wave")
-        )
+    return state.select(
+        F.col("node").alias("host"),
+        F.coalesce(F.col("wave"), F.lit(-1).cast("bigint")).alias("wave"),
     )
 
 
