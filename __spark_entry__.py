@@ -106,6 +106,7 @@ from nerpii_spark.operators import layout as LAY
 from nerpii_spark.operators import sketch as SK
 from nerpii_spark.operators import similarity as SIM
 from nerpii_spark.operators import webgraph as WG
+from nerpii_spark.operators import webquality as WQ
 from nerpii_spark.operators import textstats as TS
 from nerpii_spark.operators.mask import (
     duck_mask_leakage_sql,
@@ -2599,9 +2600,68 @@ def q_clustering_coeff(spark, sf):
     return WG.clustering_coeff(_pipeline(spark, sf)["pages"])
 
 
+def q_extract_diag(spark, sf):
+    """Boilerplate-extraction accounting per language
+    (webquality.extract_diag): html bytes in vs extracted-text bytes
+    out, tag/anchor/script densities, text-to-html ppm. All counts are
+    replace-difference arithmetic in codegen (no regex); one scan +
+    one map-side-combined agg, |langs| rows. The oracle REBUILDS the
+    html from the planted text via the shared html_expr constructor,
+    so byte counts are engine-exact. int64 note: the ppm product bounds
+    per-lang html_bytes < 9.2e12 (~9 TB/lang); past that, promote the
+    two sums to decimal(38) before the multiply."""
+    return WQ.extract_diag(_pipeline(spark, sf)["clean"])
+
+
+def q_encoding_health(spark, sf):
+    """Mojibake/control-char decode audit per language
+    (webquality.encoding_health): U+FFFD and C0-control counts, pages
+    affected, ppm. Corruption is planted IN-QUERY identically on both
+    engines (the dup_embs_sql discipline) since the synthetic corpus is
+    clean by construction. Zero corpus-sized shuffles."""
+    return WQ.encoding_health(_pipeline(spark, sf)["clean"])
+
+
+def q_span_reuse(spark, sf):
+    """Cross-host content-syndication pairs (webquality.span_reuse):
+    top-k host pairs sharing >= 3 distinct exact 8-token spans — the
+    content-level companion to q_host_mirrors' link-overlap pairing.
+    Span vocabulary df-capped at 64 hosts (template boilerplate
+    discriminates nothing), shuffles carry (md5, host) only, global
+    top-k is TakeOrderedAndProject."""
+    return WQ.span_reuse(_pipeline(spark, sf)["clean"])
+
+
+def q_host_lang_mix(spark, sf):
+    """Per-host language-mix profile (webquality.host_lang_mix):
+    n_langs / dominant lang + share ppm / integer floor-log2 entropy —
+    the multilingual-site detector feeding crawl routing and mixture
+    sampling. Two chained map-side-combined aggs, no window or join;
+    the top-lang tie-break is the lexicographic struct-min trick,
+    verified identical in DuckDB."""
+    return WQ.host_lang_mix(_pipeline(spark, sf)["pages"])
+
+
+def q_crawl_budget(spark, sf):
+    """Hamilton largest-remainder apportionment of a fixed fetch budget
+    across hosts (webgraph.crawl_budget): integer-exact — sum(alloc) ==
+    budget always, each host within one fetch of its proportional
+    share (pinned in pytest). One map-side count, one-row total/leftover
+    broadcasts, ranking window over the HOST-cardinality table only
+    (the host_gini precedent)."""
+    return WG.crawl_budget(_pipeline(spark, sf)["pages"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # r3 wave-10 (newest, no driver row yet):
+        # r3 wave-12 (newest, no driver row yet):
+        "q_host_lang_mix": q_host_lang_mix,
+        "q_crawl_budget": q_crawl_budget,
+        # r3 wave-11 (no driver row yet):
+        "q_extract_diag": q_extract_diag,
+        "q_encoding_health": q_encoding_health,
+        "q_span_reuse": q_span_reuse,
+        # r3 wave-10 (no driver row yet):
         "q_linkage_weights": q_linkage_weights,
         "q_textrank": q_textrank,
         "q_quantile_sketch": q_quantile_sketch,
@@ -3174,6 +3234,11 @@ def oracle_sql() -> dict[str, str]:
         "q_readability": TS.duck_readability_sql(),
         "q_itemsets": duck_frequent_itemsets_sql(gm, pages),
         "q_crawl_waves": WG.duck_luby_mis_sql(pages),
+        "q_extract_diag": WQ.duck_extract_diag_sql(pages),
+        "q_encoding_health": WQ.duck_encoding_health_sql(pages),
+        "q_span_reuse": WQ.duck_span_reuse_sql(pages),
+        "q_host_lang_mix": WQ.duck_host_lang_mix_sql(pages),
+        "q_crawl_budget": WG.duck_crawl_budget_sql(pages),
         "q_quantile_sketch": SK.duck_hdr_quantiles_sql(
             "select cast(round(l_extendedprice * 100) as bigint) as v_c"
             " from lineitem",

@@ -213,6 +213,9 @@ def main() -> int:
         "q_readability",
         "q_itemsets",
         "q_crawl_waves",
+        "q_extract_diag",
+        "q_encoding_health",
+        "q_span_reuse",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

@@ -2920,3 +2920,98 @@ a{r} as materialized (
         f"select node as host, cast(-1 as bigint) as wave from a{n_rounds}"
     )
     return "with " + ",".join(ctes) + "\n" + "\nunion all\n".join(sel)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-budget apportionment (Hamilton largest remainder)
+# ---------------------------------------------------------------------------
+
+CRAWL_BUDGET = 100_000
+
+
+def crawl_budget(pages: DataFrame, budget: int = CRAWL_BUDGET) -> DataFrame:
+    """-> (host, n_pages, alloc): apportion a fixed per-cycle fetch
+    budget across hosts proportionally to their page counts by
+    Hamilton's largest-remainder method — the integer-exact allocation
+    rule (sum(alloc) == budget ALWAYS, every host within one fetch of
+    its exact proportional share) that floats-and-round cannot give.
+    The same arithmetic apportions congressional seats and mixture
+    sampling quotas; here it turns q_host_gini's concentration
+    diagnosis into an actionable schedule.
+
+        base_i = (B * p_i) div T,  rem_i = (B * p_i) mod T
+        leftover L = B - sum(base_i)  (0 <= L < n_hosts)
+        alloc_i = base_i + 1 for the L largest (rem_i, host asc) rows
+
+    Scale shape: the page count map-side combines; T and L are ONE-ROW
+    aggs broadcast back (the web_graph counting idiom); the ranking
+    window runs over the HOST-cardinality table, never pages (the
+    host_gini precedent — its WindowExec warning is bounded by
+    construction). int64: B * p_i < 9.2e18 holds to ~9e13 pages per
+    host at the default budget."""
+    counts = (
+        pages.select(
+            F.expr(f"regexp_extract(url, '{_HOST_RE}', 1)").alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count("*").cast("bigint").alias("n_pages"))
+    )
+    tot = counts.agg(F.sum("n_pages").cast("bigint").alias("t"))
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        "host",
+        "n_pages",
+        F.expr(f"cast({budget} as bigint) * n_pages div t").alias("base"),
+        F.expr(f"cast({budget} as bigint) * n_pages % t").alias("rem"),
+    )
+    left = quota.agg(
+        F.expr(f"cast({budget} - sum(base) as bigint)").alias("l")
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.orderBy(F.desc("rem"), F.asc("host"))
+    )
+    return (
+        quota.withColumn("rk", rk)
+        .crossJoin(F.broadcast(left))
+        .select(
+            "host",
+            "n_pages",
+            F.expr(
+                "cast(base + case when rk <= l then 1 else 0 end"
+                " as bigint)"
+            ).alias("alloc"),
+        )
+    )
+
+
+def duck_crawl_budget_sql(
+    pages_sql_duck: str, budget: int = CRAWL_BUDGET
+) -> str:
+    """Oracle twin: same floor-div quotas, same (rem desc, host asc)
+    ranking, same leftover top-up."""
+    return f"""
+with p as ({pages_sql_duck}),
+counts as (
+  select regexp_extract(url, '{_HOST_RE}', 1) as host,
+         cast(count(*) as bigint) as n_pages
+  from p group by 1
+),
+q as (
+  select host, n_pages,
+         (cast({budget} as bigint) * n_pages)
+           // (select cast(sum(n_pages) as bigint) from counts) as base,
+         (cast({budget} as bigint) * n_pages)
+           % (select cast(sum(n_pages) as bigint) from counts) as rem
+  from counts
+),
+r as (
+  select host, n_pages, base,
+         row_number() over (order by rem desc, host asc) as rk,
+         (select {budget} - cast(sum(base) as bigint) from q) as l
+  from q
+)
+select host, n_pages,
+       cast(base + case when rk <= l then 1 else 0 end as bigint) as alloc
+from r
+"""
