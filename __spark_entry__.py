@@ -105,6 +105,7 @@ from nerpii_spark.operators import cluster as _CL
 from nerpii_spark.operators import layout as LAY
 from nerpii_spark.operators import sketch as SK
 from nerpii_spark.operators import similarity as SIM
+from nerpii_spark.operators import warc as WARC
 from nerpii_spark.operators import webgraph as WG
 from nerpii_spark.operators import webquality as WQ
 from nerpii_spark.operators import textstats as TS
@@ -2652,9 +2653,25 @@ def q_crawl_budget(spark, sf):
     return WG.crawl_budget(_pipeline(spark, sf)["pages"])
 
 
+def q_cdx_index(spark, sf):
+    """CDX-style WARC byte-offset index of the corpus (operators/warc.py):
+    (doc_id, url, segment, rec_offset, record_len) — every record's
+    on-disk position from pure length arithmetic in codegen (the WARC
+    header is fixed text + url + fixed-width date + Content-Length
+    digits), zero byte materialization. One shuffle keyed by segment
+    (the target file layout itself), a running-sum window per segment;
+    segments are independent, so the plan parallelizes across all of
+    them. The byte path (build_segments -> parse_segments round trip
+    against this index) is pinned in tests/test_wave13.py; the DuckDB
+    oracle rebuilds html inline and replays the arithmetic."""
+    return WARC.cdx_index(_pipeline(spark, sf)["pages"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # r3 wave-12 (newest, no driver row yet):
+        # r3 wave-13 (newest, no driver row yet):
+        "q_cdx_index": q_cdx_index,
+        # r3 wave-12 (no driver row yet):
         "q_host_lang_mix": q_host_lang_mix,
         "q_crawl_budget": q_crawl_budget,
         # r3 wave-11 (no driver row yet):
@@ -2920,6 +2937,7 @@ def _extras_oracles() -> dict[str, str]:
         "q_crawl_diff": D.duck_crawl_diff_sql(
             P.crawl_sql("duck"), split_ts=P.BASE_EPOCH + 216000
         ),
+        "q_cdx_index": WARC.duck_cdx_sql(P.pages_sql("duck")),
         "q_dedup_lines": D.duck_line_dedup_sql(P.pages_sql("duck")),
         "q_dedup_exact": (
             f"select md5(text) as content_hash, count(*) as n_copies,"

@@ -216,6 +216,8 @@ def main() -> int:
         "q_extract_diag",
         "q_encoding_health",
         "q_span_reuse",
+        # wave-13
+        "q_cdx_index",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

@@ -1,0 +1,169 @@
+"""Wave-13 operators. Oracle equality runs in tools/check_oracle.py;
+these tests pin what the hash-match cannot: the WARC byte reality
+(arithmetic index == offsets of actually materialized record bytes,
+parsed back by Content-Length walking on both the Python and the
+Spark-mapInPandas path)."""
+
+from datetime import datetime, timezone
+
+from nerpii_spark.operators import warc as WARC
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pages(spark):
+    import __spark_entry__ as E
+
+    return E._pipeline(spark, SF)["pages"]
+
+
+# ---------------------------------------------------------------------------
+# warc record arithmetic
+# ---------------------------------------------------------------------------
+
+
+def test_record_len_formula_matches_bytes():
+    """HEADER_FIXED's closed form == len(actual record bytes), across
+    url lengths, payload sizes crossing digit-count boundaries (9->10,
+    99->100), and a non-ASCII payload (octet, not char, lengths)."""
+    date = "2025-01-01T00:00:00Z"
+    assert len(date) == WARC.DATE_LEN
+    cases = [
+        ("https://a.example/x", b"p" * 9),
+        ("https://a.example/x", b"p" * 10),
+        ("https://site123.example/en/page/42", b"q" * 99),
+        ("https://site123.example/en/page/42", b"q" * 100),
+        ("https://h.example/", "héllo wörld".encode("utf-8")),
+        ("https://h.example/", b""),
+    ]
+    for url, payload in cases:
+        rec = WARC.warc_record(url, date, payload)
+        expected = (
+            WARC.HEADER_FIXED
+            + len(url.encode())
+            + len(str(len(payload)))
+            + len(payload)
+        )
+        assert len(rec) == expected, (url, len(payload))
+        assert rec.startswith(b"WARC/1.0\r\n")
+        assert rec.endswith(b"\r\n\r\n")
+
+
+def test_parse_segment_bytes_round_trip():
+    """Concatenated records parse back to exact (offset, url, payload) —
+    including a payload that CONTAINS the header delimiter bytes, which
+    only Content-Length framing (not delimiter scanning) survives."""
+    date = "2025-01-01T00:00:00Z"
+    recs = [
+        ("https://a.example/1", b"alpha"),
+        ("https://a.example/2", b"evil \r\n\r\n WARC/1.0 payload"),
+        ("https://b.example/3", b"z" * 257),
+    ]
+    blob = b"".join(WARC.warc_record(u, date, p) for u, p in recs)
+    parsed = WARC.parse_segment_bytes(blob)
+    assert [(u, p) for _, u, p in parsed] == recs
+    # offsets are the running sum of record lengths
+    off = 0
+    for (got_off, u, p), (url, payload) in zip(parsed, recs):
+        assert got_off == off
+        off += len(WARC.warc_record(url, date, payload))
+    assert off == len(blob)
+
+
+# ---------------------------------------------------------------------------
+# index == bytes, end to end on the planted corpus
+# ---------------------------------------------------------------------------
+
+
+def test_cdx_index_matches_materialized_segments(spark):
+    """cdx_index (pure arithmetic, no bytes) == offsets observed in the
+    actually-built segment blobs, for every record in the sf0.001
+    corpus; payload bytes round-trip identically to the html column."""
+    pages = _pages(spark)
+    idx = {
+        r["doc_id"]: (r["segment"], r["rec_offset"], r["record_len"], r["url"])
+        for r in WARC.cdx_index(pages).collect()
+    }
+    html = {
+        r["doc_id"]: bytes(r["html"])
+        for r in pages.select("doc_id", "html").collect()
+    }
+    url2doc = {u: d for d, (_, _, _, u) in idx.items()}
+    assert len(url2doc) == len(idx)  # urls unique by construction
+
+    segs = WARC.build_segments(pages).collect()
+    n_parsed = 0
+    for seg_row in segs:
+        blob = bytes(seg_row["data"])
+        for off, url, payload in WARC.parse_segment_bytes(blob):
+            doc = url2doc[url]
+            segment, rec_offset, record_len, _ = idx[doc]
+            assert segment == seg_row["segment"]
+            assert rec_offset == off
+            assert payload == html[doc]
+            n_parsed += 1
+        # last record ends exactly at the blob end (record_len exact)
+        last_doc = url2doc[WARC.parse_segment_bytes(blob)[-1][1]]
+        assert idx[last_doc][1] + idx[last_doc][2] == len(blob)
+    assert n_parsed == len(idx)
+
+
+def test_parse_segments_spark_path(spark):
+    """The mapInPandas binary parser agrees with cdx_index on every
+    (segment, rec_offset, url) and payload length."""
+    pages = _pages(spark)
+    got = {
+        (r["segment"], r["rec_offset"]): (r["url"], r["payload_len"])
+        for r in WARC.parse_segments(WARC.build_segments(pages)).collect()
+    }
+    want = {
+        (r["segment"], r["rec_offset"]): r["url"]
+        for r in WARC.cdx_index(pages).collect()
+    }
+    assert set(got) == set(want)
+    for k, (url, plen) in got.items():
+        assert want[k] == url
+        assert plen >= 0
+
+
+def test_segment_assignment_stable_under_growth(spark):
+    """Hash segmenting: a page's segment is a function of doc_id only —
+    restricting the corpus to a prefix does not move any surviving
+    page's segment (append-only crawls never reshuffle old segments)."""
+    pages = _pages(spark)
+    full = {
+        r["doc_id"]: r["segment"]
+        for r in WARC.cdx_index(pages).collect()
+    }
+    sub = {
+        r["doc_id"]: r["segment"]
+        for r in WARC.cdx_index(pages.where("doc_id < 30")).collect()
+    }
+    assert sub == {d: s for d, s in full.items() if d < 30}
+
+
+def test_date_format_parity(spark):
+    """Spark's DATE_FMT_SPARK and Python's DATE_FMT_PY emit identical
+    20-char strings for the corpus epoch range (the fixed width
+    HEADER_FIXED depends on)."""
+    from pyspark.sql import functions as F
+
+    from nerpii_spark.sources.pages import BASE_EPOCH
+
+    rows = (
+        spark.range(5)
+        .select(
+            F.date_format(
+                F.timestamp_seconds(F.lit(BASE_EPOCH) + F.col("id") * 86461),
+                WARC.DATE_FMT_SPARK,
+            ).alias("d"),
+            "id",
+        )
+        .collect()
+    )
+    for r in rows:
+        py = datetime.fromtimestamp(
+            BASE_EPOCH + r["id"] * 86461, tz=timezone.utc
+        ).strftime(WARC.DATE_FMT_PY)
+        assert r["d"] == py
+        assert len(py) == WARC.DATE_LEN
