@@ -52,6 +52,8 @@ from nerpii_spark.operators.extract import (
     entity_cooccur,
     entity_degree,
     extract_triples,
+    fact_decay,
+    duck_fact_decay_sql,
     duck_hits_sql,
     duck_kg_negative_samples_sql,
     duck_pagerank_incremental_sql,
@@ -2667,10 +2669,22 @@ def q_cdx_index(spark, sf):
     return WARC.cdx_index(_pipeline(spark, sf)["pages"])
 
 
+def q_fact_decay(spark, sf):
+    """Freshness-decayed assertion support per (subj, pred, obj)
+    (extract.fact_decay): each assertion weighs 2^-(age // half_life)
+    in Q40 integer fixed point — exact halving per half-life, so the
+    DuckDB oracle replays the decay bit-for-bit over the planted-truth
+    triples. One 1-row max(doc_id) broadcast + ONE map-side-combined
+    groupBy; the stale-belief signal KG maintenance ranks retirements
+    by."""
+    return fact_decay(_pipeline(spark, sf)["triples"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r3 wave-13 (newest, no driver row yet):
         "q_cdx_index": q_cdx_index,
+        "q_fact_decay": q_fact_decay,
         # r3 wave-12 (no driver row yet):
         "q_host_lang_mix": q_host_lang_mix,
         "q_crawl_budget": q_crawl_budget,
@@ -3263,6 +3277,7 @@ def oracle_sql() -> dict[str, str]:
             "v_c",
         ),
         "q_type_vote": L.duck_surface_type_vote_sql(gm),
+        "q_fact_decay": duck_fact_decay_sql(gt),
         "q_triple_support": duck_triple_support_sql(gt, pages),
         "q_entity_timeline": L.duck_entity_timeline_sql(
             P.golden_resolved_persons_sql(), P.BASE_EPOCH

@@ -218,6 +218,7 @@ def main() -> int:
         "q_span_reuse",
         # wave-13
         "q_cdx_index",
+        "q_fact_decay",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

@@ -2256,3 +2256,72 @@ select cast(2 as bigint), a || '|' || b, support from fi_l2
 union all
 select cast(3 as bigint), a || '|' || b || '|' || c, support from fi_tri
 """
+
+
+# ---------------------------------------------------------------------------
+# freshness-decayed fact support (KG maintenance: recency-weighted belief)
+# ---------------------------------------------------------------------------
+
+DECAY_HALF_LIFE = 64  # in doc_id (capture-clock) units; warc_ts = BASE + doc_id
+DECAY_MAX_SHIFT = 40  # weights live in Q40 fixed point: weight = 2^(40 - k)
+
+
+def fact_decay(
+    triples: DataFrame,
+    half_life: int = DECAY_HALF_LIFE,
+    max_shift: int = DECAY_MAX_SHIFT,
+) -> DataFrame:
+    """Exponentially time-decayed assertion support per (subj, pred, obj)
+    — the recency-weighted counterpart of plain triple support: a fact
+    asserted once yesterday outranks one asserted five half-lives ago,
+    the signal KG maintenance uses to retire stale beliefs (cf. the
+    sliding-window/decay sketches of Datar et al. 2002).
+
+    All-integer so the DuckDB oracle replays bit-for-bit: age is in
+    capture-clock units (doc_id; warc_ts = BASE_EPOCH + doc_id on this
+    corpus), each assertion weighs 2^(max_shift - min(age//half_life,
+    max_shift)) — exact halving per half-life, floored at weight 1, so
+    support_q40 is sum of powers of two in Q40 fixed point (support of
+    1.0 "fresh units" == 2^40). Plan: one 1-row max(doc_id) agg
+    broadcast back (the split_temporal pattern), then ONE map-side-
+    combined groupBy — no window, no self-join; weights are computed
+    per-row in codegen. Scale: group count = distinct facts; partial
+    aggs absorb Zipf-hot predicates the same way plain support does.
+
+    int32 traps (CLAUDE.md): the shift base is cast to bigint on BOTH
+    sides (DuckDB `1 << 39` overflows INT32; Spark ANSI likewise for
+    literal products)."""
+    mx = triples.agg(F.max("doc_id").alias("__mx"))
+    k = f"least((__mx - doc_id) div {half_life}, {max_shift})"
+    w = f"shiftleft(cast(1 as bigint), {max_shift} - {k})"
+    return (
+        triples.crossJoin(F.broadcast(mx))
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.count("*").cast("bigint").alias("n_assertions"),
+            F.max("doc_id").cast("bigint").alias("latest_doc"),
+            F.expr(f"cast(sum({w}) as bigint)").alias("support_q40"),
+        )
+    )
+
+
+def duck_fact_decay_sql(
+    triples_rel: str,
+    half_life: int = DECAY_HALF_LIFE,
+    max_shift: int = DECAY_MAX_SHIFT,
+) -> str:
+    """DuckDB twin of fact_decay over a (doc_id, subj, pred, obj)
+    relation. sum(bigint) is HUGEINT (cast); `//` is DuckDB's integer
+    div; the shifted 1 is cast to bigint before `<<`."""
+    k = f"least((mx - doc_id) // {half_life}, {max_shift})"
+    w = f"(cast(1 as bigint) << ({max_shift} - {k}))"
+    return f"""
+with t as ({triples_rel}),
+m as (select max(doc_id) as mx from t)
+select subj, pred, obj,
+       cast(count(*) as bigint) as n_assertions,
+       cast(max(doc_id) as bigint) as latest_doc,
+       cast(sum({w}) as bigint) as support_q40
+from t cross join m
+group by 1, 2, 3
+"""

@@ -167,3 +167,42 @@ def test_date_format_parity(spark):
         ).strftime(WARC.DATE_FMT_PY)
         assert r["d"] == py
         assert len(py) == WARC.DATE_LEN
+
+
+# ---------------------------------------------------------------------------
+# fact_decay
+# ---------------------------------------------------------------------------
+
+
+def test_fact_decay_hand_golden(spark):
+    """half_life=2, max_shift=4: ages 0..5 -> weights 16,16,8,8,4,4; the
+    floor kicks in at age >= 8 (weight 1, never 0)."""
+    from nerpii_spark.operators.extract import fact_decay
+
+    rows = [
+        # (doc_id, subj, pred, obj): fact A asserted at ages 0, 3, 5
+        (10, "a", "p", "x"),  # age 0  -> 16
+        (7, "a", "p", "x"),  # age 3  -> 8
+        (5, "a", "p", "x"),  # age 5  -> 4
+        # fact B: one stale assertion past the floor (age 10 -> shift
+        # capped at max_shift=4 -> weight 1)
+        (0, "b", "p", "y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, subj string, pred string, obj string")
+    got = {
+        (r["subj"], r["obj"]): (r["n_assertions"], r["latest_doc"], r["support_q40"])
+        for r in fact_decay(df, half_life=2, max_shift=4).collect()
+    }
+    assert got == {("a", "x"): (3, 10, 28), ("b", "y"): (1, 0, 1)}
+
+
+def test_fact_decay_fresh_unit(spark):
+    """A single assertion at the corpus max is exactly one fresh unit
+    (2^max_shift) regardless of half_life."""
+    from nerpii_spark.operators.extract import fact_decay
+
+    df = spark.createDataFrame(
+        [(99, "s", "p", "o")], "doc_id bigint, subj string, pred string, obj string"
+    )
+    [r] = fact_decay(df, half_life=7, max_shift=40).collect()
+    assert r["support_q40"] == 1 << 40
