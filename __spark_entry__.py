@@ -2680,11 +2680,24 @@ def q_fact_decay(spark, sf):
     return fact_decay(_pipeline(spark, sf)["triples"])
 
 
+def q_minimizers(spark, sf):
+    """Winnowing minimizer overlap pairs (dedup.minimizer_overlap_pairs,
+    Schleimer et al. 2003 / MOSS): ~2/(w+1) of gram positions sampled
+    yet any shared run of >= w+2 grams GUARANTEES a shared fingerprint
+    — the local-overlap detector next to minhash (global estimate) and
+    span dedup (dense exact). Selection is row-local array math (each
+    HOF stage materialized as its own projection per the no-CSE rule);
+    first exchange is the fingerprint groupBy; df-cap 2..64 kills
+    boilerplate keys before the self-join. Bit-exact DuckDB replay."""
+    return D.minimizer_overlap_pairs(_dup_docs(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r3 wave-13 (newest, no driver row yet):
         "q_cdx_index": q_cdx_index,
         "q_fact_decay": q_fact_decay,
+        "q_minimizers": q_minimizers,
         # r3 wave-12 (no driver row yet):
         "q_host_lang_mix": q_host_lang_mix,
         "q_crawl_budget": q_crawl_budget,
@@ -2952,6 +2965,9 @@ def _extras_oracles() -> dict[str, str]:
             P.crawl_sql("duck"), split_ts=P.BASE_EPOCH + 216000
         ),
         "q_cdx_index": WARC.duck_cdx_sql(P.pages_sql("duck")),
+        "q_minimizers": D.duck_minimizer_pairs_sql(
+            D.dup_docs_sql("duck")
+        ),
         "q_dedup_lines": D.duck_line_dedup_sql(P.pages_sql("duck")),
         "q_dedup_exact": (
             f"select md5(text) as content_hash, count(*) as n_copies,"

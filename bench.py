@@ -219,6 +219,7 @@ def main() -> int:
         # wave-13
         "q_cdx_index",
         "q_fact_decay",
+        "q_minimizers",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

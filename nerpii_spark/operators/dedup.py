@@ -1935,3 +1935,144 @@ def incremental_dup_pairs(
         )
         .select("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing minimizer fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+# the MOSS local fingerprinting scheme; also the minimizer of minimap2/
+# sourmash). Distinct from minhash (global per-doc sketch: similarity
+# ESTIMATE) and span_dedup (every window hashed: exact but dense):
+# winnowing SAMPLES ~2/(w+1) of positions yet GUARANTEES any shared run
+# of >= w+2 grams yields a shared fingerprint — the local-overlap
+# detector plagiarism/clone pipelines want.
+# ---------------------------------------------------------------------------
+
+MINIMIZER_W = 8  # window width in 3-gram positions
+MINIMIZER_DF_CAP = 64  # fingerprints in more docs are boilerplate — drop
+MINIMIZER_MIN_SHARED = 2  # pairs must share >= 2 selected fingerprints
+
+_GRAM_MUL_A = 961  # 31^2 — gram hash = (h(w1)*31^2 + h(w2)*31 + h(w3)) % M
+
+
+def _minimizer_exprs(dialect: str, w: int) -> tuple[str, str, str]:
+    """(word-hash array, gram-hash array, minimizer array) expressions.
+    Gram positions clamp at the tail exactly like shingles_sql, so a
+    2-word doc still yields one (degenerate) gram on both engines."""
+    from ..functions.hashing import M
+
+    if dialect == "spark":
+        wh = f"transform(__ws, x -> {sql_strhash('x')})"
+        gh = (
+            "transform(sequence(1, greatest(size(__wh) - 2, 1)),"
+            f" i -> (element_at(__wh, i) * {_GRAM_MUL_A}"
+            " + element_at(__wh, least(i + 1, size(__wh))) * 31"
+            " + element_at(__wh, least(i + 2, size(__wh))))"
+            f" % {M})"
+        )
+        mins = (
+            f"array_distinct(transform("
+            f" sequence(1, greatest(size(__gh) - {w} + 1, 1)),"
+            f" i -> array_min(slice(__gh, i, {w}))))"
+        )
+        return wh, gh, mins
+    wh = f"list_transform(__ws, x -> {sql_strhash('x')})"
+    gh = (
+        "list_transform(range(1, greatest(len(__wh) - 2, 1) + 1),"
+        f" i -> (__wh[i] * {_GRAM_MUL_A}"
+        " + __wh[least(i + 1, len(__wh))] * 31"
+        " + __wh[least(i + 2, len(__wh))])"
+        f" % {M})"
+    )
+    mins = (
+        f"list_distinct(list_transform("
+        f" range(1, greatest(len(__gh) - {w} + 1, 1) + 1),"
+        f" i -> list_aggregate(list_slice(__gh, i, i + {w} - 1), 'min')))"
+    )
+    return wh, gh, mins
+
+
+def minimizer_fingerprints(
+    docs: DataFrame,
+    w: int = MINIMIZER_W,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, fp) — the distinct winnowed fingerprint set per doc.
+    Each array stage is materialized as its OWN projection before the
+    next lambda consumes it (the no-CSE HOF rule: an expression inside
+    a lambda body re-evaluates per element; a column reference does
+    not). Sliding-window minima via slice+array_min are O(n*w) per doc
+    with w=8 — cheaper than an explode+window shuffle and entirely
+    row-local, so the first exchange in the whole plan is the
+    fingerprint groupBy."""
+    wh, gh, mins = _minimizer_exprs("spark", w)
+    return (
+        docs.withColumn("__ws", F.expr(f"split(lower({text_col}), ' ')"))
+        .withColumn("__wh", F.expr(wh))
+        .withColumn("__gh", F.expr(gh))
+        .select(F.col(id_col), F.explode(F.expr(mins)).alias("fp"))
+    )
+
+
+def minimizer_overlap_pairs(
+    docs: DataFrame,
+    w: int = MINIMIZER_W,
+    df_cap: int = MINIMIZER_DF_CAP,
+    min_shared: int = MINIMIZER_MIN_SHARED,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared) for pairs sharing >= min_shared winnowed
+    fingerprints. Same scale discipline as the other pair builders: a
+    df-cap (2..df_cap docs per fingerprint) kills boilerplate keys
+    BEFORE the self-join, bounding per-key fan-out at C(df_cap, 2);
+    the join ships 8-byte (fp, doc) rows only."""
+    fps = minimizer_fingerprints(docs, w, text_col, id_col)
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .where((F.col("__df") >= 2) & (F.col("__df") <= df_cap))
+        .select("fp")
+    )
+    ff = fps.join(keep, "fp")
+    a = ff.select(F.col("fp"), F.col(id_col).alias("doc_a"))
+    b = ff.select(F.col("fp"), F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def duck_minimizer_pairs_sql(
+    doc_rel_sql: str,
+    w: int = MINIMIZER_W,
+    df_cap: int = MINIMIZER_DF_CAP,
+    min_shared: int = MINIMIZER_MIN_SHARED,
+) -> str:
+    """DuckDB twin of minimizer_overlap_pairs (identical hash chain,
+    window minima, df-cap and pairing, so the match is bit-exact)."""
+    wh, gh, mins = _minimizer_exprs("duck", w)
+    return f"""
+with t as (
+  select doc_id, string_split(lower(text), ' ') as __ws
+  from ({doc_rel_sql})
+),
+h as (select doc_id, {wh} as __wh from t),
+g as (select doc_id, {gh} as __gh from h),
+f as (
+  select doc_id, unnest({mins}) as fp from g
+),
+keep as (
+  select fp from f group by fp
+  having count(distinct doc_id) between 2 and {df_cap}
+),
+ff as (select f.doc_id, f.fp from f join keep using (fp))
+select a.doc_id as doc_a, b.doc_id as doc_b,
+       cast(count(*) as bigint) as n_shared
+from ff a join ff b on a.fp = b.fp and a.doc_id < b.doc_id
+group by 1, 2
+having cast(count(*) as bigint) >= {min_shared}
+"""

@@ -206,3 +206,89 @@ def test_fact_decay_fresh_unit(spark):
     )
     [r] = fact_decay(df, half_life=7, max_shift=40).collect()
     assert r["support_q40"] == 1 << 40
+
+
+# ---------------------------------------------------------------------------
+# winnowing minimizers
+# ---------------------------------------------------------------------------
+
+
+def _py_minimizers(text: str, w: int) -> set[int]:
+    """Independent pure-Python winnowing mirror (strhash chain)."""
+    from nerpii_spark.functions.hashing import M, strhash
+    from nerpii_spark.operators.dedup import _GRAM_MUL_A
+
+    ws = text.lower().split(" ")
+    wh = [strhash(x) for x in ws]
+    n = len(wh)
+    ng = max(n - 2, 1)
+    gh = [
+        (
+            wh[i] * _GRAM_MUL_A
+            + wh[min(i + 1, n - 1)] * 31
+            + wh[min(i + 2, n - 1)]
+        )
+        % M
+        for i in range(ng)
+    ]
+    wins = max(ng - w + 1, 1)
+    return {min(gh[i : i + w]) for i in range(wins)}
+
+
+def test_minimizer_fingerprints_match_python_mirror(spark):
+    from nerpii_spark.operators.dedup import (
+        MINIMIZER_W,
+        minimizer_fingerprints,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "a b",  # degenerate: fewer words than a gram
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got: dict[int, set[int]] = {}
+    for r in minimizer_fingerprints(df).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, t in enumerate(texts):
+        assert got[i] == _py_minimizers(t, MINIMIZER_W), i
+
+
+def test_winnowing_guarantee_shared_run(spark):
+    """Any shared token run of >= w+2 grams forces a shared fingerprint
+    (the Schleimer guarantee); disjoint docs share nothing."""
+    from nerpii_spark.operators.dedup import (
+        MINIMIZER_W,
+        minimizer_overlap_pairs,
+    )
+
+    shared = " ".join(f"tok{i}" for i in range(MINIMIZER_W + 2 + 2))
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta"),
+        (2, shared + " omega psi chi phi upsilon"),
+        (3, " ".join(f"other{i}" for i in range(30))),
+        (4, " ".join(f"more{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minimizer_overlap_pairs(df, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_minimizer_sampling_density():
+    """Winnowing selects ~2/(w+1) of gram positions — the compression
+    that makes it cheaper than dense span hashing (bounds, not exact:
+    distinct-min collapses can only reduce the count)."""
+    from nerpii_spark.operators.dedup import MINIMIZER_W
+
+    text = " ".join(f"w{(i * 7919) % 523}" for i in range(400))
+    fps = _py_minimizers(text, MINIMIZER_W)
+    n_grams = 400 - 2
+    assert len(fps) <= n_grams * 3 // (MINIMIZER_W + 1)
+    assert len(fps) >= n_grams // (MINIMIZER_W * 3)
