@@ -2692,12 +2692,24 @@ def q_minimizers(spark, sf):
     return D.minimizer_overlap_pairs(_dup_docs(spark, sf))
 
 
+def q_lang_sim_matrix(spark, sf):
+    """Cross-language corpus resemblance matrix (sketch.
+    lang_minhash_matrix, Broder 1997): per lang a 16-wide MinHash
+    signature of the union of its docs' shingle sets (one map-side-
+    combined groupBy, <=|langs| x 16 mins — the token stream is never
+    shuffled by token), then |langs|^2 signature-agreement pairs. The
+    mixture-design / cross-lingual-contamination diagnostic; bit-exact
+    DuckDB replay, merge property pinned in pytest."""
+    return SK.lang_minhash_matrix(_load(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r3 wave-13 (newest, no driver row yet):
         "q_cdx_index": q_cdx_index,
         "q_fact_decay": q_fact_decay,
         "q_minimizers": q_minimizers,
+        "q_lang_sim_matrix": q_lang_sim_matrix,
         # r3 wave-12 (no driver row yet):
         "q_host_lang_mix": q_host_lang_mix,
         "q_crawl_budget": q_crawl_budget,
@@ -2967,6 +2979,9 @@ def _extras_oracles() -> dict[str, str]:
         "q_cdx_index": WARC.duck_cdx_sql(P.pages_sql("duck")),
         "q_minimizers": D.duck_minimizer_pairs_sql(
             D.dup_docs_sql("duck")
+        ),
+        "q_lang_sim_matrix": SK.duck_lang_minhash_matrix_sql(
+            "select lang, text from documents"
         ),
         "q_dedup_lines": D.duck_line_dedup_sql(P.pages_sql("duck")),
         "q_dedup_exact": (

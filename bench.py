@@ -220,6 +220,7 @@ def main() -> int:
         "q_cdx_index",
         "q_fact_decay",
         "q_minimizers",
+        "q_lang_sim_matrix",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

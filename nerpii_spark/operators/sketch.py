@@ -482,3 +482,91 @@ select p, bucket,
        cum_n, n
 from hit
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus MinHash similarity matrix (Broder 1997 resemblance
+# sketches, aggregated per language slice)
+# ---------------------------------------------------------------------------
+
+MINHASH_SIG_K = 16  # signature width; est. Jaccard = agree / K
+
+
+def lang_minhash_matrix(
+    docs: DataFrame, k: int = MINHASH_SIG_K
+) -> DataFrame:
+    """Pairwise shingle-set resemblance between language slices of the
+    corpus: per lang a k-wide MinHash signature of the UNION of its
+    docs' 3-gram shingle sets (min is duplicate-blind, so per-doc
+    distinct explode feeds it directly), then every lang pair scored by
+    signature agreement — the corpus-similarity matrix that informs
+    mixture design and cross-lingual contamination checks.
+
+    Scale: the explode feeds ONE map-side-combined groupBy with
+    <=|langs| groups x k mins — the token stream is never shuffled by
+    token (the HLL/CMS discipline); the pair join is |langs|^2 rows.
+    The shingle hash is the frozen strhash polynomial (codegen, no
+    HOF): its first-12-chars+length domain adds a small collision bias
+    identically on both engines (and in the DuckDB replay), which is
+    the usual sketch-accuracy-for-cost trade documented at
+    hashing.strhash; estimator error is dominated by k anyway
+    (sd ~ 1/sqrt(k))."""
+    from ..functions.hashing import sql_h2, sql_strhash
+    from .dedup import with_shingles
+
+    sh = (
+        with_shingles(docs)
+        .select("lang", F.explode("shingles").alias("s"))
+        .withColumn("h", F.expr(sql_strhash("s")))
+    )
+    sig = sh.groupBy("lang").agg(
+        *[
+            F.expr(f"min({sql_h2('h', j + 1)})").alias(f"m{j}")
+            for j in range(k)
+        ]
+    )
+    a = sig.select(F.col("lang").alias("lang_a"), *[F.col(f"m{j}").alias(f"a{j}") for j in range(k)])
+    b = sig.select(F.col("lang").alias("lang_b"), *[F.col(f"m{j}").alias(f"b{j}") for j in range(k)])
+    agree = " + ".join(
+        f"(case when a{j} = b{j} then 1 else 0 end)" for j in range(k)
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .select(
+            "lang_a",
+            "lang_b",
+            F.expr(f"cast({agree} as bigint)").alias("n_agree"),
+            F.expr(f"cast(({agree}) * 1000000 div {k} as bigint)").alias(
+                "jaccard_est_ppm"
+            ),
+        )
+    )
+
+
+def duck_lang_minhash_matrix_sql(
+    doc_rel_sql: str, k: int = MINHASH_SIG_K
+) -> str:
+    """DuckDB twin of lang_minhash_matrix (identical shingles, hash
+    chain, mins and agreement arithmetic)."""
+    from ..functions.hashing import sql_h2, sql_strhash
+    from .dedup import shingles_sql
+
+    mins = ", ".join(
+        f"min({sql_h2('h', j + 1)}) as m{j}" for j in range(k)
+    )
+    agree = " + ".join(
+        f"(case when a.m{j} = b.m{j} then 1 else 0 end)" for j in range(k)
+    )
+    return f"""
+with d as (select lang, text from ({doc_rel_sql})),
+sh as (
+  select lang, unnest({shingles_sql('duck', 'text')}) as s from d
+),
+hh as (select lang, {sql_strhash('s')} as h from sh),
+sig as (select lang, {mins} from hh group by lang)
+select a.lang as lang_a, b.lang as lang_b,
+       cast({agree} as bigint) as n_agree,
+       cast(({agree}) * 1000000 // {k} as bigint) as jaccard_est_ppm
+from sig a join sig b on a.lang < b.lang
+"""

@@ -292,3 +292,51 @@ def test_minimizer_sampling_density():
     n_grams = 400 - 2
     assert len(fps) <= n_grams * 3 // (MINIMIZER_W + 1)
     assert len(fps) >= n_grams // (MINIMIZER_W * 3)
+
+
+# ---------------------------------------------------------------------------
+# lang MinHash similarity matrix
+# ---------------------------------------------------------------------------
+
+
+def test_lang_minhash_identical_and_disjoint(spark):
+    """Two langs with IDENTICAL shingle sets agree on all k mins
+    (jaccard_est_ppm = 1e6); a lang with disjoint content agrees on
+    none (token surfaces chosen with distinct 12-char prefixes so the
+    frozen strhash cannot alias them)."""
+    from nerpii_spark.operators.sketch import lang_minhash_matrix
+
+    same = " ".join(f"alphatok{i:04d} " * 1 for i in range(20)).strip()
+    other = " ".join(f"zuluword{i:04d}" for i in range(20))
+    rows = [
+        (1, "aa", same),
+        (2, "bb", same),
+        (3, "cc", other),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    got = {
+        (r["lang_a"], r["lang_b"]): (r["n_agree"], r["jaccard_est_ppm"])
+        for r in lang_minhash_matrix(df).collect()
+    }
+    assert got[("aa", "bb")] == (16, 1000000)
+    assert got[("aa", "cc")][0] == 0
+    assert got[("bb", "cc")][0] == 0
+
+
+def test_lang_minhash_merge_property(spark):
+    """Signatures are mergeable: sketching a lang's docs in one slice
+    equals elementwise-min of sketches of any doc partition — asserted
+    via pair agreement invariance when a lang's docs are split across
+    duplicate rows (min is duplicate- and partition-blind)."""
+    from nerpii_spark.operators.sketch import lang_minhash_matrix
+
+    base = [(i, "xx" if i % 2 else "yy", f"w{i} w{i+1} w{i+2} w{i+3} common tail here")
+            for i in range(10)]
+    df1 = spark.createDataFrame(base, "doc_id bigint, lang string, text string")
+    # same content, each doc duplicated (union of two identical slices)
+    df2 = df1.union(df1)
+    m1 = {(r["lang_a"], r["lang_b"]): r["n_agree"]
+          for r in lang_minhash_matrix(df1).collect()}
+    m2 = {(r["lang_a"], r["lang_b"]): r["n_agree"]
+          for r in lang_minhash_matrix(df2).collect()}
+    assert m1 == m2
