@@ -836,3 +836,174 @@ def test_windowed_hll_registers_stream_equals_batch_and_estimates(
     for k, n in truth.items():
         # 64 registers -> ~13% std error; allow 3 sigma + small-n slack
         assert abs(est[k] - n) <= max(0.4 * n, 8), (k, est[k], n)
+
+
+def test_rate_limit_stream_matches_batch_fold(spark, tmp_path):
+    """Token-bucket admission under ARBITRARY batch splits: with the
+    watermark ratchet + late drops replayed in Python, the streaming
+    decisions must EQUAL the pure batch fold over kept events with
+    ts < final watermark — order-sensitivity is exactly why decisions
+    wait for the seal (the sessionize lesson)."""
+    import glob
+    import os
+    import random
+    import shutil
+    from datetime import datetime, timezone
+
+    from nerpii_spark.streaming.ratelimit import (
+        rate_limit_batch,
+        rate_limit_stream,
+    )
+
+    cap, tps = 2, 1
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        rows = [
+            (
+                f"h{rng.randrange(3)}",
+                rng.randrange(0, 40) * 1000,  # ms, second granularity
+                i,
+            )
+            for i in range(30)
+        ]
+        src = str(tmp_path / f"rl{seed}")
+        os.makedirs(src + "/in", exist_ok=True)
+        batches = [[], [], []]
+        for r in rows:
+            batches[rng.randrange(3)].append(r)
+        for i, b in enumerate(b for b in batches if b):
+            d = src + f"/tmp{i}"
+            spark.createDataFrame(
+                [
+                    (h, datetime.fromtimestamp(t // 1000, tz=timezone.utc), x)
+                    for h, t, x in b
+                ],
+                "host string, ts timestamp, doc_id bigint",
+            ).coalesce(1).write.parquet(d)
+            part = glob.glob(d + "/part-*.parquet")[0]
+            shutil.copy(part, src + f"/in/batch{i}.parquet")
+        stream = (
+            spark.readStream.schema("host string, ts timestamp, doc_id bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/in")
+        )
+        q = (
+            rate_limit_stream(stream, capacity=cap, rate_tps=tps,
+                              watermark_delay="0 seconds")
+            .writeStream.format("memory")
+            .queryName(f"rl_out{seed}")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (
+                    r["host"],
+                    int(r["ts"].timestamp() * 1000),
+                    r["doc_id"],
+                    r["admitted"],
+                    r["tokens_milli_after"],
+                )
+                for r in spark.sql(f"select * from rl_out{seed}").collect()
+            }
+        finally:
+            q.stop()
+        # replay the ratchet: wm entering batch N = max ts of batches
+        # 1..N-1 (delay 0); arrivals NOT strictly past it drop (the
+        # operator's strict gate — see ratelimit.py on Spark's own
+        # strict lagged filter)
+        wm = 0
+        kept = []
+        for b in (b for b in batches if b):
+            for h, t, x in b:
+                if t > wm:
+                    kept.append((h, t, x))
+            wm = max(wm, max(t for _, t, _ in b))
+        final_wm = wm
+        sealed = [(h, t, x) for h, t, x in kept if t < final_wm]
+        expected = rate_limit_batch(sealed, cap, tps)
+        assert got == expected, (seed, got ^ expected)
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_rate_limit_bucket_fold_semantics():
+    """Hand golden: capacity 2, 1 token/s. Burst of 3 at t=0 admits 2,
+    defers 1; after 1.5s one token has refilled (exact integer micro-
+    token arithmetic: 500 milli remain after spending it)."""
+    from nerpii_spark.streaming.ratelimit import bucket_fold
+
+    evs = [(0, 1), (0, 2), (0, 3), (1500, 4)]
+    out, tokens_u, clock = bucket_fold(evs, capacity=2, rate_tps=1)
+    assert [(i, a) for _, i, a, _ in out] == [
+        (1, True), (2, True), (3, False), (4, True)]
+    assert out[2][3] == 0  # drained
+    assert out[3][3] == 500  # 1500ms refill - 1 token spent = 0.5 left
+    assert clock == 1500 and tokens_u == 500_000
+
+
+def test_rate_limit_idle_host_state_evicted(spark, tmp_path):
+    """A host whose bucket refills to capacity while idle is forgotten
+    (state bounded by the active working set); decisions afterwards are
+    identical to a fresh bucket — asserted through the batch-fold
+    equality on a stream with a long idle gap."""
+    import glob
+    import os
+    import shutil
+    from datetime import datetime, timezone
+
+    from nerpii_spark.streaming.ratelimit import (
+        rate_limit_batch,
+        rate_limit_stream,
+    )
+
+    rows = [
+        ("h", 0, 1), ("h", 1000, 2), ("h", 2000, 3),   # burn the bucket
+        ("h", 600_000, 4), ("h", 600_000, 5),           # long-idle return
+        ("z", 650_000, 6),                               # wm pusher
+    ]
+    src = str(tmp_path / "rl_idle")
+    os.makedirs(src + "/in", exist_ok=True)
+    batches = [rows[:3], rows[3:]]
+    for i, b in enumerate(batches):
+        d = src + f"/tmp{i}"
+        spark.createDataFrame(
+            [
+                (h, datetime.fromtimestamp(t // 1000, tz=timezone.utc), x)
+                for h, t, x in b
+            ],
+            "host string, ts timestamp, doc_id bigint",
+        ).coalesce(1).write.parquet(d)
+        part = glob.glob(d + "/part-*.parquet")[0]
+        shutil.copy(part, src + f"/in/batch{i}.parquet")
+    stream = (
+        spark.readStream.schema("host string, ts timestamp, doc_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/in")
+    )
+    q = (
+        rate_limit_stream(stream, capacity=2, rate_tps=1,
+                          watermark_delay="0 seconds")
+        .writeStream.format("memory")
+        .queryName("rl_idle_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["host"], int(r["ts"].timestamp() * 1000), r["doc_id"],
+             r["admitted"], r["tokens_milli_after"])
+            for r in spark.sql("select * from rl_idle_out").collect()
+        }
+    finally:
+        q.stop()
+    final_wm = 650_000
+    # ts=0 arrives at wm=0: dropped by the strict gate (and by Spark's
+    # own strict filter — the measured epoch-0 corner)
+    sealed = [(h, t, x) for h, t, x in rows if 0 < t < final_wm]
+    assert got == rate_limit_batch(sealed, 2, 1)
+    # the long-idle return finds a FULL bucket again
+    by_id = {i: (a, m) for _, _, i, a, m in got}
+    assert by_id[4] == (True, 1000) and by_id[5] == (True, 0)
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
