@@ -46,6 +46,15 @@ the full kept-event multiset even though only extents survive in state.
 Batch equivalence (sandwich against native session_window with the
 watermark late-drop replayed) and the out-of-order / quiescent repros
 are pinned in tests/test_streaming.py.
+
+Upstream filter caveat (measured via the ratelimit.py probes): Spark's
+own late-record filter for event-time-timeout stateful ops is STRICT
+(ts > wm) against a one-batch-LAGGED watermark, so this operator's
+`ts >= wm` keep-gate only ever sees a tie (ts == entering wm) when the
+watermark advanced in the previous batch; a tie with a STATIONARY
+watermark is dropped before the operator runs. The randomized gate
+replays that composite rule (kept iff ts >= wm_entering AND
+ts > wm_lagged) — verified exact over a tie-heavy 24-seed sweep.
 """
 
 from __future__ import annotations

@@ -695,15 +695,21 @@ def test_stateful_sessionize_random_streams_match_native(spark, tmp_path):
             }
         finally:
             q.stop()
-        # replay the watermark ratchet + late drops exactly: wm entering
-        # batch N = max event ts of batches 1..N-1 (delay 0); an event
-        # below the entering wm is dropped
-        wm = 0.0
+        # replay the watermark ratchet + late drops exactly: the
+        # operator keeps ts >= the ENTERING wm (batch N's entering wm =
+        # max event ts of batches 1..N-1, delay 0) — but Spark's own
+        # late-record filter for event-time-timeout stateful ops runs
+        # FIRST, strictly (ts > wm) against a one-batch-LAGGED wm
+        # (measured in the ratelimit probes), so a tie with a
+        # STATIONARY watermark is dropped upstream before the operator
+        # can keep it: kept iff ts >= wm_entering AND ts > wm_lagged
+        wm, wm_lag = 0.0, 0.0
         kept = []
         for b in (b for b in batches if b):
             for u, t in b:
-                if t.timestamp() >= wm:
+                if t.timestamp() >= wm and t.timestamp() > wm_lag:
                     kept.append((u, t))
+            wm_lag = wm
             wm = max(wm, max(t.timestamp() for _, t in b))
         final_wm = wm
         kept_df = spark.createDataFrame(
