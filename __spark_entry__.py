@@ -2353,6 +2353,72 @@ def q_tpch_volume(spark, sf):
     )
 
 
+def q_tpch_late(spark, sf):
+    """TPC-H Q4 shape (order-priority checking): per o_orderpriority,
+    the count of orders with AT LEAST ONE late lineitem (shipped > 60
+    days after the order date) inside a one-year order window. The
+    plan the shape exists to test: the EXISTS subquery becomes a LEFT
+    SEMI join — lineitem is never aggregated or widened, duplicate
+    late lines collapse in the join itself (no distinct), and the
+    date-window filter prunes orders BEFORE the join; the 5-row
+    priority rollup map-side combines. The late predicate compares two
+    timestamp columns via date arithmetic only — tz-pin-free."""
+    o = _load(spark, sf, "orders").where(
+        F.expr(
+            "o_orderdate >= timestamp'1997-01-01 00:00:00'"
+            " and o_orderdate < timestamp'1998-01-01 00:00:00'"
+        )
+    )
+    li = _load(spark, sf, "lineitem")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & F.expr(
+            "cast(l_shipdate as date) > cast(o_orderdate as date)"
+            " + interval 60 days"
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_late_orders")
+    )
+
+
+def q_tpch_promo(spark, sf):
+    """TPC-H Q14 shape (promotion revenue share): the conditional
+    aggregate over one join — promo revenue / total revenue for
+    lineitems in a ship-date month, part type from the (small) part
+    dim. part broadcasts; the FILTER-clause conditional sum and the
+    total compute in ONE map-side-combined pass (no second scan, no
+    self-join); share in exact ppm over bigint cents."""
+    li = _load(spark, sf, "lineitem").where(
+        F.expr(
+            "l_shipdate >= timestamp'1998-03-01 00:00:00'"
+            " and l_shipdate < timestamp'1998-04-01 00:00:00'"
+        )
+    )
+    p = _load(spark, sf, "part").select("p_partkey", "p_type")
+    rev = "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.expr(
+                f"cast(sum({rev}) filter (where p_type = 'PROMO')"
+                " as bigint)"
+            ).alias("promo_revenue_c"),
+            F.expr(f"cast(sum({rev}) as bigint)").alias("total_revenue_c"),
+        )
+        .select(
+            "promo_revenue_c",
+            "total_revenue_c",
+            F.expr(
+                "cast(coalesce(promo_revenue_c, 0) * 1000000"
+                " div total_revenue_c as bigint)"
+            ).alias("promo_share_ppm"),
+        )
+    )
+
+
 def q_events_anomaly(spark, sf):
     """Per-user k-sigma spike detection over the event log
     (events.anomaly_events): the test multiplies through by n^2 so
@@ -2710,6 +2776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fact_decay": q_fact_decay,
         "q_minimizers": q_minimizers,
         "q_lang_sim_matrix": q_lang_sim_matrix,
+        "q_tpch_late": q_tpch_late,
+        "q_tpch_promo": q_tpch_promo,
         # r3 wave-12 (no driver row yet):
         "q_host_lang_mix": q_host_lang_mix,
         "q_crawl_budget": q_crawl_budget,
@@ -3738,6 +3806,38 @@ def oracle_sql() -> dict[str, str]:
             group by 1
             order by revenue_c desc, l_orderkey asc
             limit 10
+        """,
+        "q_tpch_late": """
+            select o_orderpriority,
+                   cast(count(*) as bigint) as n_late_orders
+            from orders
+            where o_orderdate >= timestamp '1997-01-01 00:00:00'
+              and o_orderdate < timestamp '1998-01-01 00:00:00'
+              and exists (
+                select 1 from lineitem
+                where l_orderkey = o_orderkey
+                  and cast(l_shipdate as date)
+                      > cast(o_orderdate as date) + interval 60 day
+              )
+            group by 1
+        """,
+        "q_tpch_promo": """
+            with j as (
+              select cast(round(l_extendedprice * (1 - l_discount) * 100)
+                          as bigint) as rev_c,
+                     p_type
+              from lineitem join part on l_partkey = p_partkey
+              where l_shipdate >= timestamp '1998-03-01 00:00:00'
+                and l_shipdate < timestamp '1998-04-01 00:00:00'
+            )
+            select cast(sum(rev_c) filter (where p_type = 'PROMO')
+                        as bigint) as promo_revenue_c,
+                   cast(sum(rev_c) as bigint) as total_revenue_c,
+                   cast(coalesce(sum(rev_c) filter (where p_type = 'PROMO'),
+                                 0) * 1000000
+                        // cast(sum(rev_c) as bigint) as bigint)
+                     as promo_share_ppm
+            from j
         """,
         "q_tpch_bigorders": """
             select c_name, o_orderkey,

@@ -221,6 +221,8 @@ def main() -> int:
         "q_fact_decay",
         "q_minimizers",
         "q_lang_sim_matrix",
+        "q_tpch_late",
+        "q_tpch_promo",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [
