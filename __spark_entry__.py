@@ -2769,6 +2769,18 @@ def q_lang_sim_matrix(spark, sf):
     return SK.lang_minhash_matrix(_load(spark, sf, "documents"))
 
 
+def q_agg_incremental(spark, sf):
+    """Incremental rollup maintenance (sketch.pred_agg_incremental):
+    per-predicate count + latest capture + HLL distinct-subject
+    estimate, refreshed by folding the delta batch into PERSISTED old-
+    window state (counts add, maxes max, registers elementwise-max via
+    a full-outer register join) — never rescanning the old window. The
+    oracle is the from-scratch single pass, so the hash match certifies
+    the commutative-monoid merge itself. State is metadata-sized
+    (<=|preds| x 64 registers) at any corpus scale."""
+    return SK.pred_agg_incremental(_pipeline(spark, sf)["triples"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r3 wave-13 (newest, no driver row yet):
@@ -2778,6 +2790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_sim_matrix": q_lang_sim_matrix,
         "q_tpch_late": q_tpch_late,
         "q_tpch_promo": q_tpch_promo,
+        "q_agg_incremental": q_agg_incremental,
         # r3 wave-12 (no driver row yet):
         "q_host_lang_mix": q_host_lang_mix,
         "q_crawl_budget": q_crawl_budget,
@@ -3377,6 +3390,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_type_vote": L.duck_surface_type_vote_sql(gm),
         "q_fact_decay": duck_fact_decay_sql(gt),
+        "q_agg_incremental": SK.duck_pred_agg_sql(gt),
         "q_triple_support": duck_triple_support_sql(gt, pages),
         "q_entity_timeline": L.duck_entity_timeline_sql(
             P.golden_resolved_persons_sql(), P.BASE_EPOCH

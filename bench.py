@@ -223,6 +223,7 @@ def main() -> int:
         "q_lang_sim_matrix",
         "q_tpch_late",
         "q_tpch_promo",
+        "q_agg_incremental",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

@@ -570,3 +570,134 @@ select a.lang as lang_a, b.lang as lang_b,
        cast(({agree}) * 1000000 // {k} as bigint) as jaccard_est_ppm
 from sig a join sig b on a.lang < b.lang
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance (mergeable rollup: persisted state +
+# delta fold == full recompute, the lakehouse MERGE-refresh contract)
+# ---------------------------------------------------------------------------
+
+
+def _subj_regs(triples: DataFrame) -> DataFrame:
+    """(pred, j, rho) HLL register table for distinct SUBJECTS per
+    predicate — the same hash chain as hll_distinct_sql so a single-pass
+    oracle replays it."""
+    from ..functions.hashing import sql_h2, sql_strhash
+
+    w = sql_h2(sql_strhash("subj"), 5)
+    u = sql_h2("w", 7)
+    return (
+        triples.select("pred", F.expr(w).alias("w"))
+        .select(
+            "pred",
+            F.expr(f"w % {M_REGS}").alias("j"),
+            F.expr(_rho_sql(sql_h2("w", 7))).alias("rho"),
+        )
+        .groupBy("pred", "j")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def _pred_stats(triples: DataFrame) -> DataFrame:
+    return triples.groupBy("pred").agg(
+        F.count("*").cast("bigint").alias("n_triples"),
+        F.max("doc_id").cast("bigint").alias("latest_doc"),
+    )
+
+
+def pred_agg_incremental(triples: DataFrame, split_mod: int = 4) -> DataFrame:
+    """Incremental refresh of a per-predicate rollup (count, latest
+    capture, HLL distinct-subject estimate) — the aggregate analog of
+    the incremental linker/pagerank/dedup family: the OLD window's
+    state (doc_id % split_mod != 0, the same split those use) is
+    computed once and persisted (localCheckpoint), then the delta batch
+    folds in WITHOUT rescanning the old window: counts ADD, latest MAX,
+    HLL registers take the elementwise MAX (a full-outer register
+    join). Because every component is a commutative monoid, the fold
+    provably equals the from-scratch aggregate — and the DuckDB oracle
+    IS the from-scratch single pass, so the driver hash-match certifies
+    mergeability itself, not just plumbing.
+
+    Scale: state is <=|preds| x 64 register rows + |preds| stat rows —
+    metadata-sized however large the fact table; the delta pass is the
+    only corpus-scan. This is how a 100 TB rollup stays fresh per crawl
+    without nightly full recomputes."""
+    old = triples.where(F.col("doc_id") % split_mod != 0)
+    delta = triples.where(F.col("doc_id") % split_mod == 0)
+    regs_old = _subj_regs(old).localCheckpoint(eager=False)
+    stats_old = _pred_stats(old).localCheckpoint(eager=False)
+    regs_new = _subj_regs(delta)
+    stats_new = _pred_stats(delta)
+
+    ro = regs_old.select("pred", "j", F.col("rho").alias("rho_o"))
+    rn = regs_new.select("pred", "j", F.col("rho").alias("rho_n"))
+    merged = (
+        ro.join(rn, ["pred", "j"], "full_outer")
+        .select(
+            "pred",
+            "j",
+            F.expr(
+                "greatest(coalesce(rho_o, 0), coalesce(rho_n, 0))"
+            ).alias("rho"),
+        )
+    )
+    s = merged.groupBy("pred").agg(
+        F.expr(
+            f"cast(sum({_pow2_sql('spark', f'{RHO_CAP} - rho')})"
+            f" + ({M_REGS} - count(*))"
+            f" * {_pow2_sql('spark', str(RHO_CAP))} as bigint)"
+        ).alias("s_sum"),
+    )
+    stats = (
+        stats_old.unionByName(stats_new)
+        .groupBy("pred")
+        .agg(
+            F.sum("n_triples").cast("bigint").alias("n_triples"),
+            F.max("latest_doc").cast("bigint").alias("latest_doc"),
+        )
+    )
+    return stats.join(s, "pred").select(
+        "pred",
+        "n_triples",
+        "latest_doc",
+        F.expr(
+            f"cast({_EST_NUM} div ({_EST_DEN} * s_sum) as bigint)"
+        ).alias("est_distinct_subj"),
+        "s_sum",
+    )
+
+
+def duck_pred_agg_sql(triples_rel: str) -> str:
+    """From-scratch single-pass DuckDB oracle of pred_agg_incremental:
+    identical register chain over the FULL window — equality with the
+    persisted-state + delta fold certifies the merge."""
+    from ..functions.hashing import sql_h2, sql_strhash
+
+    w = sql_h2(sql_strhash("subj"), 5)
+    u = sql_h2("w", 7)
+    rho = _rho_sql(u)
+    return f"""
+with t as ({triples_rel}),
+hs as (select pred, {w} as w from t),
+obs as (
+  select pred, w % {M_REGS} as j, max({rho}) as rho
+  from hs group by 1, 2
+),
+s as (
+  select pred,
+         cast(sum({_pow2_sql('duck', f'{RHO_CAP} - rho')})
+              + ({M_REGS} - count(*)) * {_pow2_sql('duck', str(RHO_CAP))}
+              as bigint) as s_sum
+  from obs group by 1
+),
+st as (
+  select pred, cast(count(*) as bigint) as n_triples,
+         cast(max(doc_id) as bigint) as latest_doc
+  from t group by 1
+)
+select st.pred, n_triples, latest_doc,
+       cast({_EST_NUM} // ({_EST_DEN} * s_sum) as bigint)
+         as est_distinct_subj,
+       s_sum
+from st join s on st.pred = s.pred
+"""
