@@ -2769,6 +2769,18 @@ def q_lang_sim_matrix(spark, sf):
     return SK.lang_minhash_matrix(_load(spark, sf, "documents"))
 
 
+def q_reshard_plan(spark, sf):
+    """Reshard movement audit for n -> n+1 shards (layout.reshard_plan,
+    rendezvous/HRW hashing, Thaler & Ravishankar 1998): under mod
+    hashing ~n/(n+1) of keys move; under HRW only the keys the NEW
+    shard wins move — and only INTO it (n_moved == n_moved_to_new, the
+    invariant the oracle certifies). Per-row codegen hashing over one
+    materialized key + ONE 2-row map-side aggregate; the decision input
+    for partition-layout evolution where every moved key is bytes
+    rewritten."""
+    return LAY.reshard_plan(_pipeline(spark, sf)["pages"])
+
+
 def q_agg_incremental(spark, sf):
     """Incremental rollup maintenance (sketch.pred_agg_incremental):
     per-predicate count + latest capture + HLL distinct-subject
@@ -2791,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_late": q_tpch_late,
         "q_tpch_promo": q_tpch_promo,
         "q_agg_incremental": q_agg_incremental,
+        "q_reshard_plan": q_reshard_plan,
         # r3 wave-12 (no driver row yet):
         "q_host_lang_mix": q_host_lang_mix,
         "q_crawl_budget": q_crawl_budget,
@@ -3391,6 +3404,7 @@ def oracle_sql() -> dict[str, str]:
         "q_type_vote": L.duck_surface_type_vote_sql(gm),
         "q_fact_decay": duck_fact_decay_sql(gt),
         "q_agg_incremental": SK.duck_pred_agg_sql(gt),
+        "q_reshard_plan": LAY.duck_reshard_plan_sql(pages),
         "q_triple_support": duck_triple_support_sql(gt, pages),
         "q_entity_timeline": L.duck_entity_timeline_sql(
             P.golden_resolved_persons_sql(), P.BASE_EPOCH

@@ -224,6 +224,7 @@ def main() -> int:
         "q_tpch_late",
         "q_tpch_promo",
         "q_agg_incremental",
+        "q_reshard_plan",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

@@ -393,3 +393,151 @@ select tbl, snap_ts, n_rows, cast(rn as bigint) as rn,
             then 'keep' else 'expire' end as action
 from ranked
 """
+
+
+# ---------------------------------------------------------------------------
+# reshard movement plan: rendezvous (HRW) vs mod hashing
+# (Thaler & Ravishankar 1998 — highest-random-weight hashing)
+# ---------------------------------------------------------------------------
+
+RESHARD_N = 16  # current shard count; the plan evaluates n -> n+1
+
+
+def _hrw_exprs(dialect: str, key: str, n: int) -> tuple[str, str]:
+    """(shard under n, shard under n+1) as argmax over per-shard hash
+    weights. The weight list is built over a MATERIALIZED key column
+    (h2 per element is cheap; the no-CSE rule applies to the key, not
+    the lambda-free literal list).
+
+    The weight is a DOUBLE h2: a single h2(key, s) is AFFINE in the
+    salt — (v0 + (key%3037)*97*s) % M, an arithmetic progression with a
+    step far below M — so across s = 1..n the LARGEST salt nearly
+    always wins and "argmax" degenerates to "the newest shard takes
+    everything" (measured: 2000/2000 keys moved). Re-hashing each
+    weight through h2(., 9) multiplies by A ~ 1.1e9 and wraps mod M,
+    scrambling the progression; the per-shard weights are then
+    independent for practical purposes and the 1/(n+1) movement bound
+    holds (pinned in pytest)."""
+    from ..functions.hashing import sql_h2
+
+    def arglist(m: int) -> str:
+        return ", ".join(
+            sql_h2(sql_h2(key, s + 1), 9) for s in range(m)
+        )
+
+    if dialect == "spark":
+        return (
+            f"cast(array_position(array({arglist(n)}),"
+            f" array_max(array({arglist(n)}))) - 1 as bigint)",
+            f"cast(array_position(array({arglist(n + 1)}),"
+            f" array_max(array({arglist(n + 1)}))) - 1 as bigint)",
+        )
+    return (
+        f"cast(list_position([{arglist(n)}],"
+        f" list_aggregate([{arglist(n)}], 'max')) - 1 as bigint)",
+        f"cast(list_position([{arglist(n + 1)}],"
+        f" list_aggregate([{arglist(n + 1)}], 'max')) - 1 as bigint)",
+    )
+
+
+def reshard_plan(pages: DataFrame, n: int = RESHARD_N) -> DataFrame:
+    """Key-movement audit for growing a sharded store from n to n+1
+    shards — the decision input for partition-layout evolution at
+    crawl scale, where every moved key is bytes rewritten: under mod
+    hashing (shard = h % n) growing to n+1 moves ~n/(n+1) of ALL keys;
+    under rendezvous/HRW hashing (shard = argmax_s h(key, s)) only the
+    keys the NEW shard wins move — expected 1/(n+1) — and they can move
+    ONLY INTO the new shard (per-key weights of surviving shards are
+    unchanged, so a changed argmax must be won by the newcomer; that
+    invariant is n_moved == n_moved_to_new, certified by the oracle and
+    pinned in pytest).
+
+    Plan: per-row codegen arithmetic (2n+3 chained int hashes over one
+    materialized key) + ONE 2-row map-side-combined aggregate; no
+    shuffle of keys, no join. Output: one row per scheme with exact
+    movement counts and ppm."""
+    from ..functions.hashing import sql_fullhash
+
+    hrw_n, hrw_n1 = _hrw_exprs("spark", "__k", n)
+    rows = (
+        # fullhash, NOT strhash: the 12-char-prefix polynomial would
+        # collapse every "https://site..." url to a handful of keys
+        # (the documented strhash trap), gutting both schemes
+        pages.select(F.expr(sql_fullhash("url", "spark")).alias("__k"))
+        .select(
+            F.expr(f"__k % {n}").alias("mod_n"),
+            F.expr(f"__k % {n + 1}").alias("mod_n1"),
+            F.expr(hrw_n).alias("hrw_n"),
+            F.expr(hrw_n1).alias("hrw_n1"),
+        )
+    )
+    agg = rows.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.expr(
+            "cast(sum(case when mod_n != mod_n1 then 1 else 0 end)"
+            " as bigint)"
+        ).alias("mod_moved"),
+        F.expr(
+            f"cast(sum(case when mod_n != mod_n1 and mod_n1 = {n} then 1"
+            " else 0 end) as bigint)"
+        ).alias("mod_to_new"),
+        F.expr(
+            "cast(sum(case when hrw_n != hrw_n1 then 1 else 0 end)"
+            " as bigint)"
+        ).alias("hrw_moved"),
+        F.expr(
+            f"cast(sum(case when hrw_n != hrw_n1 and hrw_n1 = {n} then 1"
+            " else 0 end) as bigint)"
+        ).alias("hrw_to_new"),
+    )
+    return agg.selectExpr(
+        f"stack(2,"
+        f" 'mod', mod_moved, mod_to_new,"
+        f" 'rendezvous', hrw_moved, hrw_to_new) as (scheme, n_moved,"
+        " n_moved_to_new)",
+        "n_keys",
+    ).selectExpr(
+        "scheme",
+        "n_keys",
+        "n_moved",
+        "n_moved_to_new",
+        "cast(n_moved * 1000000 div n_keys as bigint) as moved_ppm",
+    )
+
+
+def duck_reshard_plan_sql(pages_sql_duck: str, n: int = RESHARD_N) -> str:
+    """DuckDB twin of reshard_plan (identical hash chain + argmax +
+    movement arithmetic; first-position tie rule matches Spark's
+    array_position)."""
+    from ..functions.hashing import sql_fullhash
+
+    hrw_n, hrw_n1 = _hrw_exprs("duck", "__k", n)
+    return f"""
+with p as (select {sql_fullhash('url', 'duck')} as __k
+           from ({pages_sql_duck})),
+r as (
+  select __k % {n} as mod_n, __k % {n + 1} as mod_n1,
+         {hrw_n} as hrw_n, {hrw_n1} as hrw_n1
+  from p
+),
+a as (
+  select cast(count(*) as bigint) as n_keys,
+         cast(sum(case when mod_n != mod_n1 then 1 else 0 end) as bigint)
+           as mod_moved,
+         cast(sum(case when mod_n != mod_n1 and mod_n1 = {n} then 1
+                  else 0 end) as bigint) as mod_to_new,
+         cast(sum(case when hrw_n != hrw_n1 then 1 else 0 end) as bigint)
+           as hrw_moved,
+         cast(sum(case when hrw_n != hrw_n1 and hrw_n1 = {n} then 1
+                  else 0 end) as bigint) as hrw_to_new
+  from r
+)
+select scheme, n_keys, n_moved, n_moved_to_new,
+       cast(n_moved * 1000000 // n_keys as bigint) as moved_ppm
+from (
+  select 'mod' as scheme, n_keys, mod_moved as n_moved,
+         mod_to_new as n_moved_to_new from a
+  union all
+  select 'rendezvous', n_keys, hrw_moved, hrw_to_new from a
+)
+"""

@@ -390,3 +390,46 @@ def test_pred_agg_hll_estimate_sane(spark):
     )
     [r] = pred_agg_incremental(df).collect()
     assert 2000 * 0.7 <= r["est_distinct_subj"] <= 2000 * 1.3
+
+
+# ---------------------------------------------------------------------------
+# reshard movement plan (rendezvous vs mod)
+# ---------------------------------------------------------------------------
+
+
+def test_reshard_plan_hrw_minimal_movement(spark):
+    """HRW moves only what the new shard wins (n_moved ==
+    n_moved_to_new; ~1/(n+1) of keys, allow 3x slack at 2k keys) while
+    mod hashing reshuffles the vast majority (> 80%); every HRW-moved
+    key lands on the new shard."""
+    from nerpii_spark.operators.layout import RESHARD_N, reshard_plan
+
+    df = spark.createDataFrame(
+        [(f"https://site{i % 137}.example/p/{i}",) for i in range(2000)],
+        "url string",
+    )
+    got = {r["scheme"]: r for r in reshard_plan(df).collect()}
+    n = got["mod"]["n_keys"]
+    assert n == 2000
+    hrw = got["rendezvous"]
+    assert hrw["n_moved"] == hrw["n_moved_to_new"]  # only INTO the new shard
+    ideal = n // (RESHARD_N + 1)
+    assert hrw["n_moved"] <= 3 * ideal
+    assert hrw["n_moved"] >= ideal // 3
+    assert got["mod"]["moved_ppm"] > 800_000
+
+
+def test_reshard_plan_hrw_stability_per_key(spark):
+    """Per-key invariant (stronger than the aggregate): a key whose HRW
+    shard changed must have the NEW shard as its destination — replayed
+    in pure Python over the same hash chain."""
+    from nerpii_spark.functions.hashing import h2, strhash
+    from nerpii_spark.operators.layout import RESHARD_N
+
+    n = RESHARD_N
+    for i in range(500):
+        k = strhash(f"https://site{i % 37}.example/p/{i}")
+        ws = [h2(h2(k, s + 1), 9) for s in range(n + 1)]
+        old = ws[:n].index(max(ws[:n]))
+        new = ws.index(max(ws))
+        assert new == old or new == n
