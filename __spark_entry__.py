@@ -2769,6 +2769,16 @@ def q_lang_sim_matrix(spark, sf):
     return SK.lang_minhash_matrix(_load(spark, sf, "documents"))
 
 
+def q_cdc_apply(spark, sf):
+    """CDC MERGE apply (dedup.cdc_apply): base host snapshot + ordered
+    U/D changelog -> next snapshot, the MERGE INTO contract. Only the
+    LAST op per key counts (max_by); a final D removes, a final U
+    rewrites, untouched rows pass through 'kept'. ONE map-side max_by
+    per window + one anti-join + union — no windows, host-cardinality
+    output; the delta pass is the only corpus scan at scale."""
+    return D.cdc_apply(_pipeline(spark, sf)["pages"])
+
+
 def q_reshard_plan(spark, sf):
     """Reshard movement audit for n -> n+1 shards (layout.reshard_plan,
     rendezvous/HRW hashing, Thaler & Ravishankar 1998): under mod
@@ -2804,6 +2814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_promo": q_tpch_promo,
         "q_agg_incremental": q_agg_incremental,
         "q_reshard_plan": q_reshard_plan,
+        "q_cdc_apply": q_cdc_apply,
         # r3 wave-12 (no driver row yet):
         "q_host_lang_mix": q_host_lang_mix,
         "q_crawl_budget": q_crawl_budget,
@@ -3405,6 +3416,7 @@ def oracle_sql() -> dict[str, str]:
         "q_fact_decay": duck_fact_decay_sql(gt),
         "q_agg_incremental": SK.duck_pred_agg_sql(gt),
         "q_reshard_plan": LAY.duck_reshard_plan_sql(pages),
+        "q_cdc_apply": D.duck_cdc_apply_sql(pages),
         "q_triple_support": duck_triple_support_sql(gt, pages),
         "q_entity_timeline": L.duck_entity_timeline_sql(
             P.golden_resolved_persons_sql(), P.BASE_EPOCH

@@ -225,6 +225,7 @@ def main() -> int:
         "q_tpch_promo",
         "q_agg_incremental",
         "q_reshard_plan",
+        "q_cdc_apply",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

@@ -2076,3 +2076,95 @@ from ff a join ff b on a.fp = b.fp and a.doc_id < b.doc_id
 group by 1, 2
 having cast(count(*) as bigint) >= {min_shared}
 """
+
+
+# ---------------------------------------------------------------------------
+# CDC MERGE apply (lakehouse changelog upsert: base snapshot + ordered
+# I/U/D changelog -> next snapshot, the MERGE INTO contract)
+# ---------------------------------------------------------------------------
+
+CDC_DELETE_SALT = 13  # h1(doc_id, 13) % 5 == 0 -> the capture is a delete
+
+
+def _cdc_host(dialect: str, url: str) -> str:
+    if dialect == "spark":
+        return f"regexp_extract({url}, 'https?://([^/]+)', 1)"
+    return f"regexp_extract({url}, 'https?://([^/]+)', 1)"
+
+
+def cdc_apply(pages: DataFrame, split_mod: int = 4) -> DataFrame:
+    """Apply a CDC changelog to a host-level snapshot — the MERGE INTO
+    semantics every lakehouse table maintenance loop runs: base = the
+    latest capture per host in the OLD window (doc_id % split_mod != 0,
+    the incremental family's split), changelog = the delta window's
+    captures tagged U(psert) or D(elete) by a deterministic hash rule.
+    Per changelog key only the LAST op counts (max doc_id — the
+    changelog-ordering contract); a final D removes the key, a final U
+    rewrites it, untouched base rows pass through as 'kept'.
+
+    Plan: ONE map-side-combined max_by per input window (base latest +
+    changelog last-op), one hash anti-join of base against touched
+    hosts, one union — no window functions, no driver state; output is
+    host-cardinality. At 100 TB the changelog agg is the only pass over
+    the delta and the base side is itself the persisted prior snapshot
+    (here recomputed from the split so the oracle can replay it)."""
+    from ..functions.hashing import sql_h1
+
+    host = _cdc_host("spark", "url")
+    base = (
+        pages.where(F.col("doc_id") % split_mod != 0)
+        .select(F.expr(host).alias("host"), "doc_id")
+        .groupBy("host")
+        .agg(F.max("doc_id").cast("bigint").alias("doc_id"))
+    )
+    is_del = f"{sql_h1('doc_id', CDC_DELETE_SALT)} % 5 = 0"
+    last_op = (
+        pages.where(F.col("doc_id") % split_mod == 0)
+        .select(
+            F.expr(host).alias("host"),
+            "doc_id",
+            F.expr(f"case when {is_del} then 'D' else 'U' end").alias("op"),
+        )
+        .groupBy("host")
+        .agg(
+            F.expr("max_by(op, doc_id)").alias("op"),
+            F.max("doc_id").cast("bigint").alias("doc_id"),
+        )
+    )
+    applied = last_op.where(F.col("op") == "U").select(
+        "host", "doc_id", F.lit("applied").alias("src")
+    )
+    kept = base.join(last_op.select("host"), "host", "left_anti").select(
+        "host", "doc_id", F.lit("kept").alias("src")
+    )
+    return kept.unionByName(applied)
+
+
+def duck_cdc_apply_sql(pages_sql_duck: str, split_mod: int = 4) -> str:
+    """DuckDB twin of cdc_apply (identical host extraction, delete
+    rule, last-op and anti-join arithmetic)."""
+    from ..functions.hashing import sql_h1
+
+    host = _cdc_host("duck", "url")
+    is_del = f"{sql_h1('doc_id', CDC_DELETE_SALT)} % 5 = 0"
+    return f"""
+with p as (select doc_id, url from ({pages_sql_duck})),
+base as (
+  select {host} as host, cast(max(doc_id) as bigint) as doc_id
+  from p where doc_id % {split_mod} != 0 group by 1
+),
+chg as (
+  select {host} as host, doc_id,
+         case when {is_del} then 'D' else 'U' end as op
+  from p where doc_id % {split_mod} = 0
+),
+last_op as (
+  select host, max_by(op, doc_id) as op,
+         cast(max(doc_id) as bigint) as doc_id
+  from chg group by 1
+)
+select b.host, b.doc_id, 'kept' as src
+from base b anti join last_op l on b.host = l.host
+union all
+select host, doc_id, 'applied' as src from last_op where op = 'U'
+"""

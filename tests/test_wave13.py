@@ -433,3 +433,72 @@ def test_reshard_plan_hrw_stability_per_key(spark):
         old = ws[:n].index(max(ws[:n]))
         new = ws.index(max(ws))
         assert new == old or new == n
+
+
+# ---------------------------------------------------------------------------
+# CDC MERGE apply
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_apply_hand_golden(spark):
+    """MERGE semantics on a crafted changelog: last op per key wins, a
+    final D removes the key even if earlier delta ops were U, a final U
+    rewrites even after a D, untouched base rows pass through."""
+    from nerpii_spark.operators import dedup as D
+    from nerpii_spark.operators.dedup import cdc_apply
+
+    # split_mod=2: odd doc_ids = base window, even = changelog;
+    # ops are chosen by picking doc_ids whose hash rule yields them
+    from nerpii_spark.functions.hashing import h1
+
+    def op_of(d):
+        return "D" if h1(d, D.CDC_DELETE_SALT) % 5 == 0 else "U"
+
+    evens = [d for d in range(0, 400, 2)]
+    a_del = next(d for d in evens if op_of(d) == "D")
+    a_ups = next(d for d in evens if op_of(d) == "U" and d > a_del)
+    b_ups = next(d for d in evens if op_of(d) == "U")
+    b_del = next(d for d in evens if op_of(d) == "D" and d > b_ups)
+    rows = [
+        # base (odd ids)
+        (1, "https://kept.example/x"),
+        (3, "https://kept.example/y"),       # latest base capture wins
+        (5, "https://a.example/p"),
+        (7, "https://b.example/p"),
+        # changelog: a -> D then U (U wins); b -> U then D (D wins)
+        (a_del, "https://a.example/p1"),
+        (a_ups, "https://a.example/p2"),
+        (b_ups, "https://b.example/p1"),
+        (b_del, "https://b.example/p2"),
+    ]
+    # guarantee intended op ordering per host by construction
+    assert a_del < a_ups and b_ups < b_del
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    got = {
+        r["host"]: (r["doc_id"], r["src"])
+        for r in cdc_apply(df, split_mod=2).collect()
+    }
+    assert got["kept.example"] == (3, "kept")
+    assert got["a.example"] == (a_ups, "applied")  # U after D: alive
+    assert "b.example" not in got  # D after U: removed
+    assert set(got) == {"kept.example", "a.example"}
+
+
+def test_cdc_apply_insert_new_key(spark):
+    """A changelog U on a host absent from the base INSERTS it."""
+    from nerpii_spark.functions.hashing import h1
+    from nerpii_spark.operators import dedup as D
+    from nerpii_spark.operators.dedup import cdc_apply
+
+    new_u = next(
+        d for d in range(0, 400, 2)
+        if h1(d, D.CDC_DELETE_SALT) % 5 != 0
+    )
+    df = spark.createDataFrame(
+        [(1, "https://old.example/a"), (new_u, "https://new.example/b")],
+        "doc_id bigint, url string",
+    )
+    got = {
+        r["host"]: r["src"] for r in cdc_apply(df, split_mod=2).collect()
+    }
+    assert got == {"old.example": "kept", "new.example": "applied"}
