@@ -129,6 +129,7 @@ from nerpii_spark.operators.profile import (
     duck_reident_risk_sql,
     generalization_ladder_sql,
 )
+from nerpii_spark.sources import catalog as CAT
 from nerpii_spark.sources import pages as P
 
 _CACHE: dict = {}
@@ -2769,6 +2770,27 @@ def q_lang_sim_matrix(spark, sf):
     return SK.lang_minhash_matrix(_load(spark, sf, "documents"))
 
 
+def q_schema_evolution(spark, sf):
+    """Schema-drift union (catalog.union_evolved): two snapshots of the
+    documents table whose schemas drifted — v1 carries (doc_id, lang,
+    text), v2 dropped text and ADDED a derived quality column — merged
+    by NAME with NULL fill (positional unionAll would silently
+    mis-align, the classic evolution bug). The file-level twin
+    (parquet mergeSchema over drifted footers) is pinned in
+    tests/test_wave13.py with actually-written files."""
+    docs = _load(spark, sf, "documents")
+    v1 = docs.where("doc_id % 2 = 0").select(
+        "doc_id", "lang", "text", F.lit("v1").alias("snap")
+    )
+    v2 = docs.where("doc_id % 2 = 1").select(
+        "doc_id",
+        "lang",
+        F.expr("cast(length(text) as bigint)").alias("quality"),
+        F.lit("v2").alias("snap"),
+    )
+    return CAT.union_evolved([v1, v2])
+
+
 def q_cdc_apply(spark, sf):
     """CDC MERGE apply (dedup.cdc_apply): base host snapshot + ordered
     U/D changelog -> next snapshot, the MERGE INTO contract. Only the
@@ -2815,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_agg_incremental": q_agg_incremental,
         "q_reshard_plan": q_reshard_plan,
         "q_cdc_apply": q_cdc_apply,
+        "q_schema_evolution": q_schema_evolution,
         # r3 wave-12 (no driver row yet):
         "q_host_lang_mix": q_host_lang_mix,
         "q_crawl_budget": q_crawl_budget,
@@ -3417,6 +3440,15 @@ def oracle_sql() -> dict[str, str]:
         "q_agg_incremental": SK.duck_pred_agg_sql(gt),
         "q_reshard_plan": LAY.duck_reshard_plan_sql(pages),
         "q_cdc_apply": D.duck_cdc_apply_sql(pages),
+        "q_schema_evolution": """
+            select doc_id, lang, text,
+                   cast(null as bigint) as quality, 'v1' as snap
+            from documents where doc_id % 2 = 0
+            union all
+            select doc_id, lang, cast(null as string) as text,
+                   cast(length(text) as bigint) as quality, 'v2'
+            from documents where doc_id % 2 = 1
+        """,
         "q_triple_support": duck_triple_support_sql(gt, pages),
         "q_entity_timeline": L.duck_entity_timeline_sql(
             P.golden_resolved_persons_sql(), P.BASE_EPOCH

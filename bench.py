@@ -226,6 +226,7 @@ def main() -> int:
         "q_agg_incremental",
         "q_reshard_plan",
         "q_cdc_apply",
+        "q_schema_evolution",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

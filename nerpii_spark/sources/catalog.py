@@ -289,3 +289,29 @@ def load_table(spark: SparkSession, source) -> DataFrame:
             return spark.read.csv(source, header=True, inferSchema=True)
         return spark.read.parquet(source)
     raise ValueError(f"unsupported source: {type(source).__name__}")
+
+
+def read_evolved(
+    spark: SparkSession, paths: list[str]
+) -> DataFrame:
+    """Read snapshots whose schemas have DRIFTED (columns added or
+    dropped between writes) into one unified frame: parquet
+    `mergeSchema` unions the footers' schemas and pads absent columns
+    with NULL per file — the read-side half of schema evolution every
+    long-lived crawl table needs (new extraction fields appear; old
+    ones retire; historic files stay byte-stable). Column-level, not
+    positional: a field is matched by NAME, so reordering between
+    snapshots is harmless. Scale note: schema merging reads footers
+    only (one tiny task per file at planning), not data."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def union_evolved(frames: list[DataFrame]) -> DataFrame:
+    """The DataFrame-level twin of read_evolved for in-flight frames:
+    unionByName(allowMissingColumns=True) — positional unionAll would
+    silently mis-align drifted schemas (the classic evolution bug);
+    by-name union with NULL fill is the only safe combinator."""
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out

@@ -502,3 +502,41 @@ def test_cdc_apply_insert_new_key(spark):
         r["host"]: r["src"] for r in cdc_apply(df, split_mod=2).collect()
     }
     assert got == {"old.example": "kept", "new.example": "applied"}
+
+
+# ---------------------------------------------------------------------------
+# schema evolution (file-level mergeSchema over drifted snapshots)
+# ---------------------------------------------------------------------------
+
+
+def test_read_evolved_merges_drifted_parquet(spark, tmp_path):
+    """Two parquet snapshots with drifted schemas (column added, column
+    dropped, columns reordered) read back as ONE frame: matched by
+    name, padded with NULL — including the reorder case positional
+    union would silently corrupt."""
+    from nerpii_spark.sources.catalog import read_evolved
+
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    spark.createDataFrame(
+        [(1, "en", "hello")], "doc_id bigint, lang string, text string"
+    ).write.parquet(p1)
+    # v2: text dropped, quality added, column order shuffled
+    spark.createDataFrame(
+        [("de", 42, 2)], "lang string, quality bigint, doc_id bigint"
+    ).write.parquet(p2)
+    got = {
+        r["doc_id"]: (r["lang"], r["text"], r["quality"])
+        for r in read_evolved(spark, [p1, p2]).collect()
+    }
+    assert got == {1: ("en", "hello", None), 2: ("de", None, 42)}
+
+
+def test_union_evolved_by_name_not_position(spark):
+    """unionByName alignment: same columns in different order merge
+    correctly where positional unionAll would swap fields."""
+    from nerpii_spark.sources.catalog import union_evolved
+
+    a = spark.createDataFrame([(1, "x")], "id bigint, v string")
+    b = spark.createDataFrame([("y", 2)], "v string, id bigint")
+    got = {r["id"]: r["v"] for r in union_evolved([a, b]).collect()}
+    assert got == {1: "x", 2: "y"}
