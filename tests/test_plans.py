@@ -754,3 +754,51 @@ def test_bloom_semi_join_probe_stages_are_broadcast_only(spark):
     plan = _plan(bloom_semi_join(li, big, "l_orderkey", "o_orderkey"))
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= BLOOM_K + 1
+
+
+def test_tpch_late_semi_join_no_distinct(spark):
+    """Q4 shape: the EXISTS is a LEFT SEMI (lineitem never widened),
+    and no aggregate/distinct materializes lineitem before the join."""
+    plan = _plan(E.q_tpch_late(spark, SF))
+    assert "LeftSemi" in plan
+    # the only HashAggregates are the 5-row priority rollup partial+final
+    assert plan.count("HashAggregate") <= 2
+
+
+def test_tpch_promo_single_scan_single_agg(spark):
+    """Q14 shape: part broadcasts; ONE lineitem scan feeds ONE
+    aggregate pass (FILTER-clause sums, no self-join / second scan)."""
+    plan = _plan(E.q_tpch_promo(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_cdx_index_one_exchange_plus_window(spark):
+    """The CDX index pays exactly one op-specific exchange — the
+    segment shuffle that IS the target file layout — feeding the
+    running-sum window; no join-of-pages-with-itself, no bytes."""
+    df = E.q_cdx_index(spark, SF)
+    plan = _plan(df)
+    assert "Window" in plan
+    # the pages build has its own exchanges; the op itself adds the
+    # hashpartitioning(segment...) one — assert it exists
+    assert "hashpartitioning(segment" in plan
+
+
+def test_reshard_plan_no_join(spark):
+    """Reshard audit is pure per-row arithmetic + one aggregate: no
+    join operator of any kind in the post-corpus plan."""
+    plan = _plan(E.q_reshard_plan(spark, SF))
+    # corpus construction has its own (broadcast) joins; the op itself
+    # must add none — in particular nothing shuffle-keyed on __k
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(__k" not in plan
+
+
+def test_cdc_apply_no_window_functions(spark):
+    """CDC apply is max_by aggregation + anti-join + union — no window
+    operator anywhere (the last-op rule is an aggregate, not a sort)."""
+    plan = _plan(E.q_cdc_apply(spark, SF))
+    assert "Window" not in plan
+    assert "LeftAnti" in plan
