@@ -52,6 +52,7 @@ from nerpii_spark.operators.extract import (
     entity_cooccur,
     entity_degree,
     extract_triples,
+    rel_evidence,
     fact_decay,
     duck_fact_decay_sql,
     duck_hits_sql,
@@ -2770,6 +2771,19 @@ def q_lang_sim_matrix(spark, sf):
     return SK.lang_minhash_matrix(_load(spark, sf, "documents"))
 
 
+def q_rel_evidence(spark, sf):
+    """Distant-supervision evidence spans (extract.rel_evidence, Mintz
+    2009): every emitted triple with the exact subj..obj substring of
+    the clean text — the relation-classifier training-example emitter,
+    and a driver-grade certification of the detector's byte offsets:
+    the oracle rebuilds each evidence string from the planted template
+    surfaces (an independent construction), so the hash only matches if
+    begin/end arithmetic is exact end-to-end. Same sentence-local pair
+    join as S3 plus ONE doc-keyed join for the substring."""
+    p = _pipeline(spark, sf)
+    return rel_evidence(p["mentions"], p["clean"])
+
+
 def q_schema_evolution(spark, sf):
     """Schema-drift union (catalog.union_evolved): two snapshots of the
     documents table whose schemas drifted — v1 carries (doc_id, lang,
@@ -2838,6 +2852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_reshard_plan": q_reshard_plan,
         "q_cdc_apply": q_cdc_apply,
         "q_schema_evolution": q_schema_evolution,
+        "q_rel_evidence": q_rel_evidence,
         # r3 wave-12 (no driver row yet):
         "q_host_lang_mix": q_host_lang_mix,
         "q_crawl_budget": q_crawl_budget,
@@ -3437,6 +3452,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_type_vote": L.duck_surface_type_vote_sql(gm),
         "q_fact_decay": duck_fact_decay_sql(gt),
+        "q_rel_evidence": P.golden_rel_evidence_sql("duck"),
         "q_agg_incremental": SK.duck_pred_agg_sql(gt),
         "q_reshard_plan": LAY.duck_reshard_plan_sql(pages),
         "q_cdc_apply": D.duck_cdc_apply_sql(pages),

@@ -227,6 +227,7 @@ def main() -> int:
         "q_reshard_plan",
         "q_cdc_apply",
         "q_schema_evolution",
+        "q_rel_evidence",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

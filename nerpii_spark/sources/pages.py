@@ -831,3 +831,66 @@ join tot t using (norm)
 join canon cn on cn.entity_type = m.entity_type and cn.k = m.k
              and cn.rk = 1
 """
+
+
+def golden_rel_evidence_sql(dialect: str, doc_rel: str = "documents") -> str:
+    """(doc_id, subj, pred, obj, evidence) ground truth: each planted
+    triple with the exact subj..obj text span, rebuilt from the
+    template surfaces (NOT from offsets — an independent construction,
+    so a hash match certifies the pipeline's begin/end arithmetic)."""
+    ev = {
+        ("works_at", 0): "person || ' works at ' || org",
+        ("located_in", 0): "org || ' in ' || city",
+        ("has_email", 1): "person || ' at ' || email",
+        ("has_phone", 1): (
+            "person || ' at ' || email || ' or call ' || phone"
+        ),
+        ("lives_in_city", 2): (
+            "person || ' lives at ' || streetnum || ' ' || street"
+            " || ' in ' || city"
+        ),
+        ("lives_in_st", 2): (
+            "person || ' lives at ' || streetnum || ' ' || street"
+            " || ' in ' || city || ', ' || st"
+        ),
+    }
+    T = lambda s, p, o, e: (
+        f"named_struct('s', {s}, 'p', '{p}', 'o', {o}, 'e', {e})"
+        if dialect == "spark"
+        else f"struct_pack(s := {s}, p := '{p}', o := {o}, e := {e})"
+    )
+    lists = {
+        0: [
+            T("person", "works_at", "org", ev[("works_at", 0)]),
+            T("org", "located_in", "city", ev[("located_in", 0)]),
+        ],
+        1: [
+            T("person", "has_email", "email", ev[("has_email", 1)]),
+            T("person", "has_phone", "phone", ev[("has_phone", 1)]),
+        ],
+        2: [
+            T("person", "lives_in", "city", ev[("lives_in_city", 2)]),
+            T("person", "lives_in", "st", ev[("lives_in_st", 2)]),
+        ],
+    }
+    if dialect == "spark":
+        arr = lambda xs: f"array({', '.join(xs)})"
+        case = (
+            f"case when t = 0 then {arr(lists[0])}"
+            f" when t = 1 then {arr(lists[1])} else {arr(lists[2])} end"
+        )
+        return f"""
+{vals_cte_sql(dialect, doc_rel)}
+select doc_id, tr.s as subj, tr.p as pred, tr.o as obj, tr.e as evidence
+from (select * from vals where t < 3) lateral view explode({case}) as tr
+"""
+    arr = lambda xs: f"[{', '.join(xs)}]"
+    case = (
+        f"case when t = 0 then {arr(lists[0])}"
+        f" when t = 1 then {arr(lists[1])} else {arr(lists[2])} end"
+    )
+    return f"""
+{vals_cte_sql(dialect, doc_rel)}
+select doc_id, tr.s as subj, tr.p as pred, tr.o as obj, tr.e as evidence
+from (select doc_id, unnest({case}) as tr from vals where t < 3)
+"""

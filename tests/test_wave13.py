@@ -540,3 +540,23 @@ def test_union_evolved_by_name_not_position(spark):
     b = spark.createDataFrame([("y", 2)], "v string, id bigint")
     got = {r["id"]: r["v"] for r in union_evolved([a, b]).collect()}
     assert got == {1: "x", 2: "y"}
+
+
+# ---------------------------------------------------------------------------
+# relation evidence spans
+# ---------------------------------------------------------------------------
+
+
+def test_rel_evidence_structural_invariants(spark):
+    """Every evidence span starts with its subject surface and ends
+    with its object surface — the offsets-exactness invariant the
+    oracle certifies corpus-wide, checked here per row at sf0.001."""
+    import __spark_entry__ as E
+    from nerpii_spark.operators.extract import rel_evidence
+
+    p = E._pipeline(spark, SF)
+    rows = rel_evidence(p["mentions"], p["clean"]).collect()
+    assert rows
+    for r in rows:
+        assert r["evidence"].startswith(r["subj"]), r
+        assert r["evidence"].endswith(r["obj"]), r
