@@ -2771,6 +2771,16 @@ def q_lang_sim_matrix(spark, sf):
     return SK.lang_minhash_matrix(_load(spark, sf, "documents"))
 
 
+def q_event_sequences(spark, sf):
+    """Frequent contiguous event-type sequences (events.event_sequences,
+    PrefixSpan-restricted k=2,3, Pei 2001) with per-USER support — a
+    user counts once per pattern however often they repeat it (the
+    definition a plain pair count gets wrong). ONE user_id exchange;
+    lead(1)/lead(2) share a single Window; distinct + support both
+    map-side combine; output bounded by |types|^2 + |types|^3."""
+    return EV.event_sequences(_load(spark, sf, "events"))
+
+
 def q_rel_evidence(spark, sf):
     """Distant-supervision evidence spans (extract.rel_evidence, Mintz
     2009): every emitted triple with the exact subj..obj substring of
@@ -2853,6 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdc_apply": q_cdc_apply,
         "q_schema_evolution": q_schema_evolution,
         "q_rel_evidence": q_rel_evidence,
+        "q_event_sequences": q_event_sequences,
         # r3 wave-12 (no driver row yet):
         "q_host_lang_mix": q_host_lang_mix,
         "q_crawl_budget": q_crawl_budget,
@@ -3453,6 +3464,7 @@ def oracle_sql() -> dict[str, str]:
         "q_type_vote": L.duck_surface_type_vote_sql(gm),
         "q_fact_decay": duck_fact_decay_sql(gt),
         "q_rel_evidence": P.golden_rel_evidence_sql("duck"),
+        "q_event_sequences": EV.duck_event_sequences_sql("events"),
         "q_agg_incremental": SK.duck_pred_agg_sql(gt),
         "q_reshard_plan": LAY.duck_reshard_plan_sql(pages),
         "q_cdc_apply": D.duck_cdc_apply_sql(pages),

@@ -228,6 +228,7 @@ def main() -> int:
         "q_cdc_apply",
         "q_schema_evolution",
         "q_rel_evidence",
+        "q_event_sequences",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

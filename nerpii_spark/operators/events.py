@@ -502,3 +502,80 @@ per_day as (
 select cohort_day, day_offset, cast(count(*) as bigint) as n_users
 from per_day group by 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# sequential pattern mining (PrefixSpan-style contiguous k-grams over
+# per-user event streams, Pei et al. 2001 — restricted to contiguous
+# order-2/3 patterns, the production shape of "what do users do next")
+# ---------------------------------------------------------------------------
+
+SEQ_MIN_SUPPORT = 20  # distinct users, not occurrences (the PrefixSpan defn)
+
+
+def event_sequences(
+    events: DataFrame, min_support: int = SEQ_MIN_SUPPORT
+) -> DataFrame:
+    """Frequent contiguous event-type sequences of length 2 and 3 with
+    per-USER support (a user contributes once per pattern however often
+    they repeat it — the sequence-mining support definition, which a
+    plain pair count gets wrong): (k, pattern, support).
+
+    Plan: ONE exchange on user_id; lead() and lead(2) share the same
+    window spec so Catalyst plans a single Window over it; the
+    (pattern, user) distinct and the support count both map-side
+    combine. The event-type alphabet is tiny, so output is at most
+    |types|^2 + |types|^3 rows regardless of corpus size. Ordering ties
+    on (ts) are broken by event_id — same total order in the oracle."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    g2 = seq.where(F.col("e2").isNotNull()).select(
+        F.lit(2).cast("bigint").alias("k"),
+        F.concat_ws(">", "e1", "e2").alias("pattern"),
+        "user_id",
+    )
+    g3 = seq.where(F.col("e3").isNotNull()).select(
+        F.lit(3).cast("bigint").alias("k"),
+        F.concat_ws(">", "e1", "e2", "e3").alias("pattern"),
+        "user_id",
+    )
+    return (
+        g2.unionByName(g3)
+        .distinct()
+        .groupBy("k", "pattern")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+
+
+def duck_event_sequences_sql(
+    rel: str = "events", min_support: int = SEQ_MIN_SUPPORT
+) -> str:
+    """DuckDB twin of event_sequences (same window order, support
+    definition and threshold)."""
+    return f"""
+with s as (
+  select user_id, event_type as e1,
+         lead(event_type, 1) over w as e2,
+         lead(event_type, 2) over w as e3
+  from {rel}
+  window w as (partition by user_id order by ts, event_id)
+),
+g as (
+  select distinct cast(2 as bigint) as k,
+         e1 || '>' || e2 as pattern, user_id
+  from s where e2 is not null
+  union
+  select distinct cast(3 as bigint),
+         e1 || '>' || e2 || '>' || e3, user_id
+  from s where e3 is not null
+)
+select k, pattern, cast(count(*) as bigint) as support
+from g group by 1, 2
+having cast(count(*) as bigint) >= {min_support}
+"""

@@ -560,3 +560,35 @@ def test_rel_evidence_structural_invariants(spark):
     for r in rows:
         assert r["evidence"].startswith(r["subj"]), r
         assert r["evidence"].endswith(r["obj"]), r
+
+
+# ---------------------------------------------------------------------------
+# event sequence mining
+# ---------------------------------------------------------------------------
+
+
+def test_event_sequences_per_user_support(spark):
+    """Support counts DISTINCT users: one user looping a>b 50 times
+    contributes 1; patterns cross the threshold only via breadth."""
+    from datetime import datetime, timezone
+
+    from nerpii_spark.operators.events import event_sequences
+
+    rows = []
+    ts0 = 1700000000
+    # user 0 repeats a>b 50 times; users 1..3 do a>b once each
+    for i in range(100):
+        rows.append((i, datetime.fromtimestamp(ts0 + i, tz=timezone.utc), 0,
+                     "a" if i % 2 == 0 else "b"))
+    for u in (1, 2, 3):
+        rows.append((200 + u * 2, datetime.fromtimestamp(ts0 + u * 1000, tz=timezone.utc), u, "a"))
+        rows.append((201 + u * 2, datetime.fromtimestamp(ts0 + u * 1000 + 1, tz=timezone.utc), u, "b"))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    got = {
+        (r["k"], r["pattern"]): r["support"]
+        for r in event_sequences(df, min_support=4).collect()
+    }
+    assert got[(2, "a>b")] == 4  # 1 (looping user) + 3 (one-shot users)
+    assert (2, "b>a") not in got  # support 1 < 4: only the looping user
