@@ -16,13 +16,13 @@ still arrive (legal whenever ts >= watermark) and should have consumed
 the token first; append mode cannot retract a decision. So requests
 WAIT in state until the watermark seals them (ts < wm — nothing that
 must precede them can arrive anymore), then are decided in strict
-(ts, doc_id) order. Requests at or below the watermark at arrival are late and
-dropped — STRICTLY, because Spark's own late-record filter for
-event-time-timeout stateful ops is strict against a one-batch-lagged
-watermark (measured: an exact-epoch-0 row never reaches the operator);
-a strict gate against the entering watermark dominates that lag and
-keeps the drop rule replayable. Decisions are
-therefore a pure fold over the sealed prefix: INDEPENDENT of batch
+(ts, doc_id) order. Requests at or below the watermark at arrival are
+late and dropped — STRICTLY, because Spark's own late-record filter
+for event-time-timeout stateful ops is strict against a one-batch-
+lagged watermark (measured: an exact-epoch-0 row never reaches the
+operator); a strict gate against the entering watermark dominates that
+lag and keeps the drop rule replayable. Decisions are therefore a pure
+fold over the sealed prefix: INDEPENDENT of batch
 splits (the randomized arbitrary-split gate asserts streaming ==
 batch-fold equality in tests/test_streaming.py).
 
