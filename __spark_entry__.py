@@ -51,6 +51,7 @@ from nerpii_spark.operators.extract import (
     duck_frequent_itemsets_sql,
     entity_cooccur,
     entity_degree,
+    entity_salience,
     extract_triples,
     rel_evidence,
     fact_decay,
@@ -2723,6 +2724,18 @@ def q_crawl_budget(spark, sf):
     return WG.crawl_budget(_pipeline(spark, sf)["pages"])
 
 
+def q_entity_salience(spark, sf):
+    """Per-document entity salience (extract.entity_salience): the
+    position+frequency signal that weights which facts a page is ABOUT.
+    One map-side-combined groupBy over (doc, type, surface-norm) + a
+    rank window over the per-doc ENTITY rows only. The golden oracle
+    rebuilds every occurrence's absolute 0-based begin offset from
+    template length arithmetic — an independent construction, so a hash
+    match certifies the detector's per-occurrence offsets corpus-wide
+    (rel_evidence certifies spans; this certifies positions)."""
+    return entity_salience(_pipeline(spark, sf)["mentions"])
+
+
 def q_cdx_index(spark, sf):
     """CDX-style WARC byte-offset index of the corpus (operators/warc.py):
     (doc_id, url, segment, rec_offset, record_len) — every record's
@@ -2851,7 +2864,9 @@ def q_agg_incremental(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # r3 wave-13 (newest, no driver row yet):
+        # r3 wave-14 (newest, no driver row yet):
+        "q_entity_salience": q_entity_salience,
+        # r3 wave-13 (no driver row yet):
         "q_cdx_index": q_cdx_index,
         "q_fact_decay": q_fact_decay,
         "q_minimizers": q_minimizers,
@@ -3464,6 +3479,7 @@ def oracle_sql() -> dict[str, str]:
         "q_type_vote": L.duck_surface_type_vote_sql(gm),
         "q_fact_decay": duck_fact_decay_sql(gt),
         "q_rel_evidence": P.golden_rel_evidence_sql("duck"),
+        "q_entity_salience": P.golden_salience_sql("duck"),
         "q_event_sequences": EV.duck_event_sequences_sql("events"),
         "q_agg_incremental": SK.duck_pred_agg_sql(gt),
         "q_reshard_plan": LAY.duck_reshard_plan_sql(pages),

@@ -228,6 +228,7 @@ def main() -> int:
         "q_cdc_apply",
         "q_schema_evolution",
         "q_rel_evidence",
+        "q_entity_salience",
         "q_event_sequences",
     ]
     qs = E.queries()

@@ -2390,3 +2390,59 @@ def rel_evidence(
             " cast(o_end - s_begin as int))"
         ).alias("evidence"),
     )
+
+
+NE_SALIENCE_TYPES = ("PERSON", "ORGANIZATION", "LOCATION")
+
+
+def entity_salience(
+    mentions: DataFrame,
+    doc_key: str = "doc_id",
+    types: tuple[str, ...] = NE_SALIENCE_TYPES,
+) -> DataFrame:
+    """Per-document entity salience -> (doc_id, entity_type,
+    mention_norm, n_mentions, first_begin, sal_rank): the classic
+    position+frequency salience signal (Gamon 2013-style features,
+    integer-exact) that weights which facts a page is ABOUT — a triple
+    whose subject is the page's top-salience entity deserves more KG
+    trust than one buried mid-footer. Named-entity mentions only
+    (PERSON/ORGANIZATION/LOCATION); surface-normalized by lower()
+    (canonical-cluster salience = join sal_rank with the linker's
+    resolve_mentions — kept separate so salience stays a pure one-table
+    derivation).
+
+    sal_rank ranks entities WITHIN a document by (n_mentions desc,
+    first_begin asc, entity_type asc, mention_norm asc) — earlier first
+    mention wins ties, and the trailing string keys make the order
+    total, so both engines rank identically.
+
+    Scale shape: ONE map-side-combined groupBy over (doc, type, norm) —
+    a mention-heavy page arrives pre-aggregated — then the rank window
+    repartitions only the per-doc ENTITY rows (bounded by distinct
+    entities per page, not mentions). No UDFs, no collect; offsets are
+    the detector's certified 0-based begins (see rel_evidence), so the
+    golden oracle's independent template-arithmetic reconstruction of
+    first_begin certifies every occurrence's absolute position."""
+    from pyspark.sql import Window as W
+
+    g = (
+        mentions.where(F.col("entity_type").isin(list(types)))
+        .groupBy(
+            doc_key,
+            "entity_type",
+            F.lower(F.col("mention")).alias("mention_norm"),
+        )
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.min("begin").cast("bigint").alias("first_begin"),
+        )
+    )
+    w = W.partitionBy(doc_key).orderBy(
+        F.desc("n_mentions"),
+        F.asc("first_begin"),
+        F.asc("entity_type"),
+        F.asc("mention_norm"),
+    )
+    return g.withColumn(
+        "sal_rank", F.row_number().over(w).cast("bigint")
+    )

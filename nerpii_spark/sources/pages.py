@@ -894,3 +894,76 @@ from (select * from vals where t < 3) lateral view explode({case}) as tr
 select doc_id, tr.s as subj, tr.p as pred, tr.o as obj, tr.e as evidence
 from (select doc_id, unnest({case}) as tr from vals where t < 3)
 """
+
+
+def golden_salience_sql(dialect: str, doc_rel: str = "documents") -> str:
+    """(doc_id, entity_type, mention_norm, n_mentions, first_begin,
+    sal_rank) ground truth for extract.entity_salience: every named-
+    entity occurrence's ABSOLUTE 0-based begin offset is rebuilt by pure
+    template length arithmetic (sentence j starts at len(base_text) + 1
+    + sum of earlier planted sentences + separators; within-sentence
+    offsets are the fixed template literal widths), aggregated to
+    (count, min-begin) per surface and ranked with the operator's total
+    order. An independent construction — a hash match certifies the
+    detector's per-occurrence absolute offsets, not just the
+    sentence-local spans rel_evidence covers. Identical SQL in both
+    dialects (the mention column is aliased `b`, never `begin` — a
+    DuckDB keyword)."""
+    s = sentence_expr()
+    # within-sentence 0-based offsets per template (sentence_expr widths:
+    # ' works at '=10, ' in '=4, 'Contact '=8, ' lives at '=10, ', '=2,
+    # 'SSN '=4, ' and card '=10, ' were filed by '=15)
+    rows = [
+        ("'PERSON'", "lower(person)", "0", 0),
+        ("'ORGANIZATION'", "lower(org)", "length(person) + 10", 0),
+        ("'LOCATION'", "lower(city)", "length(person) + length(org) + 14", 0),
+        ("'PERSON'", "lower(person)", "8", 1),
+        ("'PERSON'", "lower(person)", "0", 2),
+        (
+            "'LOCATION'", "lower(city)",
+            "length(person) + length(streetnum) + length(street) + 15", 2,
+        ),
+        (
+            "'LOCATION'", "lower(st)",
+            "length(person) + length(streetnum) + length(street)"
+            " + length(city) + 17", 2,
+        ),
+        ("'ORGANIZATION'", "lower(org)", "length(ssn) + length(cc) + 29", 3),
+    ]
+    ments = "\n  union all ".join(
+        f"select doc_id, {e} as entity_type, {m} as mention_norm,"
+        f" off + ({o}) as b from soff where t = {t}"
+        for e, m, o, t in rows
+    )
+    return f"""
+{vals_cte_sql(dialect, doc_rel)}
+, sent as (
+  select doc_id, j, t, {s} as s,
+         person, org, city, st, streetnum, street, ssn, cc
+  from vals
+),
+soff as (
+  select sent.*,
+         b.blen + 1 + coalesce(sum(length(sent.s) + 1) over (
+             partition by sent.doc_id order by sent.j
+             rows between unbounded preceding and 1 preceding), 0) as off
+  from sent
+  join (select doc_id, length(text) as blen from {doc_rel}) b
+    on b.doc_id = sent.doc_id
+),
+ments as (
+  {ments}
+),
+g as (
+  select doc_id, entity_type, mention_norm,
+         count(*) as n_mentions, cast(min(b) as bigint) as first_begin
+  from ments group by 1, 2, 3
+)
+select doc_id, entity_type, mention_norm, n_mentions, first_begin,
+       cast(row_number() over (
+           partition by doc_id
+           order by n_mentions desc, first_begin asc,
+                    entity_type asc, mention_norm asc) as bigint)
+           as sal_rank
+from g
+"""
