@@ -2569,6 +2569,18 @@ def q_el_candidates(spark, sf):
     return L.el_candidates(_pipeline(spark, sf)["mentions"])
 
 
+def q_el_disambig(spark, sf):
+    """Collective EL disambiguation (link.el_disambig): one decision
+    row per (doc, surface) — candidate priors re-ranked by alias-in-doc
+    direct evidence and global co-occurrence coherence, the Milne-
+    Witten/Ratinov context stage on top of q_el_candidates. All-bigint
+    scoring; the oracle recomputes the full context algebra (leave-one-
+    out ctx sets, cluster co-occurrence edges, direct/coherence sums,
+    winner rank) from the planted mention truth, independent of the
+    linker."""
+    return L.el_disambig(_pipeline(spark, sf)["mentions"])
+
+
 def q_retention_cohorts(spark, sf):
     """Cohort retention triangle over the events feed
     (events.retention_cohorts): users bucketed by first-seen calendar
@@ -2864,8 +2876,9 @@ def q_agg_incremental(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # r3 wave-14 (newest, no driver row yet):
-        "q_entity_salience": q_entity_salience,
+        # r3 wave-15 (newest, no driver row yet):
+        "q_el_disambig": q_el_disambig,
+        "q_entity_salience": q_entity_salience,  # wave-14
         # r3 wave-13 (no driver row yet):
         "q_cdx_index": q_cdx_index,
         "q_fact_decay": q_fact_decay,
@@ -3480,6 +3493,7 @@ def oracle_sql() -> dict[str, str]:
         "q_fact_decay": duck_fact_decay_sql(gt),
         "q_rel_evidence": P.golden_rel_evidence_sql("duck"),
         "q_entity_salience": P.golden_salience_sql("duck"),
+        "q_el_disambig": P.golden_el_disambig_sql(),
         "q_event_sequences": EV.duck_event_sequences_sql("events"),
         "q_agg_incremental": SK.duck_pred_agg_sql(gt),
         "q_reshard_plan": LAY.duck_reshard_plan_sql(pages),

@@ -229,6 +229,7 @@ def main() -> int:
         "q_schema_evolution",
         "q_rel_evidence",
         "q_entity_salience",
+        "q_el_disambig",
         "q_event_sequences",
     ]
     qs = E.queries()

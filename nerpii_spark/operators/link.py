@@ -1140,3 +1140,208 @@ select feature, n_match, n_unmatch, agree_match, agree_unmatch,
        end as u_ppm
 from fs_agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Collective entity-linking disambiguation (coherence re-ranking)
+# ---------------------------------------------------------------------------
+
+EL_MAX_CTX = 64
+
+
+def el_disambig(
+    mentions: DataFrame,
+    types: list[str] | None = None,
+    max_ctx: int = EL_MAX_CTX,
+) -> DataFrame:
+    """Collective EL disambiguation -> one DECISION row per distinct
+    (doc_id, surface norm): (doc_id, norm, entity_type, canonical,
+    n_cands, direct, coherence, prior_e6). Completes the EL stack on
+    top of el_candidates' commonness priors with the two context
+    signals every collective linker adds (Milne & Witten 2008,
+    Ratinov et al. 2011):
+
+      direct    = 1 iff the candidate's cluster ALREADY appears in the
+                  document via a DIFFERENT (unambiguous) surface — the
+                  alias-in-doc evidence that dominates all other signals;
+      coherence = sum over the doc's other unambiguous entity clusters
+                  of the global co-occurrence count between the
+                  candidate cluster and that cluster (exact bigint doc
+                  counts — relatedness-from-co-occurrence standing in
+                  for Milne-Witten inlink overlap).
+
+    The winner per (doc, norm) is rank 1 under (direct desc, coherence
+    desc, prior_e6 desc, entity_type asc, canonical asc) — a total
+    order (trailing string keys), so both engines pick identically.
+    The frozen corpus' gazetteers are type-disjoint, so every norm has
+    n_cands = 1 there and the oracle certifies the CONTEXT ALGEBRA
+    (ctx sets, edge counts, direct/coherence sums) corpus-wide; the
+    prior-vs-coherence flip on a genuinely ambiguous surface is pinned
+    on a crafted corpus in tests/test_wave15.py.
+
+    Scale shape: the candidate table is vocabulary-bounded (rides
+    _linked_members) and joins into the instance stream on norm; the
+    context table is ONE distinct over (doc, src_norm, cluster) plus a
+    tiny per-doc distinct-cluster count agg whose > max_ctx docs are
+    dropped entirely (the boilerplate-page guard entity_cooccur uses);
+    the global edge self-join keys on doc_id with fan-out <= max_ctx^2
+    BY CONSTRUCTION and emits a co-occurrence-graph-sized table; the
+    scoring join is instance x ctx on doc_id (fan-out <= max_ctx per
+    instance) probing edges by equi-key, collapsed by ONE map-side-
+    combined agg; the final window partitions on (doc, norm) where each
+    partition is <= |types| rows by construction. No UDFs, no collect,
+    all-bigint scoring."""
+    from pyspark.sql import Window as W
+
+    # vocabulary-bounded; checkpointed because it feeds THREE consumers
+    # (ncand, ctx, ci) and the linking dataflow behind it must not
+    # recompute per consumer (CLAUDE.md: self-joins over live stages)
+    cands = (
+        el_candidates(mentions, types)
+        .select("norm", "entity_type", "canonical", "prior_e6")
+        .localCheckpoint(eager=True)
+    )
+    ncand = cands.groupBy("norm").agg(
+        F.count("*").cast("bigint").alias("n_cands")
+    )
+    inst = (
+        mentions.where(
+            F.col("entity_type").isin(types or LINK_TYPES)
+        )
+        .select("doc_id", F.expr(_NORM).alias("norm"))
+        .distinct()
+    )
+    # context: clusters of UNAMBIGUOUS surfaces, src norm retained so a
+    # surface never testifies for itself (leave-one-out inside the doc)
+    ctx = (
+        inst.join(ncand.where(F.col("n_cands") == 1), "norm")
+        .join(cands, "norm")
+        .select(
+            "doc_id",
+            F.col("norm").alias("src_norm"),
+            F.col("entity_type").alias("ctx_type"),
+            F.col("canonical").alias("ctx_canon"),
+        )
+        .distinct()
+    )
+    dctx = ctx.select("doc_id", "ctx_type", "ctx_canon").distinct()
+    per_doc = dctx.groupBy("doc_id").agg(F.count("*").alias("_nc"))
+    keep = per_doc.where(F.col("_nc") <= max_ctx).select("doc_id")
+    ctx = ctx.join(keep, "doc_id")
+    # doc-cluster-sized (~|docs| x entities/doc); checkpointed — it is
+    # both sides of the edge self-join AND the scoring probe base
+    dctx = dctx.join(keep, "doc_id").localCheckpoint(eager=True)
+    # global cluster co-occurrence edges, unordered pair keyed by
+    # (entity_type, canonical) ascending
+    r = dctx.select(
+        F.col("doc_id").alias("r_doc"),
+        F.col("ctx_type").alias("b_type"),
+        F.col("ctx_canon").alias("b_canon"),
+    )
+    edges = (
+        dctx.join(
+            r,
+            (dctx.doc_id == r.r_doc)
+            & (
+                (dctx.ctx_type < r.b_type)
+                | (
+                    (dctx.ctx_type == r.b_type)
+                    & (dctx.ctx_canon < r.b_canon)
+                )
+            ),
+        )
+        .groupBy("ctx_type", "ctx_canon", "b_type", "b_canon")
+        .agg(F.count("*").cast("bigint").alias("n_co"))
+        .select(
+            F.col("ctx_type").alias("e_ta"),
+            F.col("ctx_canon").alias("e_ca"),
+            F.col("b_type").alias("e_tb"),
+            F.col("b_canon").alias("e_cb"),
+            "n_co",
+        )
+    )
+    ci = inst.join(cands, "norm").join(ncand, "norm")
+    # pair each candidate with the doc's other-surface clusters, dedup
+    # to distinct clusters (two aliases of one ctx entity count once)
+    pairs = (
+        ci.join(ctx, "doc_id")
+        .where(F.col("src_norm") != F.col("norm"))
+        .select(
+            "doc_id", "norm", "entity_type", "canonical",
+            "ctx_type", "ctx_canon",
+        )
+        .distinct()
+    )
+    ta = F.when(
+        (F.col("entity_type") < F.col("ctx_type"))
+        | (
+            (F.col("entity_type") == F.col("ctx_type"))
+            & (F.col("canonical") < F.col("ctx_canon"))
+        ),
+        F.struct(
+            F.col("entity_type").alias("ta"),
+            F.col("canonical").alias("ca"),
+            F.col("ctx_type").alias("tb"),
+            F.col("ctx_canon").alias("cb"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.col("ctx_type").alias("ta"),
+            F.col("ctx_canon").alias("ca"),
+            F.col("entity_type").alias("tb"),
+            F.col("canonical").alias("cb"),
+        )
+    )
+    scored = (
+        pairs.withColumn("_k", ta)
+        .join(
+            edges,
+            (F.col("_k.ta") == edges.e_ta)
+            & (F.col("_k.ca") == edges.e_ca)
+            & (F.col("_k.tb") == edges.e_tb)
+            & (F.col("_k.cb") == edges.e_cb),
+            "left",
+        )
+        .groupBy("doc_id", "norm", "entity_type", "canonical")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("ctx_type") == F.col("entity_type"))
+                    & (F.col("ctx_canon") == F.col("canonical")),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("direct"),
+            F.sum(F.coalesce(F.col("n_co"), F.lit(0)))
+            .cast("bigint")
+            .alias("coherence"),
+        )
+    )
+    full = ci.join(
+        scored, ["doc_id", "norm", "entity_type", "canonical"], "left"
+    ).select(
+        "doc_id", "norm", "entity_type", "canonical", "n_cands",
+        F.coalesce(F.col("direct"), F.lit(0)).cast("bigint").alias(
+            "direct"
+        ),
+        F.coalesce(F.col("coherence"), F.lit(0)).cast("bigint").alias(
+            "coherence"
+        ),
+        "prior_e6",
+    )
+    w = W.partitionBy("doc_id", "norm").orderBy(
+        F.desc("direct"),
+        F.desc("coherence"),
+        F.desc("prior_e6"),
+        F.asc("entity_type"),
+        F.asc("canonical"),
+    )
+    return (
+        full.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            "doc_id", "norm", "entity_type", "canonical",
+            "n_cands", "direct", "coherence", "prior_e6",
+        )
+    )

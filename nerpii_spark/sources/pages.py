@@ -967,3 +967,105 @@ select doc_id, entity_type, mention_norm, n_mentions, first_begin,
            as sal_rank
 from g
 """
+
+
+def golden_el_disambig_sql(
+    doc_rel: str = "documents", max_ctx: int = 64
+) -> str:
+    """(doc_id, norm, entity_type, canonical, n_cands, direct,
+    coherence, prior_e6) ground truth for link.el_disambig: the full
+    collective-disambiguation algebra — candidate priors, leave-one-out
+    document context sets, global cluster co-occurrence edges, the
+    direct/coherence sums and the winner rank — recomputed from the
+    PLANTED mention truth (golden_entity_mentions_cte), independent of
+    the linker. A hash match certifies the context algebra end to end;
+    the gazetteers are type-disjoint so n_cands = 1 corpus-wide and the
+    ambiguity flip is pinned on a crafted corpus in pytest."""
+    return f"""
+{golden_entity_mentions_cte(doc_rel)}
+, tot as (select norm, sum(c) as n_surface from counts group by 1),
+cand as (
+  select co.norm, co.entity_type, cn.canonical,
+         cast((1000000 * co.c) // t.n_surface as bigint) as prior_e6
+  from counts co
+  join tot t using (norm)
+  join canon cn on cn.entity_type = co.entity_type and cn.k = co.k
+               and cn.rk = 1
+),
+ncand as (
+  select norm, cast(count(*) as bigint) as n_cands from cand group by 1
+),
+inst as (select distinct doc_id, norm from ment),
+ctx as (
+  select distinct i.doc_id, i.norm as src_norm,
+         c.entity_type as ctx_type, c.canonical as ctx_canon
+  from inst i
+  join ncand n using (norm)
+  join cand c using (norm)
+  where n.n_cands = 1
+),
+dctx as (select distinct doc_id, ctx_type, ctx_canon from ctx),
+keep as (
+  select doc_id from dctx group by 1 having count(*) <= {max_ctx}
+),
+ctx2 as (select ctx.* from ctx join keep using (doc_id)),
+dctx2 as (select dctx.* from dctx join keep using (doc_id)),
+edges as (
+  select a.ctx_type as e_ta, a.ctx_canon as e_ca,
+         b.ctx_type as e_tb, b.ctx_canon as e_cb,
+         cast(count(*) as bigint) as n_co
+  from dctx2 a
+  join dctx2 b on a.doc_id = b.doc_id
+   and ((a.ctx_type < b.ctx_type)
+        or (a.ctx_type = b.ctx_type and a.ctx_canon < b.ctx_canon))
+  group by 1, 2, 3, 4
+),
+ci as (
+  select i.doc_id, i.norm, c.entity_type, c.canonical, c.prior_e6,
+         n.n_cands
+  from inst i join cand c using (norm) join ncand n using (norm)
+),
+prs as (
+  select distinct ci.doc_id, ci.norm, ci.entity_type, ci.canonical,
+         x.ctx_type, x.ctx_canon
+  from ci join ctx2 x using (doc_id)
+  where x.src_norm <> ci.norm
+),
+sc as (
+  select p.doc_id, p.norm, p.entity_type, p.canonical,
+         cast(max(case when p.ctx_type = p.entity_type
+                        and p.ctx_canon = p.canonical
+                       then 1 else 0 end) as bigint) as direct,
+         cast(sum(coalesce(e.n_co, 0)) as bigint) as coherence
+  from prs p
+  left join edges e
+    on e.e_ta = (case when (p.entity_type, p.canonical)
+                         < (p.ctx_type, p.ctx_canon)
+                      then p.entity_type else p.ctx_type end)
+   and e.e_ca = (case when (p.entity_type, p.canonical)
+                         < (p.ctx_type, p.ctx_canon)
+                      then p.canonical else p.ctx_canon end)
+   and e.e_tb = (case when (p.entity_type, p.canonical)
+                         < (p.ctx_type, p.ctx_canon)
+                      then p.ctx_type else p.entity_type end)
+   and e.e_cb = (case when (p.entity_type, p.canonical)
+                         < (p.ctx_type, p.ctx_canon)
+                      then p.ctx_canon else p.canonical end)
+  group by 1, 2, 3, 4
+),
+dec as (
+  select ci.doc_id, ci.norm, ci.entity_type, ci.canonical, ci.n_cands,
+         cast(coalesce(sc.direct, 0) as bigint) as direct,
+         cast(coalesce(sc.coherence, 0) as bigint) as coherence,
+         ci.prior_e6
+  from ci
+  left join sc using (doc_id, norm, entity_type, canonical)
+)
+select doc_id, norm, entity_type, canonical, n_cands, direct,
+       coherence, prior_e6
+from dec
+qualify row_number() over (
+    partition by doc_id, norm
+    order by direct desc, coherence desc, prior_e6 desc,
+             entity_type asc, canonical asc) = 1
+"""
