@@ -89,6 +89,8 @@ from nerpii_spark.operators.extract import (
     duck_triple_typecheck_sql,
     triples_by_pred_salted,
     two_hop_locations,
+    hearst_hypernyms,
+    coref_resolve,
 )
 from nerpii_spark.operators.link import (
     entity_aliases,
@@ -2581,6 +2583,42 @@ def q_el_disambig(spark, sf):
     return L.el_disambig(_pipeline(spark, sf)["mentions"])
 
 
+def q_hearst(spark, sf):
+    """Hearst-pattern hypernym extraction (extract.hearst_hypernyms):
+    is_a triples from the three classic lexical frames (such as /
+    including / and other) over the planted taxonomy corpus
+    (pages.hearst_sql). Row-local: one coalesced regex projection +
+    split/explode, zero shuffles; the oracle recomputes the truth from
+    the hash chain WITHOUT parsing, certifying the frame grammar."""
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_hearst")
+    h = spark.sql(P.hearst_sql("spark", doc_rel="nerpii_documents_hearst"))
+    return hearst_hypernyms(h)
+
+
+def q_coref_resolve(spark, sf):
+    """Coreference-lite pronoun resolution (extract.coref_resolve):
+    gender-agreeing nearest-preceding antecedent binding over the
+    planted two-person corpus (pages.coref_sql) -> resolved triples.
+    Gender agreement is load-bearing (the nearer candidate always has
+    the wrong gender); the whole resolution is row-local (one
+    aggregate() scan per doc, zero shuffles). Parse-free hash-chain
+    oracle."""
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_coref")
+    c = spark.sql(P.coref_sql("spark", doc_rel="nerpii_documents_coref"))
+    return coref_resolve(c)
+
+
+def q_community_graph(spark, sf):
+    """Community quotient graph (webgraph.community_graph): per-LPA-
+    community host counts and intra/out/in distinct-edge rollups — the
+    graph-summarization view of the host graph. Two label equi-joins +
+    three map-side-combined aggs; oracle chains the certified LPA
+    replay."""
+    return WG.community_graph(_pipeline(spark, sf)["pages"])
+
+
 def q_retention_cohorts(spark, sf):
     """Cohort retention triangle over the events feed
     (events.retention_cohorts): users bucketed by first-seen calendar
@@ -2876,7 +2914,11 @@ def q_agg_incremental(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # r3 wave-15 (newest, no driver row yet):
+        # r3 wave-16 (newest, no driver row yet):
+        "q_hearst": q_hearst,
+        "q_coref_resolve": q_coref_resolve,
+        "q_community_graph": q_community_graph,
+        # r3 wave-15 (no driver row yet):
         "q_el_disambig": q_el_disambig,
         "q_entity_salience": q_entity_salience,  # wave-14
         # r3 wave-13 (no driver row yet):
@@ -3494,6 +3536,9 @@ def oracle_sql() -> dict[str, str]:
         "q_rel_evidence": P.golden_rel_evidence_sql("duck"),
         "q_entity_salience": P.golden_salience_sql("duck"),
         "q_el_disambig": P.golden_el_disambig_sql(),
+        "q_hearst": P.golden_hearst_sql(),
+        "q_coref_resolve": P.golden_coref_sql(),
+        "q_community_graph": WG.duck_community_graph_sql(pages),
         "q_event_sequences": EV.duck_event_sequences_sql("events"),
         "q_agg_incremental": SK.duck_pred_agg_sql(gt),
         "q_reshard_plan": LAY.duck_reshard_plan_sql(pages),

@@ -231,6 +231,9 @@ def main() -> int:
         "q_entity_salience",
         "q_el_disambig",
         "q_event_sequences",
+        "q_hearst",
+        "q_coref_resolve",
+        "q_community_graph",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

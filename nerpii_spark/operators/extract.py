@@ -2446,3 +2446,166 @@ def entity_salience(
     return g.withColumn(
         "sal_rank", F.row_number().over(w).cast("bigint")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hearst-pattern hypernym extraction (taxonomy induction)
+# ---------------------------------------------------------------------------
+
+# a Capitalized token group ("New York", "Prestige Group", "Kenya")
+_HEARST_G = "[A-Z][A-Za-z]*(?: [A-Z][A-Za-z]*)*"
+# a comma/and-separated list of such groups ("A, B and C", "A and B")
+_HEARST_LIST = f"{_HEARST_G}(?:, {_HEARST_G})*(?:,? and {_HEARST_G})?"
+
+
+def hearst_hypernyms(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hearst-pattern hypernym extraction (Hearst 1992, "Automatic
+    acquisition of hyponyms from large text corpora") -> one row per
+    extracted instance: (doc_id, hyponym, pred='is_a', hypernym,
+    pattern). The taxonomy-induction stage of KG construction: turns
+    lexical frames into is_a triples with zero supervision. Three
+    classic frames:
+
+        such_as:   '<cls> such as <G>, <G> and <G>'
+        including: '<cls> including <G> and <G>'
+        other:     '<G>, <G> and other <cls>'
+
+    where <G> is a maximal capitalized token group and <cls> the
+    adjacent lowercase class noun. The instance list is split on
+    ', ' / ' and ' boundaries (gazetteer surfaces never contain either,
+    and the capitalization requirement stops the list at the verb
+    phrase, so the frames are unambiguous on well-formed sentences).
+
+    Scale shape: entirely row-local — three codegen'd regexp_extracts
+    coalesced in ONE projection (one text scan, no union-of-branches
+    re-reads), then one split+explode; ZERO shuffles, no UDFs. The
+    certification is the strongest kind the repo has: the DuckDB oracle
+    (sources/pages.golden_hearst_sql) recomputes the planted truth from
+    the hash chain without parsing, so a hash match proves the regex
+    frame grammar end to end."""
+    sa_cls = f"regexp_extract({text_col}, '([A-Za-z]+) such as {_HEARST_LIST}', 1)"
+    sa_lst = f"regexp_extract({text_col}, '[A-Za-z]+ such as ({_HEARST_LIST})', 1)"
+    in_cls = f"regexp_extract({text_col}, '([A-Za-z]+) including {_HEARST_LIST}', 1)"
+    in_lst = f"regexp_extract({text_col}, '[A-Za-z]+ including ({_HEARST_LIST})', 1)"
+    ot_cls = f"regexp_extract({text_col}, '({_HEARST_LIST}),? and other ([A-Za-z]+)', 2)"
+    ot_lst = f"regexp_extract({text_col}, '({_HEARST_LIST}),? and other [A-Za-z]+', 1)"
+    hit = docs.select(
+        "doc_id",
+        F.expr(
+            f"case when {sa_cls} != '' then named_struct("
+            f"  'cls', {sa_cls}, 'lst', {sa_lst}, 'pattern', 'such_as')"
+            f" when {in_cls} != '' then named_struct("
+            f"  'cls', {in_cls}, 'lst', {in_lst}, 'pattern', 'including')"
+            f" when {ot_cls} != '' then named_struct("
+            f"  'cls', {ot_cls}, 'lst', {ot_lst}, 'pattern', 'other')"
+            f" end"
+        ).alias("h"),
+    ).where(F.col("h").isNotNull())
+    return hit.select(
+        "doc_id",
+        F.explode(F.expr("split(h.lst, '(,? and )|(, )')")).alias("hyponym"),
+        F.lit("is_a").alias("pred"),
+        F.col("h.cls").alias("hypernym"),
+        F.col("h.pattern").alias("pattern"),
+    ).select("doc_id", "hyponym", "pred", "hypernym", "pattern")
+
+
+# ---------------------------------------------------------------------------
+# Coreference-lite: gender-agreeing nearest-preceding pronoun resolution
+# ---------------------------------------------------------------------------
+
+
+def coref_resolve(
+    docs: DataFrame,
+    female_names: list[str] | None = None,
+    male_names: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pronoun resolution -> resolved triples: (doc_id, j, anaphor,
+    antecedent, pred, obj). The recall-multiplier stage of KG
+    construction: 'Ada Smith works at Acme. She lives in Oslo.' emits
+    (Ada Smith, lives_in, Oslo) only if the pronoun resolves. Rule
+    (Hobbs-lite, the deterministic core of rule-based coref): an
+    anaphor ('He'/'She' heading a sentence) binds to the NEAREST
+    PRECEDING person mention whose first-name gender AGREES (frozen
+    disjoint name gazetteers by default); no agreeing antecedent ->
+    the pronoun sentence is dropped. Sentence grammar: person
+    sentences '<First Last> works at|joined ...', pronoun sentences
+    '<He|She> lives in|founded <obj>.' (lives in -> lives_in,
+    founded -> founded).
+
+    Scale shape: coref is DOCUMENT-LOCAL, so the whole resolution is
+    row-local — sentence split, per-sentence regex classification, and
+    one O(sentences) aggregate() scan carrying (last_female,
+    last_male) running state, all inside one projection chain: ZERO
+    shuffles, no window, no UDFs (contrast: explode + window would
+    shuffle the full sentence stream by doc_id for a computation that
+    never leaves the row). Each stage (__sents, __meta, __res) is its
+    own projection column per the no-CSE HOF rule (CLAUDE.md). The
+    interpreted-lambda cost is bounded by sentences-per-doc, not
+    corpus size, and certification is parse-free: the DuckDB oracle
+    (sources/pages.golden_coref_sql) recomputes the truth from the
+    hash chain — gender agreement is load-bearing in the planted
+    corpus (the nearer candidate has the WRONG gender)."""
+    from ..functions import gazetteers as G
+
+    fset = female_names if female_names is not None else list(G.FIRST_FEMALE)
+    mset = male_names if male_names is not None else list(G.FIRST_MALE)
+    f_arr = "array(" + ", ".join(f"'{n}'" for n in fset) + ")"
+    m_arr = "array(" + ", ".join(f"'{n}'" for n in mset) + ")"
+    meta = (
+        "transform(__sents, s -> named_struct("
+        " 'person', regexp_extract(s,"
+        "   '^([A-Z][a-z]+ [A-Z][a-z]+) (?:works at|joined) ', 1),"
+        " 'pron', regexp_extract(s, '^(He|She) (?:lives in|founded) ', 1),"
+        " 'verb', regexp_extract(s, '^(?:He|She) (lives in|founded) ', 1),"
+        " 'obj', regexp_extract(s,"
+        "   '^(?:He|She) (?:lives in|founded) (.+)\\\\.$', 1)))"
+    )
+    out_t = (
+        "array<struct<j:int,anaphor:string,antecedent:string,"
+        "pred:string,obj:string>>"
+    )
+    emit = (
+        "named_struct('j', st.j, 'anaphor', e.pron,"
+        " 'antecedent', {ante}, 'pred',"
+        " case when e.verb = 'lives in' then 'lives_in' else 'founded' end,"
+        " 'obj', e.obj)"
+    )
+    res = f"""
+aggregate(
+  __meta,
+  named_struct('lf', '', 'lm', '', 'j', 0,
+               'out', cast(array() as {out_t})),
+  (st, e) -> named_struct(
+    'lf', case when e.person != '' and
+                    array_contains({f_arr}, split(e.person, ' ')[0])
+               then e.person else st.lf end,
+    'lm', case when e.person != '' and
+                    array_contains({m_arr}, split(e.person, ' ')[0])
+               then e.person else st.lm end,
+    'j', st.j + 1,
+    'out', case
+      when e.pron = 'She' and st.lf != ''
+        then concat(st.out, array({emit.format(ante='st.lf')}))
+      when e.pron = 'He' and st.lm != ''
+        then concat(st.out, array({emit.format(ante='st.lm')}))
+      else st.out end),
+  st -> st.out)
+"""
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(f"split({text_col}, '(?<=\\\\.) ')").alias("__sents"),
+        )
+        .select("doc_id", F.expr(meta).alias("__meta"))
+        .select("doc_id", F.explode(F.expr(res)).alias("r"))
+        .select(
+            "doc_id",
+            F.col("r.j").cast("bigint").alias("j"),
+            F.col("r.anaphor").alias("anaphor"),
+            F.col("r.antecedent").alias("antecedent"),
+            F.col("r.pred").alias("pred"),
+            F.col("r.obj").alias("obj"),
+        )
+    )

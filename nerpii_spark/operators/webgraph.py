@@ -3015,3 +3015,115 @@ select host, n_pages,
        cast(base + case when rk <= l then 1 else 0 end as bigint) as alloc
 from r
 """
+
+
+# ---------------------------------------------------------------------------
+# Community quotient graph (graph summarization over LPA labels)
+# ---------------------------------------------------------------------------
+
+
+def community_graph(
+    pages: DataFrame, n_rounds: int = LPA_ROUNDS
+) -> DataFrame:
+    """Quotient-graph summary over the LPA communities -> one row per
+    community: (community, n_hosts, intra_edges, out_edges, in_edges).
+    The graph-summarization rollup a web pipeline reads instead of the
+    raw host graph: community sizes plus how many distinct directed
+    host edges stay inside the community vs cross its boundary
+    (out = tail inside, head elsewhere; in = the reverse) — the
+    link-ring / mirror-farm audit view, and the quotient edge counts
+    modularity-style diagnostics start from.
+
+    Scale shape: labels come from the certified bounded-round LPA
+    (lpa_communities, checkpointed per round); the distinct directed
+    edge list joins the label table TWICE on host (label table is
+    host-sized — an equi-join each side, no broadcast assumption at
+    web scale), then everything collapses through THREE map-side-
+    combined aggs (per-tail, per-head, per-label counts) full-outer-
+    merged on the community key — community-count-sized, so no
+    corpus-scale rows survive past the two label joins. A hot
+    community (giant LPA basin) is only a COUNT hot key — partial
+    aggregation absorbs it map-side; nothing fans out."""
+    labels = lpa_communities(pages, n_rounds).localCheckpoint(eager=True)
+    e = distinct_host_edges(pages)
+    lab_u = labels.select(
+        F.col("host").alias("u"), F.col("community").alias("cu")
+    )
+    lab_v = labels.select(
+        F.col("host").alias("v"), F.col("community").alias("cv")
+    )
+    e2 = e.join(lab_u, "u").join(lab_v, "v")
+    by_tail = e2.groupBy(F.col("cu").alias("community")).agg(
+        F.sum((F.col("cu") == F.col("cv")).cast("long")).alias("intra_edges"),
+        F.sum((F.col("cu") != F.col("cv")).cast("long")).alias("out_edges"),
+    )
+    by_head = (
+        e2.where(F.col("cu") != F.col("cv"))
+        .groupBy(F.col("cv").alias("community"))
+        .agg(F.count("*").alias("in_edges"))
+    )
+    sizes = labels.groupBy(F.col("community")).agg(
+        F.count("*").alias("n_hosts")
+    )
+    return (
+        sizes.join(by_tail, "community", "left")
+        .join(by_head, "community", "left")
+        .select(
+            "community",
+            F.col("n_hosts").cast("bigint").alias("n_hosts"),
+            F.coalesce("intra_edges", F.lit(0)).cast("bigint").alias(
+                "intra_edges"
+            ),
+            F.coalesce("out_edges", F.lit(0)).cast("bigint").alias(
+                "out_edges"
+            ),
+            F.coalesce("in_edges", F.lit(0)).cast("bigint").alias(
+                "in_edges"
+            ),
+        )
+    )
+
+
+def duck_community_graph_sql(
+    pages_sql_duck: str, n_rounds: int = LPA_ROUNDS
+) -> str:
+    """Oracle twin of community_graph: LPA labels via the certified
+    chained-CTE replay, the same two label joins and three rollups."""
+    lpa = duck_lpa_communities_sql(pages_sql_duck, n_rounds)
+    return f"""
+with labels as materialized ({lpa}),
+e as (
+  select distinct src_host as u, dst_host as v
+  from ({duck_planted_links_sql(pages_sql_duck)})
+  where src_host <> dst_host
+),
+e2 as (
+  select lu.community as cu, lv.community as cv
+  from e
+  join labels lu on lu.host = e.u
+  join labels lv on lv.host = e.v
+),
+by_tail as (
+  select cu as community,
+         cast(sum(case when cu = cv then 1 else 0 end) as bigint)
+             as intra_edges,
+         cast(sum(case when cu <> cv then 1 else 0 end) as bigint)
+             as out_edges
+  from e2 group by 1
+),
+by_head as (
+  select cv as community, cast(count(*) as bigint) as in_edges
+  from e2 where cu <> cv group by 1
+),
+sizes as (
+  select community, cast(count(*) as bigint) as n_hosts
+  from labels group by 1
+)
+select s.community, s.n_hosts,
+       coalesce(t.intra_edges, 0) as intra_edges,
+       coalesce(t.out_edges, 0) as out_edges,
+       coalesce(h.in_edges, 0) as in_edges
+from sizes s
+left join by_tail t using (community)
+left join by_head h using (community)
+"""

@@ -1069,3 +1069,331 @@ qualify row_number() over (
     order by direct desc, coherence desc, prior_e6 desc,
              entity_type asc, canonical asc) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Wave-16 planted relations: Hearst-pattern sentences + coreference texts
+# ---------------------------------------------------------------------------
+
+HEARST_SALT = 83
+COREF_SALT = 89
+# fixed index offsets for distinct instance picks: pairwise differences
+# (7, 13, 6) are nonzero mod every gazetteer length used (24, 32)
+HEARST_OFFSETS = (0, 7, 13)
+HEARST_CLASSES = ("companies", "cities", "countries")
+
+
+def _hearst_vals(doc_id: int) -> dict:
+    """Python mirror of the planted Hearst sentence parameters."""
+    import itertools
+
+    hh = h1(doc_id, HEARST_SALT)
+
+    def hv(i: int) -> int:
+        return h2(hh, 30 + i)
+
+    kind = hv(0) % 3
+    n = 2 + hv(1) % 2
+    pat = hv(4) % 3
+    if kind == 1:
+        pool = G.CITIES
+    elif kind == 2:
+        pool = G.COUNTRIES
+    else:
+        pool = None
+    base = hv(2) % (len(pool) if pool else 32)
+    if pool is None:
+        suf = G.ORG_SUFFIXES[hv(3) % 8]
+        inst = [
+            G.ORG_WORDS[(base + o) % 32] + " " + suf
+            for o in HEARST_OFFSETS[:n]
+        ]
+    else:
+        inst = [pool[(base + o) % len(pool)] for o in HEARST_OFFSETS[:n]]
+    return dict(kind=kind, n=n, pat=pat, cls=HEARST_CLASSES[kind], inst=inst)
+
+
+def plant_hearst(doc_id: int) -> tuple[str, list[tuple[str, str, str, str]]]:
+    """(text, [(hyponym, 'is_a', hypernym, pattern), ...]) for doc_id
+    (only doc_id % 2 = 0 plants a sentence; others return ('', []))."""
+    if doc_id % 2 != 0:
+        return "", []
+    v = _hearst_vals(doc_id)
+    cls, inst, pat = v["cls"], v["inst"], v["pat"]
+    if pat == 2:
+        lst = ", ".join(inst)
+        text = f"{lst} and other {cls} were surveyed last year."
+        pname = "other"
+    else:
+        lst = (
+            f"{inst[0]} and {inst[1]}"
+            if len(inst) == 2
+            else f"{inst[0]}, {inst[1]} and {inst[2]}"
+        )
+        if pat == 0:
+            text = f"Many {cls} such as {lst} have expanded recently."
+            pname = "such_as"
+        else:
+            text = f"Major {cls} including {lst} reported strong growth."
+            pname = "including"
+    return text, [(i, "is_a", cls, pname) for i in inst]
+
+
+def hearst_sql(dialect: str, doc_rel: str = "documents") -> str:
+    """Planted Hearst-pattern corpus (doc_id, text): for doc_id % 2 = 0,
+    ONE taxonomy sentence in one of the three classic Hearst 1992 shapes
+
+        such_as:   'Many <cls> such as A, B and C have expanded recently.'
+        including: 'Major <cls> including A and B reported strong growth.'
+        other:     'A, B, C and other <cls> were surveyed last year.'
+
+    with 2-3 DISTINCT instances drawn from the frozen gazetteers (class
+    'companies' -> ORG_WORDS + one shared suffix, 'cities' -> CITIES,
+    'countries' -> COUNTRIES; distinctness by fixed offsets 0/7/13 whose
+    pairwise differences are nonzero mod 24 and 32). Everything keys off
+    h1(doc_id, HEARST_SALT), so the extractor's output is certifiable
+    against golden_hearst_sql() without the oracle parsing any text."""
+    hh = sql_h1("doc_id", HEARST_SALT)
+
+    def hv(i: int) -> str:
+        return sql_h2("hh", 30 + i)
+
+    def inst(off: int) -> str:
+        # per-slot instance as an inline scalar (no slots explode +
+        # re-aggregate: the corpus generator stays a pure projection, so
+        # q_hearst's whole plan — generator AND extractor — is
+        # shuffle-free)
+        org = (
+            f"({_pick(dialect, G.ORG_WORDS, f'(base + {off}) % 32')}"
+            f" || ' ' || {_pick(dialect, G.ORG_SUFFIXES, 'hv3 % 8')})"
+        )
+        city = _pick(dialect, G.CITIES, f"(base + {off}) % 32")
+        country = _pick(dialect, G.COUNTRIES, f"(base + {off}) % 24")
+        return (
+            f"case when kind = 0 then {org} when kind = 1 then {city}"
+            f" else {country} end"
+        )
+
+    return f"""
+with hp as (
+  select doc_id, hh,
+         {hv(0)} % 3 as kind,
+         2 + {hv(1)} % 2 as n,
+         {hv(4)} % 3 as pat,
+         {hv(3)} as hv3,
+         case when {hv(0)} % 3 = 2 then {hv(2)} % 24
+              else {hv(2)} % 32 end as base
+  from (select doc_id, {hh} as hh from {doc_rel} where doc_id % 2 = 0)
+),
+lists as (
+  select doc_id, kind, n, pat,
+         {inst(0)} as i0, {inst(7)} as i1, {inst(13)} as i2
+  from hp
+)
+select doc_id,
+  case
+    when pat = 2 and n = 2 then
+      i0 || ', ' || i1 || ' and other ' ||
+      (case kind when 0 then 'companies' when 1 then 'cities'
+                 else 'countries' end) || ' were surveyed last year.'
+    when pat = 2 then
+      i0 || ', ' || i1 || ', ' || i2 || ' and other ' ||
+      (case kind when 0 then 'companies' when 1 then 'cities'
+                 else 'countries' end) || ' were surveyed last year.'
+    when pat = 0 then
+      'Many ' || (case kind when 0 then 'companies' when 1 then 'cities'
+                            else 'countries' end) || ' such as ' ||
+      (case when n = 2 then i0 || ' and ' || i1
+            else i0 || ', ' || i1 || ' and ' || i2 end) ||
+      ' have expanded recently.'
+    else
+      'Major ' || (case kind when 0 then 'companies' when 1 then 'cities'
+                             else 'countries' end) || ' including ' ||
+      (case when n = 2 then i0 || ' and ' || i1
+            else i0 || ', ' || i1 || ' and ' || i2 end) ||
+      ' reported strong growth.'
+  end as text
+from lists
+"""
+
+
+def golden_hearst_sql(doc_rel: str = "documents") -> str:
+    """(doc_id, hyponym, pred, hypernym, pattern) ground truth for
+    extract.hearst_hypernyms over hearst_sql: one row per planted
+    instance, recomputed from the hash chain — the oracle never parses
+    the sentence, so a hash match certifies the Spark-side regex
+    extraction end to end."""
+    hh = sql_h1("doc_id", HEARST_SALT)
+
+    def hv(i: int) -> str:
+        return sql_h2("hh", 30 + i)
+
+    org = (
+        f"({_pick('duck', G.ORG_WORDS, '(base + off) % 32')} || ' ' || "
+        f"{_pick('duck', G.ORG_SUFFIXES, 'hv3 % 8')})"
+    )
+    city = _pick("duck", G.CITIES, "(base + off) % 32")
+    country = _pick("duck", G.COUNTRIES, "(base + off) % 24")
+    return f"""
+with hp as (
+  select doc_id, hh,
+         {hv(0)} % 3 as kind,
+         2 + {hv(1)} % 2 as n,
+         {hv(4)} % 3 as pat,
+         {hv(3)} as hv3,
+         case when {hv(0)} % 3 = 2 then {hv(2)} % 24
+              else {hv(2)} % 32 end as base
+  from (select doc_id, {hh} as hh from {doc_rel} where doc_id % 2 = 0)
+),
+slots as (
+  select cast(generate_subscripts([0, 7, 13], 1) - 1 as bigint) as slot,
+         unnest([0, 7, 13]) as off
+)
+select hp.doc_id,
+       case when hp.kind = 0 then {org}
+            when hp.kind = 1 then {city}
+            else {country} end as hyponym,
+       'is_a' as pred,
+       case hp.kind when 0 then 'companies' when 1 then 'cities'
+                    else 'countries' end as hypernym,
+       case hp.pat when 0 then 'such_as' when 1 then 'including'
+                   else 'other' end as pattern
+from hp cross join slots s
+where s.slot < hp.n
+"""
+
+
+def _coref_vals(doc_id: int) -> dict:
+    """Python mirror of the planted coreference text parameters."""
+    ch = h1(doc_id, COREF_SALT)
+
+    def cv(i: int) -> int:
+        return h2(ch, 50 + i)
+
+    g = cv(0) % 2  # 0 = P1 female (P2 male), 1 = the reverse
+    p1 = (G.FIRST_FEMALE if g == 0 else G.FIRST_MALE)[cv(1) % 24] + " " + \
+        G.LAST_NAMES[cv(2) % 40]
+    p2 = (G.FIRST_MALE if g == 0 else G.FIRST_FEMALE)[cv(3) % 24] + " " + \
+        G.LAST_NAMES[cv(4) % 40]
+    o1 = G.ORG_WORDS[cv(5) % 32] + " " + G.ORG_SUFFIXES[cv(6) % 8]
+    o2 = G.ORG_WORDS[cv(7) % 32] + " " + G.ORG_SUFFIXES[cv(8) % 8]
+    o3 = G.ORG_WORDS[cv(9) % 32] + " " + G.ORG_SUFFIXES[cv(10) % 8]
+    c1 = G.CITIES[cv(11) % 32]
+    pr1 = "She" if g == 0 else "He"
+    pr2 = "He" if g == 0 else "She"
+    return dict(g=g, p1=p1, p2=p2, o1=o1, o2=o2, o3=o3, c1=c1,
+                pr1=pr1, pr2=pr2)
+
+
+def plant_coref(doc_id: int) -> tuple[str, list[tuple]]:
+    """(text, truth) for the coreference corpus: truth rows are
+    (doc_id, j, anaphor, antecedent, pred, obj). The two persons have
+    OPPOSITE genders and the two pronouns arrive in gender order
+    (pr1 matches P1), so resolving pr1 requires SKIPPING the nearer
+    P2 — gender agreement is genuinely load-bearing, not decorative."""
+    v = _coref_vals(doc_id)
+    text = (
+        f"{v['p1']} works at {v['o1']}. {v['p2']} joined {v['o2']}."
+        f" {v['pr1']} lives in {v['c1']}. {v['pr2']} founded {v['o3']}."
+    )
+    truth = [
+        (doc_id, 2, v["pr1"], v["p1"], "lives_in", v["c1"]),
+        (doc_id, 3, v["pr2"], v["p2"], "founded", v["o3"]),
+    ]
+    return text, truth
+
+
+def coref_sql(dialect: str, doc_rel: str = "documents") -> str:
+    """Planted coreference corpus (doc_id, text): every doc carries
+
+        'P1 works at O1. P2 joined O2. <pr1> lives in C1. <pr2> founded O3.'
+
+    where P1/P2 are persons of OPPOSITE gender (disjoint frozen name
+    lists) and pr1 agrees with P1 — so the nearest-PRECEDING-mention
+    rule alone picks the WRONG antecedent (P2) for pr1; only
+    nearest-preceding-with-GENDER-AGREEMENT resolves the plant. Keys
+    off h1(doc_id, COREF_SALT); golden_coref_sql recomputes the truth
+    without parsing."""
+    ch = sql_h1("doc_id", COREF_SALT)
+
+    def cv(i: int) -> str:
+        return sql_h2("ch", 50 + i)
+
+    ff = _pick(dialect, G.FIRST_FEMALE, "cv1 % 24")
+    fm = _pick(dialect, G.FIRST_MALE, "cv1 % 24")
+    ff3 = _pick(dialect, G.FIRST_FEMALE, "cv3 % 24")
+    fm3 = _pick(dialect, G.FIRST_MALE, "cv3 % 24")
+    return f"""
+with ck as (
+  select doc_id, ch, ({cv(0)}) % 2 as g,
+         ({cv(1)}) as cv1, ({cv(3)}) as cv3,
+         {_pick(dialect, G.LAST_NAMES, f'({cv(2)}) % 40')} as l1,
+         {_pick(dialect, G.LAST_NAMES, f'({cv(4)}) % 40')} as l2,
+         ({_pick(dialect, G.ORG_WORDS, f'({cv(5)}) % 32')} || ' ' ||
+          {_pick(dialect, G.ORG_SUFFIXES, f'({cv(6)}) % 8')}) as o1,
+         ({_pick(dialect, G.ORG_WORDS, f'({cv(7)}) % 32')} || ' ' ||
+          {_pick(dialect, G.ORG_SUFFIXES, f'({cv(8)}) % 8')}) as o2,
+         ({_pick(dialect, G.ORG_WORDS, f'({cv(9)}) % 32')} || ' ' ||
+          {_pick(dialect, G.ORG_SUFFIXES, f'({cv(10)}) % 8')}) as o3,
+         {_pick(dialect, G.CITIES, f'({cv(11)}) % 32')} as c1
+  from (select doc_id, {ch} as ch from {doc_rel})
+),
+cp as (
+  select doc_id,
+         (case when g = 0 then {ff} else {fm} end) || ' ' || l1 as p1,
+         (case when g = 0 then {fm3} else {ff3} end) || ' ' || l2 as p2,
+         case when g = 0 then 'She' else 'He' end as pr1,
+         case when g = 0 then 'He' else 'She' end as pr2,
+         o1, o2, o3, c1
+  from ck
+)
+select doc_id,
+       p1 || ' works at ' || o1 || '. ' || p2 || ' joined ' || o2 || '. ' ||
+       pr1 || ' lives in ' || c1 || '. ' || pr2 || ' founded ' || o3 || '.'
+       as text
+from cp
+"""
+
+
+def golden_coref_sql(doc_rel: str = "documents") -> str:
+    """(doc_id, j, anaphor, antecedent, pred, obj) ground truth for
+    extract.coref_resolve over coref_sql — recomputed from the hash
+    chain, never parsed, so a hash match certifies sentence splitting,
+    mention/gender classification and the gender-agreeing
+    nearest-preceding resolution in one gate."""
+    inner = coref_sql("duck", doc_rel)
+    ch = sql_h1("doc_id", COREF_SALT)
+
+    def cv(i: int) -> str:
+        return sql_h2("ch", 50 + i)
+
+    ff = _pick("duck", G.FIRST_FEMALE, "cv1 % 24")
+    fm = _pick("duck", G.FIRST_MALE, "cv1 % 24")
+    ff3 = _pick("duck", G.FIRST_FEMALE, "cv3 % 24")
+    fm3 = _pick("duck", G.FIRST_MALE, "cv3 % 24")
+    return f"""
+with ck as (
+  select doc_id, ({cv(0)}) % 2 as g,
+         ({cv(1)}) as cv1, ({cv(3)}) as cv3,
+         {_pick('duck', G.LAST_NAMES, f'({cv(2)}) % 40')} as l1,
+         {_pick('duck', G.LAST_NAMES, f'({cv(4)}) % 40')} as l2,
+         ({_pick('duck', G.ORG_WORDS, f'({cv(9)}) % 32')} || ' ' ||
+          {_pick('duck', G.ORG_SUFFIXES, f'({cv(10)}) % 8')}) as o3,
+         {_pick('duck', G.CITIES, f'({cv(11)}) % 32')} as c1
+  from (select doc_id, {ch} as ch from {doc_rel})
+),
+cp as (
+  select doc_id,
+         (case when g = 0 then {ff} else {fm} end) || ' ' || l1 as p1,
+         (case when g = 0 then {fm3} else {ff3} end) || ' ' || l2 as p2,
+         case when g = 0 then 'She' else 'He' end as pr1,
+         case when g = 0 then 'He' else 'She' end as pr2,
+         o3, c1
+  from ck
+)
+select doc_id, cast(2 as bigint) as j, pr1 as anaphor, p1 as antecedent,
+       'lives_in' as pred, c1 as obj
+from cp
+union all
+select doc_id, cast(3 as bigint), pr2, p2, 'founded', o3 from cp
+"""
