@@ -1766,8 +1766,12 @@ def q_lsh_tuning(spark, sf):
     pairs — the report that justifies the shipped r=1/b=16 choice and
     quantifies what a sharper r=4 threshold would forfeit. S-curve is
     an integer-exact constant table; the data side is a <= 21-row
-    histogram over the verified pair set."""
-    return D.lsh_tuning_report(D.ngram_jaccard_pairs(_dup_docs(spark, sf)))
+    histogram over the verified pair set. Pair truth rides
+    prefix_filter_pairs (candidate completeness is a theorem AND the
+    candidate set is precise — measured 2.2x faster than the df-capped
+    shingle join here, whose cap-64 candidates numbered 1.75M for 1705
+    true pairs on this corpus)."""
+    return D.lsh_tuning_report(D.prefix_filter_pairs(_dup_docs(spark, sf)))
 
 
 def q_bloom_semijoin(spark, sf):

@@ -926,8 +926,14 @@ def el_candidates(
     reducer. Deterministic ties: (n_mentions desc, entity_type asc)."""
     from pyspark.sql import Window as W
 
-    m = _linked_members(mentions, types, N_BANDS, TAU_STRING).select(
-        "entity_type", "norm", "n_mentions", "canonical"
+    # vocabulary-bounded; checkpointed because totals below SELF-JOINS
+    # this frame — live, the whole LSH->scoring->CC linking dataflow
+    # would execute twice (CLAUDE.md: self-joins over live stages;
+    # measured 7.5s -> ~2s at sf0.01)
+    m = (
+        _linked_members(mentions, types, N_BANDS, TAU_STRING)
+        .select("entity_type", "norm", "n_mentions", "canonical")
+        .localCheckpoint(eager=True)
     )
     totals = m.groupBy("norm").agg(
         F.sum("n_mentions").cast("bigint").alias("n_surface")

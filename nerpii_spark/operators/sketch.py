@@ -512,19 +512,24 @@ def lang_minhash_matrix(
     hashing.strhash; estimator error is dominated by k anyway
     (sd ~ 1/sqrt(k))."""
     from ..functions.hashing import sql_h2, sql_strhash
+    from ..session import ensure_min_partitions
     from .dedup import with_shingles
 
     sh = (
-        with_shingles(docs)
+        with_shingles(ensure_min_partitions(docs))
         .select("lang", F.explode("shingles").alias("s"))
         .withColumn("h", F.expr(sql_strhash("s")))
     )
+    # <=|langs| rows; checkpointed because BOTH crossJoin sides below
+    # derive from it — live, the whole corpus shingle scan would run
+    # twice (measured 7.4s -> ~2s at sf0.1 together with the
+    # partition-floor shim above)
     sig = sh.groupBy("lang").agg(
         *[
             F.expr(f"min({sql_h2('h', j + 1)})").alias(f"m{j}")
             for j in range(k)
         ]
-    )
+    ).localCheckpoint(eager=True)
     a = sig.select(F.col("lang").alias("lang_a"), *[F.col(f"m{j}").alias(f"a{j}") for j in range(k)])
     b = sig.select(F.col("lang").alias("lang_b"), *[F.col(f"m{j}").alias(f"b{j}") for j in range(k)])
     agree = " + ".join(

@@ -41,3 +41,22 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_min_partitions(df, min_parts: int | None = None):
+    """Shim for small-file local inputs: if `df`'s scan yields fewer
+    partitions than the session's parallelism, repartition up so
+    CPU-heavy per-row stages (shingling, hashing, HOF scans) use every
+    core. On a production cluster the input is already split by
+    spark.sql.files.maxPartitionBytes (a 100 TB scan arrives in ~10^6
+    partitions) and this returns `df` unchanged — the repartition only
+    fires in the few-small-files regime where the shuffle it adds is
+    trivially cheap (measured here: the sf0.1 documents parquet arrives
+    as 3 partitions on 32 cores, serializing every downstream
+    interpreted-HOF stage)."""
+    spark = df.sparkSession
+    if min_parts is None:
+        min_parts = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_parts:
+        return df.repartition(min_parts)
+    return df

@@ -1152,7 +1152,16 @@ def hearst_sql(dialect: str, doc_rel: str = "documents") -> str:
     'countries' -> COUNTRIES; distinctness by fixed offsets 0/7/13 whose
     pairwise differences are nonzero mod 24 and 32). Everything keys off
     h1(doc_id, HEARST_SALT), so the extractor's output is certifiable
-    against golden_hearst_sql() without the oracle parsing any text."""
+    against golden_hearst_sql() without the oracle parsing any text.
+
+    Expression-size discipline: the text is assembled as prefix || i0 ||
+    sep1 || i1 || [sep2 || i2] || suffix so each instance pick (a CASE
+    over three ~30-literal element_at arrays + hash chain) appears
+    EXACTLY ONCE after CollapseProject folds the CTEs into one
+    projection. The earlier per-pattern CASE referenced each pick up to
+    4x, quadrupling the collapsed tree past janino's method limit —
+    whole-stage codegen failed and the interpreted fallback (which
+    builds each literal array per row per reference) ran ~30x slower."""
     hh = sql_h1("doc_id", HEARST_SALT)
 
     def hv(i: int) -> str:
@@ -1184,36 +1193,29 @@ with hp as (
          case when {hv(0)} % 3 = 2 then {hv(2)} % 24
               else {hv(2)} % 32 end as base
   from (select doc_id, {hh} as hh from {doc_rel} where doc_id % 2 = 0)
-),
-lists as (
-  select doc_id, kind, n, pat,
-         {inst(0)} as i0, {inst(7)} as i1, {inst(13)} as i2
-  from hp
 )
 select doc_id,
-  case
-    when pat = 2 and n = 2 then
-      i0 || ', ' || i1 || ' and other ' ||
-      (case kind when 0 then 'companies' when 1 then 'cities'
-                 else 'countries' end) || ' were surveyed last year.'
-    when pat = 2 then
-      i0 || ', ' || i1 || ', ' || i2 || ' and other ' ||
-      (case kind when 0 then 'companies' when 1 then 'cities'
-                 else 'countries' end) || ' were surveyed last year.'
-    when pat = 0 then
+  (case when pat = 0 then
       'Many ' || (case kind when 0 then 'companies' when 1 then 'cities'
-                            else 'countries' end) || ' such as ' ||
-      (case when n = 2 then i0 || ' and ' || i1
-            else i0 || ', ' || i1 || ' and ' || i2 end) ||
-      ' have expanded recently.'
-    else
+                            else 'countries' end) || ' such as '
+        when pat = 1 then
       'Major ' || (case kind when 0 then 'companies' when 1 then 'cities'
-                             else 'countries' end) || ' including ' ||
-      (case when n = 2 then i0 || ' and ' || i1
-            else i0 || ', ' || i1 || ' and ' || i2 end) ||
-      ' reported strong growth.'
-  end as text
-from lists
+                             else 'countries' end) || ' including '
+        else '' end)
+  || {inst(0)}
+  || (case when n = 2 and pat != 2 then ' and ' else ', ' end)
+  || {inst(7)}
+  || (case when n = 2 then ''
+           else (case when pat = 2 then ', ' else ' and ' end)
+                || {inst(13)} end)
+  || (case when pat = 2 then
+        ' and other ' ||
+        (case kind when 0 then 'companies' when 1 then 'cities'
+                   else 'countries' end) || ' were surveyed last year.'
+          when pat = 0 then ' have expanded recently.'
+          else ' reported strong growth.' end)
+  as text
+from hp
 """
 
 
