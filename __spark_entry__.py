@@ -91,6 +91,10 @@ from nerpii_spark.operators.extract import (
     two_hop_locations,
     hearst_hypernyms,
     coref_resolve,
+    rule_infer,
+    duck_rule_infer_sql,
+    ner_bio_export,
+    quote_attribution,
 )
 from nerpii_spark.operators.link import (
     entity_aliases,
@@ -2623,6 +2627,47 @@ def q_community_graph(spark, sf):
     return WG.community_graph(_pipeline(spark, sf)["pages"])
 
 
+def q_rule_infer(spark, sf):
+    """AMIE rule APPLICATION -> novel inferred triples
+    (extract.rule_infer): every mined rule with support >= 2 and PCA
+    confidence >= 0.5 fires over the fact table; derived facts not
+    already asserted come back as (subj, pred, obj) with the best
+    supporting rule and its confidence — the KG-completion step that
+    closes the mine->apply loop q_rule_mining opens. Facts distinct is
+    checkpointed once for its five consumers; the accepted rule set is
+    vocabulary-bounded and broadcast; novelty is one left-anti join on
+    the triple key; best-rule dedup is a window whose partitions are
+    <= |rules| by construction."""
+    return rule_infer(_pipeline(spark, sf)["triples"])
+
+
+def q_ner_bio(spark, sf):
+    """CoNLL-style BIO token export (extract.ner_bio_export): the
+    certified PERSON/ORGANIZATION/LOCATION mention spans projected
+    onto the whitespace token stream as (doc_id, t, token, tag) NER
+    training sequences — the silver-standard training-data factory
+    view. One doc-keyed span collect + 1:1 join, then row-local
+    offset/tag algebra (aggregate + two single-responsibility HOF
+    projections). Oracle rebuilds every span's ABSOLUTE [begin, end)
+    from template-length arithmetic and replays the token projection
+    relationally — a hash match certifies per-occurrence END offsets
+    corpus-wide."""
+    pipe = _pipeline(spark, sf)
+    return ner_bio_export(pipe["clean"], pipe["mentions"])
+
+
+def q_quotes(spark, sf):
+    """Quotation attribution (extract.quote_attribution): attributed
+    direct speech -> (doc_id, speaker, verb, quote, form) over the
+    planted two-frame quotation corpus (pages.quote_sql). Row-local
+    (six coalesced regexp_extracts in one projection, zero shuffles);
+    parse-free hash-chain oracle."""
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_quote")
+    q = spark.sql(P.quote_sql("spark", doc_rel="nerpii_documents_quote"))
+    return quote_attribution(q)
+
+
 def q_retention_cohorts(spark, sf):
     """Cohort retention triangle over the events feed
     (events.retention_cohorts): users bucketed by first-seen calendar
@@ -2918,7 +2963,11 @@ def q_agg_incremental(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # r3 wave-16 (newest, no driver row yet):
+        # r3 wave-17 (newest, no driver row yet):
+        "q_rule_infer": q_rule_infer,
+        "q_ner_bio": q_ner_bio,
+        "q_quotes": q_quotes,
+        # r3 wave-16 (no driver row yet):
         "q_hearst": q_hearst,
         "q_coref_resolve": q_coref_resolve,
         "q_community_graph": q_community_graph,
@@ -3430,6 +3479,9 @@ def oracle_sql() -> dict[str, str]:
         "q_events_anomaly": EV.duck_anomaly_sql(),
         "q_events_funnel": EV.duck_funnel_sql(),
         "q_rule_mining": duck_rule_mining_sql(gt),
+        "q_rule_infer": duck_rule_infer_sql(gt),
+        "q_ner_bio": P.golden_bio_sql(pages),
+        "q_quotes": P.golden_quote_sql(),
         "q_bowtie": WG.duck_bowtie_sql(pages),
         "q_url_templates": TS.duck_url_templates_sql(pages),
         "q_host_templates": D.duck_host_templates_sql(pages),

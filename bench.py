@@ -234,6 +234,10 @@ def main() -> int:
         "q_hearst",
         "q_coref_resolve",
         "q_community_graph",
+        # wave-17
+        "q_rule_infer",
+        "q_ner_bio",
+        "q_quotes",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

@@ -2609,3 +2609,298 @@ aggregate(
             F.col("r.obj").alias("obj"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rule application: AMIE-mined rules -> inferred (novel) triples
+# ---------------------------------------------------------------------------
+
+
+def rule_infer(
+    triples: DataFrame, min_support: int = 2, tau_e6: int = 20_000
+) -> DataFrame:
+    """KG completion by applying the mined horn rules (the second half
+    of the AMIE loop rule_mining opens — Galarraga 2013 §7 "predicting
+    facts"): every rule with support >= min_support and PCA confidence
+    >= tau_e6 fires over the fact table, and each derived (subj, pred,
+    obj) NOT already asserted is emitted once with its best-supporting
+    rule: (subj, pred, obj, conf_pca_e6, rule_type, body1, body2).
+    These are CANDIDATE facts ranked by measured rule precision, not
+    assertions — AMIE's own usage (its rules sit in the 0.01-1.0
+    precision band and feed a downstream acceptor). On this corpus the
+    sole admissible rule is works_at(x,o) & located_in(o,c) =>
+    lives_in(x,c) at PCA ~0.077: it proposes a home city for every
+    person whose employer's city is known, and the low confidence is
+    the honest signal that people often live elsewhere. tau default
+    20000 ppm admits it with ~4x margin at every tested sf.
+
+    Scale shape: facts = ONE distinct over the triple table,
+    localCheckpoint'd because FIVE consumers ride it (mining, both
+    body sides, pair application, the novelty anti-join) — live, the
+    corpus-sized extraction dataflow would recompute per consumer. The
+    accepted rule set is vocabulary-bounded (<= |preds|^3 rows) and
+    BROADCAST into both applications, so the only corpus-sized joins
+    are the path-body bridge join (keyed on the bridge entity y AND
+    body2's predicate — pre-filtered to rule predicates, so dead
+    predicates never enter the shuffle; a Zipf-hot bridge y is
+    irreducible output, AQE skew-split shards it) and the novelty
+    LEFT ANTI join on the full triple key. Best-rule-per-triple is a
+    row_number window over (subj, pred, obj) whose partitions are
+    <= |accepted rules| BY CONSTRUCTION — never corpus-sized. Total
+    order (conf desc, rule_type, body1, body2-coalesced) makes the
+    pick engine-exact."""
+    from pyspark.sql import Window as W
+
+    facts = (
+        triples.select("subj", "pred", "obj").distinct()
+        .localCheckpoint(eager=True)
+    )
+    # vocabulary-bounded (<= |preds|^3); checkpointed because pair and
+    # path application BOTH slice it — live, the whole mining join tree
+    # executed twice (seen in the physical plan)
+    rules = (
+        rule_mining(facts, min_support=min_support)
+        .where(F.col("conf_pca_e6") >= tau_e6)
+        .select("rule_type", "body1", "body2", "head", "conf_pca_e6")
+        .localCheckpoint(eager=True)
+    )
+    pr = rules.where(F.col("rule_type") == "pair")
+    inf_pair = facts.join(
+        F.broadcast(pr), facts.pred == pr.body1
+    ).select(
+        "subj", F.col("head").alias("ipred"), "obj",
+        "conf_pca_e6", "rule_type", "body1", "body2",
+    )
+    pp = rules.where(F.col("rule_type") == "path")
+    b1 = facts.select(
+        F.col("subj").alias("x"), F.col("pred").alias("pa"),
+        F.col("obj").alias("y"),
+    )
+    b2 = facts.select(
+        F.col("subj").alias("yb"), F.col("pred").alias("pb"),
+        F.col("obj").alias("z"),
+    )
+    inf_path = (
+        b1.join(F.broadcast(pp), b1.pa == pp.body1)
+        .join(b2, (F.col("y") == F.col("yb")) & (F.col("pb") == F.col("body2")))
+        .select(
+            F.col("x").alias("subj"), F.col("head").alias("ipred"),
+            F.col("z").alias("obj"),
+            "conf_pca_e6", "rule_type", "body1", "body2",
+        )
+    )
+    inferred = inf_pair.unionByName(inf_path).distinct()
+    novel = inferred.join(
+        facts.select(
+            F.col("subj"), F.col("pred").alias("ipred"), F.col("obj")
+        ),
+        ["subj", "ipred", "obj"],
+        "left_anti",
+    )
+    w = W.partitionBy("subj", "ipred", "obj").orderBy(
+        F.desc("conf_pca_e6"), F.asc("rule_type"), F.asc("body1"),
+        F.asc(F.coalesce("body2", F.lit(""))),
+    )
+    return (
+        novel.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "subj", F.col("ipred").alias("pred"), "obj",
+            "conf_pca_e6", "rule_type", "body1", "body2",
+        )
+    )
+
+
+def duck_rule_infer_sql(
+    triples_sql: str, min_support: int = 2, tau_e6: int = 20_000
+) -> str:
+    """DuckDB twin of :func:`rule_infer` — chains the certified mining
+    replay (duck_rule_mining_sql) with the same application algebra."""
+    mining = duck_rule_mining_sql(triples_sql, min_support=min_support)
+    return f"""
+with facts as (
+  select distinct subj, pred, obj from ({triples_sql})
+),
+rules as (
+  select rule_type, body1, body2, head, conf_pca_e6
+  from ({mining}) where conf_pca_e6 >= {tau_e6}
+),
+inf_pair as (
+  select f.subj, r.head as ipred, f.obj,
+         r.conf_pca_e6, r.rule_type, r.body1, r.body2
+  from facts f join rules r
+    on r.rule_type = 'pair' and f.pred = r.body1
+),
+inf_path as (
+  select b1.subj, r.head as ipred, b2.obj,
+         r.conf_pca_e6, r.rule_type, r.body1, r.body2
+  from facts b1
+  join rules r on r.rule_type = 'path' and b1.pred = r.body1
+  join facts b2 on b2.subj = b1.obj and b2.pred = r.body2
+),
+inferred as (
+  select distinct * from
+    (select * from inf_pair union all select * from inf_path)
+),
+novel as (
+  select i.* from inferred i
+  anti join facts f
+    on f.subj = i.subj and f.pred = i.ipred and f.obj = i.obj
+)
+select subj, ipred as pred, obj, conf_pca_e6, rule_type, body1, body2
+from novel
+qualify row_number() over (
+  partition by subj, ipred, obj
+  order by conf_pca_e6 desc, rule_type asc, body1 asc,
+           coalesce(body2, '') asc) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# NER training-data export: CoNLL-style BIO token tagging
+# ---------------------------------------------------------------------------
+
+BIO_TYPES = ("PERSON", "ORGANIZATION", "LOCATION")
+
+
+def ner_bio_export(
+    clean: DataFrame,
+    mentions: DataFrame,
+    types: tuple[str, ...] = BIO_TYPES,
+) -> DataFrame:
+    """CoNLL-2003-style BIO token export -> one row per whitespace
+    token: (doc_id, t, token, tag), tag in {O, B-<TYPE>, I-<TYPE>} for
+    the named-entity types. This is the training-data FACTORY view of
+    the detector: the certified mention spans projected onto the token
+    stream become silver-standard NER training sequences — the step
+    that turns a web corpus plus a rule detector into model training
+    data (the nerpii reference consumes models; this emits what trains
+    them). Tagging rule: token tagged iff its start offset lies inside
+    a span [begin, end); B- iff it starts the span. Spans are disjoint
+    (detector property), so each token matches at most one.
+
+    Scale shape: ONE doc-keyed map-side-combined collect_list gathers
+    each doc's spans (bounded by mentions/doc, never corpus-sized),
+    one 1:1 doc-keyed join onto the clean text, then everything is
+    ROW-LOCAL: the token array with running offsets is one aggregate()
+    scan (O(tokens/doc)); span matching materializes the matched span
+    per token in its OWN projection (the no-CSE HOF rule — the filter
+    runs once per token, not three times); the only other exchange is
+    whatever the caller does with the output. Tags certify END offsets
+    of every occurrence corpus-wide (I- tokens extend exactly to span
+    end) — one step past salience's begin-only certification."""
+    tlist = ", ".join(f"'{t}'" for t in types)
+    span_t = "array<struct<begin:bigint,end:bigint,entity_type:string>>"
+    sp = (
+        mentions.where(F.expr(f"entity_type in ({tlist})"))
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("begin", "end", "entity_type"))
+            ).alias("__spans")
+        )
+    )
+    tok_t = "array<struct<t:int,tok:string,b:bigint>>"
+    toks = f"""
+aggregate(
+  __ws,
+  named_struct('p', cast(0 as bigint), 'i', 0,
+               'out', cast(array() as {tok_t})),
+  (st, w) -> named_struct(
+    'p', st.p + length(w) + 1,
+    'i', st.i + 1,
+    'out', concat(st.out, array(named_struct(
+        't', st.i, 'tok', w, 'b', st.p)))),
+  st -> st.out)
+"""
+    matched = (
+        "transform(__toks, tk -> named_struct("
+        " 't', tk.t, 'tok', tk.tok, 'b', tk.b,"
+        " 's', try_element_at(filter(__spans,"
+        "   s -> s.begin <= tk.b and tk.b < s.end), 1)))"
+    )
+    tagged = (
+        "transform(__m, e -> named_struct("
+        " 't', e.t, 'tok', e.tok,"
+        " 'tag', case when e.s is null then 'O'"
+        "  when e.s.begin = e.b then 'B-' || e.s.entity_type"
+        "  else 'I-' || e.s.entity_type end))"
+    )
+    return (
+        clean.select("doc_id", "text")
+        .join(sp, "doc_id", "left")
+        .withColumn(
+            "__spans",
+            F.coalesce(F.col("__spans"), F.expr(f"cast(array() as {span_t})")),
+        )
+        .withColumn("__ws", F.expr("split(text, ' ')"))
+        .withColumn("__toks", F.expr(toks))
+        .withColumn("__m", F.expr(matched))
+        .select("doc_id", F.explode(F.expr(tagged)).alias("r"))
+        .select(
+            "doc_id",
+            F.col("r.t").cast("bigint").alias("t"),
+            F.col("r.tok").alias("token"),
+            F.col("r.tag").alias("tag"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quotation attribution: direct speech -> (speaker, verb, quote)
+# ---------------------------------------------------------------------------
+
+QUOTE_VERB_ALT = "said|announced|warned"
+
+
+def quote_attribution(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attributed direct-speech extraction -> (doc_id, speaker, verb,
+    quote, form): the KG provenance primitive that turns reported
+    speech into (speaker, said, quote) assertions with the speaker as
+    a first-class entity mention. Two syntactic frames:
+
+        form 0 (quote-first):   '"<q>," <verb> <First Last>.'
+        form 1 (speaker-first): '<First Last> <verb>: "<q>."'
+
+    with a closed reporting-verb alternation (said|announced|warned).
+    Patterns are NOT anchored, so a quotation embedded mid-page is
+    found (first match wins per frame; quote-first is tried first).
+
+    Scale shape: entirely row-local — six codegen'd regexp_extracts
+    coalesced in ONE projection (one text scan), zero shuffles, no
+    UDFs; the [^"]+ quote body and the literal frame punctuation
+    cannot backtrack. Certification is parse-free: the DuckDB oracle
+    (sources/pages.golden_quote_sql) recomputes the planted truth from
+    the hash chain."""
+    t = F.col(text_col)
+    p0 = f'"([^"]+)," ({QUOTE_VERB_ALT}) ([A-Z][a-z]+ [A-Z][a-z]+)\\.'
+    p1 = f'([A-Z][a-z]+ [A-Z][a-z]+) ({QUOTE_VERB_ALT}): "([^"]+)\\."'
+    hit = docs.select(
+        "doc_id",
+        F.when(
+            F.regexp_extract(t, p0, 1) != "",
+            F.struct(
+                F.regexp_extract(t, p0, 3).alias("speaker"),
+                F.regexp_extract(t, p0, 2).alias("verb"),
+                F.regexp_extract(t, p0, 1).alias("quote"),
+                F.lit(0).cast("bigint").alias("form"),
+            ),
+        )
+        .when(
+            F.regexp_extract(t, p1, 1) != "",
+            F.struct(
+                F.regexp_extract(t, p1, 1).alias("speaker"),
+                F.regexp_extract(t, p1, 2).alias("verb"),
+                F.regexp_extract(t, p1, 3).alias("quote"),
+                F.lit(1).cast("bigint").alias("form"),
+            ),
+        )
+        .alias("h"),
+    ).where(F.col("h").isNotNull())
+    return hit.select(
+        "doc_id",
+        F.col("h.speaker").alias("speaker"),
+        F.col("h.verb").alias("verb"),
+        F.col("h.quote").alias("quote"),
+        F.col("h.form").alias("form"),
+    )

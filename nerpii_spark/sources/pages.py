@@ -1399,3 +1399,190 @@ from cp
 union all
 select doc_id, cast(3 as bigint), pr2, p2, 'founded', o3 from cp
 """
+
+
+def golden_bio_sql(pages_sql_duck: str, doc_rel: str = "documents") -> str:
+    """(doc_id, t, token, tag) ground truth for extract.ner_bio_export:
+    every named-entity occurrence's ABSOLUTE span [b, e) is rebuilt by
+    the same pure template-length arithmetic golden_salience_sql uses
+    (b) EXTENDED with e = b + length(surface) — then projected onto the
+    whitespace token stream of the clean text with a window running-sum
+    for token offsets and a range join for containment. A hash match
+    therefore certifies the detector's per-occurrence END offsets
+    corpus-wide (every I- token), one step past salience's begin-only
+    certification. Independent construction: the token side reads the
+    certified page text, the span side never consults the detector."""
+    s = sentence_expr()
+    rows = [
+        ("'PERSON'", "person", "0", 0),
+        ("'ORGANIZATION'", "org", "length(person) + 10", 0),
+        ("'LOCATION'", "city", "length(person) + length(org) + 14", 0),
+        ("'PERSON'", "person", "8", 1),
+        ("'PERSON'", "person", "0", 2),
+        (
+            "'LOCATION'", "city",
+            "length(person) + length(streetnum) + length(street) + 15", 2,
+        ),
+        (
+            "'LOCATION'", "st",
+            "length(person) + length(streetnum) + length(street)"
+            " + length(city) + 17", 2,
+        ),
+        ("'ORGANIZATION'", "org", "length(ssn) + length(cc) + 29", 3),
+    ]
+    ments = "\n  union all ".join(
+        f"select doc_id, {e} as entity_type, off + ({o}) as b,"
+        f" off + ({o}) + length({m}) as e from soff where t = {t}"
+        for e, m, o, t in rows
+    )
+    return f"""
+{vals_cte_sql('duck', doc_rel)}
+, sent as (
+  select doc_id, j, t, {s} as s,
+         person, org, city, st, streetnum, street, ssn, cc
+  from vals
+),
+soff as (
+  select sent.*,
+         b.blen + 1 + coalesce(sum(length(sent.s) + 1) over (
+             partition by sent.doc_id order by sent.j
+             rows between unbounded preceding and 1 preceding), 0) as off
+  from sent
+  join (select doc_id, length(text) as blen from {doc_rel}) b
+    on b.doc_id = sent.doc_id
+),
+spans as (
+  {ments}
+),
+toks as (
+  select doc_id,
+         cast(generate_subscripts(string_split(text, ' '), 1) - 1
+              as bigint) as t,
+         unnest(string_split(text, ' ')) as tok
+  from ({pages_sql_duck}) c
+),
+ofs as (
+  select doc_id, t, tok,
+         coalesce(sum(length(tok) + 1) over (
+             partition by doc_id order by t
+             rows between unbounded preceding and 1 preceding), 0) as b
+  from toks
+)
+select o.doc_id, o.t, o.tok as token,
+       case when s.b is null then 'O'
+            when o.b = s.b then 'B-' || s.entity_type
+            else 'I-' || s.entity_type end as tag
+from ofs o
+left join spans s
+  on s.doc_id = o.doc_id and o.b >= s.b and o.b < s.e
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave-17 planted quotations: attributed direct speech
+# ---------------------------------------------------------------------------
+
+QUOTE_SALT = 101
+QUOTE_VERBS = ("said", "announced", "warned")
+
+
+def _quote_vals(doc_id: int) -> dict:
+    """Python mirror of the planted quotation parameters."""
+    qh = h1(doc_id, QUOTE_SALT)
+
+    def qv(i: int) -> int:
+        return h2(qh, 70 + i)
+
+    pool = G.LANG_STOPWORDS["en"]
+    n = 4 + qv(0) % 3
+    words = [pool[qv(2 + k) % 20] for k in range(n)]
+    return dict(
+        form=qv(1) % 2,
+        speaker=G.FIRST_NAMES[qv(8) % 48] + " " + G.LAST_NAMES[qv(9) % 40],
+        verb=QUOTE_VERBS[qv(10) % 3],
+        quote=" ".join(words),
+    )
+
+
+def plant_quote(doc_id: int) -> tuple[str, tuple]:
+    """(text, (speaker, verb, quote, form)) for doc_id. Two syntactic
+    forms: quote-first ('"<q>," <verb> <Speaker>.') and speaker-first
+    ('<Speaker> <verb>: "<q>."')."""
+    v = _quote_vals(doc_id)
+    if v["form"] == 0:
+        text = f'"{v["quote"]}," {v["verb"]} {v["speaker"]}.'
+    else:
+        text = f'{v["speaker"]} {v["verb"]}: "{v["quote"]}."'
+    return text, (v["speaker"], v["verb"], v["quote"], v["form"])
+
+
+def _quote_parts_sql(dialect: str, doc_rel: str) -> str:
+    """Shared qk/qp CTE body: (doc_id, form, q, spkr, vb)."""
+    qh = sql_h1("doc_id", QUOTE_SALT)
+
+    def qv(i: int) -> str:
+        return sql_h2("qh", 70 + i)
+
+    pool = list(G.LANG_STOPWORDS["en"])
+    w4 = " || ' ' || ".join(
+        _pick(dialect, pool, f"qv{2 + k} % 20") for k in range(4)
+    )
+    t5 = _pick(dialect, pool, "qv6 % 20")
+    t6 = _pick(dialect, pool, "qv7 % 20")
+    spk = (
+        f"{_pick(dialect, list(G.FIRST_NAMES), 'qv8 % 48')} || ' ' || "
+        f"{_pick(dialect, list(G.LAST_NAMES), 'qv9 % 40')}"
+    )
+    verb = _pick(dialect, list(QUOTE_VERBS), "qv10 % 3")
+    cols = ", ".join(f"({qv(i)}) as qv{i}" for i in range(11))
+    return f"""
+qk as (
+  select doc_id, {cols}
+  from (select doc_id, {qh} as qh from {doc_rel})
+),
+qp as (
+  select doc_id, qv1 % 2 as form,
+         ({w4})
+           || (case when qv0 % 3 >= 1 then ' ' || {t5} else '' end)
+           || (case when qv0 % 3 = 2 then ' ' || {t6} else '' end) as q,
+         ({spk}) as spkr, ({verb}) as vb
+  from qk
+)"""
+
+
+def quote_sql(dialect: str, doc_rel: str = "documents") -> str:
+    """Planted quotation corpus (doc_id, text): every doc carries ONE
+    attributed direct-speech sentence in one of two forms
+
+        quote-first:   '"<q words>," <verb> <First Last>.'
+        speaker-first: '<First Last> <verb>: "<q words>."'
+
+    with a 4-6-word quote drawn from the frozen en stopword pool, a
+    speaker from the name gazetteers and a reporting verb from
+    QUOTE_VERBS. Keys off h1(doc_id, QUOTE_SALT); golden_quote_sql
+    recomputes the truth without parsing, so a hash match certifies
+    the extractor's quote/speaker/verb grammar end to end.
+
+    Expression-size discipline: each gazetteer pick is referenced ONCE
+    in qp and only the small scalar columns (q, spkr, vb) are
+    referenced twice in the final CASE — within janino's method budget
+    (the hearst_sql lesson)."""
+    return f"""
+with {_quote_parts_sql(dialect, doc_rel)}
+select doc_id,
+       case when form = 0 then '"' || q || '," ' || vb || ' ' || spkr || '.'
+            else spkr || ' ' || vb || ': "' || q || '."' end as text
+from qp
+"""
+
+
+def golden_quote_sql(doc_rel: str = "documents") -> str:
+    """(doc_id, speaker, verb, quote, form) ground truth for
+    extract.quote_attribution over quote_sql — recomputed from the
+    hash chain (the shared qp CTE), never parsed."""
+    return f"""
+with {_quote_parts_sql('duck', doc_rel)}
+select doc_id, spkr as speaker, vb as verb, q as quote,
+       cast(form as bigint) as form
+from qp
+"""
