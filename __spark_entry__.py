@@ -95,8 +95,12 @@ from nerpii_spark.operators.extract import (
     duck_rule_infer_sql,
     ner_bio_export,
     quote_attribution,
+    numeric_facts,
+    date_facts,
 )
 from nerpii_spark.operators.link import (
+    cluster_eval,
+    duck_cluster_eval_sql,
     entity_aliases,
     entity_members,
     fuzzy_surface_pairs,
@@ -2656,6 +2660,53 @@ def q_ner_bio(spark, sf):
     return ner_bio_export(pipe["clean"], pipe["mentions"])
 
 
+def q_numeric_facts(spark, sf):
+    """Numeric-fact extraction (extract.numeric_facts): measurement
+    sentences -> (doc_id, subj, pred, value) with EXACT bigint unit
+    normalization ($12.4 billion / $87 million / 1,234,567) over the
+    planted metric corpus (pages.metric_sql). Row-local single
+    projection, zero shuffles; hash-chain oracle certifies grammar AND
+    integer normalization."""
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_metric")
+    m = spark.sql(P.metric_sql("spark", doc_rel="nerpii_documents_metric"))
+    return numeric_facts(m)
+
+
+def q_date_facts(spark, sf):
+    """Temporal fact normalization (extract.date_facts): three date
+    surface forms (US prose / ISO / European prose) normalized to ISO
+    'YYYY-MM-DD' facts over the planted corpus (pages.timex_sql).
+    Row-local single projection, zero shuffles; hash-chain oracle
+    certifies format coverage and month/zero-pad normalization."""
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_timex")
+    tx = spark.sql(P.timex_sql("spark", doc_rel="nerpii_documents_timex"))
+    return date_facts(tx)
+
+
+def q_link_eval(spark, sf):
+    """Entity-resolution quality report (link.cluster_eval): pairwise
+    AND B-cubed P/R of the linker's partition vs the planted cluster
+    truth, per entity type, as all-bigint sufficient statistics —
+    the certified ENTITY-level measurement of the north-star P/R
+    criterion (q_triple_eval covers triples). Items checkpointed for
+    the three cluster aggs; oracle replays the truth partition (the
+    linker is exact on this corpus — q_entities' structural gate made
+    numeric: P/R = B-cubed = 1.0 exactly); imperfect-partition algebra
+    pinned in tests/test_wave18.py."""
+    from nerpii_spark.operators.link import _linked_members, N_BANDS, TAU_STRING
+
+    m = _pipeline(spark, sf)["mentions"]
+    members = _linked_members(m, None, N_BANDS, TAU_STRING)
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_linkeval")
+    truth = spark.sql(
+        P.planted_cluster_truth_sql("spark", doc_rel="nerpii_documents_linkeval")
+    )
+    return cluster_eval(members, truth)
+
+
 def q_quotes(spark, sf):
     """Quotation attribution (extract.quote_attribution): attributed
     direct speech -> (doc_id, speaker, verb, quote, form) over the
@@ -2967,6 +3018,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rule_infer": q_rule_infer,
         "q_ner_bio": q_ner_bio,
         "q_quotes": q_quotes,
+        "q_link_eval": q_link_eval,
+        "q_numeric_facts": q_numeric_facts,
+        "q_date_facts": q_date_facts,
         # r3 wave-16 (no driver row yet):
         "q_hearst": q_hearst,
         "q_coref_resolve": q_coref_resolve,
@@ -3482,6 +3536,11 @@ def oracle_sql() -> dict[str, str]:
         "q_rule_infer": duck_rule_infer_sql(gt),
         "q_ner_bio": P.golden_bio_sql(pages),
         "q_quotes": P.golden_quote_sql(),
+        "q_link_eval": duck_cluster_eval_sql(
+            P.planted_cluster_truth_sql("duck")
+        ),
+        "q_numeric_facts": P.golden_metric_sql(),
+        "q_date_facts": P.golden_timex_sql(),
         "q_bowtie": WG.duck_bowtie_sql(pages),
         "q_url_templates": TS.duck_url_templates_sql(pages),
         "q_host_templates": D.duck_host_templates_sql(pages),

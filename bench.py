@@ -238,6 +238,10 @@ def main() -> int:
         "q_rule_infer",
         "q_ner_bio",
         "q_quotes",
+        # wave-18
+        "q_link_eval",
+        "q_numeric_facts",
+        "q_date_facts",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

@@ -2904,3 +2904,119 @@ def quote_attribution(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("h.quote").alias("quote"),
         F.col("h.form").alias("form"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Numeric-fact extraction: scaled-unit money + grouped counts
+# ---------------------------------------------------------------------------
+
+
+def numeric_facts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Measurement extraction -> (doc_id, subj, pred, value): numeric
+    literals normalized to exact bigint values — '$12.4 billion' ->
+    12400000000 (revenue_usd), '$87 million' -> 87000000 (raised_usd),
+    'population of 1,234,567' -> 1234567 (population). The
+    numeric-literal leg of KG construction: unit scaling and
+    digit-group normalization are where naive extractors silently emit
+    garbage, so both are certified end to end by the hash-chain oracle
+    (pages.golden_metric_sql recomputes every value by pure arithmetic
+    without parsing — a hash match proves the regex grammar AND the
+    integer normalization).
+
+    Scale shape: entirely row-local — the frame regexes are coalesced
+    in ONE projection (one text scan, anchored non-backtracking
+    patterns), zero shuffles, no UDFs. Arithmetic is bigint-first
+    (cast before multiply) per the ANSI int32-literal-product trap
+    documented in CLAUDE.md."""
+    g = "[A-Z][A-Za-z]*(?: [A-Z][A-Za-z]*)*"
+    t = text_col
+    p0 = f"'^({g}) reported revenue of \\\\$([0-9]+)\\\\.([0-9]) billion\\\\.$'"
+    p1 = f"'^({g}) raised \\\\$([0-9]+) million\\\\.$'"
+    p2 = f"'^({g}) has a population of ([0-9]{{1,3}}(?:,[0-9]{{3}})*)\\\\.$'"
+    hit = docs.select(
+        "doc_id",
+        F.expr(
+            f"""case
+  when regexp_extract({t}, {p0}, 1) != '' then named_struct(
+    'subj', regexp_extract({t}, {p0}, 1),
+    'pred', 'revenue_usd',
+    'value', cast(regexp_extract({t}, {p0}, 2) as bigint) * 1000000000
+           + cast(regexp_extract({t}, {p0}, 3) as bigint) * 100000000)
+  when regexp_extract({t}, {p1}, 1) != '' then named_struct(
+    'subj', regexp_extract({t}, {p1}, 1),
+    'pred', 'raised_usd',
+    'value', cast(regexp_extract({t}, {p1}, 2) as bigint) * 1000000)
+  when regexp_extract({t}, {p2}, 1) != '' then named_struct(
+    'subj', regexp_extract({t}, {p2}, 1),
+    'pred', 'population',
+    'value', cast(replace(regexp_extract({t}, {p2}, 2), ',', '')
+                  as bigint))
+  end"""
+        ).alias("h"),
+    ).where(F.col("h").isNotNull())
+    return hit.select(
+        "doc_id",
+        F.col("h.subj").alias("subj"),
+        F.col("h.pred").alias("pred"),
+        F.col("h.value").alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal expression normalization: date surfaces -> ISO facts
+# ---------------------------------------------------------------------------
+
+_MONTH_ALT = (
+    "January|February|March|April|May|June|July|August|September"
+    "|October|November|December"
+)
+
+
+def date_facts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """TIMEX-lite temporal fact extraction -> (doc_id, subj, pred,
+    date_iso): '<Org> was founded on <date>.' with the date in US
+    prose ('March 5, 2024'), ISO ('2024-03-05') or European prose
+    ('5 March 2024') form, normalized to the ISO 'YYYY-MM-DD' string.
+    The temporal-scoping leg of KG construction: month-name lookup and
+    zero-padding are certified end to end by the hash-chain oracle
+    (pages.golden_timex_sql never parses).
+
+    Scale shape: row-local — three anchored non-backtracking regexes
+    coalesced in ONE projection, month index via array_position over a
+    12-literal array, zero shuffles, no UDFs."""
+    g = "[A-Z][A-Za-z]*(?: [A-Z][A-Za-z]*)*"
+    t = text_col
+    marr = "array(" + ", ".join(f"'{m}'" for m in _MONTH_ALT.split("|")) + ")"
+    p0 = f"'^({g}) was founded on ({_MONTH_ALT}) ([0-9]+), ([0-9]{{4}})\\\\.$'"
+    p1 = f"'^({g}) was founded on ([0-9]{{4}})-([0-9]{{2}})-([0-9]{{2}})\\\\.$'"
+    p2 = f"'^({g}) was founded on ([0-9]+) ({_MONTH_ALT}) ([0-9]{{4}})\\\\.$'"
+    hit = docs.select(
+        "doc_id",
+        F.expr(
+            f"""case
+  when regexp_extract({t}, {p0}, 1) != '' then named_struct(
+    'subj', regexp_extract({t}, {p0}, 1),
+    'iso', regexp_extract({t}, {p0}, 4) || '-'
+         || lpad(cast(array_position({marr},
+                regexp_extract({t}, {p0}, 2)) as string), 2, '0')
+         || '-' || lpad(regexp_extract({t}, {p0}, 3), 2, '0'))
+  when regexp_extract({t}, {p1}, 1) != '' then named_struct(
+    'subj', regexp_extract({t}, {p1}, 1),
+    'iso', regexp_extract({t}, {p1}, 2) || '-'
+         || regexp_extract({t}, {p1}, 3) || '-'
+         || regexp_extract({t}, {p1}, 4))
+  when regexp_extract({t}, {p2}, 1) != '' then named_struct(
+    'subj', regexp_extract({t}, {p2}, 1),
+    'iso', regexp_extract({t}, {p2}, 4) || '-'
+         || lpad(cast(array_position({marr},
+                regexp_extract({t}, {p2}, 3)) as string), 2, '0')
+         || '-' || lpad(regexp_extract({t}, {p2}, 2), 2, '0'))
+  end"""
+        ).alias("h"),
+    ).where(F.col("h").isNotNull())
+    return hit.select(
+        "doc_id",
+        F.col("h.subj").alias("subj"),
+        F.lit("founded_on").alias("pred"),
+        F.col("h.iso").alias("date_iso"),
+    )

@@ -1351,3 +1351,140 @@ def el_disambig(
             "n_cands", "direct", "coherence", "prior_e6",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Clustering evaluation: pairwise + B-cubed P/R of the linker vs truth
+# ---------------------------------------------------------------------------
+
+
+def cluster_eval(members: DataFrame, truth: DataFrame) -> DataFrame:
+    """Entity-resolution quality report -> one row per entity_type:
+    (entity_type, n_items, n_pred_clusters, n_true_clusters, tp_pairs,
+    pred_pairs, true_pairs, prec_e6, rec_e6, bcubed_prec_e6,
+    bcubed_rec_e6). Pairwise P/R (Rand-style over same-cluster pairs)
+    and B-cubed (Bagga & Baldwin 1998) of the linker's partition
+    against the planted ground truth — the certified measurement of
+    the north-star P/R criterion at the ENTITY level (q_triple_eval
+    covers the triple level). All-bigint sufficient statistics:
+      tp_pairs  = sum over (pred, true) cells of C(n_kl, 2)
+      pred/true = sum of C(n_k, 2) / C(n_l, 2)
+      prec/rec  = 1e6-scaled integer div of the above
+      bcubed_*  = per-cell n_kl * ((1e6 * n_kl) div n_k|l), summed,
+                  div n_items (identical truncation in both engines).
+
+    Scale shape: items = linker members joined to truth on the
+    vocabulary-sized (entity_type, norm) key, localCheckpoint'd
+    because THREE aggregations slice it (cells, per-pred, per-true);
+    every agg map-side combines to cluster-count-sized results; the
+    final rollup is one row per entity_type. No windows, no collect.
+
+    `members`: (entity_type, norm, label) from the linker;
+    `truth`: (entity_type, k, norm) planted cluster keys."""
+    items = (
+        members.select("entity_type", "norm", "label")
+        .join(truth, ["entity_type", "norm"])
+        .localCheckpoint(eager=True)
+    )
+    cells = items.groupBy("entity_type", "label", "k").agg(
+        F.count("*").cast("bigint").alias("n_kl")
+    )
+    per_pred = items.groupBy("entity_type", "label").agg(
+        F.count("*").cast("bigint").alias("n_k")
+    )
+    per_true = items.groupBy("entity_type", "k").agg(
+        F.count("*").cast("bigint").alias("n_l")
+    )
+    c = (
+        cells.join(per_pred, ["entity_type", "label"])
+        .join(per_true, ["entity_type", "k"])
+    )
+    cell_stats = c.groupBy("entity_type").agg(
+        F.expr("cast(sum(n_kl * (n_kl - 1) div 2) as bigint)").alias(
+            "tp_pairs"
+        ),
+        F.expr(
+            "cast(sum(n_kl * ((1000000 * n_kl) div n_k)) as bigint)"
+        ).alias("bp_num"),
+        F.expr(
+            "cast(sum(n_kl * ((1000000 * n_kl) div n_l)) as bigint)"
+        ).alias("br_num"),
+    )
+    pred_stats = per_pred.groupBy("entity_type").agg(
+        F.count("*").cast("bigint").alias("n_pred_clusters"),
+        F.expr("cast(sum(n_k * (n_k - 1) div 2) as bigint)").alias(
+            "pred_pairs"
+        ),
+        F.expr("cast(sum(n_k) as bigint)").alias("n_items"),
+    )
+    true_stats = per_true.groupBy("entity_type").agg(
+        F.count("*").cast("bigint").alias("n_true_clusters"),
+        F.expr("cast(sum(n_l * (n_l - 1) div 2) as bigint)").alias(
+            "true_pairs"
+        ),
+    )
+    return (
+        cell_stats.join(pred_stats, "entity_type")
+        .join(true_stats, "entity_type")
+        .select(
+            "entity_type", "n_items", "n_pred_clusters",
+            "n_true_clusters", "tp_pairs", "pred_pairs", "true_pairs",
+            F.expr(
+                "case when pred_pairs = 0 then 1000000"
+                " else (1000000 * tp_pairs) div pred_pairs end"
+            ).alias("prec_e6"),
+            F.expr(
+                "case when true_pairs = 0 then 1000000"
+                " else (1000000 * tp_pairs) div true_pairs end"
+            ).alias("rec_e6"),
+            F.expr("bp_num div n_items").alias("bcubed_prec_e6"),
+            F.expr("br_num div n_items").alias("bcubed_rec_e6"),
+        )
+    )
+
+
+def duck_cluster_eval_sql(truth_sql: str) -> str:
+    """Oracle twin of cluster_eval: on the planted corpus the certified
+    linker partition EQUALS the truth partition (the q_entities gate),
+    so predicted labels are replayed as the truth keys themselves and
+    the same sufficient-statistic algebra runs over one side. A hash
+    match therefore asserts numerically what q_entities asserts
+    structurally: entity-level pairwise AND B-cubed P/R = 1.0 exactly.
+    The nontrivial metric algebra (over/under-merge) is pinned on
+    crafted partitions in pytest."""
+    return f"""
+with truth as ({truth_sql}),
+per_true as (
+  select entity_type, k, cast(count(*) as bigint) as n_l
+  from truth group by 1, 2
+),
+cell_stats as (
+  select entity_type,
+         cast(sum(n_l * (n_l - 1) // 2) as bigint) as tp_pairs,
+         cast(sum(n_l * ((1000000 * n_l) // n_l)) as bigint) as bp_num,
+         cast(sum(n_l * ((1000000 * n_l) // n_l)) as bigint) as br_num
+  from per_true group by 1
+),
+pred_stats as (
+  select entity_type, cast(count(*) as bigint) as n_pred_clusters,
+         cast(sum(n_l * (n_l - 1) // 2) as bigint) as pred_pairs,
+         cast(sum(n_l) as bigint) as n_items
+  from per_true group by 1
+),
+true_stats as (
+  select entity_type, cast(count(*) as bigint) as n_true_clusters,
+         cast(sum(n_l * (n_l - 1) // 2) as bigint) as true_pairs
+  from per_true group by 1
+)
+select c.entity_type, p.n_items, p.n_pred_clusters, t.n_true_clusters,
+       c.tp_pairs, p.pred_pairs, t.true_pairs,
+       case when p.pred_pairs = 0 then 1000000
+            else (1000000 * c.tp_pairs) // p.pred_pairs end as prec_e6,
+       case when t.true_pairs = 0 then 1000000
+            else (1000000 * c.tp_pairs) // t.true_pairs end as rec_e6,
+       c.bp_num // p.n_items as bcubed_prec_e6,
+       c.br_num // p.n_items as bcubed_rec_e6
+from cell_stats c
+join pred_stats p using (entity_type)
+join true_stats t using (entity_type)
+"""

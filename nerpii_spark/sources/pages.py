@@ -1586,3 +1586,270 @@ select doc_id, spkr as speaker, vb as verb, q as quote,
        cast(form as bigint) as form
 from qp
 """
+
+
+def planted_cluster_truth_sql(dialect: str, doc_rel: str = "documents") -> str:
+    """(entity_type, k, norm) DISTINCT planted linkable surfaces with
+    their ground-truth cluster key k (PERSON ignores casing and middle
+    initials via person_key; others normalize by lower) — the
+    dual-dialect truth table the clustering-evaluation operator joins
+    against the linker's members. Mirrors golden_entity_mentions_cte's
+    `ment` rows exactly."""
+    return f"""
+{vals_cte_sql(dialect, doc_rel)}
+, ment as (
+  select 'PERSON' as entity_type, person_key as k, lower(person) as norm
+  from vals where t in (0, 1, 2)
+  union all select 'ORGANIZATION', lower(org), lower(org) from vals where t in (0, 3)
+  union all select 'LOCATION', lower(city), lower(city) from vals where t in (0, 2)
+  union all select 'LOCATION', lower(st), lower(st) from vals where t = 2
+)
+select distinct entity_type, k, norm from ment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave-18 planted numeric facts: money + population measurements
+# ---------------------------------------------------------------------------
+
+METRIC_SALT = 103
+
+
+def _metric_vals(doc_id: int) -> dict:
+    mh = h1(doc_id, METRIC_SALT)
+
+    def mv(i: int) -> int:
+        return h2(mh, 80 + i)
+
+    frame = mv(0) % 3
+    org = G.ORG_WORDS[mv(1) % 32] + " " + G.ORG_SUFFIXES[mv(2) % 8]
+    city = G.CITIES[mv(3) % 32]
+    a, b = 1 + mv(4) % 99, mv(5) % 10
+    m = 5 + mv(6) % 991
+    g1, g2, g3 = 10 + mv(7) % 990, mv(8) % 1000, mv(9) % 1000
+    return dict(frame=frame, org=org, city=city, a=a, b=b, m=m,
+                g1=g1, g2=g2, g3=g3)
+
+
+def plant_metric(doc_id: int) -> tuple[str, tuple]:
+    """(text, (subj, pred, value)) for the numeric-fact corpus."""
+    v = _metric_vals(doc_id)
+    if v["frame"] == 0:
+        text = (
+            f'{v["org"]} reported revenue of ${v["a"]}.{v["b"]} billion.'
+        )
+        truth = (v["org"], "revenue_usd",
+                 v["a"] * 10**9 + v["b"] * 10**8)
+    elif v["frame"] == 1:
+        text = f'{v["org"]} raised ${v["m"]} million.'
+        truth = (v["org"], "raised_usd", v["m"] * 10**6)
+    else:
+        pop = f'{v["g1"]},{v["g2"]:03d},{v["g3"]:03d}'
+        text = f'{v["city"]} has a population of {pop}.'
+        truth = (v["city"], "population",
+                 v["g1"] * 10**6 + v["g2"] * 10**3 + v["g3"])
+    return text, truth
+
+
+def metric_sql(dialect: str, doc_rel: str = "documents") -> str:
+    """Planted measurement corpus (doc_id, text): one numeric-fact
+    sentence per doc in one of three frames
+
+        f0: '<Org> reported revenue of $<a>.<b> billion.'
+        f1: '<Org> raised $<m> million.'
+        f2: '<City> has a population of <g1>,<g2>,<g3>.'
+
+    — scaled-unit money (billion/million -> integer USD) and
+    comma-grouped counts, the two numeric-literal normalizations a
+    web-scale fact extractor must get exactly right. Keys off
+    h1(doc_id, METRIC_SALT); golden_metric_sql recomputes values by
+    pure arithmetic, never parsing."""
+    mh = sql_h1("doc_id", METRIC_SALT)
+
+    def mv(i: int) -> str:
+        return sql_h2("mh", 80 + i)
+
+    org = (
+        f"({_pick(dialect, G.ORG_WORDS, 'mv1 % 32')} || ' ' || "
+        f"{_pick(dialect, G.ORG_SUFFIXES, 'mv2 % 8')})"
+    )
+    city = _pick(dialect, G.CITIES, "mv3 % 32")
+    cols = ", ".join(f"({mv(i)}) as mv{i}" for i in range(10))
+    return f"""
+with mk as (
+  select doc_id, {cols}
+  from (select doc_id, {mh} as mh from {doc_rel})
+),
+mp as (
+  select doc_id, mv0 % 3 as frame,
+         {org} as org, {city} as city,
+         1 + mv4 % 99 as a, mv5 % 10 as b,
+         5 + mv6 % 991 as m,
+         10 + mv7 % 990 as g1, mv8 % 1000 as g2, mv9 % 1000 as g3
+  from mk
+)
+select doc_id,
+  case when frame = 0 then
+    org || ' reported revenue of $' || {_s('a')} || '.' || {_s('b')}
+        || ' billion.'
+  when frame = 1 then
+    org || ' raised $' || {_s('m')} || ' million.'
+  else
+    city || ' has a population of ' || {_s('g1')} || ','
+         || {_lpad('g2', 3)} || ',' || {_lpad('g3', 3)} || '.'
+  end as text
+from mp
+"""
+
+
+def golden_metric_sql(doc_rel: str = "documents") -> str:
+    """(doc_id, subj, pred, value) ground truth for
+    extract.numeric_facts over metric_sql — pure hash-chain
+    arithmetic, never parsed (bigint values certify the unit scaling
+    and comma-group normalization exactly)."""
+    mh = sql_h1("doc_id", METRIC_SALT)
+
+    def mv(i: int) -> str:
+        return sql_h2("mh", 80 + i)
+
+    org = (
+        f"({_pick('duck', G.ORG_WORDS, 'mv1 % 32')} || ' ' || "
+        f"{_pick('duck', G.ORG_SUFFIXES, 'mv2 % 8')})"
+    )
+    city = _pick("duck", G.CITIES, "mv3 % 32")
+    cols = ", ".join(f"({mv(i)}) as mv{i}" for i in range(10))
+    return f"""
+with mk as (
+  select doc_id, {cols}
+  from (select doc_id, {mh} as mh from {doc_rel})
+),
+mp as (
+  select doc_id, mv0 % 3 as frame,
+         {org} as org, {city} as city,
+         1 + mv4 % 99 as a, mv5 % 10 as b,
+         5 + mv6 % 991 as m,
+         10 + mv7 % 990 as g1, mv8 % 1000 as g2, mv9 % 1000 as g3
+  from mk
+)
+select doc_id,
+       case when frame = 2 then city else org end as subj,
+       case frame when 0 then 'revenue_usd' when 1 then 'raised_usd'
+                  else 'population' end as pred,
+       cast(case frame
+              when 0 then a * 1000000000 + b * 100000000
+              when 1 then m * 1000000
+              else g1 * 1000000 + g2 * 1000 + g3 end as bigint) as value
+from mp
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave-18 planted temporal expressions: three date surface forms
+# ---------------------------------------------------------------------------
+
+TIMEX_SALT = 107
+MONTHS = (
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December",
+)
+
+
+def _timex_vals(doc_id: int) -> dict:
+    th = h1(doc_id, TIMEX_SALT)
+
+    def tv(i: int) -> int:
+        return h2(th, 90 + i)
+
+    return dict(
+        form=tv(0) % 3,
+        org=G.ORG_WORDS[tv(1) % 32] + " " + G.ORG_SUFFIXES[tv(2) % 8],
+        y=1950 + tv(3) % 75,
+        m=1 + tv(4) % 12,
+        d=1 + tv(5) % 28,
+    )
+
+
+def plant_timex(doc_id: int) -> tuple[str, tuple]:
+    """(text, (subj, pred, date_iso)) for the temporal corpus."""
+    v = _timex_vals(doc_id)
+    mn = MONTHS[v["m"] - 1]
+    if v["form"] == 0:
+        ds = f'{mn} {v["d"]}, {v["y"]}'
+    elif v["form"] == 1:
+        ds = f'{v["y"]}-{v["m"]:02d}-{v["d"]:02d}'
+    else:
+        ds = f'{v["d"]} {mn} {v["y"]}'
+    return (
+        f'{v["org"]} was founded on {ds}.',
+        (v["org"], "founded_on", f'{v["y"]}-{v["m"]:02d}-{v["d"]:02d}'),
+    )
+
+
+def timex_sql(dialect: str, doc_rel: str = "documents") -> str:
+    """Planted temporal corpus (doc_id, text): '<Org> was founded on
+    <date>.' with the date in one of three surface forms — US prose
+    ('March 5, 2024'), ISO ('2024-03-05'), European prose
+    ('5 March 2024') — all encoding the same hash-chain (y, m, d).
+    golden_timex_sql recomputes the ISO normal form arithmetically, so
+    a hash match certifies the extractor's format coverage AND
+    month-name/zero-pad normalization."""
+    th = sql_h1("doc_id", TIMEX_SALT)
+
+    def tv(i: int) -> str:
+        return sql_h2("th", 90 + i)
+
+    org = (
+        f"({_pick(dialect, G.ORG_WORDS, 'tv1 % 32')} || ' ' || "
+        f"{_pick(dialect, G.ORG_SUFFIXES, 'tv2 % 8')})"
+    )
+    mn = _pick(dialect, list(MONTHS), "m - 1")
+    cols = ", ".join(f"({tv(i)}) as tv{i}" for i in range(6))
+    return f"""
+with tk as (
+  select doc_id, {cols}
+  from (select doc_id, {th} as th from {doc_rel})
+),
+tp as (
+  select doc_id, tv0 % 3 as form, {org} as org,
+         1950 + tv3 % 75 as y, 1 + tv4 % 12 as m, 1 + tv5 % 28 as d
+  from tk
+)
+select doc_id,
+  org || ' was founded on ' ||
+  case when form = 0 then {mn} || ' ' || {_s('d')} || ', ' || {_s('y')}
+       when form = 1 then {_s('y')} || '-' || {_lpad('m', 2)} || '-'
+                          || {_lpad('d', 2)}
+       else {_s('d')} || ' ' || {mn} || ' ' || {_s('y')} end
+  || '.' as text
+from tp
+"""
+
+
+def golden_timex_sql(doc_rel: str = "documents") -> str:
+    """(doc_id, subj, pred, date_iso) ground truth for
+    extract.date_facts over timex_sql — hash-chain arithmetic only."""
+    th = sql_h1("doc_id", TIMEX_SALT)
+
+    def tv(i: int) -> str:
+        return sql_h2("th", 90 + i)
+
+    org = (
+        f"({_pick('duck', G.ORG_WORDS, 'tv1 % 32')} || ' ' || "
+        f"{_pick('duck', G.ORG_SUFFIXES, 'tv2 % 8')})"
+    )
+    cols = ", ".join(f"({tv(i)}) as tv{i}" for i in range(6))
+    return f"""
+with tk as (
+  select doc_id, {cols}
+  from (select doc_id, {th} as th from {doc_rel})
+),
+tp as (
+  select doc_id, {org} as org,
+         1950 + tv3 % 75 as y, 1 + tv4 % 12 as m, 1 + tv5 % 28 as d
+  from tk
+)
+select doc_id, org as subj, 'founded_on' as pred,
+       {_s('y')} || '-' || {_lpad('m', 2)} || '-' || {_lpad('d', 2)}
+         as date_iso
+from tp
+"""
