@@ -97,6 +97,8 @@ from nerpii_spark.operators.extract import (
     quote_attribution,
     numeric_facts,
     date_facts,
+    polarity_triples,
+    voice_triples,
 )
 from nerpii_spark.operators.link import (
     cluster_eval,
@@ -2660,6 +2662,44 @@ def q_ner_bio(spark, sf):
     return ner_bio_export(pipe["clean"], pipe["mentions"])
 
 
+def q_robots(spark, sf):
+    """robots.txt policy evaluation (textstats.robots_verdicts):
+    Google-REP longest-match verdicts (Allow-overrides-Disallow on
+    deeper prefixes, default allow) for every corpus page against the
+    planted per-host rule table (pages.robots_rules_sql). Hosts-sized
+    rule broadcast, host-keyed join with the prefix test in the
+    condition, one map-side max_by per page."""
+    from nerpii_spark.operators.textstats import robots_verdicts
+
+    rules = spark.sql(P.robots_rules_sql("spark"))
+    return robots_verdicts(_pipeline(spark, sf)["pages"], rules)
+
+
+def q_polarity(spark, sf):
+    """Negation-aware extraction (extract.polarity_triples): the
+    employment frame plus three negation surfaces classified pos/neg
+    over the planted polarity corpus (pages.negation_sql) — the
+    extraction-precision guard against asserting negated facts.
+    Row-local single regex projection; hash-chain oracle."""
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_neg")
+    n = spark.sql(P.negation_sql("spark", doc_rel="nerpii_documents_neg"))
+    return polarity_triples(n)
+
+
+def q_voice(spark, sf):
+    """Voice canonicalization (extract.voice_triples): active and
+    passive acquisition frames both emit the canonical (acquirer,
+    acquired, target) over the planted voice corpus (pages.voice_sql)
+    — the argument-order normalization passive voice demands.
+    Row-local two-regex projection; hash-chain oracle replays the
+    canonical triple regardless of surface form."""
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_voice")
+    v = spark.sql(P.voice_sql("spark", doc_rel="nerpii_documents_voice"))
+    return voice_triples(v)
+
+
 def q_numeric_facts(spark, sf):
     """Numeric-fact extraction (extract.numeric_facts): measurement
     sentences -> (doc_id, subj, pred, value) with EXACT bigint unit
@@ -3021,6 +3061,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_link_eval": q_link_eval,
         "q_numeric_facts": q_numeric_facts,
         "q_date_facts": q_date_facts,
+        "q_polarity": q_polarity,
+        "q_voice": q_voice,
+        "q_robots": q_robots,
         # r3 wave-16 (no driver row yet):
         "q_hearst": q_hearst,
         "q_coref_resolve": q_coref_resolve,
@@ -3541,6 +3584,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_numeric_facts": P.golden_metric_sql(),
         "q_date_facts": P.golden_timex_sql(),
+        "q_polarity": P.golden_negation_sql(),
+        "q_voice": P.golden_voice_sql(),
+        "q_robots": TS.duck_robots_sql(pages, P.robots_rules_sql("duck")),
         "q_bowtie": WG.duck_bowtie_sql(pages),
         "q_url_templates": TS.duck_url_templates_sql(pages),
         "q_host_templates": D.duck_host_templates_sql(pages),

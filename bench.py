@@ -242,6 +242,10 @@ def main() -> int:
         "q_link_eval",
         "q_numeric_facts",
         "q_date_facts",
+        # wave-19
+        "q_polarity",
+        "q_voice",
+        "q_robots",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

@@ -3020,3 +3020,72 @@ def date_facts(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.lit("founded_on").alias("pred"),
         F.col("h.iso").alias("date_iso"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Polarity-aware + voice-canonicalizing extraction
+# ---------------------------------------------------------------------------
+
+_NEG_VERB_ALT = "works at|does not work at|no longer works at|never worked at"
+
+
+def polarity_triples(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Negation-aware extraction -> (doc_id, subj, pred, obj,
+    polarity): the employment frame with its three negation surfaces
+    classified pos/neg instead of blindly asserted — the extraction-
+    PRECISION guard (a pattern matching 'work(s|ed) at' alone would
+    emit every negated fact as true; at KG scale that is corpus-sized
+    pollution). Downstream keeps polarity = 'pos'; the neg rows remain
+    available as explicit negative assertions (NELL-style).
+
+    Row-local: ONE anchored regex whose verb group is the closed
+    4-alternation, polarity from a verb CASE — one text scan, zero
+    shuffles; parse-free hash-chain oracle."""
+    t = text_col
+    p = f"'^([A-Z][a-z]+ [A-Z][a-z]+) ({_NEG_VERB_ALT}) (.+)\\\\.$'"
+    hit = docs.select(
+        "doc_id",
+        F.expr(f"regexp_extract({t}, {p}, 1)").alias("subj"),
+        F.expr(f"regexp_extract({t}, {p}, 2)").alias("verb"),
+        F.expr(f"regexp_extract({t}, {p}, 3)").alias("obj"),
+    ).where(F.col("subj") != "")
+    return hit.select(
+        "doc_id", "subj", F.lit("works_at").alias("pred"), "obj",
+        F.expr(
+            "case when verb = 'works at' then 'pos' else 'neg' end"
+        ).alias("polarity"),
+    )
+
+
+def voice_triples(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Voice-canonicalizing extraction -> (doc_id, subj, pred, obj):
+    '<A> acquired <B>.' and '<B> was acquired by <A>.' both emit the
+    canonical (acquirer, acquired, target) — the argument-ORDER
+    normalization every relation extractor needs for passive voice
+    (read naively, the passive frame swaps the arguments and the KG
+    asserts the acquisition backwards). Row-local: two anchored
+    regexes coalesced in one projection, the passive branch swaps
+    capture groups; zero shuffles; parse-free hash-chain oracle."""
+    g = "[A-Z][A-Za-z]*(?: [A-Z][A-Za-z]*)*"
+    t = text_col
+    pa = f"'^({g}) acquired ({g})\\\\.$'"
+    pp = f"'^({g}) was acquired by ({g})\\\\.$'"
+    hit = docs.select(
+        "doc_id",
+        F.expr(
+            f"""case
+  when regexp_extract({t}, {pa}, 1) != '' then named_struct(
+    'subj', regexp_extract({t}, {pa}, 1),
+    'obj', regexp_extract({t}, {pa}, 2))
+  when regexp_extract({t}, {pp}, 1) != '' then named_struct(
+    'subj', regexp_extract({t}, {pp}, 2),
+    'obj', regexp_extract({t}, {pp}, 1))
+  end"""
+        ).alias("h"),
+    ).where(F.col("h").isNotNull())
+    return hit.select(
+        "doc_id",
+        F.col("h.subj").alias("subj"),
+        F.lit("acquired").alias("pred"),
+        F.col("h.obj").alias("obj"),
+    )

@@ -2103,3 +2103,81 @@ select cast(score_m // 10000 as bigint) as band,
        cast(sum(syl) as bigint) as sum_syllables
 from scored group by 1
 """
+
+
+# ---------------------------------------------------------------------------
+# robots.txt policy evaluation (Google REP longest-match semantics)
+# ---------------------------------------------------------------------------
+
+
+def robots_verdicts(pages: DataFrame, rules: DataFrame) -> DataFrame:
+    """Crawl-policy evaluation -> one verdict row per page: (doc_id,
+    host, path, allowed). Implements the REP rule Google's spec pins:
+    among the host's rules whose path prefix matches, the LONGEST
+    match wins; on a length tie Allow beats Disallow; no matching rule
+    means allow. This is the admission gate a polite crawler runs over
+    every frontier URL — and the 'Allow /x/page/ under Disallow /x/'
+    override is exactly what naive any-disallow-blocks implementations
+    get wrong (pinned in pytest).
+
+    Scale shape: the rule table is hosts-sized (vocabulary, not
+    corpus) and BROADCAST; the join is host-keyed with the prefix
+    test in the join condition, fan-out bounded by rules-per-host
+    (<= 2 here, small constants generally); one map-side-combined
+    max_by per page collapses the verdict — no windows over the
+    corpus, no UDFs."""
+    from pyspark.sql import functions as F
+
+    u = pages.select(
+        "doc_id",
+        F.regexp_extract("url", "^https://([^/]+)", 1).alias("host"),
+        F.regexp_extract("url", "^https://[^/]+(/.*)$", 1).alias("path"),
+    )
+    r = rules.select(
+        F.col("host").alias("r_host"), "prefix", "allow"
+    )
+    m = u.join(
+        F.broadcast(r),
+        (F.col("host") == F.col("r_host"))
+        & F.expr("startswith(path, prefix)"),
+        "left",
+    )
+    return (
+        m.groupBy("doc_id", "host", "path")
+        .agg(
+            F.expr(
+                "max_by(allow, named_struct("
+                "'l', length(prefix), 'a', allow))"
+            ).alias("__best")
+        )
+        .select(
+            "doc_id", "host", "path",
+            F.expr("coalesce(__best, 1)").cast("bigint").alias("allowed"),
+        )
+    )
+
+
+def duck_robots_sql(pages_sql_duck: str, rules_sql_duck: str) -> str:
+    """Oracle twin of robots_verdicts: same host/path split, same
+    longest-match / allow-tie / default-allow algebra via a window."""
+    return f"""
+with rules as ({rules_sql_duck}),
+urls as (
+  select doc_id,
+         regexp_extract(url, '^https://([^/]+)', 1) as host,
+         regexp_extract(url, '^https://[^/]+(/.*)$', 1) as path
+  from ({pages_sql_duck})
+),
+m as (
+  select u.doc_id, u.host, u.path, r.prefix, r.allow
+  from urls u
+  left join rules r
+    on r.host = u.host and starts_with(u.path, r.prefix)
+)
+select doc_id, host, path,
+       cast(coalesce(allow, 1) as bigint) as allowed
+from m
+qualify row_number() over (
+  partition by doc_id
+  order by length(prefix) desc nulls last, allow desc nulls last) = 1
+"""

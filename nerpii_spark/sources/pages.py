@@ -1853,3 +1853,249 @@ select doc_id, org as subj, 'founded_on' as pred,
          as date_iso
 from tp
 """
+
+
+# ---------------------------------------------------------------------------
+# Wave-19 planted polarity + voice corpora; robots.txt rules
+# ---------------------------------------------------------------------------
+
+NEG_SALT = 109
+VOICE_SALT = 113
+
+
+def _neg_vals(doc_id: int) -> dict:
+    nh = h1(doc_id, NEG_SALT)
+
+    def nv(i: int) -> int:
+        return h2(nh, 110 + i)
+
+    return dict(
+        frame=nv(0) % 4,
+        person=G.FIRST_NAMES[nv(1) % 48] + " " + G.LAST_NAMES[nv(2) % 40],
+        org=G.ORG_WORDS[nv(3) % 32] + " " + G.ORG_SUFFIXES[nv(4) % 8],
+    )
+
+
+NEG_FRAMES = (
+    ("works at", "pos"),
+    ("does not work at", "neg"),
+    ("no longer works at", "neg"),
+    ("never worked at", "neg"),
+)
+
+
+def plant_negation(doc_id: int) -> tuple[str, tuple]:
+    """(text, (subj, pred, obj, polarity))."""
+    v = _neg_vals(doc_id)
+    verb, pol = NEG_FRAMES[v["frame"]]
+    return (
+        f'{v["person"]} {verb} {v["org"]}.',
+        (v["person"], "works_at", v["org"], pol),
+    )
+
+
+def negation_sql(dialect: str, doc_rel: str = "documents") -> str:
+    """Planted polarity corpus (doc_id, text): one employment sentence
+    per doc in one of four frames — affirmative 'works at' plus three
+    negation surfaces ('does not work at' / 'no longer works at' /
+    'never worked at'). The extraction-precision trap corpus: a naive
+    pattern matching 'work(s|ed) at' would assert every negated fact.
+    Keys off h1(doc_id, NEG_SALT); golden_negation_sql replays
+    (subj, pred, obj, polarity) from the chain without parsing."""
+    nh = sql_h1("doc_id", NEG_SALT)
+
+    def nv(i: int) -> str:
+        return sql_h2("nh", 110 + i)
+
+    person = (
+        f"({_pick(dialect, list(G.FIRST_NAMES), 'nv1 % 48')} || ' ' || "
+        f"{_pick(dialect, list(G.LAST_NAMES), 'nv2 % 40')})"
+    )
+    org = (
+        f"({_pick(dialect, G.ORG_WORDS, 'nv3 % 32')} || ' ' || "
+        f"{_pick(dialect, G.ORG_SUFFIXES, 'nv4 % 8')})"
+    )
+    verbs = [v for v, _ in NEG_FRAMES]
+    verb = _pick(dialect, verbs, "nv0 % 4")
+    cols = ", ".join(f"({nv(i)}) as nv{i}" for i in range(5))
+    return f"""
+with nk as (
+  select doc_id, {cols}
+  from (select doc_id, {nh} as nh from {doc_rel})
+)
+select doc_id,
+       {person} || ' ' || {verb} || ' ' || {org} || '.' as text
+from nk
+"""
+
+
+def golden_negation_sql(doc_rel: str = "documents") -> str:
+    """(doc_id, subj, pred, obj, polarity) ground truth for
+    extract.polarity_triples over negation_sql."""
+    nh = sql_h1("doc_id", NEG_SALT)
+
+    def nv(i: int) -> str:
+        return sql_h2("nh", 110 + i)
+
+    person = (
+        f"({_pick('duck', list(G.FIRST_NAMES), 'nv1 % 48')} || ' ' || "
+        f"{_pick('duck', list(G.LAST_NAMES), 'nv2 % 40')})"
+    )
+    org = (
+        f"({_pick('duck', G.ORG_WORDS, 'nv3 % 32')} || ' ' || "
+        f"{_pick('duck', G.ORG_SUFFIXES, 'nv4 % 8')})"
+    )
+    cols = ", ".join(f"({nv(i)}) as nv{i}" for i in range(5))
+    return f"""
+with nk as (
+  select doc_id, {cols}
+  from (select doc_id, {nh} as nh from {doc_rel})
+)
+select doc_id, {person} as subj, 'works_at' as pred, {org} as obj,
+       case when nv0 % 4 = 0 then 'pos' else 'neg' end as polarity
+from nk
+"""
+
+
+def _voice_vals(doc_id: int) -> dict:
+    vh = h1(doc_id, VOICE_SALT)
+
+    def vv(i: int) -> int:
+        return h2(vh, 120 + i)
+
+    # two DISTINCT orgs: offset 5 is nonzero mod 32 and mod 8 never
+    # collides because the word index differs
+    i1 = vv(1) % 32
+    a = G.ORG_WORDS[i1] + " " + G.ORG_SUFFIXES[vv(2) % 8]
+    b = G.ORG_WORDS[(i1 + 5) % 32] + " " + G.ORG_SUFFIXES[vv(3) % 8]
+    return dict(form=vv(0) % 2, a=a, b=b)
+
+
+def plant_voice(doc_id: int) -> tuple[str, tuple]:
+    """(text, (subj, pred, obj)) — active and passive surface the SAME
+    canonical triple (acquirer, acquired, target)."""
+    v = _voice_vals(doc_id)
+    if v["form"] == 0:
+        text = f'{v["a"]} acquired {v["b"]}.'
+    else:
+        text = f'{v["b"]} was acquired by {v["a"]}.'
+    return text, (v["a"], "acquired", v["b"])
+
+
+def voice_sql(dialect: str, doc_rel: str = "documents") -> str:
+    """Planted voice corpus (doc_id, text): '<A> acquired <B>.' or
+    '<B> was acquired by <A>.' — the SAME canonical fact under active
+    and passive voice. The argument-order trap corpus: a naive
+    pattern reading passive left-to-right swaps acquirer and target.
+    golden_voice_sql replays (A, acquired, B) regardless of form."""
+    vh = sql_h1("doc_id", VOICE_SALT)
+
+    def vv(i: int) -> str:
+        return sql_h2("vh", 120 + i)
+
+    a = (
+        f"({_pick(dialect, G.ORG_WORDS, 'vv1 % 32')} || ' ' || "
+        f"{_pick(dialect, G.ORG_SUFFIXES, 'vv2 % 8')})"
+    )
+    b = (
+        f"({_pick(dialect, G.ORG_WORDS, '(vv1 + 5) % 32')} || ' ' || "
+        f"{_pick(dialect, G.ORG_SUFFIXES, 'vv3 % 8')})"
+    )
+    cols = ", ".join(f"({vv(i)}) as vv{i}" for i in range(4))
+    return f"""
+with vk as (
+  select doc_id, {cols}
+  from (select doc_id, {vh} as vh from {doc_rel})
+),
+vp as (
+  select doc_id, vv0 % 2 as form, {a} as a, {b} as b
+  from vk
+)
+select doc_id,
+       case when form = 0 then a || ' acquired ' || b || '.'
+            else b || ' was acquired by ' || a || '.' end as text
+from vp
+"""
+
+
+def golden_voice_sql(doc_rel: str = "documents") -> str:
+    """(doc_id, subj, pred, obj) ground truth for
+    extract.voice_triples over voice_sql."""
+    vh = sql_h1("doc_id", VOICE_SALT)
+
+    def vv(i: int) -> str:
+        return sql_h2("vh", 120 + i)
+
+    a = (
+        f"({_pick('duck', G.ORG_WORDS, 'vv1 % 32')} || ' ' || "
+        f"{_pick('duck', G.ORG_SUFFIXES, 'vv2 % 8')})"
+    )
+    b = (
+        f"({_pick('duck', G.ORG_WORDS, '(vv1 + 5) % 32')} || ' ' || "
+        f"{_pick('duck', G.ORG_SUFFIXES, 'vv3 % 8')})"
+    )
+    cols = ", ".join(f"({vv(i)}) as vv{i}" for i in range(4))
+    return f"""
+with vk as (
+  select doc_id, {cols}
+  from (select doc_id, {vh} as vh from {doc_rel})
+)
+select doc_id, {a} as subj, 'acquired' as pred, {b} as obj
+from vk
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave-19 planted robots.txt rules per host
+# ---------------------------------------------------------------------------
+
+ROBOTS_SALT = 127
+ROBOTS_LANGS = ("en", "de", "fr", "es", "zh")
+N_SITE_HOSTS_URL = 977  # pages_sql url host modulus
+
+
+def robots_rules_sql(dialect: str) -> str:
+    """Planted per-host robots.txt rule table (host, prefix, allow):
+    for each of the 977 site hosts the pages corpus URLs live on,
+    hosts with h % 3 = 0 Disallow one language subtree '/<lang>/', and
+    half of those ALSO Allow the longer '/<lang>/page/' underneath —
+    the Google-REP longest-match-overrides shape (an Allow deeper than
+    a Disallow re-opens the subtree). Other hosts publish no rules
+    (default allow). Deterministic from h1(host_id, ROBOTS_SALT)."""
+    if dialect == "spark":
+        hosts = "select explode(sequence(0, 976)) as hid"
+    else:
+        hosts = "select unnest(range(0, 977)) as hid"
+    rh = sql_h1("hid", ROBOTS_SALT)
+    lang = _pick(dialect, list(ROBOTS_LANGS), "rh % 5")
+    return f"""
+with hids as ({hosts}),
+hk as (
+  select hid, {rh} as rh from hids
+),
+base as (
+  select hid, rh, 'site' || {_s('hid')} || '.example' as host,
+         {lang} as lang
+  from hk
+)
+select host, '/' || lang || '/' as prefix, cast(0 as bigint) as allow
+from base where rh % 3 = 0
+union all
+select host, '/' || lang || '/page/' as prefix, cast(1 as bigint) as allow
+from base where rh % 3 = 0 and (rh // 3) % 2 = 0
+""" if dialect == "duck" else f"""
+with hids as ({hosts}),
+hk as (
+  select hid, {rh} as rh from hids
+),
+base as (
+  select hid, rh, 'site' || {_s('hid')} || '.example' as host,
+         {lang} as lang
+  from hk
+)
+select host, '/' || lang || '/' as prefix, cast(0 as bigint) as allow
+from base where rh % 3 = 0
+union all
+select host, '/' || lang || '/page/' as prefix, cast(1 as bigint) as allow
+from base where rh % 3 = 0 and (rh div 3) % 2 = 0
+"""
