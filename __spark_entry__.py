@@ -99,6 +99,12 @@ from nerpii_spark.operators.extract import (
     date_facts,
     polarity_triples,
     voice_triples,
+    ntriples_export,
+    duck_ntriples_sql,
+    shacl_report,
+    duck_shacl_sql,
+    ner_eval,
+    duck_ner_eval_sql,
 )
 from nerpii_spark.operators.link import (
     cluster_eval,
@@ -2662,6 +2668,44 @@ def q_ner_bio(spark, sf):
     return ner_bio_export(pipe["clean"], pipe["mentions"])
 
 
+def q_ntriples(spark, sf):
+    """Canonical N-Triples export (extract.ntriples_export): the KG
+    interchange sink — entity preds as %20-encoded IRIs, attribute
+    preds (has_email/has_phone) as spec-escaped string literals, one
+    distinct line per fact. Hash match = byte-exact serialization.
+    One map-side distinct + a row-local string projection."""
+    return ntriples_export(_pipeline(spark, sf)["triples"])
+
+
+def q_shacl(spark, sf):
+    """SHACL-lite shape validation (extract.shacl_report): maxCount
+    bounds (one home city, one org location, <= 2 employers) plus the
+    works_at => lives_in implication over the fact table — violations
+    only, the KG quality gate feeding conflict resolution and targeted
+    re-extraction. Facts checkpointed once for three consumers; shapes
+    broadcast; output bounded by actual inconsistency."""
+    return shacl_report(_pipeline(spark, sf)["triples"])
+
+
+def q_ner_eval(spark, sf):
+    """Span-level detector evaluation (extract.ner_eval): multiset
+    mention P/R per entity type vs the planted truth — the detector-
+    level leg of the evaluation stack (q_link_eval: entities,
+    q_triple_eval: facts). Both sides collapse to per-key counts
+    map-side; full-outer on the mention key; |types| rows out. Oracle
+    asserts P/R = 1.0 numerically (the q_detect_mentions structural
+    gate made metric); imperfect-detector algebra pinned in pytest."""
+    m = _pipeline(spark, sf)["mentions"].select(
+        "doc_id", "entity_type", "mention"
+    )
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_nereval")
+    truth = spark.sql(
+        P.golden_mentions_sql("spark", doc_rel="nerpii_documents_nereval")
+    )
+    return ner_eval(m, truth)
+
+
 def q_robots(spark, sf):
     """robots.txt policy evaluation (textstats.robots_verdicts):
     Google-REP longest-match verdicts (Allow-overrides-Disallow on
@@ -3064,6 +3108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_polarity": q_polarity,
         "q_voice": q_voice,
         "q_robots": q_robots,
+        "q_ntriples": q_ntriples,
+        "q_shacl": q_shacl,
+        "q_ner_eval": q_ner_eval,
         # r3 wave-16 (no driver row yet):
         "q_hearst": q_hearst,
         "q_coref_resolve": q_coref_resolve,
@@ -3587,6 +3634,9 @@ def oracle_sql() -> dict[str, str]:
         "q_polarity": P.golden_negation_sql(),
         "q_voice": P.golden_voice_sql(),
         "q_robots": TS.duck_robots_sql(pages, P.robots_rules_sql("duck")),
+        "q_ntriples": duck_ntriples_sql(gt),
+        "q_shacl": duck_shacl_sql(gt),
+        "q_ner_eval": duck_ner_eval_sql(gm),
         "q_bowtie": WG.duck_bowtie_sql(pages),
         "q_url_templates": TS.duck_url_templates_sql(pages),
         "q_host_templates": D.duck_host_templates_sql(pages),

@@ -246,6 +246,10 @@ def main() -> int:
         "q_polarity",
         "q_voice",
         "q_robots",
+        # wave-20
+        "q_ntriples",
+        "q_shacl",
+        "q_ner_eval",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

@@ -3089,3 +3089,237 @@ def voice_triples(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.lit("acquired").alias("pred"),
         F.col("h.obj").alias("obj"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KG export: canonical N-Triples serialization
+# ---------------------------------------------------------------------------
+
+NT_ENT = "http://kg.example/e/"
+NT_PRED = "http://kg.example/p/"
+NT_LITERAL_PREDS = ("has_email", "has_phone")
+
+
+def ntriples_export(
+    triples: DataFrame,
+    literal_preds: tuple[str, ...] = NT_LITERAL_PREDS,
+) -> DataFrame:
+    """Canonical N-Triples serialization -> one DISTINCT line per fact:
+    the interchange sink of KG construction (what a downstream triple
+    store bulk-loads). Entity-valued predicates serialize subject and
+    object as IRIs (space -> %20, the only non-IRI byte the planted
+    surfaces contain — broader percent-encoding is a straightforward
+    extension of the same replace chain); attribute predicates
+    (has_email, has_phone) serialize the object as an N-Triples STRING
+    LITERAL with spec escaping (backslash doubled FIRST, then quote —
+    order matters and is pinned in pytest with crafted input). A hash
+    match on the line column certifies byte-exact serialization.
+
+    Scale shape: one distinct over (subj, pred, obj) (map-side
+    combined) then a ROW-LOCAL string projection; zero further
+    shuffles, no UDFs."""
+    lits = ", ".join(f"'{p}'" for p in literal_preds)
+    ent = lambda c: f"'<{NT_ENT}' || replace({c}, ' ', '%20') || '>'"
+    esc = (
+        "replace(replace(obj, '\\\\', '\\\\\\\\'), '\"', '\\\\\"')"
+    )
+    return (
+        triples.select("subj", "pred", "obj")
+        .distinct()
+        .select(
+            F.expr(
+                f"{ent('subj')} || ' ' || '<{NT_PRED}' || pred || '>' || ' '"
+                f" || case when pred in ({lits})"
+                f"      then '\"' || {esc} || '\"'"
+                f"      else {ent('obj')} end"
+                f" || ' .'"
+            ).alias("line")
+        )
+    )
+
+
+def duck_ntriples_sql(
+    triples_sql: str,
+    literal_preds: tuple[str, ...] = NT_LITERAL_PREDS,
+) -> str:
+    """Oracle twin of ntriples_export (DuckDB literals do NOT process
+    backslashes, so the escape replaces are written single-backslash)."""
+    lits = ", ".join(f"'{p}'" for p in literal_preds)
+    ent = lambda c: f"'<{NT_ENT}' || replace({c}, ' ', '%20') || '>'"
+    esc = "replace(replace(obj, '\\', '\\\\'), '\"', '\\\"')"
+    return f"""
+with facts as (select distinct subj, pred, obj from ({triples_sql}))
+select {ent('subj')} || ' ' || '<{NT_PRED}' || pred || '>' || ' '
+       || case when pred in ({lits})
+            then '"' || {esc} || '"'
+            else {ent('obj')} end
+       || ' .' as line
+from facts
+"""
+
+
+# ---------------------------------------------------------------------------
+# SHACL-lite shape validation over the fact table
+# ---------------------------------------------------------------------------
+
+SHACL_MAX_SHAPES = (("lives_in", 1), ("located_in", 1), ("works_at", 2))
+SHACL_REQUIRES = (("works_at", "lives_in"),)
+
+
+def shacl_report(
+    triples: DataFrame,
+    max_shapes: tuple[tuple[str, int], ...] = SHACL_MAX_SHAPES,
+    requires: tuple[tuple[str, str], ...] = SHACL_REQUIRES,
+) -> DataFrame:
+    """SHACL-style shape validation -> one row per violation: (focus,
+    pred, n, bound, violation). Two constraint kinds a KG quality gate
+    actually runs:
+
+      max_exceeded:     sh:maxCount — a subject asserting more than
+                        `bound` distinct objects for pred (a person in
+                        3 home cities, an org located in 2 cities —
+                        the contradiction surface conflict detection
+                        feeds on);
+      missing_required: pred A implies pred B (here: an employed
+                        subject should have a home city) — the
+                        completeness audit that drives targeted
+                        re-extraction.
+
+    Scale shape: facts = ONE distinct, localCheckpoint'd (three
+    consumers); per-(subj, pred) counts map-side combine; the shape
+    table is literal and BROADCAST; the implication check is a
+    distinct-subject semi/anti join pair on the subject key. Output is
+    violations only — bounded by the corpus's actual inconsistency,
+    not its size."""
+    facts = (
+        triples.select("subj", "pred", "obj").distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = facts.sparkSession
+    shapes = spark.createDataFrame(
+        list(max_shapes), "pred string, bound bigint"
+    )
+    counts = facts.groupBy("subj", "pred").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    over = (
+        counts.join(F.broadcast(shapes), "pred")
+        .where(F.col("n") > F.col("bound"))
+        .select(
+            F.col("subj").alias("focus"), "pred", "n", "bound",
+            F.lit("max_exceeded").alias("violation"),
+        )
+    )
+    out = over
+    for a, b in requires:
+        has_a = facts.where(F.col("pred") == a).select("subj").distinct()
+        has_b = facts.where(F.col("pred") == b).select("subj").distinct()
+        missing = has_a.join(has_b, "subj", "left_anti").select(
+            F.col("subj").alias("focus"),
+            F.lit(b).alias("pred"),
+            F.lit(0).cast("bigint").alias("n"),
+            F.lit(1).cast("bigint").alias("bound"),
+            F.lit("missing_required").alias("violation"),
+        )
+        out = out.unionByName(missing)
+    return out
+
+
+def duck_shacl_sql(
+    triples_sql: str,
+    max_shapes: tuple[tuple[str, int], ...] = SHACL_MAX_SHAPES,
+    requires: tuple[tuple[str, str], ...] = SHACL_REQUIRES,
+) -> str:
+    """Oracle twin of shacl_report."""
+    vals = ", ".join(f"('{p}', {b})" for p, b in max_shapes)
+    req = "\nunion all\n".join(
+        f"""select subj as focus, '{b}' as pred, cast(0 as bigint) as n,
+       cast(1 as bigint) as bound, 'missing_required' as violation
+from (select distinct subj from facts where pred = '{a}') ha
+where subj not in (select subj from facts where pred = '{b}')"""
+        for a, b in requires
+    )
+    return f"""
+with facts as (select distinct subj, pred, obj from ({triples_sql})),
+shapes as (select * from (values {vals}) s(pred, bound)),
+counts as (
+  select subj, pred, cast(count(*) as bigint) as n
+  from facts group by 1, 2
+)
+select c.subj as focus, c.pred, c.n, cast(s.bound as bigint) as bound,
+       'max_exceeded' as violation
+from counts c join shapes s using (pred)
+where c.n > s.bound
+union all
+{req}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Span-level NER evaluation: detector P/R vs planted mention truth
+# ---------------------------------------------------------------------------
+
+
+def ner_eval(pred_mentions: DataFrame, truth_mentions: DataFrame) -> DataFrame:
+    """Mention-level detector evaluation -> one row per entity_type:
+    (entity_type, n_pred, n_truth, tp, prec_e6, rec_e6). MULTISET
+    semantics on the (doc_id, entity_type, mention) key — a doc
+    asserting the same surface twice needs it detected twice — with
+    tp = sum of per-key min(pred_count, truth_count). Completes the
+    evaluation stack: q_link_eval measures the entity level,
+    q_triple_eval the fact level, this the detector level the other
+    two build on.
+
+    Scale shape: both sides collapse to per-key counts map-side, the
+    FULL OUTER join runs on the (doc, type, mention) key (corpus-
+    bounded, no fan-out), and the final agg is |types| rows. No
+    windows, no collect, integer e6 metrics with identical truncation
+    in both engines."""
+    kp = ["doc_id", "entity_type", "mention"]
+    p = pred_mentions.groupBy(*kp).agg(
+        F.count("*").cast("bigint").alias("np")
+    )
+    t = truth_mentions.groupBy(*kp).agg(
+        F.count("*").cast("bigint").alias("nt")
+    )
+    j = p.join(t, kp, "full_outer").select(
+        "entity_type",
+        F.coalesce("np", F.lit(0)).alias("np"),
+        F.coalesce("nt", F.lit(0)).alias("nt"),
+    )
+    return (
+        j.groupBy("entity_type").agg(
+            F.expr("cast(sum(np) as bigint)").alias("n_pred"),
+            F.expr("cast(sum(nt) as bigint)").alias("n_truth"),
+            F.expr("cast(sum(least(np, nt)) as bigint)").alias("tp"),
+        ).select(
+            "entity_type", "n_pred", "n_truth", "tp",
+            F.expr(
+                "case when n_pred = 0 then 1000000"
+                " else (1000000 * tp) div n_pred end"
+            ).alias("prec_e6"),
+            F.expr(
+                "case when n_truth = 0 then 1000000"
+                " else (1000000 * tp) div n_truth end"
+            ).alias("rec_e6"),
+        )
+    )
+
+
+def duck_ner_eval_sql(truth_sql: str) -> str:
+    """Oracle twin of ner_eval: on the planted corpus the detector's
+    mention multiset EQUALS the truth (the q_detect_mentions gate), so
+    both sides replay as the truth and the metrics assert P/R = 1.0
+    NUMERICALLY; imperfect-detector algebra is pinned in pytest."""
+    return f"""
+with t as (
+  select doc_id, entity_type, mention, cast(count(*) as bigint) as nt
+  from ({truth_sql}) group by 1, 2, 3
+)
+select entity_type,
+       cast(sum(nt) as bigint) as n_pred,
+       cast(sum(nt) as bigint) as n_truth,
+       cast(sum(nt) as bigint) as tp,
+       1000000 as prec_e6, 1000000 as rec_e6
+from t group by 1
+"""
