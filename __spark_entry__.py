@@ -105,6 +105,8 @@ from nerpii_spark.operators.extract import (
     duck_shacl_sql,
     ner_eval,
     duck_ner_eval_sql,
+    kg_pattern_residence,
+    duck_kg_pattern_sql,
 )
 from nerpii_spark.operators.link import (
     cluster_eval,
@@ -2687,6 +2689,64 @@ def q_shacl(spark, sf):
     return shacl_report(_pipeline(spark, sf)["triples"])
 
 
+def q_kg_pattern(spark, sf):
+    """Conjunctive KG pattern query (extract.kg_pattern_residence):
+    ?p works_at ?o . ?o located_in ?wc . OPTIONAL ?p lives_in ?hc —
+    the SPARQL-shape multi-join with an OPTIONAL leg as a LEFT join
+    and a consistency flag; facts checkpointed once for its three
+    predicate legs; bag semantics like SPARQL."""
+    return kg_pattern_residence(_pipeline(spark, sf)["triples"])
+
+
+def q_host_skyline(spark, sf):
+    """Distributed 2-D Pareto frontier (webgraph.host_skyline): hosts
+    maximal in (n_pages, n_langs) via three suffix-maxima certificates
+    (equal-x / higher-x-in-bucket / higher-bucket) instead of an
+    O(n^2) dominance self-join; windows only over bounded distinct-x
+    and <= 64-bucket tables. Oracle = brute-force NOT EXISTS over the
+    definition itself."""
+    return WG.host_skyline(_pipeline(spark, sf)["pages"])
+
+
+def q_tpch_minsupp(spark, sf):
+    """TPC-H Q2 shape (min-cost supplier): for each part shipped in a
+    window, the supplier row attaining the MINIMUM extended price —
+    the correlated-scalar-subquery pattern decorrelated into ONE
+    map-side-combined min_by aggregation (no join-back, no window over
+    the fact table); supplier dim broadcasts onto the part-sized
+    result. Ties break deterministically by (price, suppkey)."""
+    li = _load(spark, sf, "lineitem").where(
+        F.expr("l_shipdate >= timestamp'1997-01-01 00:00:00'")
+    )
+    s_dim = _load(spark, sf, "supplier")
+    best = li.groupBy("l_partkey").agg(
+        F.expr(
+            "min_by(named_struct('sk', l_suppkey, 'px', l_extendedprice),"
+            " named_struct('px', l_extendedprice, 'sk', l_suppkey))"
+        ).alias("b"),
+        F.expr("cast(count(*) as bigint)").alias("n_offers"),
+    )
+    return (
+        best.select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("b.sk").alias("suppkey"),
+            F.expr("cast(round(b.px * 100) as bigint)").alias(
+                "min_price_cents"
+            ),
+            "n_offers",
+        )
+        .join(
+            F.broadcast(
+                s_dim.select(
+                    F.col("s_suppkey").alias("suppkey"), "s_name"
+                )
+            ),
+            "suppkey",
+        )
+        .select("partkey", "suppkey", "s_name", "min_price_cents", "n_offers")
+    )
+
+
 def q_ner_eval(spark, sf):
     """Span-level detector evaluation (extract.ner_eval): multiset
     mention P/R per entity type vs the planted truth — the detector-
@@ -3111,6 +3171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ntriples": q_ntriples,
         "q_shacl": q_shacl,
         "q_ner_eval": q_ner_eval,
+        "q_kg_pattern": q_kg_pattern,
+        "q_host_skyline": q_host_skyline,
+        "q_tpch_minsupp": q_tpch_minsupp,
         # r3 wave-16 (no driver row yet):
         "q_hearst": q_hearst,
         "q_coref_resolve": q_coref_resolve,
@@ -3637,6 +3700,24 @@ def oracle_sql() -> dict[str, str]:
         "q_ntriples": duck_ntriples_sql(gt),
         "q_shacl": duck_shacl_sql(gt),
         "q_ner_eval": duck_ner_eval_sql(gm),
+        "q_kg_pattern": duck_kg_pattern_sql(gt),
+        "q_host_skyline": WG.duck_host_skyline_sql(pages),
+        "q_tpch_minsupp": """
+with li as (
+  select * from lineitem
+  where l_shipdate >= timestamp '1997-01-01 00:00:00'
+),
+best as (
+  select l_partkey as partkey, l_suppkey as suppkey,
+         cast(round(l_extendedprice * 100) as bigint) as min_price_cents,
+         cast(count(*) over (partition by l_partkey) as bigint) as n_offers
+  from li
+  qualify row_number() over (partition by l_partkey
+            order by l_extendedprice asc, l_suppkey asc) = 1
+)
+select partkey, suppkey, s.s_name, min_price_cents, n_offers
+from best join supplier s on s.s_suppkey = suppkey
+""",
         "q_bowtie": WG.duck_bowtie_sql(pages),
         "q_url_templates": TS.duck_url_templates_sql(pages),
         "q_host_templates": D.duck_host_templates_sql(pages),

@@ -250,6 +250,10 @@ def main() -> int:
         "q_ntriples",
         "q_shacl",
         "q_ner_eval",
+        # wave-21
+        "q_kg_pattern",
+        "q_host_skyline",
+        "q_tpch_minsupp",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

@@ -3323,3 +3323,71 @@ select entity_type,
        1000000 as prec_e6, 1000000 as rec_e6
 from t group by 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Declarative KG pattern match: star/path conjunctive query
+# ---------------------------------------------------------------------------
+
+
+def kg_pattern_residence(triples: DataFrame) -> DataFrame:
+    """Conjunctive triple-pattern query — the SPARQL shape
+
+        ?p works_at ?o . ?o located_in ?wc . OPTIONAL ?p lives_in ?hc
+
+    -> (person, org, work_city, home_city, consistent): every employed
+    person with their employer's city, their asserted home city when
+    one exists (else NULL), and consistent = 1 iff they match — the
+    multi-join pattern-matching core of a KG query engine, and the
+    signal q_rule_infer's works/located=>lives rule is calibrated by.
+
+    Scale shape: facts = ONE distinct, checkpointed (three pattern
+    legs slice it by predicate); the two equi-joins key on the org and
+    person entities (Zipf-hot employers produce irreducible output,
+    AQE skew-split shards them); the OPTIONAL leg is a LEFT join, not
+    an anti+union. Deterministic: multi-valued lives_in/located_in
+    yield one row per combination (bag semantics, as SPARQL does)."""
+    facts = (
+        triples.select("subj", "pred", "obj").distinct()
+        .localCheckpoint(eager=True)
+    )
+    works = facts.where(F.col("pred") == "works_at").select(
+        F.col("subj").alias("person"), F.col("obj").alias("org")
+    )
+    located = facts.where(F.col("pred") == "located_in").select(
+        F.col("subj").alias("org"), F.col("obj").alias("work_city")
+    )
+    lives = facts.where(F.col("pred") == "lives_in").select(
+        F.col("subj").alias("person"), F.col("obj").alias("home_city")
+    )
+    return (
+        works.join(located, "org")
+        .join(lives, "person", "left")
+        .select(
+            "person", "org", "work_city", "home_city",
+            F.expr(
+                "cast(case when home_city is not null"
+                " and home_city = work_city then 1 else 0 end as bigint)"
+            ).alias("consistent"),
+        )
+    )
+
+
+def duck_kg_pattern_sql(triples_sql: str) -> str:
+    """Oracle twin of kg_pattern_residence."""
+    return f"""
+with facts as (select distinct subj, pred, obj from ({triples_sql})),
+works as (select subj as person, obj as org from facts
+          where pred = 'works_at'),
+located as (select subj as org, obj as work_city from facts
+            where pred = 'located_in'),
+lives as (select subj as person, obj as home_city from facts
+          where pred = 'lives_in')
+select w.person, w.org, l.work_city, v.home_city,
+       cast(case when v.home_city is not null
+                 and v.home_city = l.work_city then 1 else 0 end
+            as bigint) as consistent
+from works w
+join located l using (org)
+left join lives v on v.person = w.person
+"""

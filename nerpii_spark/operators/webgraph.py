@@ -3127,3 +3127,98 @@ from sizes s
 left join by_tail t using (community)
 left join by_head h using (community)
 """
+
+
+# ---------------------------------------------------------------------------
+# Distributed 2-D skyline (Pareto frontier) over host metrics
+# ---------------------------------------------------------------------------
+
+SKYLINE_BUCKETS = 64
+
+
+def host_skyline(
+    pages: DataFrame, n_buckets: int = SKYLINE_BUCKETS
+) -> DataFrame:
+    """2-D Pareto frontier over per-host metrics -> (host, n_pages,
+    n_langs): the hosts NOT dominated (another host >= on both axes
+    and > on at least one) when maximizing page count AND language
+    breadth — the crawl-planning shortlist shape ("biggest and most
+    multilingual") that no single ORDER BY expresses. Co-optimal
+    duplicates are all kept (set semantics of the frontier).
+
+    Scale shape: the naive formulation is an O(n^2) self-join; here a
+    host is tested against three SUFFIX MAXIMA instead of against
+    other hosts pairwise:
+
+      eqx:  max y at the SAME x            (distinct-x agg, map-side)
+      hs:   max y over strictly higher x
+            within the host's x-bucket     (window over the bucket's
+                                            distinct-x rows — bounded)
+      bs:   max y over strictly higher
+            x-buckets                      (window over <= n_buckets
+                                            rows, broadcast back)
+
+    dominated iff y < eqx, or hs >= y, or bs >= y — each certificate
+    is a SINGLE real dominating point (equal-x-higher-y, higher-x in
+    bucket, or any host of a higher bucket, whose x is strictly
+    greater by bucket monotonicity). Work: two small aggs, two
+    bounded windows, agg-keyed joins; no corpus self-join anywhere.
+    The brute-force NOT EXISTS oracle certifies the algorithm against
+    the definition itself."""
+    from pyspark.sql import Window as W
+
+    m = (
+        pages.select(
+            F.expr("parse_url(url, 'HOST')").alias("host"), "lang"
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pages"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mx = m.agg(F.max("n_pages").alias("mx"))
+    b = m.crossJoin(F.broadcast(mx)).withColumn(
+        "bk",
+        F.expr(
+            f"least(cast((n_pages * {n_buckets}) div (mx + 1) as bigint),"
+            f" {n_buckets - 1})"
+        ),
+    ).drop("mx")
+    dx = b.groupBy("bk", "n_pages").agg(
+        F.max("n_langs").alias("eqx")
+    )
+    whs = W.partitionBy("bk").orderBy(F.desc("n_pages")).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    dxs = dx.withColumn("hs", F.max("eqx").over(whs))
+    bmax = dx.groupBy("bk").agg(F.max("eqx").alias("bymax"))
+    wbs = W.orderBy(F.desc("bk")).rowsBetween(W.unboundedPreceding, -1)
+    bsuf = bmax.select("bk", F.max("bymax").over(wbs).alias("bs"))
+    j = b.join(dxs, ["bk", "n_pages"]).join(F.broadcast(bsuf), "bk")
+    return j.where(
+        (F.col("n_langs") == F.col("eqx"))
+        & (F.col("hs").isNull() | (F.col("hs") < F.col("n_langs")))
+        & (F.col("bs").isNull() | (F.col("bs") < F.col("n_langs")))
+    ).select("host", "n_pages", "n_langs")
+
+
+def duck_host_skyline_sql(pages_sql_duck: str) -> str:
+    """Oracle twin of host_skyline: brute-force NOT EXISTS dominance —
+    certifying the grid algorithm against the definition itself."""
+    return f"""
+with m as (
+  select regexp_extract(url, '^https://([^/]+)', 1) as host,
+         cast(count(*) as bigint) as n_pages,
+         cast(count(distinct lang) as bigint) as n_langs
+  from ({pages_sql_duck}) group by 1
+)
+select host, n_pages, n_langs
+from m a
+where not exists (
+  select 1 from m b
+  where b.n_pages >= a.n_pages and b.n_langs >= a.n_langs
+    and (b.n_pages > a.n_pages or b.n_langs > a.n_langs)
+)
+"""
