@@ -2689,6 +2689,29 @@ def q_shacl(spark, sf):
     return shacl_report(_pipeline(spark, sf)["triples"])
 
 
+def q_watermark_audit(spark, sf):
+    """Watermark-lateness profile (events.watermark_audit): per-user
+    event-time high-water-mark lateness under a planted deterministic
+    arrival delay, log2-bucketed seconds — the empirical report that
+    SIZES the streaming watermarks this repo's withWatermark settings
+    otherwise guess. One bounded user-keyed window + a <= 64-row
+    histogram agg."""
+    from nerpii_spark.operators.events import watermark_audit
+
+    return watermark_audit(_load(spark, sf, "events"))
+
+
+def q_json_props(spark, sf):
+    """Schema-on-read JSON ingest (events.json_props_stats): the
+    events feed's JSON props column parsed with an explicit from_json
+    schema (codegen JsonToStructs, field-pruned, malformed -> NULL
+    surfaced in n - n_k) rolled up per event type — the
+    semi-structured leg of source-format breadth."""
+    from nerpii_spark.operators.events import json_props_stats
+
+    return json_props_stats(_load(spark, sf, "events"))
+
+
 def q_kg_pattern(spark, sf):
     """Conjunctive KG pattern query (extract.kg_pattern_residence):
     ?p works_at ?o . ?o located_in ?wc . OPTIONAL ?p lives_in ?hc —
@@ -3174,6 +3197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_pattern": q_kg_pattern,
         "q_host_skyline": q_host_skyline,
         "q_tpch_minsupp": q_tpch_minsupp,
+        "q_watermark_audit": q_watermark_audit,
+        "q_json_props": q_json_props,
         # r3 wave-16 (no driver row yet):
         "q_hearst": q_hearst,
         "q_coref_resolve": q_coref_resolve,
@@ -3701,6 +3726,8 @@ def oracle_sql() -> dict[str, str]:
         "q_shacl": duck_shacl_sql(gt),
         "q_ner_eval": duck_ner_eval_sql(gm),
         "q_kg_pattern": duck_kg_pattern_sql(gt),
+        "q_watermark_audit": EV.duck_watermark_audit_sql("events"),
+        "q_json_props": EV.duck_json_props_sql("events"),
         "q_host_skyline": WG.duck_host_skyline_sql(pages),
         "q_tpch_minsupp": """
 with li as (

@@ -254,6 +254,9 @@ def main() -> int:
         "q_kg_pattern",
         "q_host_skyline",
         "q_tpch_minsupp",
+        # wave-22
+        "q_watermark_audit",
+        "q_json_props",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

@@ -579,3 +579,145 @@ select k, pattern, cast(count(*) as bigint) as support
 from g group by 1, 2
 having cast(count(*) as bigint) >= {min_support}
 """
+
+
+# ---------------------------------------------------------------------------
+# Watermark-lateness audit: how late does this stream actually arrive?
+# ---------------------------------------------------------------------------
+
+WM_SALT = 131
+WM_JITTER_S = 300
+
+
+def watermark_audit(
+    events: DataFrame, jitter_max_s: int = WM_JITTER_S
+) -> DataFrame:
+    """Event-time lateness profile -> (late_bucket, n_events,
+    max_late_s): the report that SIZES a streaming watermark. Arrival
+    time is the event time plus a planted deterministic network delay
+    (h1(event_id) % jitter_max_s seconds — the sandbox stand-in for a
+    real ingestion timestamp column); an event's LATENESS is how far
+    the per-user event-time high-water mark had already advanced past
+    it when it arrived (greatest(0, runmax_before_arrival - ts)).
+    log2-bucketed seconds out: pick the watermark delay at the bucket
+    covering your tolerated drop rate — the empirical basis for the
+    repo's streaming `withWatermark` settings instead of a guess.
+
+    Scale shape: ONE user-keyed window (partitions bounded by
+    events-per-user, the sessionize discipline) computing the running
+    max over arrival order with a deterministic (arrival, event_id)
+    tie-break, then one map-side-combined <= 64-row histogram agg.
+    Epoch math via unix_micros on a cast timestamp (tz-pin-free, the
+    events.py convention); ilog2 via bit length."""
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import sql_h1
+
+    e = events.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    ).withColumn(
+        "arr_us",
+        F.col("ts_us")
+        + F.expr(f"({sql_h1('event_id', WM_SALT)}) % {jitter_max_s}")
+        * 1_000_000,
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("arr_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    late = e.withColumn("runmax_us", F.max("ts_us").over(w)).select(
+        F.expr(
+            "greatest(cast(0 as bigint),"
+            " (coalesce(runmax_us, ts_us) - ts_us) div 1000000)"
+        ).alias("late_s")
+    )
+    return (
+        late.withColumn(
+            "late_bucket",
+            F.expr("cast(length(bin(late_s + 1)) - 1 as bigint)"),
+        )
+        .groupBy("late_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.max("late_s").cast("bigint").alias("max_late_s"),
+        )
+    )
+
+
+def duck_watermark_audit_sql(
+    events_rel: str = "events", jitter_max_s: int = WM_JITTER_S
+) -> str:
+    """Oracle twin of watermark_audit (epoch_us both sides; ilog2 via
+    to_base; HUGEINT sums cast)."""
+    from ..functions.hashing import sql_h1
+
+    return f"""
+with e as (
+  select event_id, user_id,
+         epoch_us(ts) as ts_us,
+         epoch_us(ts) + (({sql_h1('event_id', WM_SALT)}) % {jitter_max_s})
+           * 1000000 as arr_us
+  from {events_rel}
+),
+l as (
+  select greatest(cast(0 as bigint),
+           (coalesce(max(ts_us) over (
+              partition by user_id order by arr_us, event_id
+              rows between unbounded preceding and 1 preceding), ts_us)
+            - ts_us) // 1000000) as late_s
+  from e
+)
+select cast(length(to_base(late_s + 1, 2)) - 1 as bigint) as late_bucket,
+       cast(count(*) as bigint) as n_events,
+       cast(max(late_s) as bigint) as max_late_s
+from l group by 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSON property ingest: schema-on-read over the props column
+# ---------------------------------------------------------------------------
+
+
+def json_props_stats(events: DataFrame) -> DataFrame:
+    """Schema-on-read JSON ingest -> per event_type (n, n_k, sum_k,
+    max_k): the `props` column (a JSON string in the events feed) is
+    parsed with an EXPLICIT schema via from_json — the semi-structured
+    leg of source-format breadth (CSV and parquet scans are O1;
+    WARC/CDX binary is warc.py; this is the JSON sidecar every event
+    pipeline carries). Explicit schema means Catalyst prunes to the
+    single referenced field and malformed rows surface as NULL (n - n_k
+    counts them) instead of failing the job.
+
+    Scale shape: row-local parse in whole-stage codegen (JsonToStructs,
+    no Python), then ONE map-side-combined groupBy over |types| keys."""
+    return (
+        events.select(
+            "event_type",
+            F.from_json("props", "k bigint").alias("p"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count("p.k").cast("bigint").alias("n_k"),
+            F.sum("p.k").cast("bigint").alias("sum_k"),
+            F.max("p.k").cast("bigint").alias("max_k"),
+        )
+    )
+
+
+def duck_json_props_sql(events_rel: str = "events") -> str:
+    """Oracle twin of json_props_stats (json_extract + casts)."""
+    return f"""
+select event_type,
+       cast(count(*) as bigint) as n,
+       cast(count(cast(json_extract(props, '$.k') as bigint)) as bigint)
+         as n_k,
+       cast(sum(cast(json_extract(props, '$.k') as bigint)) as bigint)
+         as sum_k,
+       cast(max(cast(json_extract(props, '$.k') as bigint)) as bigint)
+         as max_k
+from {events_rel} group by 1
+"""
