@@ -107,6 +107,7 @@ from nerpii_spark.operators.extract import (
     duck_ner_eval_sql,
     kg_pattern_residence,
     duck_kg_pattern_sql,
+    extract_mixed,
 )
 from nerpii_spark.operators.link import (
     cluster_eval,
@@ -2689,6 +2690,19 @@ def q_shacl(spark, sf):
     return shacl_report(_pipeline(spark, sf)["triples"])
 
 
+def q_extract_mixed(spark, sf):
+    """Suite-level extraction precision (extract.extract_mixed): all
+    six frame grammars over a mixed corpus where doc_id %% 6 selects
+    the planted family — the oracle unions the per-family goldens, so
+    a hash match proves each grammar fires ONLY on its own family
+    (zero cross-talk on five families of confusable near-miss text).
+    Corpus checkpointed once; each grammar one row-local pass."""
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_mixed")
+    mx = spark.sql(P.mixed_sql("spark", doc_rel="nerpii_documents_mixed"))
+    return extract_mixed(mx)
+
+
 def q_watermark_audit(spark, sf):
     """Watermark-lateness profile (events.watermark_audit): per-user
     event-time high-water-mark lateness under a planted deterministic
@@ -3199,6 +3213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_minsupp": q_tpch_minsupp,
         "q_watermark_audit": q_watermark_audit,
         "q_json_props": q_json_props,
+        "q_extract_mixed": q_extract_mixed,
         # r3 wave-16 (no driver row yet):
         "q_hearst": q_hearst,
         "q_coref_resolve": q_coref_resolve,
@@ -3727,6 +3742,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ner_eval": duck_ner_eval_sql(gm),
         "q_kg_pattern": duck_kg_pattern_sql(gt),
         "q_watermark_audit": EV.duck_watermark_audit_sql("events"),
+        "q_extract_mixed": P.golden_mixed_sql(),
         "q_json_props": EV.duck_json_props_sql("events"),
         "q_host_skyline": WG.duck_host_skyline_sql(pages),
         "q_tpch_minsupp": """

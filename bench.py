@@ -257,6 +257,8 @@ def main() -> int:
         # wave-22
         "q_watermark_audit",
         "q_json_props",
+        # wave-23
+        "q_extract_mixed",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

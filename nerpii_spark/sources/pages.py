@@ -2099,3 +2099,70 @@ union all
 select host, '/' || lang || '/page/' as prefix, cast(1 as bigint) as allow
 from base where rh % 3 = 0 and (rh div 3) % 2 = 0
 """
+
+
+# ---------------------------------------------------------------------------
+# Wave-23 mixed-frame corpus: one plant, six extractor families
+# ---------------------------------------------------------------------------
+
+MIXED_FAMILIES = ("hearst", "quote", "metric", "timex", "negation", "voice")
+
+
+def mixed_sql(dialect: str, doc_rel: str = "documents") -> str:
+    """Mixed extraction corpus (doc_id, text): doc_id % 6 selects which
+    planted family the doc carries (Hearst / quotation / metric /
+    timex / negation / voice), each generated by ITS OWN certified
+    generator over the same doc_id — so a fused multi-extractor pass
+    can be certified for cross-talk: every extractor must fire on
+    exactly its own family's docs and stay silent on the other five.
+    (Hearst plants only even doc_ids; doc_id % 6 = 0 docs are all
+    even, so every mixed doc has text.)"""
+    h = hearst_sql(dialect, doc_rel)
+    q = quote_sql(dialect, doc_rel)
+    m = metric_sql(dialect, doc_rel)
+    t = timex_sql(dialect, doc_rel)
+    n = negation_sql(dialect, doc_rel)
+    v = voice_sql(dialect, doc_rel)
+    return f"""
+select doc_id, text from ({h}) h where doc_id % 6 = 0
+union all select doc_id, text from ({q}) q where doc_id % 6 = 1
+union all select doc_id, text from ({m}) m where doc_id % 6 = 2
+union all select doc_id, text from ({t}) t where doc_id % 6 = 3
+union all select doc_id, text from ({n}) n where doc_id % 6 = 4
+union all select doc_id, text from ({v}) v where doc_id % 6 = 5
+"""
+
+
+def golden_mixed_sql(doc_rel: str = "documents") -> str:
+    """(doc_id, family, subj, pred, obj) ground truth for
+    extract.extract_mixed over mixed_sql: the six family goldens,
+    each restricted to its doc_id slice, projected onto a shared
+    triple schema. Cross-talk certification: the extractor side runs
+    ALL SIX frame grammars on EVERY doc, so a hash match proves each
+    grammar fires only on its own family (zero false positives
+    across ~5/6 of the corpus per grammar)."""
+    gh = golden_hearst_sql(doc_rel)
+    gq = golden_quote_sql(doc_rel)
+    gm = golden_metric_sql(doc_rel)
+    gt = golden_timex_sql(doc_rel)
+    gn = golden_negation_sql(doc_rel)
+    gv = golden_voice_sql(doc_rel)
+    return f"""
+select doc_id, 'hearst' as family, hyponym as subj, pred, hypernym as obj
+from ({gh}) a where doc_id % 6 = 0
+union all
+select doc_id, 'quote', speaker, verb, quote
+from ({gq}) b where doc_id % 6 = 1
+union all
+select doc_id, 'metric', subj, pred, cast(value as varchar)
+from ({gm}) c where doc_id % 6 = 2
+union all
+select doc_id, 'timex', subj, pred, date_iso
+from ({gt}) d where doc_id % 6 = 3
+union all
+select doc_id, 'negation', subj, pred || ':' || polarity, obj
+from ({gn}) e where doc_id % 6 = 4
+union all
+select doc_id, 'voice', subj, pred, obj
+from ({gv}) f where doc_id % 6 = 5
+"""
