@@ -5,18 +5,24 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-175 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+237 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
-triangles / negative sampling / neighbor sampling / random walks), the
-web graph (anchor extraction + host PageRank), tabular-mode
-profiling/masking (en + the it-locale dimension),
+triangles / negative sampling / neighbor sampling / random walks / AMIE
+mining AND application / Hearst taxonomy / coref-lite / quotation,
+numeric, temporal, negation-aware and voice-canonicalizing frames with
+a zero-cross-talk mixed-corpus gate / N-Triples export / SHACL-lite
+validation / conjunctive pattern queries), the web graph (anchor
+extraction + host PageRank + community quotient graph + 2-D skyline),
+tabular-mode profiling/masking (en + the it-locale dimension),
 scalar/relational/window/set ops (incl. rollup/cube/pivot/rolling
-frames/Z-order layout stats), the training-data extras (dedup incl.
-crawl-URL canonicalization + snapshot diff, decontamination, ANN
-similarity, k-means, text analysis incl. tf-idf + HLL sketch + BPE
-training, sequence packing, the end-to-end curation composition,
-multimodal), and events queries. EVERY query carries a DuckDB oracle —
+frames/Z-order layout stats/TPC-H Q1-Q5/Q14/Q18/Q2-argmin shapes), the
+training-data extras (dedup incl. crawl-URL canonicalization + snapshot
+diff, decontamination, ANN similarity, k-means, text analysis incl.
+tf-idf + HLL sketch + BPE training, sequence packing, the end-to-end
+curation composition, multimodal, CoNLL BIO export), the evaluation
+stack (NER span / entity B-cubed / triple P-R), robots.txt policy,
+watermark-lateness sizing, JSON schema-on-read, and events queries. EVERY query carries a DuckDB oracle —
 including the two ANN paths (approximate vs brute force but
 deterministic, so their oracles are bit-exact replays: integer LSH
 sign signatures / chained-CTE integer-Lloyd IVF).
