@@ -2696,6 +2696,19 @@ def q_shacl(spark, sf):
     return shacl_report(_pipeline(spark, sf)["triples"])
 
 
+def q_hilbert_stats(spark, sf):
+    """Hilbert-curve layout statistics (layout.hilbert_stats): per-
+    bucket row counts + (x, y) bounding boxes of the events table
+    under a 32-bit Hilbert key — computed by a 4-state LUT machine as
+    ONE linear codegen expression (no HOF, no CASE-unroll blowup);
+    the zorder_stats twin, so the two curves' locality is directly
+    comparable (Hilbert's unit-step property gives tighter boxes —
+    gated in pytest). Oracle replays the identical LUT chain."""
+    from nerpii_spark.operators.layout import hilbert_stats
+
+    return hilbert_stats(_load(spark, sf, "events"))
+
+
 def q_extract_mixed(spark, sf):
     """Suite-level extraction precision (extract.extract_mixed): all
     six frame grammars over a mixed corpus where doc_id %% 6 selects
@@ -3220,6 +3233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_watermark_audit": q_watermark_audit,
         "q_json_props": q_json_props,
         "q_extract_mixed": q_extract_mixed,
+        "q_hilbert_stats": q_hilbert_stats,
         # r3 wave-16 (no driver row yet):
         "q_hearst": q_hearst,
         "q_coref_resolve": q_coref_resolve,
@@ -3749,6 +3763,7 @@ def oracle_sql() -> dict[str, str]:
         "q_kg_pattern": duck_kg_pattern_sql(gt),
         "q_watermark_audit": EV.duck_watermark_audit_sql("events"),
         "q_extract_mixed": P.golden_mixed_sql(),
+        "q_hilbert_stats": LAY.hilbert_stats_sql("duck", "events"),
         "q_json_props": EV.duck_json_props_sql("events"),
         "q_host_skyline": WG.duck_host_skyline_sql(pages),
         "q_tpch_minsupp": """

@@ -259,6 +259,7 @@ def main() -> int:
         "q_json_props",
         # wave-23
         "q_extract_mixed",
+        "q_hilbert_stats",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

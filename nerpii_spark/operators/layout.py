@@ -541,3 +541,115 @@ from (
   select 'rendezvous', n_keys, hrw_moved, hrw_to_new from a
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve clustering key (4-state LUT, pure codegen)
+# ---------------------------------------------------------------------------
+
+# Derived by composing the classic xy2d rotation group (4 orientations)
+# and verified exhaustively against the reference loop in pytest:
+# COMB[state*4 + qd] = next_state*4 + digit, qd = 2*x_bit + y_bit.
+HILBERT_COMB = (4, 1, 11, 2, 0, 15, 5, 6, 10, 9, 3, 12, 14, 7, 13, 8)
+HILBERT_BITS = 16
+
+
+def hilbert_py(x: int, y: int, bits: int = HILBERT_BITS) -> int:
+    """Python mirror of hilbert_sql (the LUT machine)."""
+    state = 0
+    d = 0
+    for i in range(bits - 1, -1, -1):
+        qd = 2 * ((x >> i) & 1) + ((y >> i) & 1)
+        code = HILBERT_COMB[state * 4 + qd]
+        state, digit = code // 4, code % 4
+        d = d * 4 + digit
+    return d
+
+
+def hilbert_sql(dialect: str, x: str, y: str, bits: int = HILBERT_BITS) -> str:
+    """32-bit Hilbert key of two 16-bit dimensions as ONE scalar
+    expression in whole-stage codegen — no HOF lambda, no UDF. The
+    textbook xy2d loop has data-dependent rotations whose naive
+    CASE-expression unrolling DOUBLES per level (the CollapseProject
+    blowup documented at hearst_sql); instead the rotation group is
+    precompiled into the 4-state HILBERT_COMB lookup table and each
+    level is ONE array lookup referencing the previous level ONCE —
+    the collapsed expression stays LINEAR in bits (16 lookups + 16
+    digit terms). Sum terms are bigint-cast before the 4^k multiply
+    (the ANSI int32-product trap).
+
+    Hilbert beats Morton/Z-order on locality: every curve step is a
+    unit grid step (no Z-jumps), so bucket bounding boxes are tighter
+    — measured against zorder_stats in pytest."""
+    body = ",".join(str(v) for v in HILBERT_COMB)
+    if dialect == "spark":
+        arr = f"array({body})"
+        # element_at requires an INT index (a bigint index is a
+        # DATATYPE_MISMATCH analysis error)
+        el = lambda i: f"element_at({arr}, cast(({i}) + 1 as int))"
+        div = "div"
+    else:
+        arr = f"[{body}]"
+        el = lambda i: f"list_extract({arr}, ({i}) + 1)"
+        div = "//"
+    xs = f"(cast({x} as bigint) & {DIM_MASK})"
+    ys = f"(cast({y} as bigint) & {DIM_MASK})"
+    qd = lambda i: (
+        f"((({xs} {div} {1 << i}) % 2) * 2 + (({ys} {div} {1 << i}) % 2))"
+    )
+    c_exprs = []
+    prev = None
+    for step, i in enumerate(range(bits - 1, -1, -1)):
+        state = "0" if prev is None else f"(({prev}) {div} 4)"
+        prev = el(f"{state} * 4 + {qd(i)}")
+        c_exprs.append(prev)
+    terms = [
+        f"(cast(({c}) % 4 as bigint) * {4 ** (bits - 1 - s)})"
+        for s, c in enumerate(c_exprs)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def hilbert_stats_sql(dialect: str, rel: str = "events") -> str:
+    """Bucket-level pruning statistics of the Hilbert layout — the
+    zorder_stats twin: (bucket, n_rows, min_x, max_x, min_y, max_y)
+    over the same (minutes-since-epoch, user_id) dimensions, so the
+    two layouts' bounding-box tightness is directly comparable."""
+    div = "div" if dialect == "spark" else "//"
+    h = hilbert_sql(dialect, "x", "y")
+    return f"""
+with d as (
+  select {X_SQL[dialect]} as x, {Y_SQL} as y from {rel}
+),
+k as (
+  select x, y, {h} as h from d
+)
+select cast(h {div} {1 << (32 - N_BUCKETS_BITS)} as bigint) as bucket,
+       count(*) as n_rows,
+       cast(min(x) as bigint) as min_x, cast(max(x) as bigint) as max_x,
+       cast(min(y) as bigint) as min_y, cast(max(y) as bigint) as max_y
+from k group by 1
+"""
+
+
+def hilbert_stats(events: DataFrame) -> DataFrame:
+    """Spark side of hilbert_stats_sql (spark.sql over a temp view is
+    avoided: build the same plan with expr columns)."""
+    d = events.select(
+        F.expr(X_SQL["spark"]).alias("x"), F.expr(Y_SQL).alias("y")
+    )
+    k = d.withColumn("h", F.expr(hilbert_sql("spark", "x", "y")))
+    return (
+        k.groupBy(
+            F.expr(
+                f"cast(h div {1 << (32 - N_BUCKETS_BITS)} as bigint)"
+            ).alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("x").cast("bigint").alias("min_x"),
+            F.max("x").cast("bigint").alias("max_x"),
+            F.min("y").cast("bigint").alias("min_y"),
+            F.max("y").cast("bigint").alias("max_y"),
+        )
+    )
