@@ -2696,6 +2696,23 @@ def q_shacl(spark, sf):
     return shacl_report(_pipeline(spark, sf)["triples"])
 
 
+def q_hll_overlap(spark, sf):
+    """HLL set-algebra overlap (sketch.hll_overlap): per language-pair
+    distinct-token union / intersection / Jaccard by REGISTER MERGE
+    (elementwise max) + inclusion-exclusion — the audience-overlap
+    query that costs no second corpus pass; registers, closed-form
+    unseen mass and the integer estimator are shared bit-for-bit with
+    the certified hll_distinct chain. One register agg (token stream
+    never shuffled by token), checkpointed; pair table = |langs|^2 x
+    64 ints."""
+    from nerpii_spark.operators.sketch import hll_overlap
+
+    docs = _load(spark, sf, "documents")
+    docs.createOrReplaceTempView("nerpii_documents_hllov")
+    pg = spark.sql(P.pages_sql("spark", doc_rel="nerpii_documents_hllov"))
+    return hll_overlap(pg)
+
+
 def q_hilbert_stats(spark, sf):
     """Hilbert-curve layout statistics (layout.hilbert_stats): per-
     bucket row counts + (x, y) bounding boxes of the events table
@@ -3234,6 +3251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_props": q_json_props,
         "q_extract_mixed": q_extract_mixed,
         "q_hilbert_stats": q_hilbert_stats,
+        "q_hll_overlap": q_hll_overlap,
         # r3 wave-16 (no driver row yet):
         "q_hearst": q_hearst,
         "q_coref_resolve": q_coref_resolve,
@@ -3764,6 +3782,9 @@ def oracle_sql() -> dict[str, str]:
         "q_watermark_audit": EV.duck_watermark_audit_sql("events"),
         "q_extract_mixed": P.golden_mixed_sql(),
         "q_hilbert_stats": LAY.hilbert_stats_sql("duck", "events"),
+        "q_hll_overlap": SK.duck_hll_overlap_sql(
+            f"({P.pages_sql('duck')})"
+        ),
         "q_json_props": EV.duck_json_props_sql("events"),
         "q_host_skyline": WG.duck_host_skyline_sql(pages),
         "q_tpch_minsupp": """

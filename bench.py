@@ -260,6 +260,8 @@ def main() -> int:
         # wave-23
         "q_extract_mixed",
         "q_hilbert_stats",
+        # wave-24
+        "q_hll_overlap",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

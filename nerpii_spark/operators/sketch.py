@@ -706,3 +706,153 @@ select st.pred, n_triples, latest_doc,
        s_sum
 from st join s on st.pred = s.pred
 """
+
+
+# ---------------------------------------------------------------------------
+# HLL set-algebra overlap: per-language distinct-token intersection
+# ---------------------------------------------------------------------------
+
+
+def hll_overlap(
+    docs: DataFrame, text_col: str = "text", group_col: str = "lang"
+) -> DataFrame:
+    """Sketch-algebra overlap report -> one row per group pair:
+    (lang_a, lang_b, est_a, est_b, est_union, est_inter, jaccard_e6).
+    The audience-overlap query: HLL registers are MERGEABLE under
+    elementwise max, so the union estimate costs no second corpus
+    pass — A∪B from merged registers, A∩B by inclusion-exclusion
+    (clamped at 0: the estimator can go negative within its error),
+    Jaccard from the two. This is the set-ALGEBRA face of the HLL
+    machinery hll_distinct certifies; the register maxima, closed-form
+    unseen mass (rho 0 -> 2^32) and the integer estimator are shared
+    bit-for-bit.
+
+    Scale shape: ONE register aggregation over the token stream
+    (identical to hll_distinct — the stream is never shuffled by
+    token), localCheckpoint'd because per-group estimates AND the pair
+    merge both ride it; registers densify to 64-int arrays per group
+    (bounded state), the pair table is |groups|^2 x 64 integers, and
+    the elementwise-max fold is a 64-element HOF over that tiny table
+    (interpreted cost bounded by groups^2, never corpus size)."""
+    v = sql_strhash("tok")
+    w_expr = sql_h2(v, 5)
+    u_expr = sql_h2("w", 7)
+    toks = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    obs = (
+        toks.select("g", F.expr(w_expr).alias("w"))
+        .select(
+            "g",
+            (F.col("w") % M_REGS).alias("j"),
+            F.expr(u_expr).alias("u"),
+        )
+        .groupBy("g", "j")
+        .agg(F.max(F.expr(_rho_sql("u"))).alias("rho"))
+    )
+    # NB: the transform lambda variable must NOT be named `j` — it would
+    # shadow the obs column inside collect_list(struct(j, rho)) and pair
+    # every rho with the sequence value (duplicate-map-key error)
+    regs = obs.groupBy("g").agg(
+        F.expr(
+            f"transform(sequence(0, {M_REGS - 1}), jj -> coalesce("
+            "  element_at(map_from_entries("
+            "    collect_list(struct(j, rho))), cast(jj as bigint)), 0))"
+        ).alias("r")
+    ).localCheckpoint(eager=True)
+    ssum = (
+        f"aggregate(zip_with(ra, rb, (x, y) -> greatest(x, y)),"
+        f" cast(0 as bigint),"
+        f" (acc, r) -> acc + shiftleft(cast(1 as bigint),"
+        f" cast({RHO_CAP} - r as int)))"
+    )
+    sone = (
+        "aggregate({c}, cast(0 as bigint),"
+        f" (acc, r) -> acc + shiftleft(cast(1 as bigint),"
+        f" cast({RHO_CAP} - r as int)))"
+    )
+    est = f"cast({_EST_NUM} div ({_EST_DEN} * ({{s}})) as bigint)"
+    a = regs.select(F.col("g").alias("lang_a"), F.col("r").alias("ra"))
+    b = regs.select(F.col("g").alias("lang_b"), F.col("r").alias("rb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .withColumn("sa", F.expr(sone.format(c="ra")))
+        .withColumn("sb", F.expr(sone.format(c="rb")))
+        .withColumn("su", F.expr(ssum))
+        .select(
+            "lang_a", "lang_b",
+            F.expr(est.format(s="sa")).alias("est_a"),
+            F.expr(est.format(s="sb")).alias("est_b"),
+            F.expr(est.format(s="su")).alias("est_union"),
+        )
+        .withColumn(
+            "est_inter",
+            F.expr(
+                "greatest(cast(0 as bigint), est_a + est_b - est_union)"
+            ),
+        )
+        .withColumn(
+            "jaccard_e6",
+            F.expr("(1000000 * est_inter) div est_union"),
+        )
+    )
+
+
+def duck_hll_overlap_sql(
+    doc_rel: str = "documents",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> str:
+    """Oracle twin of hll_overlap: the same registers via the certified
+    hll token chain, dense 64-cell pair grid with rho 0 for unseen,
+    identical integer estimator and inclusion-exclusion."""
+    v = sql_strhash("tok")
+    w = sql_h2(v, 5)
+    u = sql_h2("w", 7)
+    rho = _rho_sql("u")
+    toks = _tok_rel("duck", doc_rel, text_col, group_col)
+    est = f"cast({_EST_NUM} // ({_EST_DEN} * ({{s}})) as bigint)"
+    return f"""
+with toks as ({toks}),
+hs as (select g, {w} as w from toks where tok <> ''),
+hs2 as (select g, w % {M_REGS} as j, {u} as u from hs),
+obs as (select g, j, max({rho}) as rho from hs2 group by g, j),
+grps as (select distinct g from obs),
+prs as (select a.g as ga, b.g as gb from grps a join grps b on a.g < b.g),
+cells as (
+  select p.ga, p.gb, c.j
+  from prs p cross join (select unnest(range({M_REGS})) as j) c
+),
+m as (
+  select c.ga, c.gb, c.j,
+         coalesce(oa.rho, 0) as rho_a, coalesce(ob.rho, 0) as rho_b
+  from cells c
+  left join obs oa on oa.g = c.ga and oa.j = c.j
+  left join obs ob on ob.g = c.gb and ob.j = c.j
+),
+s as (
+  select ga, gb,
+         cast(sum(cast(1 as bigint) << ({RHO_CAP} - rho_a)) as bigint)
+           as sa,
+         cast(sum(cast(1 as bigint) << ({RHO_CAP} - rho_b)) as bigint)
+           as sb,
+         cast(sum(cast(1 as bigint)
+                  << ({RHO_CAP} - greatest(rho_a, rho_b))) as bigint)
+           as su
+  from m group by 1, 2
+),
+e as (
+  select ga as lang_a, gb as lang_b,
+         {est.format(s='sa')} as est_a,
+         {est.format(s='sb')} as est_b,
+         {est.format(s='su')} as est_union
+  from s
+)
+select lang_a, lang_b, est_a, est_b, est_union,
+       greatest(cast(0 as bigint), est_a + est_b - est_union) as est_inter,
+       (1000000 * greatest(cast(0 as bigint), est_a + est_b - est_union))
+         // est_union as jaccard_e6
+from e
+"""
