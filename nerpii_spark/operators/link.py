@@ -1210,12 +1210,16 @@ def el_disambig(
     ncand = cands.groupBy("norm").agg(
         F.count("*").cast("bigint").alias("n_cands")
     )
+    # the distinct (doc, surface) instance stream — the EL working set.
+    # Checkpointed: ctx and the candidate-instance join BOTH ride it
+    # (live, the mention scan + distinct shuffle ran three times)
     inst = (
         mentions.where(
             F.col("entity_type").isin(types or LINK_TYPES)
         )
         .select("doc_id", F.expr(_NORM).alias("norm"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # context: clusters of UNAMBIGUOUS surfaces, src norm retained so a
     # surface never testifies for itself (leave-one-out inside the doc)
@@ -1233,7 +1237,10 @@ def el_disambig(
     dctx = ctx.select("doc_id", "ctx_type", "ctx_canon").distinct()
     per_doc = dctx.groupBy("doc_id").agg(F.count("*").alias("_nc"))
     keep = per_doc.where(F.col("_nc") <= max_ctx).select("doc_id")
-    ctx = ctx.join(keep, "doc_id")
+    # doc-cluster-sized like dctx; checkpointed — the scoring pair join
+    # below is its second consumer (live, the inst->ncand->cands chain
+    # recomputed per consumer)
+    ctx = ctx.join(keep, "doc_id").localCheckpoint(eager=True)
     # doc-cluster-sized (~|docs| x entities/doc); checkpointed — it is
     # both sides of the edge self-join AND the scoring probe base
     dctx = dctx.join(keep, "doc_id").localCheckpoint(eager=True)
