@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-237 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+246 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks / AMIE
@@ -70,7 +70,9 @@ from nerpii_spark.operators.extract import (
     pagerank_incremental,
     hits,
     duck_neighbor_sample_sql,
+    duck_node2vec_walks_sql,
     duck_random_walks_sql,
+    node2vec_walks,
     random_walks,
     walk_pairs,
     duck_walk_pairs_sql,
@@ -3229,8 +3231,129 @@ def q_agg_incremental(spark, sf):
     return SK.pred_agg_incremental(_pipeline(spark, sf)["triples"])
 
 
+def q_rectangles(spark, sf):
+    """Global 4-cycle census of the host graph (webgraph.
+    rectangle_census): the next motif up from q_kg_triangles — mirror
+    farms and template navigation close rectangles without closing
+    triangles, so C4/triangle separates copy-link structure from
+    community closure. ONE adjacency self-join -> map-side-combined
+    common-neighbor counts -> one global agg; the oracle is an
+    independent brute canonical-cycle enumeration, so the hash match
+    certifies the counting identity (n_c4 = sum C(c,2) / 2), not just
+    the plumbing."""
+    return WG.rectangle_census(_pipeline(spark, sf)["pages"])
+
+
+def q_sage_features(spark, sf):
+    """GraphSAGE layer-1 mean aggregation (similarity.
+    sage_mean_features, Hamilton et al. 2017): per node the element-
+    wise int64 mean of its LSH-band neighbors' quantized vectors —
+    the feature a GNN training pipeline materializes. posexplode ->
+    groupBy(node, dim) shards a hub's accumulation across 64 dim keys
+    (no collect_list hot reducer); h_feat checksums all dims so the
+    driver certifies the full vector."""
+    return SIM.sage_mean_features(_load(spark, sf, "embeddings"))
+
+
+def q_tpch_smallqty(spark, sf):
+    """TPC-H Q17 shape (small-quantity revenue): for a brand's parts,
+    revenue from lineitems below 20% of that part's average quantity —
+    the canonical correlated-scalar-subquery DECORRELATED into one
+    map-side-combined per-part aggregate joined back to the fact
+    table. The avg comparison stays integer: qty_c * 5 * n_li <
+    sum_qty_c (both sides bigint) instead of a float avg — engine-
+    exact at any scale. Part dim broadcasts; the per-part agg is
+    partkey-sized so AQE broadcasts it onto the second fact pass."""
+    li = _load(spark, sf, "lineitem")
+    p = _load(spark, sf, "part").where(F.col("p_brand") == "Brand#2")
+    per_part = li.groupBy("l_partkey").agg(
+        F.expr(
+            "cast(sum(cast(round(l_quantity * 100) as bigint)) as bigint)"
+        ).alias("sum_qty_c"),
+        F.count("*").cast("bigint").alias("n_li"),
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, "l_partkey")
+        .where(
+            F.expr(
+                "cast(round(l_quantity * 100) as bigint) * 5 * n_li"
+                " < sum_qty_c"
+            )
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.expr(
+                "cast(sum(cast(round(l_extendedprice * 100) as bigint))"
+                " as bigint)"
+            ).alias("sum_price_c"),
+            F.expr(
+                "cast(sum(cast(round(l_extendedprice * 100) as bigint))"
+                " as bigint) div 7"
+            ).alias("avg_yearly_c"),
+        )
+    )
+
+
+def q_kn_bigram(spark, sf):
+    """Interpolated Kneser-Ney bigram LM (textstats.kn_bigram_topk,
+    Kneser & Ney 1995 / Chen & Goodman 1999): absolute discount +
+    continuation probability, all-integer fixed evaluation order so
+    both engines agree bit-for-bit; every aggregate past the one
+    corpus pass runs over the vocabulary^2-bounded bigram-type table;
+    top-k via the two-phase salted window."""
+    return TS.kn_bigram_topk(_load(spark, sf, "documents"))
+
+
+def q_soundex_blocks(spark, sf):
+    """Soundex phonetic blocking index over PERSON name tokens
+    (link.phonetic_blocks) — the third blocking family next to
+    MinHash-LSH and embedding sign-bands: variant spellings keep the
+    same code (Smith/Smythe -> S530). Token stream collapses to
+    distinct surfaces map-side BEFORE soundex; oracle inlines planted
+    truth from the bit-exact Python mirror of Spark's soundex()."""
+    return L.phonetic_blocks(_pipeline(spark, sf)["mentions"])
+
+
+def q_node2vec_walks(spark, sf):
+    """node2vec second-order biased walks (extract.node2vec_walks,
+    Grover & Leskovec 2016): p/q-weighted neighbor choice realized by
+    an exact cumulative-weight threshold pick over the degree-capped
+    adjacency — every draw a pure function of the edge set, replayed
+    bit-for-bit by the chained-CTE oracle; per step one equi-join + a
+    prev-adjacency mark join + two windows sharing one root exchange."""
+    return node2vec_walks(_pipeline(spark, sf)["triples"])
+
+
+def q_embed_rrf(spark, sf):
+    """Reciprocal-rank fusion of the LSH-band and IVF ANN rankings
+    (similarity.rrf_fuse, Cormack 2009) — the hybrid-retrieval
+    combiner: rank-only integer scores (1e6 div (60 + rank)), absent
+    neighbors contribute 0, fused output bounded by queries x 2k; the
+    oracle composes BOTH bit-exact ANN replays plus the fusion, so the
+    end-to-end hybrid stack is value-hash certified."""
+    embs = _load(spark, sf, "embeddings")
+    return SIM.rrf_fuse(
+        [
+            SIM.hyperplane_lsh_topk(embs, "vec_id < 32", k=3),
+            SIM.ivf_topk(embs, "vec_id < 32", k=3),
+        ],
+        k=3,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # r3 wave-28 (newest, no driver row yet):
+        "q_node2vec_walks": q_node2vec_walks,
+        "q_embed_rrf": q_embed_rrf,
+        # r3 wave-27 (newest, no driver row yet):
+        "q_kn_bigram": q_kn_bigram,
+        "q_soundex_blocks": q_soundex_blocks,
+        # r3 wave-26 (newest, no driver row yet):
+        "q_rectangles": q_rectangles,
+        "q_sage_features": q_sage_features,
+        "q_tpch_smallqty": q_tpch_smallqty,
         # r3 wave-17 (newest, no driver row yet):
         "q_rule_infer": q_rule_infer,
         "q_ner_bio": q_ner_bio,
@@ -3682,6 +3805,28 @@ def oracle_sql() -> dict[str, str]:
     female = G.sql_str_list([n.lower() for n in G.FIRST_FEMALE])
     male = G.sql_str_list([n.lower() for n in G.FIRST_MALE])
     return {
+        "q_kn_bigram": TS.duck_kn_bigram_sql(),
+        "q_soundex_blocks": L.duck_phonetic_blocks_sql(gm),
+        "q_rectangles": WG.duck_rectangle_census_sql(pages),
+        "q_sage_features": SIM.duck_sage_mean_features_sql("embeddings"),
+        "q_tpch_smallqty": """
+with pp as (
+  select l_partkey,
+         cast(sum(cast(round(l_quantity * 100) as bigint)) as bigint)
+           as sum_qty_c,
+         cast(count(*) as bigint) as n_li
+  from lineitem group by 1
+)
+select cast(count(*) as bigint) as n_rows,
+       cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint)
+         as sum_price_c,
+       cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint)
+         // 7 as avg_yearly_c
+from lineitem li
+join part p on p.p_partkey = li.l_partkey and p.p_brand = 'Brand#2'
+join pp on pp.l_partkey = li.l_partkey
+where cast(round(l_quantity * 100) as bigint) * 5 * n_li < sum_qty_c
+""",
         "q_bloom_semijoin": """
             select l_returnflag, cast(count(*) as bigint) as n_rows,
                    cast(sum(cast(round(l_quantity * 100) as bigint))
@@ -4298,6 +4443,11 @@ from best join supplier s on s.s_suppkey = suppkey
             """
         )("lpad(cast(doc_id as varchar), 12, '0') || '|' || obj"),
         "q_random_walks": duck_random_walks_sql(gt),
+        "q_node2vec_walks": duck_node2vec_walks_sql(gt),
+        "q_embed_rrf": SIM.duck_rrf_sql([
+            SIM.duck_hyperplane_lsh_topk_sql("vec_id < 32", k=3),
+            SIM.duck_ivf_topk_sql("vec_id < 32", k=3),
+        ], k=3),
         "q_walk_pairs": duck_walk_pairs_sql(gt),
         "q_skew_report": DG.duck_skew_report_sql(gt, ["pred"]),
         "q_entity_cooccur": f"""

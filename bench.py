@@ -262,6 +262,16 @@ def main() -> int:
         "q_hilbert_stats",
         # wave-24
         "q_hll_overlap",
+        # wave-26
+        "q_rectangles",
+        "q_sage_features",
+        "q_tpch_smallqty",
+        # wave-27
+        "q_kn_bigram",
+        "q_soundex_blocks",
+        # wave-28
+        "q_node2vec_walks",
+        "q_embed_rrf",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

@@ -168,3 +168,49 @@ def with_gender(
         )
         .drop("__gl_key", "__gl_val")
     )
+
+
+# ---------------------------------------------------------------------------
+# Soundex — a Python mirror of SPARK's soundex() expression (UTF8String.
+# soundex semantics, probed and pinned in tests/test_wave27.py), used to
+# inline oracle truth for the phonetic blocking operator. Spark's variant
+# differs from Apache-commons soundex ONLY on embedded non-letters: Spark
+# resets the adjacency code at a non-letter ('As-sa' -> A220) where
+# commons strips them first ('Assa' -> A200); H/W are ignored entirely
+# with the previous code preserved (the '7' sentinel in Spark's mapping),
+# which is equivalent to the textbook H/W-adjacency rule.
+
+_SOUNDEX_MAP = {}
+for _cs, _d in (
+    ("AEIOUY", "0"), ("BFPV", "1"), ("CGJKQSXZ", "2"), ("DT", "3"),
+    ("L", "4"), ("MN", "5"), ("R", "6"), ("HW", "7"),
+):
+    for _c in _cs:
+        _SOUNDEX_MAP[_c] = _d
+
+
+def spark_soundex(s: str) -> str:
+    """Bit-exact Python mirror of Spark SQL soundex(). Non-letter first
+    char returns the input unchanged (Spark's contract); empty returns
+    empty."""
+    if not s:
+        return ""
+    c0 = s[0].upper()
+    if not ("A" <= c0 <= "Z"):
+        return s
+    out = [c0]
+    last = _SOUNDEX_MAP[c0]
+    for ch in s[1:]:
+        c = ch.upper()
+        if not ("A" <= c <= "Z"):
+            last = "0"
+            continue
+        code = _SOUNDEX_MAP[c]
+        if code == "7":
+            continue  # H/W: silent, previous code preserved
+        if code != "0" and code != last:
+            out.append(code)
+            if len(out) == 4:
+                break
+        last = code
+    return "".join(out).ljust(4, "0")

@@ -3443,3 +3443,174 @@ def extract_mixed(docs: DataFrame) -> DataFrame:
     )
     return h.unionByName(q).unionByName(m).unionByName(t) \
         .unionByName(n).unionByName(v)
+
+
+# ---------------------------------------------------------------------------
+# node2vec second-order biased walks (Grover & Leskovec 2016) — the
+# p/q-parameterized walk corpus next to the first-order random_walks:
+# the bias is what lets one walk corpus interpolate between BFS-like
+# (structural roles) and DFS-like (homophily) neighborhoods.
+
+N2V_STEPS = WALK_STEPS
+N2V_SALT = 71
+N2V_W_RET = 25    # alpha = 1/p with p = 4   (discourage backtracking)
+N2V_W_COM = 100   # alpha = 1                (common neighbor of prev)
+N2V_W_OUT = 400   # alpha = 1/q with q = 1/4 (encourage exploration)
+
+
+def _n2v_r(root: str, step: int) -> str:
+    """Per-(walk, step) draw in [0, M): the same portable chain the
+    first-order walk uses, salted differently."""
+    from nerpii_spark.functions.hashing import M, sql_h2, sql_strhash
+
+    return sql_h2(f"({sql_strhash(root)} + {step * 31}) % {M}", N2V_SALT)
+
+
+def node2vec_walks(
+    triples: DataFrame,
+    n_steps: int = N2V_STEPS,
+    degree_cap: int = WALK_DEGREE_CAP,
+    w_ret: int = N2V_W_RET,
+    w_com: int = N2V_W_COM,
+    w_out: int = N2V_W_OUT,
+) -> DataFrame:
+    """One deterministic node2vec walk from every node -> (root, step,
+    cur). Step t from `cur` (previous node `prev`) picks neighbor n
+    with probability proportional to the integer weight
+
+        w_ret  if n == prev           (return,   alpha = 1/p)
+        w_com  if n adjacent to prev  (BFS-ish,  alpha = 1)
+        w_out  otherwise              (DFS-ish,  alpha = 1/q)
+
+    realized EXACTLY by a cumulative-weight threshold pick: candidates
+    sort by name, r = portable_hash(root, t) mod total_weight, take the
+    first candidate whose running sum exceeds r — proportional for the
+    quantized weights and a pure function of the edge set (the oracle
+    replays every draw). Step 1 has no prev: uniform (all w_com).
+    Adjacency (both the candidate set and the prev-adjacency test) is
+    the DEGREE-CAPPED neighbor_sample graph — same skew argument as
+    random_walks: a hub contributes at most `degree_cap` candidate rows
+    per walker, and the in-partition windows below are cap-bounded.
+
+    Scale shape per step: ONE equi-join (cur -> capped neighbors), one
+    broadcast-shaped LEFT join marking prev-adjacency (the capped
+    adjacency keyed by (prev, nbr) — an equi-join, never a filter
+    scan), then a cumulative-sum window + a total window SHARING the
+    partitionBy(root) exchange, one threshold argmin agg. Frontier
+    localCheckpoint'd per step (the CC/pagerank discipline).
+    Reference: this is a from-scratch web-scale addition (nerpii has no
+    graph stage); cites Grover & Leskovec 2016 for the alpha rule."""
+    from pyspark.sql import Window as W
+
+    e = (
+        neighbor_sample(triples, k=degree_cap)
+        .select("node", "nbr")
+        .localCheckpoint(eager=True)
+    )
+    pos = (
+        e.select(F.col("node").alias("root"))
+        .distinct()
+        .withColumn("cur", F.col("root"))
+        .withColumn("prev", F.lit(None).cast("string"))
+    )
+    mark = e.select(
+        F.col("node").alias("prev"),
+        F.col("nbr").alias("nbr"),
+        F.lit(1).alias("is_adj"),
+    )
+    out = None
+    for t in range(1, n_steps + 1):
+        cand = (
+            pos.join(e, pos.cur == e.node)
+            .select("root", "prev", "cur", "nbr")
+            .join(mark, ["prev", "nbr"], "left")
+            .withColumn(
+                "w",
+                F.expr(
+                    f"case when prev is null then {w_com}"
+                    f" when nbr = prev then {w_ret}"
+                    f" when is_adj = 1 then {w_com}"
+                    f" else {w_out} end"
+                ).cast("bigint"),
+            )
+        )
+        win = W.partitionBy("root").orderBy("nbr")
+        tot_win = W.partitionBy("root")
+        picked = (
+            cand.withColumn("cw", F.sum("w").over(win))
+            .withColumn("tot", F.sum("w").over(tot_win))
+            .withColumn("r", F.expr(f"({_n2v_r('root', t)}) % tot"))
+            .where(F.col("cw") > F.col("r"))
+            .groupBy("root")
+            .agg(
+                F.min(F.struct("cw", F.col("nbr").alias("n"))).alias("b"),
+                F.min("cur").alias("old_cur"),
+            )
+            .select(
+                "root",
+                F.col("old_cur").alias("prev"),
+                F.col("b.n").alias("cur"),
+            )
+        )
+        picked = picked.localCheckpoint(eager=True)
+        step_rows = picked.select(
+            "root", F.lit(t).cast("bigint").alias("step"), "cur"
+        )
+        out = step_rows if out is None else out.unionByName(step_rows)
+        pos = picked
+    return out
+
+
+def duck_node2vec_walks_sql(
+    triples_sql: str,
+    n_steps: int = N2V_STEPS,
+    degree_cap: int = WALK_DEGREE_CAP,
+    w_ret: int = N2V_W_RET,
+    w_com: int = N2V_W_COM,
+    w_out: int = N2V_W_OUT,
+) -> str:
+    """Chained-CTE replay of node2vec_walks: same capped adjacency, same
+    weights, same cumulative-threshold pick (row_number over cw > r is
+    an independent formulation of min(struct)). Every CTE MATERIALIZED
+    per the duck_random_walks_sql planning-blowup note."""
+    ctes = [
+        f"""
+adj as materialized (
+  select node, nbr from ({duck_neighbor_sample_sql(triples_sql, k=degree_cap)})
+),
+v0 as (select distinct node as root, cast(null as varchar) as prev,
+              node as cur from adj)"""
+    ]
+    finals = []
+    for t in range(1, n_steps + 1):
+        r = _n2v_r("c.root", t)
+        ctes.append(
+            f"""
+c{t} as materialized (
+  select v.root as root, v.prev as prev, v.cur as cur, adj.nbr as nbr,
+         cast(case when v.prev is null then {w_com}
+                   when adj.nbr = v.prev then {w_ret}
+                   when exists (select 1 from adj a2
+                                where a2.node = v.prev
+                                  and a2.nbr = adj.nbr) then {w_com}
+                   else {w_out} end as bigint) as w
+  from v{t - 1} v join adj on v.cur = adj.node
+),
+p{t} as materialized (
+  select root, prev, cur, nbr from (
+    select c.*,
+           sum(w) over (partition by c.root order by c.nbr
+                        rows unbounded preceding) as cw,
+           sum(w) over (partition by c.root) as tot
+    from c{t} c
+  ) c where cw > ({r}) % tot
+  qualify row_number() over (partition by root order by cw, nbr) = 1
+),
+v{t} as materialized (
+  select root, cur as prev, nbr as cur from p{t}
+)"""
+        )
+        finals.append(
+            f"select root, cast({t} as bigint) as step, cur from v{t}"
+        )
+    return "with " + ",".join(ctes) + " " + " union all ".join(finals)

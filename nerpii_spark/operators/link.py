@@ -1495,3 +1495,93 @@ from cell_stats c
 join pred_stats p using (entity_type)
 join true_stats t using (entity_type)
 """
+
+
+# ---------------------------------------------------------------------------
+# Phonetic blocking (Soundex) — the third blocking family next to
+# MinHash-LSH (lsh_candidate_pairs) and the LSH-band embedding graph:
+# classic record-linkage practice (Fellegi-Sunter deployments block on
+# phonetic keys precisely because typo'd/variant spellings of a name
+# keep the same code: Smith/Smythe -> S530).
+
+
+def phonetic_blocks(mentions: DataFrame) -> DataFrame:
+    """PERSON name tokens -> Soundex block table (block_key,
+    n_surfaces, n_mentions, min_surface, max_surface): the blocking
+    index a linker probes before pairwise scoring. n_surfaces > 1 rows
+    are the candidate blocks (distinct spellings sharing a code);
+    min/max surface pin the block membership into the driver hash.
+
+    Scale shape: the mention stream collapses to DISTINCT surface
+    tokens FIRST (one map-side-combined groupBy over the token stream
+    — a Zipf-hot name arrives pre-summed), soundex() evaluates over
+    the VOCABULARY-sized surface table only (names are a bounded
+    vocabulary at any corpus size), and the block rollup is
+    key-bounded. No Python: Spark's soundex is a codegen expression;
+    the oracle uses a bit-exact Python mirror (functions/text.
+    spark_soundex, pinned == Spark over the full gazetteer + 34
+    probed edge cases in tests/test_wave27.py) to inline planted
+    truth."""
+    toks = (
+        mentions.where(F.col("entity_type") == "PERSON")
+        .select(F.explode(F.split("mention", " ")).alias("surface"))
+        .where(F.col("surface") != "")
+        .groupBy("surface")
+        .agg(F.count("*").cast("bigint").alias("n_m"))
+    )
+    return (
+        toks.withColumn("block_key", F.soundex("surface"))
+        .groupBy("block_key")
+        .agg(
+            F.count("*").cast("bigint").alias("n_surfaces"),
+            F.sum("n_m").cast("bigint").alias("n_mentions"),
+            F.min("surface").alias("min_surface"),
+            F.max("surface").alias("max_surface"),
+        )
+    )
+
+
+def duck_phonetic_blocks_sql(gm_sql: str) -> str:
+    """Oracle twin of phonetic_blocks over the golden mention truth:
+    the Soundex keys are inlined as a VALUES map computed by the
+    Python mirror over every gazetteer name token (en + it) — planted
+    truth, the repo's golden-dict pattern. A surface outside the map
+    joins to NULL and the driver hash catches it."""
+    from ..functions import gazetteers as G
+    from ..functions.text import spark_soundex
+
+    base = {
+        t
+        for n in (
+            G.FIRST_NAMES + G.LAST_NAMES
+            + G.IT_FIRST_NAMES + G.IT_LAST_NAMES
+        )
+        for t in n.split()
+    }
+    # the planted corpus emits three surface shapes beyond the bare
+    # gazetteer entry (pages.py:92,117): ALL-CAPS display variants,
+    # and single middle initials 'A.'..'Z.'
+    toks = sorted(
+        base
+        | {t.upper() for t in base}
+        | {f"{chr(65 + i)}." for i in range(26)}
+    )
+    vals = ", ".join(f"('{t}', '{spark_soundex(t)}')" for t in toks)
+    return f"""
+with gm as ({gm_sql}),
+toks as (
+  select surface, cast(count(*) as bigint) as n_m
+  from (select unnest(string_split(mention, ' ')) as surface
+        from gm where entity_type = 'PERSON')
+  where surface <> ''
+  group by 1
+),
+sdx(surface, block_key) as (values {vals})
+select s.block_key,
+       cast(count(*) as bigint) as n_surfaces,
+       cast(sum(n_m) as bigint) as n_mentions,
+       min(t.surface) as min_surface,
+       max(t.surface) as max_surface
+from toks t left join sdx s on s.surface = t.surface
+group by 1
+"""

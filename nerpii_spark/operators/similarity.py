@@ -1123,3 +1123,194 @@ ranked as (
 )
 select query_id, rank, neighbor_id, cos from ranked where rank <= {k}
 """
+
+
+def sage_mean_features(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """GraphSAGE-style layer-1 mean aggregation (Hamilton et al. 2017)
+    over the LSH-candidate similarity graph -> (vec_id, n_nbrs,
+    mean_q0, mean_q1, h_feat): for every node, the element-wise mean of
+    its neighbors' QUANTIZED feature vectors — the aggregation a GNN
+    training pipeline materializes as model input. The graph is the
+    same sign-band candidate graph embedding_dup_pairs verifies over
+    (two nodes are neighbors iff they share >= 1 LSH band), so the
+    neighborhood is semantic, not synthetic, and per-node degree is
+    bucket-bounded by construction. Nodes with no band-mate emit
+    n_nbrs = 0 and NULL features (isolated — SAGE falls back to the
+    self vector downstream).
+
+    mean_q[d] = floor(sum_nbrs xq[d] / n_nbrs) per dimension, all
+    int64 (|xq| <= ~1.1e6, degree < N -> sums < 1.1e6 * N safe to
+    ~8e12 neighbors); h_feat = sum_d (d + 1) * mean_q[d] is an
+    order-independent integer checksum over all 64 dims (bounded by
+    2080 * 1.1e6 ~ 2.3e9) so the driver certifies the full vector,
+    not just the two reported dims.
+
+    Scale shape: the pairs come from the banded equi-self-join (no
+    cartesian); the element-wise aggregation routes through
+    posexplode -> groupBy(node, dim) -> partial-combined sums, so a
+    high-degree node's accumulation is sharded across 64 dim keys and
+    combined map-side — no collect_list hot reducer and no per-row
+    Python. The final per-node fold is a 64-row re-agg."""
+    from .cluster import _quant_expr
+
+    banded = with_lsh_bands(embs, id_col, vec_col)
+    a = banded.select(F.col(id_col).alias("node"), "band", "bv")
+    b = banded.select(
+        F.col(id_col).alias("nbr"), F.col(vec_col).alias("nv"),
+        "band", "bv",
+    )
+    nbrs = (
+        a.join(b, ["band", "bv"])
+        .where(F.col("node") != F.col("nbr"))
+        .select("node", "nbr", "nv")
+        .distinct()
+    )
+    vals = nbrs.select(
+        "node",
+        F.posexplode(F.expr(_quant_expr("nv"))).alias("dim", "val"),
+    )
+    dim_sums = vals.groupBy("node", "dim").agg(
+        F.sum("val").alias("s"), F.count("*").cast("bigint").alias("n")
+    )
+    feats = dim_sums.groupBy("node").agg(
+        F.max("n").cast("bigint").alias("n_nbrs"),
+        F.max(F.expr("case when dim = 0 then s div n end"))
+        .cast("bigint").alias("mean_q0"),
+        F.max(F.expr("case when dim = 1 then s div n end"))
+        .cast("bigint").alias("mean_q1"),
+        F.sum(F.expr("(dim + 1) * (s div n)"))
+        .cast("bigint").alias("h_feat"),
+    )
+    return (
+        embs.select(F.col(id_col).alias("vec_id"))
+        .join(feats, F.col("vec_id") == F.col("node"), "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_nbrs", F.lit(0)).cast("bigint").alias("n_nbrs"),
+            "mean_q0", "mean_q1", "h_feat",
+        )
+    )
+
+
+def duck_sage_mean_features_sql(rel: str = "embeddings") -> str:
+    """Bit-exact replay of sage_mean_features: the banded CTE
+    reproduces the integer sign signatures (same candidate graph), the
+    per-dim mean is the same int64 floor division. Positional unnest
+    via generate_subscripts (DuckDB lacks WITH ORDINALITY; 1-based, so
+    dim = pos - 1). Mind the CLAUDE.md trap: sum(bigint) is HUGEINT —
+    cast before the div and the checksum product."""
+    return f"""
+with {duck_lsh_banded_cte(rel)},
+nbrs as (
+  select distinct a.vec_id as node, b.vec_id as nbr
+  from banded a join banded b using (band, bv)
+  where a.vec_id <> b.vec_id
+),
+vals as (
+  select node, generate_subscripts(x.xq, 1) - 1 as dim,
+         unnest(x.xq) as val
+  from nbrs join xq0 x on x.vec_id = nbrs.nbr
+),
+dim_sums as (
+  select node, dim, cast(sum(val) as bigint) as s,
+         cast(count(*) as bigint) as n
+  from vals group by 1, 2
+),
+feats as (
+  select node, max(n) as n_nbrs,
+         max(case when dim = 0 then s // n end) as mean_q0,
+         max(case when dim = 1 then s // n end) as mean_q1,
+         cast(sum((dim + 1) * (s // n)) as bigint) as h_feat
+  from dim_sums group by 1
+)
+select e.vec_id, cast(coalesce(f.n_nbrs, 0) as bigint) as n_nbrs,
+       cast(f.mean_q0 as bigint) as mean_q0,
+       cast(f.mean_q1 as bigint) as mean_q1, f.h_feat
+from {rel} e left join feats f on f.node = e.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+# standard hybrid-retrieval combiner: fuse the LSH-band and IVF ANN
+# rankings into one list. RRF is rank-only (score scales never have to
+# be calibrated against each other), which is exactly why production
+# hybrid search uses it to merge lexical and vector rankings.
+
+RRF_K = 60  # the canonical damping constant from the RRF paper
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 3,
+    k_rrf: int = RRF_K,
+) -> DataFrame:
+    """Fuse per-query rankings [(query_id, rank, neighbor_id, ...)] ->
+    (query_id, rank, neighbor_id, rrf_e6) with
+    rrf_e6 = sum_systems 1e6 div (k_rrf + rank_s) — integer, so ties
+    and ordering are engine-exact; a neighbor absent from a system
+    contributes 0 (the outer-union semantics of the RRF paper).
+
+    Scale shape: each input is already top-k-per-query (k rows per
+    query per system), so the fusion unions system-sized slivers and
+    aggregates on (query_id, neighbor_id) — map-side combined, output
+    bounded by queries x systems x k. The final per-query re-rank
+    window partitions on query_id over <= systems*k rows."""
+    parts = [
+        r.select(
+            "query_id",
+            "neighbor_id",
+            F.expr(f"cast(1000000 as bigint) div ({k_rrf} + rank)")
+            .alias("c"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scored = u.groupBy("query_id", "neighbor_id").agg(
+        F.sum("c").cast("bigint").alias("rrf_e6")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("rrf_e6"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("bigint"), "neighbor_id",
+            "rrf_e6",
+        )
+    )
+
+
+def duck_rrf_sql(
+    system_sqls: list[str], k: int = 3, k_rrf: int = RRF_K
+) -> str:
+    """Oracle twin of rrf_fuse over the systems' own bit-exact replay
+    SQLs (each must yield (query_id, rank, neighbor_id, ...)) — the
+    composition is certified end to end: candidate generation, ranking
+    AND fusion."""
+    unions = " union all ".join(
+        f"select query_id, neighbor_id,"
+        f" cast(1000000 as bigint) // ({k_rrf} + rank) as c"
+        f" from ({s})"
+        for s in system_sqls
+    )
+    return f"""
+with u as ({unions}),
+scored as (
+  select query_id, neighbor_id, cast(sum(c) as bigint) as rrf_e6
+  from u group by 1, 2
+)
+select query_id, cast(rank as bigint) as rank, neighbor_id, rrf_e6
+from (
+  select *, row_number() over (partition by query_id
+             order by rrf_e6 desc, neighbor_id asc) as rank
+  from scored
+) where rank <= {k}
+"""

@@ -2181,3 +2181,156 @@ qualify row_number() over (
   partition by doc_id
   order by length(prefix) desc nulls last, allow desc nulls last) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM (the smoothing q_vocab_growth's N_r table
+# feeds in Katz backoff; KN replaces count-of-count estimation with
+# absolute discounting + continuation probability — Kneser & Ney 1995,
+# Chen & Goodman 1999 establish it as the strongest n-gram smoother)
+
+KN_D_C2 = 75     # absolute discount 0.75 in centi-units (integer)
+KN_TOPK = 20
+KN_SALT = 32
+
+
+def kn_bigram_topk(
+    docs: DataFrame,
+    k: int = KN_TOPK,
+    text_col: str = "text",
+    n_salt: int = KN_SALT,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities, top-k by p_KN ->
+    (rank, w1, w2, c12, c1, n1p_right, pcont_e6, pkn_e6):
+
+        p_KN(w2|w1) = (c12 - D)/c1  +  (D * N1+(w1 .)/c1) * p_cont(w2)
+        p_cont(w2)  = N1+(. w2) / n_bigram_types
+
+    with D = 0.75. ALL integer: D rides as 75 centi-units, so
+    pkn_e6 = (1e6*(100*c12 - 75)) div (100*c1)
+           + (75 * n1p_right * pcont_e6) div (100*c1)
+    with pcont_e6 = (1e6 * n1p_left) div n_types — a fixed evaluation
+    order both engines execute identically (Spark `div` == DuckDB `//`
+    truncate-toward-zero; all terms non-negative here anyway).
+    int64 bounds: term1's numerator 1e8*c12 overflows past c12 ~ 9.2e10
+    (one bigram occurring 92 billion times — beyond any web corpus'
+    hottest pair; documented like the collocations bound); term2 <=
+    75 * |vocab| * 1e6 is safe to 1.2e9 distinct continuations.
+
+    Scale shape: ONE corpus pass into the map-side-combined bigram
+    count (pre-projected token array per the no-CSE HOF rule); every
+    downstream aggregate — left totals c1 = c(w1 .), continuation
+    fan-outs N1+(w1 .) and N1+(. w2), the type total — runs over the
+    VOCABULARY^2-bounded bigram-type table, not the token stream; the
+    totals attach via vocabulary-keyed equi-joins (NOT broadcast: Zipf
+    vocabularies at 10^12 tokens run to 1e8+ types); n_types is a
+    1-row broadcast crossJoin; the global top-k is the two-phase
+    salted window every *_topk here uses. c12 >= 1 for every observed
+    bigram, so 100*c12 - 75 > 0 needs no clamp."""
+    from pyspark.sql import Window as W
+
+    ws = docs.select(
+        F.expr(f"split(lower({text_col}), ' ')").alias("ws")
+    )
+    bg = (
+        ws.where(F.expr("size(ws) >= 2"))
+        .select(
+            F.explode(
+                F.expr(bigrams_sql("spark", text_col, pre_split="ws"))
+            ).alias("bg")
+        )
+        .select(
+            F.expr("substring_index(bg, ' ', 1)").alias("w1"),
+            F.expr("substring_index(bg, ' ', -1)").alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c12"))
+        .localCheckpoint(eager=True)  # four downstream consumers
+    )
+    left = bg.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count("*").cast("bigint").alias("n1p_right"),
+    )
+    right = bg.groupBy("w2").agg(
+        F.count("*").cast("bigint").alias("n1p_left")
+    )
+    n_types = bg.agg(F.count("*").cast("bigint").alias("n_types"))
+    scored = (
+        bg.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(n_types))
+        .withColumn(
+            "pcont_e6",
+            F.expr("(cast(1000000 as bigint) * n1p_left) div n_types"),
+        )
+        .withColumn(
+            "pkn_e6",
+            F.expr(
+                f"(cast(1000000 as bigint) * (100 * c12 - {KN_D_C2}))"
+                f" div (100 * c1)"
+                f" + ({KN_D_C2} * n1p_right * pcont_e6) div (100 * c1)"
+            ),
+        )
+    )
+    order = [F.desc("pkn_e6"), F.asc("w1"), F.asc("w2")]
+    w_shard = W.partitionBy(
+        F.pmod(F.xxhash64("w1", "w2"), F.lit(n_salt))
+    ).orderBy(*order)
+    return (
+        scored.withColumn("prk", F.row_number().over(w_shard))
+        .where(F.col("prk") <= k)
+        .withColumn("rank", F.row_number().over(W.orderBy(*order)))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("rank").cast("bigint"),
+            "w1", "w2", "c12", "c1", "n1p_right", "pcont_e6", "pkn_e6",
+        )
+    )
+
+
+def duck_kn_bigram_sql(
+    k: int = KN_TOPK, doc_rel: str = "documents"
+) -> str:
+    """Oracle twin of kn_bigram_topk: identical counts and integer
+    evaluation order; single global row_number (equal to the two-phase
+    salted form under the total (pkn desc, w1, w2) order). DuckDB
+    traps: int32 literal products cast to bigint, sum(bigint) is
+    HUGEINT (cast)."""
+    return f"""
+with bg as (
+  select split_part(bg, ' ', 1) as w1, split_part(bg, ' ', 2) as w2,
+         cast(count(*) as bigint) as c12
+  from (select unnest({bigrams_sql('duckdb', 'text')}) as bg
+        from {doc_rel})
+  group by 1, 2
+),
+lft as (
+  select w1, cast(sum(c12) as bigint) as c1,
+         cast(count(*) as bigint) as n1p_right
+  from bg group by 1
+),
+rgt as (
+  select w2, cast(count(*) as bigint) as n1p_left from bg group by 1
+),
+nt as (select cast(count(*) as bigint) as n_types from bg),
+scored as (
+  select bg.w1, bg.w2, bg.c12, lft.c1, lft.n1p_right,
+         (cast(1000000 as bigint) * rgt.n1p_left) // n_types as pcont_e6
+  from bg join lft using (w1) join rgt using (w2) cross join nt
+),
+final as (
+  select *,
+         (cast(1000000 as bigint) * (100 * c12 - {KN_D_C2}))
+           // (100 * c1)
+         + (cast({KN_D_C2} as bigint) * n1p_right * pcont_e6)
+           // (100 * c1) as pkn_e6
+  from scored
+)
+select cast(rank as bigint) as rank, w1, w2, c12, c1, n1p_right,
+       pcont_e6, pkn_e6
+from (
+  select *, row_number() over (order by pkn_e6 desc, w1 asc, w2 asc)
+            as rank
+  from final
+) where rank <= {k}
+"""

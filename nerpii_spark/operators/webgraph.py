@@ -3222,3 +3222,109 @@ where not exists (
     and (b.n_pages > a.n_pages or b.n_langs > a.n_langs)
 )
 """
+
+
+def rectangle_census(pages: DataFrame) -> DataFrame:
+    """Global 4-cycle (rectangle) census of the undirected host graph
+    -> one row (n_nodes, n_edges, n_diag_pairs, n_c4): the next motif
+    up from q_kg_triangles' triangle census. Rectangles are the
+    signature of bipartite-ish link structure — mirror farms and
+    template navigation close C4s without closing triangles — so the
+    C4/triangle ratio separates copy-link spam from genuine community
+    closure (Kolountzakis et al. motif-counting line of work).
+
+    Counting identity: every unordered pair {u, w} with c common
+    neighbors contributes C(c, 2) cycles (choose the other diagonal's
+    two corners), and every 4-cycle is counted at BOTH its diagonals,
+    so n_c4 = sum_pairs C(c, 2) / 2 — both divisions exact (c*(c-1) is
+    even; the double-count halving is exact by the identity).
+
+    Scale shape: ONE self-join of the symmetric adjacency on the center
+    node builds wedges (u < w kills mirror duplicates), and a
+    map-side-combined groupBy(u, w) collapses them to common-neighbor
+    counts before the single global agg — no per-node state, no
+    iteration. Wedge fan-out is sum_x d(x)^2, the known cost of any
+    exact C4 count; a web-scale run bounds it the way the repo's
+    triangle census does (degree orientation cannot apply here — the
+    diagonal pair needs ALL common neighbors — so production caps
+    center degree and counts hub centers via the dense-block identity
+    instead; the cap's effect is observable, not silent, because the
+    census reports the wedge-pair total it summed)."""
+    e = (
+        distinct_host_edges(pages)
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = e.select(F.col("a").alias("x"), F.col("b").alias("n")).unionAll(
+        e.select(F.col("b").alias("x"), F.col("a").alias("n"))
+    )
+    wedges = (
+        adj.select("x", F.col("n").alias("u"))
+        .join(adj.select("x", F.col("n").alias("w")), "x")
+        .where(F.col("u") < F.col("w"))
+    )
+    pairs = wedges.groupBy("u", "w").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    n_c4 = pairs.agg(
+        F.count("*").cast("bigint").alias("n_diag_pairs"),
+        # all-integer: sum is provably even (each C4 counted at both
+        # diagonals), so the final div 2 is exact — no float leg
+        F.expr("sum((c * (c - 1)) div 2) div 2")
+        .cast("bigint")
+        .alias("n_c4"),
+    )
+    n_nodes = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+    )
+    n_edges = e.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return n_nodes.crossJoin(n_edges).crossJoin(
+        n_c4.select(
+            "n_diag_pairs", F.coalesce("n_c4", F.lit(0)).alias("n_c4")
+        )
+    )
+
+
+def duck_rectangle_census_sql(pages_sql_duck: str) -> str:
+    """Oracle: INDEPENDENT brute enumeration — each 4-cycle a-b-c-d-a
+    materialized exactly once in canonical form (a = min corner, b < d
+    picks one traversal direction), certifying the common-neighbor
+    identity against the cycle definition itself. The diag-pair total
+    is recomputed via the wedge identity (same formulation both
+    engines — it IS the definition of that column)."""
+    return f"""
+with links as (
+  select distinct src_host as u, dst_host as v
+  from ({duck_planted_links_sql(pages_sql_duck)})
+  where src_host <> dst_host
+),
+e as (
+  select distinct least(u, v) as a, greatest(u, v) as b from links
+),
+adj as (
+  select a as x, b as n from e union all select b, a from e
+),
+cyc as (
+  select 1 from adj e1
+  join adj e2 on e2.x = e1.n
+  join adj e3 on e3.x = e2.n
+  join adj e4 on e4.x = e3.n and e4.n = e1.x
+  where e1.x < e1.n and e1.x < e2.n and e1.x < e3.n
+    and e1.n < e3.n and e2.n <> e1.x
+),
+pairs as (
+  select w1.n as u, w2.n as w, cast(count(*) as bigint) as c
+  from adj w1 join adj w2 on w2.x = w1.x and w1.n < w2.n
+  group by 1, 2
+)
+select (select cast(count(distinct n) as bigint) from adj) as n_nodes,
+       (select cast(count(*) as bigint) from e) as n_edges,
+       (select cast(count(*) as bigint) from pairs) as n_diag_pairs,
+       (select cast(count(*) as bigint) from cyc) as n_c4
+"""
