@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-246 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+251 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks / AMIE
@@ -3342,8 +3342,151 @@ def q_embed_rrf(spark, sf):
     )
 
 
+def q_ktruss(spark, sf):
+    """Bounded-round k-truss peel of the host graph (webgraph.ktruss,
+    Cohen 2008): the EDGE-centric density core next to q_kcore's
+    vertex one, over the triangle-bearing ENTITY graph (the planted
+    host graph is hub-spoke + chain, triangle-free by construction) —
+    every surviving edge closes >= k-2 triangles among
+    survivors; per round the degree-oriented wedge census explodes
+    each triangle to its three member edges (map-side-combined
+    support counts), fixed round budget with the fixpoint asserted in
+    pytest; oracle replays rounds with independent brute triangle
+    enumeration."""
+    return WG.ktruss(_pipeline(spark, sf)["triples"])
+
+
+def q_greedy_cover(spark, sf):
+    """Greedy max-coverage corpus selection (textstats.greedy_cover,
+    Nemhauser-Wolsey-Fisher 1 - 1/e): k docs picked by marginal NEW
+    distinct tokens — facility-location data selection; one postings
+    pass, then per round an anti-join + map-side per-doc count + ONE
+    argmax row to the driver (the BPE/Lloyd discipline); saturation
+    stops early identically in both engines; submodular monotone
+    gains asserted in pytest."""
+    return TS.greedy_cover(_load(spark, sf, "documents"))
+
+
+def q_tpch_waiting(spark, sf):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): multi-
+    supplier orders where EXACTLY ONE supplier shipped late — the
+    hardest TPC-H pattern (correlated EXISTS + NOT EXISTS pair)
+    DECORRELATED into one per-order aggregate: n_supps (distinct
+    suppliers) and n_late_supps (distinct late suppliers) computed in
+    ONE map-side-combined pass, then the late lineitems keep orders
+    with n_supps > 1 and n_late_supps = 1 via an order-keyed equi-join
+    — no correlated re-scan of the fact table. 'Late' emulates
+    receipt-past-commit as l_shipdate > o_orderdate + 60 days (the
+    corpus carries no receipt/commit dates — documented). The oracle
+    runs the TEXTBOOK EXISTS/NOT-EXISTS formulation, certifying the
+    decorrelation itself. Top-10 by (n_waits desc, suppkey)."""
+    li = _load(spark, sf, "lineitem")
+    o = _load(spark, sf, "orders")
+    s_dim = _load(spark, sf, "supplier")
+    lo = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey", "l_suppkey",
+            F.expr(
+                "l_shipdate > o_orderdate + interval 60 days"
+            ).alias("late"),
+        )
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count_distinct(
+            F.expr("case when late then l_suppkey end")
+        ).alias("n_late_supps"),
+    )
+    waits = (
+        lo.where("late")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.where(
+                (F.col("n_supps") > 1) & (F.col("n_late_supps") == 1)
+            ),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("bigint").alias("n_waits"))
+    )
+    w = W.orderBy(F.desc("n_waits"), F.asc("suppkey"))
+    return (
+        waits.join(
+            F.broadcast(s_dim.select("s_suppkey", "s_name")),
+            waits.l_suppkey == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("l_suppkey").alias("suppkey"), "s_name", "n_waits"
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 10)
+    )
+
+
+def q_tpch_idle(spark, sf):
+    """TPC-H Q22 shape (global-sales-opportunity / dormant high-value
+    customers): customers with above-average positive balance and NO
+    order since 2001-01-01, rolled up by nation. The correlated AVG
+    subquery decorrelates to a 1-row broadcast crossJoin, and the
+    above-average test is the integer cross-multiplication
+    bal_c * n_pos > sum_pos_c (exact where a float avg threshold is
+    engine-rounded); the NOT EXISTS decorrelates to a left-anti join
+    against the date-filtered orders (the filter pushes to the scan).
+    Oracle keeps NOT EXISTS + the same integer arithmetic — the
+    anti-join semantics are the certified element."""
+    c = _load(spark, sf, "customer")
+    o = _load(spark, sf, "orders")
+    stats = c.where("c_acctbal > 0").agg(
+        F.expr(
+            "cast(sum(cast(round(c_acctbal * 100) as bigint)) as bigint)"
+        ).alias("sum_pos_c"),
+        F.count("*").cast("bigint").alias("n_pos"),
+    )
+    recent = o.where(
+        F.expr("o_orderdate >= timestamp'2001-01-01 00:00:00'")
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .where(
+            F.expr(
+                "cast(round(c_acctbal * 100) as bigint) * n_pos"
+                " > sum_pos_c"
+            )
+        )
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("nationkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_custs"),
+            F.expr(
+                "cast(sum(cast(round(c_acctbal * 100) as bigint))"
+                " as bigint)"
+            ).alias("total_bal_c"),
+        )
+    )
+
+
+def q_bootstrap_ci(spark, sf):
+    """Deterministic Poisson-bootstrap replica table for the
+    classifier-vs-Gopher agreement rate (textstats.bootstrap_agreement,
+    Efron 1979 / Oza-Russell streaming bootstrap): 64 hash-drawn
+    Poisson(1) reweightings, acc_ppm per replica, reducer state 64
+    rows total; the driver hash certifies every replica; pytest
+    derives the percentile CI and pins the point estimate inside it."""
+    return TS.bootstrap_agreement(_load(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # r3 wave-31 (newest, no driver row yet):
+        "q_bootstrap_ci": q_bootstrap_ci,
+        # r3 wave-30 (newest, no driver row yet):
+        "q_tpch_waiting": q_tpch_waiting,
+        "q_tpch_idle": q_tpch_idle,
+        # r3 wave-29 (newest, no driver row yet):
+        "q_ktruss": q_ktruss,
+        "q_greedy_cover": q_greedy_cover,
         # r3 wave-28 (newest, no driver row yet):
         "q_node2vec_walks": q_node2vec_walks,
         "q_embed_rrf": q_embed_rrf,
@@ -3805,6 +3948,51 @@ def oracle_sql() -> dict[str, str]:
     female = G.sql_str_list([n.lower() for n in G.FIRST_FEMALE])
     male = G.sql_str_list([n.lower() for n in G.FIRST_MALE])
     return {
+        "q_bootstrap_ci": TS.duck_bootstrap_agreement_sql(),
+        "q_tpch_waiting": """
+with lo as (
+  select l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + interval 60 day as late
+  from lineitem join orders on o_orderkey = l_orderkey
+),
+w as (
+  select distinct l_orderkey, l_suppkey from lo l1
+  where late
+    and exists (select 1 from lo l2 where l2.l_orderkey = l1.l_orderkey
+                and l2.l_suppkey <> l1.l_suppkey)
+    and not exists (select 1 from lo l3 where l3.l_orderkey = l1.l_orderkey
+                    and l3.l_suppkey <> l1.l_suppkey and l3.late)
+),
+agg as (
+  select l_suppkey as suppkey, cast(count(*) as bigint) as n_waits
+  from w group by 1
+)
+select suppkey, s.s_name, n_waits, cast(rank as bigint) as rank
+from (
+  select *, row_number() over (order by n_waits desc, suppkey asc) as rank
+  from agg
+) a join supplier s on s.s_suppkey = a.suppkey
+where rank <= 10
+""",
+        "q_tpch_idle": """
+with s as (
+  select cast(sum(cast(round(c_acctbal * 100) as bigint)) as bigint)
+           as sum_pos_c,
+         cast(count(*) as bigint) as n_pos
+  from customer where c_acctbal > 0
+)
+select cast(c_nationkey as bigint) as nationkey,
+       cast(count(*) as bigint) as n_custs,
+       cast(sum(cast(round(c_acctbal * 100) as bigint)) as bigint)
+         as total_bal_c
+from customer, s
+where cast(round(c_acctbal * 100) as bigint) * n_pos > sum_pos_c
+  and not exists (select 1 from orders o where o.o_custkey = c_custkey
+                  and o.o_orderdate >= timestamp '2001-01-01')
+group by 1
+""",
+        "q_ktruss": WG.duck_ktruss_sql(gt),
+        "q_greedy_cover": TS.duck_greedy_cover_sql(),
         "q_kn_bigram": TS.duck_kn_bigram_sql(),
         "q_soundex_blocks": L.duck_phonetic_blocks_sql(gm),
         "q_rectangles": WG.duck_rectangle_census_sql(pages),

@@ -272,6 +272,14 @@ def main() -> int:
         # wave-28
         "q_node2vec_walks",
         "q_embed_rrf",
+        # wave-29
+        "q_ktruss",
+        "q_greedy_cover",
+        # wave-30
+        "q_tpch_waiting",
+        "q_tpch_idle",
+        # wave-31
+        "q_bootstrap_ci",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

@@ -2334,3 +2334,255 @@ from (
   from final
 ) where rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Greedy maximum-coverage corpus selection (Nemhauser, Wolsey & Fisher
+# 1978: the greedy algorithm achieves 1 - 1/e of the optimum for
+# monotone submodular objectives — vocabulary coverage is the textbook
+# instance). The curation shape behind "pick k documents that teach the
+# most new words": facility-location / coverage-based data selection.
+
+COVER_K = 4
+
+
+def greedy_cover(
+    docs: DataFrame, k: int = COVER_K, text_col: str = "text"
+) -> DataFrame:
+    """Greedy max-coverage selection of k documents by marginal NEW
+    distinct word BIGRAMS -> (round, doc_id, gain, n_covered): round r
+    picks the document adding the most not-yet-covered bigrams (ties
+    to the lowest doc_id), then folds its bigram vocabulary into the
+    covered set. Bigrams, not unigrams, on purpose: the planted
+    corpus' unigram vocabulary is 31 tokens and one document covers
+    it — phrase coverage is the regime where greedy selection earns
+    its 1 - 1/e (and what instruction-diversity selection actually
+    optimizes).
+
+    Scale shape: ONE corpus pass materializes the distinct
+    (doc_id, token) postings (map-side combined, checkpointed); each
+    round is one anti-join against the covered-token set + one
+    map-side-combined per-doc count + ONE argmax row to the driver
+    (the BPE/Lloyd/k-center discipline — the driver holds k rows
+    total, never a corpus-sized structure); the covered set grows by
+    one document's vocabulary per round and is re-checkpointed so
+    round r+1's anti-join does not replay rounds 1..r. The marginal
+    gains are monotone non-increasing BY SUBMODULARITY — asserted in
+    pytest, and the oracle replays every pick."""
+    postings = (
+        docs.select(
+            "doc_id", F.split(F.lower(F.col(text_col)), " ").alias("ws")
+        )
+        .where(F.expr("size(ws) >= 2"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(bigrams_sql("spark", text_col, pre_split="ws"))
+            ).alias("tok"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    covered = None
+    out_rows = []
+    n_covered = 0
+    for r in range(1, k + 1):
+        fresh = (
+            postings
+            if covered is None
+            else postings.join(covered, "tok", "left_anti")
+        )
+        best = (
+            fresh.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("gain"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("gain")).alias("ng"),
+                        F.col("doc_id").alias("d"),
+                    )
+                ).alias("b")
+            )
+            .select(
+                F.col("b.d").alias("doc_id"),
+                (-F.col("b.ng")).cast("bigint").alias("gain"),
+            )
+            .collect()[0]
+        )
+        if best["doc_id"] is None:
+            break  # saturated: every token covered, no fresh postings
+        n_covered += best["gain"]
+        out_rows.append((r, best["doc_id"], best["gain"], n_covered))
+        picked_toks = postings.where(
+            F.col("doc_id") == best["doc_id"]
+        ).select("tok")
+        covered = (
+            picked_toks
+            if covered is None
+            else covered.unionByName(picked_toks).distinct()
+        ).localCheckpoint(eager=True)
+    return docs.sparkSession.createDataFrame(
+        out_rows, "round bigint, doc_id bigint, gain bigint, n_covered bigint"
+    )
+
+
+def duck_greedy_cover_sql(
+    k: int = COVER_K, doc_rel: str = "documents"
+) -> str:
+    """Chained-CTE replay of greedy_cover: postings once, then per
+    round an anti-join (NOT IN over the materialized covered set), the
+    same (-gain, doc_id) argmin, and the covered-set fold."""
+    ctes = [f"""
+postings as materialized (
+  select distinct doc_id, tok from (
+    select doc_id, unnest({bigrams_sql('duckdb', 'text')}) as tok
+    from {doc_rel}
+  )
+)"""]
+    picks = []
+    prev_cov = None
+    for r in range(1, k + 1):
+        anti = (
+            "postings"
+            if prev_cov is None
+            else f"(select p.* from postings p where not exists"
+                 f" (select 1 from {prev_cov} c where c.tok = p.tok))"
+        )
+        ctes.append(f"""
+g{r} as materialized (
+  select doc_id, cast(count(*) as bigint) as gain
+  from {anti} p group by 1
+),
+pick{r} as materialized (
+  select doc_id, gain from g{r}
+  order by gain desc, doc_id asc limit 1
+),
+cov{r} as materialized (
+  select distinct tok from (
+    select tok from postings where doc_id = (select doc_id from pick{r})
+    {f'union all select tok from {prev_cov}' if prev_cov else ''}
+  )
+)""")
+        picks.append(
+            f"select cast({r} as bigint) as round, doc_id, gain from pick{r}"
+        )
+        prev_cov = f"cov{r}"
+    unioned = " union all ".join(picks)
+    return f"""
+with {",".join(ctes)},
+seq as ({unioned})
+select round, doc_id, gain,
+       cast(sum(gain) over (order by round
+            rows unbounded preceding) as bigint) as n_covered
+from seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bootstrap confidence interval (Efron 1979) for the
+# classifier-vs-Gopher agreement rate — the error bar a curation team
+# needs before trusting a cutoff chosen from q_pr_curve on a sample.
+# Poisson(1) resampling weights (the standard streaming bootstrap:
+# multinomial -> Poisson approximation, Oza & Russell 2001) drawn from
+# the frozen portable hash, so every replica is reproducible and the
+# oracle replays the full replica table.
+
+BOOT_N = 64
+BOOT_SALT = 83
+# Poisson(1) pmf quantized to milli, cumulative: P(0)=.368 P(1)=.368
+# P(2)=.184 P(3)=.061 P(4)=.015 P(5)=.003 P(6+)=.001
+_BOOT_CUM = (368, 736, 920, 981, 996, 999)
+
+
+def _boot_w(u: str) -> str:
+    """Milli-uniform u -> Poisson(1) draw (both dialects)."""
+    cases = " ".join(
+        f"when {u} < {c} then {i}" for i, c in enumerate(_BOOT_CUM)
+    )
+    return f"(case {cases} else 6 end)"
+
+
+def bootstrap_agreement(docs: DataFrame, n_boot: int = BOOT_N) -> DataFrame:
+    """-> (b, n_eff, n_agree_eff, acc_ppm): n_boot Poisson-bootstrap
+    replicas of the classifier-vs-Gopher-gate agreement rate. Replica
+    b draws doc weight w ~ Poisson(1) from hash(doc_id, b); acc_ppm =
+    1e6 * sum(w * agree) div sum(w). The replica table IS the output
+    (percentile picking is a 64-row driver-side read downstream;
+    pytest derives the CI) so the driver hash certifies every replica.
+
+    Scale shape: the two per-doc label streams join doc-keyed ONCE
+    (exchange-free off bucketed serving tables at production layout),
+    the xN_boot explode feeds a groupBy(b) whose partial aggregation
+    combines map-side — reducer state is n_boot rows TOTAL, and no
+    corpus-sized structure ever concentrates. NULL-margin docs cannot
+    exist (split('') yields [''] — quality_classifier covers every
+    doc)."""
+    from ..functions.hashing import sql_h1
+
+    cls = quality_classifier(docs).select("doc_id", "label")
+    gop = gopher_quality(docs).select(
+        "doc_id", F.expr("cast(keep as bigint)").alias("want")
+    )
+    joined = cls.join(gop, "doc_id").select(
+        "doc_id", F.expr("cast(label = want as bigint)").alias("agree")
+    )
+    u = f"({sql_h1(f'(doc_id * {n_boot} + b)', BOOT_SALT)}) % 1000"
+    return (
+        joined.select(
+            "doc_id", "agree",
+            F.explode(F.expr(f"sequence(0, {n_boot - 1})")).alias("b"),
+        )
+        .withColumn("w", F.expr(_boot_w(u)).cast("bigint"))
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("bigint").alias("n_eff"),
+            F.sum(F.expr("w * agree")).cast("bigint").alias("n_agree_eff"),
+        )
+        .select(
+            F.col("b").cast("bigint"),
+            "n_eff",
+            "n_agree_eff",
+            F.expr(
+                "case when n_eff > 0 then"
+                " (cast(1000000 as bigint) * n_agree_eff) div n_eff"
+                " else cast(null as bigint) end"
+            ).alias("acc_ppm"),
+        )
+    )
+
+
+def duck_bootstrap_agreement_sql(
+    rel: str = "documents", n_boot: int = BOOT_N
+) -> str:
+    """Oracle twin: same classifier + gopher SQL, same hash-drawn
+    Poisson weights, same integer ratios."""
+    from ..functions.hashing import sql_h1
+
+    u = f"({sql_h1(f'(doc_id * {n_boot} + b)', BOOT_SALT)}) % 1000"
+    return f"""
+with cls as (
+  select doc_id, label from ({duck_quality_classifier_sql(rel)})
+),
+gop as (
+  select doc_id, cast(keep as bigint) as want
+  from (select doc_id, {gopher_sql('duck', 'text')['keep']} as keep
+        from {rel})
+),
+j as (
+  select cls.doc_id, cast(cls.label = gop.want as bigint) as agree
+  from cls join gop using (doc_id)
+),
+x as (
+  select doc_id, agree, unnest(range(0, {n_boot})) as b from j
+),
+wx as (
+  select b, cast({_boot_w(u)} as bigint) as w, agree from x
+)
+select cast(b as bigint) as b, cast(sum(w) as bigint) as n_eff,
+       cast(sum(w * agree) as bigint) as n_agree_eff,
+       case when sum(w) > 0 then
+         (cast(1000000 as bigint) * cast(sum(w * agree) as bigint))
+           // cast(sum(w) as bigint)
+       else cast(null as bigint) end as acc_ppm
+from wx group by 1
+"""

@@ -3328,3 +3328,143 @@ select (select cast(count(distinct n) as bigint) from adj) as n_nodes,
        (select cast(count(*) as bigint) from pairs) as n_diag_pairs,
        (select cast(count(*) as bigint) from cyc) as n_c4
 """
+
+
+KTRUSS_K = 3
+KTRUSS_ROUNDS = 3
+
+
+def ktruss(triples: DataFrame, k: int = KTRUSS_K,
+           n_rounds: int = KTRUSS_ROUNDS) -> DataFrame:
+    """k-truss of the undirected ENTITY graph (see ktruss_from_edges).
+    The entity graph is the triangle-bearing one — the planted host
+    graph is hub-spoke + chain, hence triangle-free by construction
+    (measured; its truss is empty at any k >= 3)."""
+    e = (
+        triples.where(F.col("subj") != F.col("obj"))
+        .select(
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .distinct()
+    )
+    return ktruss_from_edges(e, k=k, n_rounds=n_rounds)
+
+
+def ktruss_from_edges(edges: DataFrame, k: int = KTRUSS_K,
+                      n_rounds: int = KTRUSS_ROUNDS) -> DataFrame:
+    """Bounded-round k-truss peel of the undirected host graph ->
+    surviving edges (a, b, support): the EDGE-centric density core
+    (Cohen 2008) next to q_kcore's vertex-centric one — every
+    surviving edge closes >= k-2 triangles within the surviving
+    subgraph, the standard community-core / link-farm-nucleus
+    primitive (a k-truss is a stronger certificate than a k-core:
+    cohesion via shared neighbors, not bare degree).
+
+    Semantics: FIXED n_rounds peel iterations (the kcore/crawl-depth
+    budget discipline — at web scale you run a round budget, not an
+    unbounded fixpoint); the planted graph reaches its fixpoint within
+    the budget, asserted in pytest by an extra round being a no-op.
+
+    Scale shape per round: triangle support reuses the degree-oriented
+    wedge enumeration verbatim (orientation bounds wedge fan-out by
+    O(sqrt m); hubs generate zero wedges), each closed triangle
+    EXPLODES to its three member edges (constant x3) into a map-side-
+    combined per-edge count; the < k-2 filter is a join-back; two
+    semi-joins restrict the edge set. Edge state localCheckpoint'd per
+    round (the CC discipline)."""
+    e = edges.localCheckpoint(eager=True)
+    sup = None
+    for _ in range(n_rounds):
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionAll(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        ori = (
+            e.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+            .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+            .select(
+                F.when(F.col("da") <= F.col("db"), F.col("a"))
+                .otherwise(F.col("b")).alias("src"),
+                F.when(F.col("da") <= F.col("db"), F.col("b"))
+                .otherwise(F.col("a")).alias("dst"),
+            )
+        )
+        wedges = (
+            ori.select("src", F.col("dst").alias("v"))
+            .join(ori.select("src", F.col("dst").alias("w")), "src")
+            .where(F.col("v") < F.col("w"))
+        )
+        tri = wedges.join(
+            e, (F.col("v") == F.col("a")) & (F.col("w") == F.col("b"))
+        ).select("src", "v", "w")
+        edge_sup = (
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.least("src", "v").alias("a"),
+                            F.greatest("src", "v").alias("b"),
+                        ),
+                        F.struct(
+                            F.least("src", "w").alias("a"),
+                            F.greatest("src", "w").alias("b"),
+                        ),
+                        F.struct(F.col("v").alias("a"), F.col("w").alias("b")),
+                    )
+                ).alias("e")
+            )
+            .select("e.a", "e.b")
+            .groupBy("a", "b")
+            .agg(F.count("*").cast("bigint").alias("support"))
+        )
+        sup = e.join(edge_sup, ["a", "b"], "left").select(
+            "a", "b",
+            F.coalesce("support", F.lit(0)).cast("bigint").alias("support"),
+        )
+        e = (
+            sup.where(F.col("support") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return sup.where(F.col("support") >= k - 2)
+
+
+def duck_ktruss_sql(triples_sql: str, k: int = KTRUSS_K,
+                    n_rounds: int = KTRUSS_ROUNDS) -> str:
+    """Chained-CTE replay: per round the INDEPENDENT brute a<b<c
+    triangle enumeration (no degree orientation — certifying the
+    oriented wedge join against the definition), corner-edge unnest,
+    filter, repeat."""
+    ctes = [f"""
+e0 as (
+  select distinct least(subj, obj) as a, greatest(subj, obj) as b
+  from ({triples_sql}) where subj <> obj
+)"""]
+    for r in range(1, n_rounds + 1):
+        ctes.append(f"""
+tri{r} as materialized (
+  select e1.a as x, e1.b as y, e2.b as z
+  from e{r - 1} e1
+  join e{r - 1} e2 on e2.a = e1.b
+  join e{r - 1} e3 on e3.a = e1.a and e3.b = e2.b
+),
+sup{r} as materialized (
+  select ea, eb, cast(count(*) as bigint) as support from (
+    select unnest([x, x, y]) as ea, unnest([y, z, z]) as eb from tri{r}
+  ) group by 1, 2
+),
+s{r} as materialized (
+  select e.a, e.b, cast(coalesce(sup{r}.support, 0) as bigint) as support
+  from e{r - 1} e left join sup{r}
+    on sup{r}.ea = e.a and sup{r}.eb = e.b
+),
+e{r} as materialized (
+  select a, b from s{r} where support >= {k - 2}
+)""")
+    return (
+        "with " + ",".join(ctes)
+        + f" select a, b, support from s{n_rounds} where support >= {k - 2}"
+    )

@@ -76,3 +76,62 @@ def view_click_attribution(
             ).alias("gap_s"),
         )
     )
+
+
+def view_click_attribution_outer(
+    events: DataFrame,
+    horizon_s: int = ATTR_HORIZON_S,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER variant: every view emits — attributed clicks as in
+    the inner join, and views with NO click within horizon_s emit
+    (view_id, NULL click_id, NULL gap_s). In streaming this is the
+    semantics only watermarks make possible: an unmatched view's NULL
+    row may be emitted ONLY once the watermark passes view_ts +
+    horizon (before that a matching click could still arrive, and
+    append mode cannot retract) — Spark seals and emits it from the
+    join state automatically, which is exactly the sessionize.py
+    lesson applied to joins. Consequence the test pins: rows near the
+    stream's end whose seal point the final watermark never reaches
+    stay buffered (emitted as matches only if a click arrived), so a
+    finite stream needs a watermark-advancing flush event to drain
+    the tail — the documented operational contract of every
+    append-mode outer join in production.
+
+    State/scale shape is the inner join's: both sides partitioned by
+    the user_id equi-key, per-side buffers evicted past watermark +
+    horizon."""
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").cast("timestamp").alias("view_ts"),
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
+    )
+    if views.isStreaming:
+        views = views.withWatermark("view_ts", watermark)
+        clicks = clicks.withWatermark("click_ts", watermark)
+    return (
+        views.join(
+            clicks,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("click_ts") >= F.col("view_ts"))
+            & (
+                F.col("click_ts")
+                <= F.col("view_ts") + F.expr(f"interval {horizon_s} seconds")
+            ),
+            "leftOuter",
+        )
+        .select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "click_id",
+            F.expr(
+                "(unix_micros(click_ts) - unix_micros(view_ts))"
+                " div 1000000"
+            ).alias("gap_s"),
+        )
+    )
