@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-251 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+253 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks / AMIE
@@ -3477,8 +3477,33 @@ def q_bootstrap_ci(spark, sf):
     return TS.bootstrap_agreement(_load(spark, sf, "documents"))
 
 
+def q_boruvka_msf(spark, sf):
+    """Boruvka minimum spanning forest of the weighted host graph
+    (webgraph.boruvka_msf, Boruvka 1926 — THE parallel MST algorithm):
+    per round every component grabs its cheapest outgoing edge under
+    the (w, a, b) total order (components >= halve, O(log n) rounds),
+    merged components contract via a fixed-budget min-label pass;
+    weights are the SSSP link-mass convention. Oracle replays every
+    round; pytest pins the forest == a Python Kruskal ground truth
+    (unique under the total order, so two independent algorithms must
+    agree edge-for-edge)."""
+    return WG.boruvka_msf(_pipeline(spark, sf)["pages"])
+
+
+def q_sn_blocks(spark, sf):
+    """Sorted-neighborhood blocking (link.sorted_neighborhood_pairs,
+    Hernandez & Stolfo 1995) — the fourth blocking family (LSH
+    shingles / sign-bands / Soundex / sorted windows): normalized
+    PERSON surfaces sorted once, lead(d) pairs within the window, all
+    lead calls sharing ONE vocabulary-sized ordering."""
+    return L.sorted_neighborhood_pairs(_pipeline(spark, sf)["mentions"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # r3 wave-32 (newest, no driver row yet):
+        "q_boruvka_msf": q_boruvka_msf,
+        "q_sn_blocks": q_sn_blocks,
         # r3 wave-31 (newest, no driver row yet):
         "q_bootstrap_ci": q_bootstrap_ci,
         # r3 wave-30 (newest, no driver row yet):
@@ -3948,6 +3973,8 @@ def oracle_sql() -> dict[str, str]:
     female = G.sql_str_list([n.lower() for n in G.FIRST_FEMALE])
     male = G.sql_str_list([n.lower() for n in G.FIRST_MALE])
     return {
+        "q_boruvka_msf": WG.duck_boruvka_msf_sql(pages),
+        "q_sn_blocks": L.duck_sorted_neighborhood_sql(gm),
         "q_bootstrap_ci": TS.duck_bootstrap_agreement_sql(),
         "q_tpch_waiting": """
 with lo as (

@@ -280,6 +280,11 @@ def main() -> int:
         "q_tpch_idle",
         # wave-31
         "q_bootstrap_ci",
+        # wave-32: q_sn_blocks is sub-second; q_boruvka_msf is excluded
+        # from the timed list — ~30 tiny-data jobs of pure fixed
+        # overhead (6 Boruvka rounds), the fixed-point cost class
+        # already represented by pagerank/kcore/crawl_depth
+        "q_sn_blocks",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [

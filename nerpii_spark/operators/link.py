@@ -1585,3 +1585,87 @@ select s.block_key,
 from toks t left join sdx s on s.surface = t.surface
 group by 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (Hernandez & Stolfo 1995) — the FOURTH
+# blocking family next to MinHash-LSH shingles, embedding sign-bands
+# and Soundex codes: sort the normalized surfaces once, slide a window
+# of size w, and every pair within the window is a candidate. Catches
+# prefix-typo variants a phonetic code splits (and vice versa), which
+# is why production linkage unions several blocking passes.
+
+SN_WINDOW = 3
+
+
+def sorted_neighborhood_pairs(
+    mentions: DataFrame, window: int = SN_WINDOW
+) -> DataFrame:
+    """PERSON surfaces -> (name_a, name_b, gap): candidate pairs whose
+    NORMALIZED forms (lower, single-spaced) sit within `window`
+    positions of each other in sorted order; gap = rank distance
+    (1..window-1). name_a < name_b in the sort order by construction.
+
+    Scale shape: the mention stream collapses to DISTINCT normalized
+    surfaces map-side FIRST (the soundex discipline — a Zipf-hot name
+    arrives pre-summed), so the sort and the lead() window run over
+    the VOCABULARY-sized surface table; the window is ONE global sort
+    whose lead(d) calls all share the single ordering (Catalyst plans
+    one Window operator), and the pair fan-out is exactly
+    (window-1) * |vocabulary| rows. At 10^12 mentions the vocabulary
+    is still name-shaped — the same boundedness argument every
+    blocking pass here rests on."""
+    from pyspark.sql import Window as W
+
+    surf = (
+        mentions.where(F.col("entity_type") == "PERSON")
+        .select(
+            F.expr(
+                "regexp_replace(lower(trim(mention)), ' +', ' ')"
+            ).alias("norm")
+        )
+        .distinct()
+    )
+    w_ord = W.orderBy("norm")
+    leads = surf.select(
+        "norm",
+        *[
+            F.lead("norm", d).over(w_ord).alias(f"n{d}")
+            for d in range(1, window)
+        ],
+    )
+    out = None
+    for d in range(1, window):
+        part = leads.where(F.col(f"n{d}").isNotNull()).select(
+            F.col("norm").alias("name_a"),
+            F.col(f"n{d}").alias("name_b"),
+            F.lit(d).cast("bigint").alias("gap"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def duck_sorted_neighborhood_sql(
+    gm_sql: str, window: int = SN_WINDOW
+) -> str:
+    """Oracle twin over the golden mention truth: same normalization,
+    same sort, same lead distances."""
+    leads = ", ".join(
+        f"lead(norm, {d}) over (order by norm) as n{d}"
+        for d in range(1, window)
+    )
+    parts = " union all ".join(
+        f"select norm as name_a, n{d} as name_b,"
+        f" cast({d} as bigint) as gap from led where n{d} is not null"
+        for d in range(1, window)
+    )
+    return f"""
+with gm as ({gm_sql}),
+surf as (
+  select distinct regexp_replace(lower(trim(mention)), ' +', ' ', 'g')
+         as norm
+  from gm where entity_type = 'PERSON'
+),
+led as (select norm, {leads} from surf)
+{parts}
+"""

@@ -3468,3 +3468,237 @@ e{r} as materialized (
         "with " + ",".join(ctes)
         + f" select a, b, support from s{n_rounds} where support >= {k - 2}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Boruvka minimum spanning forest (Boruvka 1926; THE parallel MST
+# algorithm — every round each component grabs its cheapest outgoing
+# edge, components at least halve, O(log n) rounds) over the weighted
+# host graph. The backbone/de-duplication view of the link structure:
+# the MST keeps the cheapest connectivity skeleton (cost = the SSSP
+# convention 1e6 div (1 + n_links) + 1, so heavily-linked edges are
+# cheap) and drops redundant navigation.
+
+MST_ROUNDS = 6       # outer rounds: components >= halve/round (sf0.1 needs 5; early break when done)
+MST_CC_ROUNDS = 8    # inner min-label rounds contracting merged comps
+
+
+def boruvka_msf(pages: DataFrame,
+                n_rounds: int = MST_ROUNDS,
+                cc_rounds: int = MST_CC_ROUNDS) -> DataFrame:
+    """Minimum spanning forest -> (a, b, w) selected edges. Weights:
+    w = 1e6 div (1 + n_links(a,b)) + 1 over the undirected host graph
+    (link multiplicity summed over both directions), ties broken by
+    the total order (w, a, b) so the forest is unique and the oracle
+    replays it edge-for-edge.
+
+    Round shape: decorate edges with endpoint component labels (two
+    vocabulary-keyed joins), keep cross-component edges, ONE
+    map-side-combined min(struct(w, a, b)) per component (each edge
+    proposed from both endpoints), then contract the merged components
+    with `cc_rounds` min-label iterations over the selected edge set —
+    a FIXED budget (the kcore/crawl-waves discipline): selected edges
+    form pseudo-trees whose label-prop diameter is small, and pytest
+    pins the planted graph's forest == a Python Kruskal ground truth
+    (a budget shortfall would surface as a cycle there). Labels and
+    the surviving edge set localCheckpoint per round.
+
+    Scale: O(log n) outer rounds by the halving argument; every
+    aggregation map-side combines; no driver-side data beyond the
+    loop counter."""
+    links = host_links(pages).where(F.col("src_host") != F.col("dst_host"))
+    e = (
+        links.select(
+            F.least("src_host", "dst_host").alias("a"),
+            F.greatest("src_host", "dst_host").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("n_links"))
+        .select(
+            "a", "b",
+            F.expr(
+                "cast(1000000 as bigint) div (1 + n_links) + 1"
+            ).alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .distinct()
+        .withColumn("comp", F.col("n"))
+        .localCheckpoint(eager=True)
+    )
+    forest = None
+    for _ in range(n_rounds):
+        dec = (
+            e.join(
+                labels.select(F.col("n").alias("a"), F.col("comp").alias("ca")),
+                "a",
+            )
+            .join(
+                labels.select(F.col("n").alias("b"), F.col("comp").alias("cb")),
+                "b",
+            )
+            .where(F.col("ca") != F.col("cb"))
+        )
+        cand = dec.select(
+            F.explode(F.array("ca", "cb")).alias("comp"),
+            F.struct("w", "a", "b").alias("e"),
+        )
+        sel = (
+            cand.groupBy("comp")
+            .agg(F.min("e").alias("m"))
+            .select(F.col("m.a").alias("a"), F.col("m.b").alias("b"),
+                    F.col("m.w").alias("w"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if sel.isEmpty():
+            break  # forest complete (no cross-component edge remains)
+        forest = sel if forest is None else forest.unionByName(sel).distinct()
+        # contract: min-label propagation over comp-level selected edges
+        ce = (
+            sel.join(
+                labels.select(F.col("n").alias("a"), F.col("comp").alias("ca")),
+                "a",
+            )
+            .join(
+                labels.select(F.col("n").alias("b"), F.col("comp").alias("cb")),
+                "b",
+            )
+            .select(F.col("ca").alias("x"), F.col("cb").alias("y"))
+        )
+        sym = (
+            ce.unionAll(
+                ce.select(F.col("y").alias("x"), F.col("x").alias("y"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # contraction runs over the COMPONENT graph (nodes = current
+        # labels), not node-level relabeling: m(c) converges to the
+        # min label reachable from c through this round's selections
+        m = (
+            labels.select("comp").distinct()
+            .withColumn("lbl", F.col("comp"))
+        )
+        # the m-loop stays LAZY: cc_rounds chained joins over the
+        # checkpointed sym/labels are one shallow plan, materialized
+        # once in the labels checkpoint below — checkpointing every
+        # inner iteration measured 3x the wall time in pure per-job
+        # overhead (tiny data, fixed scheduling cost)
+        for _i in range(cc_rounds):
+            nb = (
+                sym.join(
+                    m.select(F.col("comp").alias("y"),
+                             F.col("lbl").alias("ly")),
+                    "y",
+                )
+                .groupBy("x")
+                .agg(F.min("ly").alias("best"))
+            )
+            m = (
+                m.join(nb.select(F.col("x").alias("comp"), "best"),
+                       "comp", "left")
+                .select(
+                    "comp",
+                    F.least(
+                        F.col("lbl"), F.coalesce("best", F.col("lbl"))
+                    ).alias("lbl"),
+                )
+            )
+        labels = (
+            labels.join(m, "comp")
+            .select("n", F.col("lbl").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    return (forest if forest is not None
+            else e.where(F.lit(False))).select("a", "b", "w")
+
+
+def duck_boruvka_msf_sql(pages_sql_duck: str,
+                         n_rounds: int = MST_ROUNDS,
+                         cc_rounds: int = MST_CC_ROUNDS) -> str:
+    """Chained-CTE replay of boruvka_msf: identical weights, per-round
+    cross-component arg-min (row_number over the same (w, a, b) total
+    order — an independent formulation of min(struct)) and the same
+    fixed-budget min-label contraction. Spark's early exit on an empty
+    cross-component round is a no-op here (empty CTEs flow through).
+    Every CTE MATERIALIZED (the duck_random_walks_sql planning note)."""
+    ctes = [f"""
+links as (
+  select src_host as u, dst_host as v
+  from ({duck_planted_links_sql(pages_sql_duck)})
+  where src_host <> dst_host
+),
+e as materialized (
+  select a, b, cast(1000000 as bigint) // (1 + n_links) + 1 as w
+  from (
+    select least(u, v) as a, greatest(u, v) as b,
+           cast(count(*) as bigint) as n_links
+    from links group by 1, 2
+  )
+),
+l0 as materialized (
+  select n, n as comp from (
+    select distinct a as n from e union select b from e
+  )
+),
+f0 as materialized (
+  select a, b, w from e where false
+)"""]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        ctes.append(f"""
+dec{r} as materialized (
+  select e.a, e.b, e.w, la.comp as ca, lb.comp as cb
+  from e join l{p} la on la.n = e.a join l{p} lb on lb.n = e.b
+  where la.comp <> lb.comp
+),
+sel{r} as materialized (
+  select distinct a, b, w from (
+    select comp, a, b, w,
+           row_number() over (partition by comp
+                              order by w asc, a asc, b asc) as rk
+    from (select ca as comp, a, b, w from dec{r}
+          union all select cb, a, b, w from dec{r})
+  ) where rk = 1
+),
+f{r} as materialized (
+  select distinct a, b, w from
+    (select * from f{p} union all select * from sel{r})
+),
+sym{r} as materialized (
+  select distinct x, y from (
+    select la.comp as x, lb.comp as y
+    from sel{r} s join l{p} la on la.n = s.a join l{p} lb on lb.n = s.b
+    union all
+    select lb.comp, la.comp
+    from sel{r} s join l{p} la on la.n = s.a join l{p} lb on lb.n = s.b
+  )
+),
+m{r}_0 as materialized (
+  select distinct comp, comp as lbl from l{p}
+)""")
+        for i in range(1, cc_rounds + 1):
+            ctes.append(f"""
+m{r}_{i} as materialized (
+  select m.comp,
+         least(m.lbl, coalesce(nb.best, m.lbl)) as lbl
+  from m{r}_{i - 1} m
+  left join (
+    select s.x, min(mm.lbl) as best
+    from sym{r} s join m{r}_{i - 1} mm on mm.comp = s.y
+    group by 1
+  ) nb on nb.x = m.comp
+)""")
+        ctes.append(f"""
+l{r} as materialized (
+  select l.n, m.lbl as comp
+  from l{p} l join m{r}_{cc_rounds} m on m.comp = l.comp
+)""")
+    return (
+        "with " + ",".join(ctes)
+        + f" select a, b, w from f{n_rounds}"
+    )
