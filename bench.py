@@ -137,7 +137,11 @@ def main() -> int:
     # minimum wall time is the honest machine capacity.
     from nerpii_spark.operators.webgraph import web_graph
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # default best-of-2 since the suite grew past 120 timed queries: a
+    # third interleaved round adds ~10 min wall for marginal extra noise
+    # rejection (the two-level scaling evidence runs fresh-process
+    # best-of-N per level separately); override via env for deep runs
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     bench_queries = [
         "q_triples_by_pred",
         "q_topk_objs_per_pred",
