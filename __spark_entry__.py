@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-253 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
+255 queries (SURVEY.md §2.4 maps each to its operator): the KG pipeline
 S1-S5 (incl. incremental S4 linking and corpus-level PII redaction),
 KG analytics (degree / 2-hop inference / co-occurrence lift / PageRank /
 triangles / negative sampling / neighbor sampling / random walks / AMIE
@@ -3499,8 +3499,68 @@ def q_sn_blocks(spark, sf):
     return L.sorted_neighborhood_pairs(_pipeline(spark, sf)["mentions"])
 
 
+def q_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS with grouping_id over lineitem — the
+    third grouping-family surface next to rollup and cube: exactly the
+    requested subtotal combinations ((flag, status), (flag), ()) plus
+    the integer grouping_id that downstream consumers key subtotal
+    rows on (NULL-vs-subtotal disambiguation, the trap grouping_id
+    exists for). Partial aggregation still combines map-side under the
+    expand; sums quantized to bigint cents."""
+    e = _load(spark, sf, "lineitem")
+    e.createOrReplaceTempView("nerpii_li_gsets")
+    return spark.sql(
+        """
+        select l_returnflag, l_linestatus,
+               cast(grouping_id(l_returnflag, l_linestatus) as bigint)
+                 as gid,
+               cast(count(*) as bigint) as n_rows,
+               cast(sum(cast(round(l_extendedprice * 100) as bigint))
+                    as bigint) as sum_price_c
+        from nerpii_li_gsets
+        group by grouping sets ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+def q_range_frame(spark, sf):
+    """Time-RANGE window frame (the feature ROWS frames cannot
+    express): per user the event count and value sum over the
+    TRAILING HOUR of event time — frame membership is defined by the
+    ORDER-BY VALUE distance, so ties and gaps behave correctly where
+    a row-count frame drifts. Order key = tz-free integer epoch
+    seconds (the layout.X_SQL convention: epoch arithmetic, never
+    session-zone unix_timestamp); one user_id exchange, the frame
+    state is the in-window row span."""
+    e = _load(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+            .alias("ts_s"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).cast("bigint").alias("n_1h"),
+            F.sum("v_c").over(w).cast("bigint").alias("sum_1h_c"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # r3 wave-33 (newest, no driver row yet):
+        "q_grouping_sets": q_grouping_sets,
+        "q_range_frame": q_range_frame,
         # r3 wave-32 (newest, no driver row yet):
         "q_boruvka_msf": q_boruvka_msf,
         "q_sn_blocks": q_sn_blocks,
@@ -3973,6 +4033,31 @@ def oracle_sql() -> dict[str, str]:
     female = G.sql_str_list([n.lower() for n in G.FIRST_FEMALE])
     male = G.sql_str_list([n.lower() for n in G.FIRST_MALE])
     return {
+        "q_grouping_sets": """
+            select l_returnflag, l_linestatus,
+                   cast(grouping_id(l_returnflag, l_linestatus) as bigint)
+                     as gid,
+                   cast(count(*) as bigint) as n_rows,
+                   cast(sum(cast(round(l_extendedprice * 100) as bigint))
+                        as bigint) as sum_price_c
+            from lineitem
+            group by grouping sets ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())
+        """,
+        "q_range_frame": """
+            with e as (
+              select event_id, user_id,
+                     epoch_ms(ts) // 1000 as ts_s,
+                     cast(round(value * 100) as bigint) as v_c
+              from events
+            )
+            select event_id, user_id,
+                   cast(count(*) over w as bigint) as n_1h,
+                   cast(sum(v_c) over w as bigint) as sum_1h_c
+            from e
+            window w as (partition by user_id order by ts_s
+                         range between 3600 preceding and current row)
+        """,
         "q_boruvka_msf": WG.duck_boruvka_msf_sql(pages),
         "q_sn_blocks": L.duck_sorted_neighborhood_sql(gm),
         "q_bootstrap_ci": TS.duck_bootstrap_agreement_sql(),

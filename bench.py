@@ -289,6 +289,9 @@ def main() -> int:
         # overhead (6 Boruvka rounds), the fixed-point cost class
         # already represented by pagerank/kcore/crawl_depth
         "q_sn_blocks",
+        # wave-33
+        "q_grouping_sets",
+        "q_range_frame",
     ]
     qs = E.queries()
     suite: list[tuple[str, object]] = [
