@@ -3558,86 +3558,27 @@ def q_range_frame(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # r3 wave-33 (newest, no driver row yet):
-        "q_grouping_sets": q_grouping_sets,
-        "q_range_frame": q_range_frame,
-        # r3 wave-32 (newest, no driver row yet):
-        "q_boruvka_msf": q_boruvka_msf,
-        "q_sn_blocks": q_sn_blocks,
-        # r3 wave-31 (newest, no driver row yet):
-        "q_bootstrap_ci": q_bootstrap_ci,
-        # r3 wave-30 (newest, no driver row yet):
-        "q_tpch_waiting": q_tpch_waiting,
-        "q_tpch_idle": q_tpch_idle,
-        # r3 wave-29 (newest, no driver row yet):
-        "q_ktruss": q_ktruss,
-        "q_greedy_cover": q_greedy_cover,
-        # r3 wave-28 (newest, no driver row yet):
-        "q_node2vec_walks": q_node2vec_walks,
-        "q_embed_rrf": q_embed_rrf,
-        # r3 wave-27 (newest, no driver row yet):
-        "q_kn_bigram": q_kn_bigram,
-        "q_soundex_blocks": q_soundex_blocks,
-        # r3 wave-26 (newest, no driver row yet):
-        "q_rectangles": q_rectangles,
-        "q_sage_features": q_sage_features,
-        "q_tpch_smallqty": q_tpch_smallqty,
-        # r3 wave-17 (newest, no driver row yet):
-        "q_rule_infer": q_rule_infer,
-        "q_ner_bio": q_ner_bio,
-        "q_quotes": q_quotes,
-        "q_link_eval": q_link_eval,
-        "q_numeric_facts": q_numeric_facts,
-        "q_date_facts": q_date_facts,
-        "q_polarity": q_polarity,
-        "q_voice": q_voice,
-        "q_robots": q_robots,
-        "q_ntriples": q_ntriples,
-        "q_shacl": q_shacl,
-        "q_ner_eval": q_ner_eval,
-        "q_kg_pattern": q_kg_pattern,
-        "q_host_skyline": q_host_skyline,
-        "q_tpch_minsupp": q_tpch_minsupp,
-        "q_watermark_audit": q_watermark_audit,
-        "q_json_props": q_json_props,
-        "q_extract_mixed": q_extract_mixed,
-        "q_hilbert_stats": q_hilbert_stats,
-        "q_hll_overlap": q_hll_overlap,
-        # r3 wave-16 (no driver row yet):
-        "q_hearst": q_hearst,
-        "q_coref_resolve": q_coref_resolve,
-        "q_community_graph": q_community_graph,
-        # r3 wave-15 (no driver row yet):
-        "q_el_disambig": q_el_disambig,
-        "q_entity_salience": q_entity_salience,  # wave-14
-        # r3 wave-13 (no driver row yet):
-        "q_cdx_index": q_cdx_index,
-        "q_fact_decay": q_fact_decay,
-        "q_minimizers": q_minimizers,
-        "q_lang_sim_matrix": q_lang_sim_matrix,
-        "q_tpch_late": q_tpch_late,
-        "q_tpch_promo": q_tpch_promo,
-        "q_agg_incremental": q_agg_incremental,
-        "q_reshard_plan": q_reshard_plan,
-        "q_cdc_apply": q_cdc_apply,
+        # Driver-certification rotation (VERDICT r3 #1): the driver
+        # samples the FIRST ~50 entries each round (r3's sample was
+        # exactly the then-head).  The 137 queries with no driver
+        # CORRECTNESS row across r1-r3 lead, in stable wave order, so
+        # r4 certifies the next 50 and r5 the 50 after; the union-
+        # certified tail (118 queries, r1+r2+r3) follows.  Coverage is
+        # unchanged -- tools/check_oracle.py always runs all of them.
         "q_schema_evolution": q_schema_evolution,
         "q_rel_evidence": q_rel_evidence,
         "q_event_sequences": q_event_sequences,
-        # r3 wave-12 (no driver row yet):
         "q_host_lang_mix": q_host_lang_mix,
         "q_crawl_budget": q_crawl_budget,
-        # r3 wave-11 (no driver row yet):
         "q_extract_diag": q_extract_diag,
         "q_encoding_health": q_encoding_health,
         "q_span_reuse": q_span_reuse,
-        # r3 wave-10 (no driver row yet):
         "q_linkage_weights": q_linkage_weights,
         "q_textrank": q_textrank,
         "q_quantile_sketch": q_quantile_sketch,
         "q_readability": q_readability,
         "q_itemsets": q_itemsets,
         "q_crawl_waves": q_crawl_waves,
-        # r3 wave-8 (no driver row yet):
         "q_dedup_incremental": q_dedup_incremental,
         "q_triple_eval": q_triple_eval,
         "q_window_user_hll": q_window_user_hll,
@@ -3654,7 +3595,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_manifest_prune": q_manifest_prune,
         "q_compaction_plan": q_compaction_plan,
         "q_snapshot_expiry": q_snapshot_expiry,
-        # r3 wave-6 (no driver row yet):
         "q_truth_discovery": q_truth_discovery,
         "q_vocab_growth": q_vocab_growth,
         "q_split_leakage": q_split_leakage,
@@ -3667,7 +3607,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phrase_search": q_phrase_search,
         "q_asof_facts": q_asof_facts,
         "q_pred_cardinality": q_pred_cardinality,
-        # r3 wave-4:
         "q_scd2_facts": q_scd2_facts,
         "q_clustering_coeff": q_clustering_coeff,
         "q_linkpred_auc": q_linkpred_auc,
@@ -3679,14 +3618,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_templates": q_url_templates,
         "q_host_templates": q_host_templates,
         "q_powerlaw_alpha": q_powerlaw_alpha,
-        # Ordered for driver certification (VERDICT r2 #3): the
-        # driver samples ~50 queries per round, so entries with NO
-        # driver row yet lead — the r3 wave-3 additions first (newest,
-        # least local soak), then the r2-era never-driver-tested set
-        # (three full two-scale local sweeps behind them), then the two
-        # ANN queries whose replay oracles landed in r3; the tail is
-        # already driver-green across r1+r2. Coverage is unchanged —
-        # tools/check_oracle.py runs all of them.
         "q_cc_bigstar": q_cc_bigstar,
         "q_collocations": q_collocations,
         "q_sample_weighted": q_sample_weighted,
@@ -3748,12 +3679,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_conflicts": q_kg_conflicts,
         "q_fact_churn": q_fact_churn,
         "q_entity_cooccur": q_entity_cooccur,
-        "q_embed_topk_lsh": q_embed_topk_lsh,
-        "q_embed_topk_ivf": q_embed_topk_ivf,
-        # r3 additions, never driver-tested yet — kept ahead of the
-        # r1/r2-certified tail so a ~50-query driver sample covers
-        # every uncertified entry (45 total above this comment + below
-        # through q_tpch_volume)
         "q_hits": q_hits,
         "q_cocitation": q_cocitation,
         "q_host_components": q_host_components,
@@ -3777,7 +3702,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_prefix": q_dedup_prefix,
         "q_tpch_shipping": q_tpch_shipping,
         "q_tpch_volume": q_tpch_volume,
-        # --- certified across r1+r2 from here down ---
+        # --- driver-certified across r1+r2+r3 from here down ---
+        "q_grouping_sets": q_grouping_sets,
+        "q_range_frame": q_range_frame,
+        "q_boruvka_msf": q_boruvka_msf,
+        "q_sn_blocks": q_sn_blocks,
+        "q_bootstrap_ci": q_bootstrap_ci,
+        "q_tpch_waiting": q_tpch_waiting,
+        "q_tpch_idle": q_tpch_idle,
+        "q_ktruss": q_ktruss,
+        "q_greedy_cover": q_greedy_cover,
+        "q_node2vec_walks": q_node2vec_walks,
+        "q_embed_rrf": q_embed_rrf,
+        "q_kn_bigram": q_kn_bigram,
+        "q_soundex_blocks": q_soundex_blocks,
+        "q_rectangles": q_rectangles,
+        "q_sage_features": q_sage_features,
+        "q_tpch_smallqty": q_tpch_smallqty,
+        "q_rule_infer": q_rule_infer,
+        "q_ner_bio": q_ner_bio,
+        "q_quotes": q_quotes,
+        "q_link_eval": q_link_eval,
+        "q_numeric_facts": q_numeric_facts,
+        "q_date_facts": q_date_facts,
+        "q_polarity": q_polarity,
+        "q_voice": q_voice,
+        "q_robots": q_robots,
+        "q_ntriples": q_ntriples,
+        "q_shacl": q_shacl,
+        "q_ner_eval": q_ner_eval,
+        "q_kg_pattern": q_kg_pattern,
+        "q_host_skyline": q_host_skyline,
+        "q_tpch_minsupp": q_tpch_minsupp,
+        "q_watermark_audit": q_watermark_audit,
+        "q_json_props": q_json_props,
+        "q_extract_mixed": q_extract_mixed,
+        "q_hilbert_stats": q_hilbert_stats,
+        "q_hll_overlap": q_hll_overlap,
+        "q_hearst": q_hearst,
+        "q_coref_resolve": q_coref_resolve,
+        "q_community_graph": q_community_graph,
+        "q_el_disambig": q_el_disambig,
+        "q_entity_salience": q_entity_salience,
+        "q_cdx_index": q_cdx_index,
+        "q_fact_decay": q_fact_decay,
+        "q_minimizers": q_minimizers,
+        "q_lang_sim_matrix": q_lang_sim_matrix,
+        "q_tpch_late": q_tpch_late,
+        "q_tpch_promo": q_tpch_promo,
+        "q_agg_incremental": q_agg_incremental,
+        "q_reshard_plan": q_reshard_plan,
+        "q_cdc_apply": q_cdc_apply,
+        "q_embed_topk_lsh": q_embed_topk_lsh,
+        "q_embed_topk_ivf": q_embed_topk_ivf,
         "q_clean_text": q_clean_text,
         "q_detect_mentions": q_detect_mentions,
         "q_mentions_by_type": q_mentions_by_type,

@@ -67,51 +67,154 @@ def _sql_quote(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
-def _merge_expr(a: str, b: str) -> str:
-    """Greedy left-to-right merge of the pair (a, b) in `seq` as a pure
-    fold: append, or fuse with the accumulator tail when it completes
-    the pair."""
-    qa, qb = _sql_quote(a), _sql_quote(b)
+def _merge_expr(*pairs: tuple[str, str]) -> str:
+    """Greedy left-to-right merge of one or more SYMBOL-DISJOINT pairs
+    in `seq` as a pure fold: append, or fuse with the accumulator tail
+    when it completes a pair. With disjoint pairs (no shared symbols,
+    no pair containing another's fused output) at most one WHEN can
+    match per element and fusion sites cannot interact, so the single
+    fold is exactly equal to chaining one fold per pair — which is
+    exactly the sequential greedy scan."""
+    whens = "\n    ".join(
+        f"when size(acc) > 0 and element_at(acc, -1) = {_sql_quote(a)}"
+        f" and x = {_sql_quote(b)}\n      then concat(slice(acc, 1,"
+        f" size(acc) - 1), array({_sql_quote(a + b)}))"
+        for a, b in pairs
+    )
     return f"""
 aggregate(
   seq,
   cast(array() as array<string>),
   (acc, x) -> case
-    when size(acc) > 0 and element_at(acc, -1) = {qa} and x = {qb}
-      then concat(slice(acc, 1, size(acc) - 1), array({qa} || {qb}))
+    {whens}
     else concat(acc, array(x))
   end
 )
 """
 
 
+#: Driver round-trips (collect + checkpoint jobs) spent by the most
+#: recent bpe_merges call — the scale metric batched training improves.
+LAST_TRAIN_ROUND_TRIPS = 0
+
+
+def _select_batch(top, at_cap: bool, made: set, budget: int):
+    """From one collected top-K ranking, pick the longest prefix of
+    merges that sequential greedy BPE would PROVABLY pick in this exact
+    order without recounting — the batched-pass argmax (VERDICT r3 #4).
+
+    `top`: rows (a, b, n_weighted) in (n desc, a, b) ranking order;
+    `at_cap`: True when `top` was truncated at K (pairs outside the
+    fetch then have counts <= top[-1]); `made`: every fused symbol
+    string produced by earlier merges (the complete multi-char symbol
+    inventory — initial symbols are single chars, so a fused string
+    pre-exists iff it is in `made`).
+
+    Soundness of taking p_i after S = p_1..p_{i-1} (all from this
+    prefix):
+    - p_i's own count is unchanged: its symbols are disjoint from
+      every S symbol and fused output, and no S fusion can create or
+      destroy an adjacency of untouched symbols (the new token sits
+      between its neighbors).
+    - Old pairs never gain count (no fused output collides with a
+      pre-existing symbol — checked against `made`), and every old
+      pair ranked above p_i is in S, so p_i still beats all old pairs
+      (counts below only decrease; lexicographic tie-break is static).
+    - Created pairs contain a brand-new symbol and inherit their count
+      from an old pair touching an S symbol ((x, ab) <= count(x, a)).
+      Any such toucher ranked above p_i would have stopped the prefix,
+      so touchers are ranked below; requiring n_i STRICTLY above every
+      fetched toucher and above the truncation bound beats them even
+      under the string tie-break (a new symbol's sort order is
+      unknowable driver-side).
+    """
+    sel_idx = [0]
+    n_rest = top[-1]["n_weighted"] if at_cap else 0
+    p1 = top[0]
+    if p1["a"] + p1["b"] in made or len(sel_idx) >= budget:
+        return [top[0]]
+    touched = {p1["a"], p1["b"]}          # selected input symbols
+    blocked = touched | {p1["a"] + p1["b"]}   # inputs + fused outputs
+    for i in range(1, len(top)):
+        r = top[i]
+        a, b, n = r["a"], r["b"], r["n_weighted"]
+        if a in blocked or b in blocked:
+            break  # count may have changed; sequential must recount
+        fused = a + b
+        if fused in made or fused in blocked:
+            break  # fusing would boost a pre-existing symbol's pairs
+        # bound over NON-selected fetched pairs touching a selected
+        # symbol (created pairs inherit counts from exactly these)
+        toucher_max = max(
+            (top[j]["n_weighted"] for j in range(len(top))
+             if j not in sel_idx and j != i
+             and (top[j]["a"] in touched or top[j]["b"] in touched)),
+            default=0,
+        )
+        if n <= max(toucher_max, n_rest):
+            break  # a created pair could outrank p_i
+        sel_idx.append(i)
+        touched |= {a, b}
+        blocked |= {a, b, fused}
+        if len(sel_idx) >= budget:
+            break
+    return [top[j] for j in sel_idx]
+
+
 def bpe_merges(
-    docs: DataFrame, text_col: str = "text", n_merges: int = N_MERGES
+    docs: DataFrame, text_col: str = "text", n_merges: int = N_MERGES,
+    top_k: int = 16,
 ) -> DataFrame:
     """Learn `n_merges` BPE merges -> (it, sym_a, sym_b, n_weighted),
     one row per iteration in merge order. Tie-break: highest weighted
-    count, then (sym_a, sym_b) ascending — total order, deterministic."""
+    count, then (sym_a, sym_b) ascending — total order, deterministic.
+
+    BATCHED PASSES, SEQUENTIAL SEMANTICS: each driver round-trip
+    collects the top-`top_k` pair ranking and applies every merge that
+    sequential greedy provably picks next (`_select_batch` — symbol-
+    disjoint ranking prefix with a strict dominance bound) in ONE
+    fused fold rewrite. The output is bit-identical to one-merge-per-
+    iteration training (the DuckDB recursive-CTE oracle still replays
+    strict sequential greedy and must agree), but a vocabulary whose
+    top pairs are disjoint learns k merges for 2 driver round-trips
+    instead of 2k — at a real 30k-merge vocab this is the difference
+    between 60k Spark jobs and a few hundred. Worst case (every
+    adjacent top pair shares a symbol, common for English char BPE)
+    degrades to exactly the old per-merge cost, never worse.
+    `LAST_TRAIN_ROUND_TRIPS` records collect+checkpoint jobs spent."""
+    global LAST_TRAIN_ROUND_TRIPS
     spark = docs.sparkSession
     words = _word_counts(docs, text_col).withColumn(
         "seq", F.split("word", "")
     )
-    # |vocab| rows; each iteration rewrites seqs, so pin the lineage
+    # |vocab| rows; each pass rewrites seqs, so pin the lineage
     words = words.localCheckpoint(eager=True)
     out = []
-    for it in range(1, n_merges + 1):
+    made: set = set()
+    trips = 0
+    while len(out) < n_merges:
         top = (
             _pair_counts(words)
             .orderBy(F.desc("n_weighted"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .limit(top_k)
             .collect()
         )
+        trips += 1
         if not top:
             break
-        a, b, n = top[0]["a"], top[0]["b"], top[0]["n_weighted"]
-        out.append((it, a, b, n))
+        batch = _select_batch(
+            top, at_cap=len(top) >= top_k, made=made,
+            budget=n_merges - len(out),
+        )
+        for r in batch:
+            out.append((len(out) + 1, r["a"], r["b"], r["n_weighted"]))
+            made.add(r["a"] + r["b"])
         words = words.withColumn(
-            "seq", F.expr(_merge_expr(a, b))
+            "seq",
+            F.expr(_merge_expr(*[(r["a"], r["b"]) for r in batch])),
         ).localCheckpoint(eager=True)
+        trips += 1
+    LAST_TRAIN_ROUND_TRIPS = trips
     return spark.createDataFrame(
         out, "it bigint, sym_a string, sym_b string, n_weighted bigint"
     )
@@ -242,7 +345,7 @@ def bpe_encode(
         .withColumn("seq", F.split("word", ""))
     )
     for a, b in merges:
-        vocab = vocab.withColumn("seq", F.expr(_merge_expr(a, b)))
+        vocab = vocab.withColumn("seq", F.expr(_merge_expr((a, b))))
     wmap = vocab.select(
         "word",
         F.expr("array_join(seq, '|')").alias("wtok"),
@@ -374,7 +477,7 @@ def tokenizer_fertility(
         "seq", F.split("word", "")
     )
     for a, b in merges:
-        vocab = vocab.withColumn("seq", F.expr(_merge_expr(a, b)))
+        vocab = vocab.withColumn("seq", F.expr(_merge_expr((a, b))))
     wmap = vocab.select("word", F.size("seq").cast("bigint").alias("ntok"))
     return (
         wc.join(F.broadcast(wmap), "word")

@@ -3373,6 +3373,11 @@ def ktruss_from_edges(edges: DataFrame, k: int = KTRUSS_K,
     combined per-edge count; the < k-2 filter is a join-back; two
     semi-joins restrict the edge set. Edge state localCheckpoint'd per
     round (the CC discipline)."""
+    if n_rounds < 1:
+        raise ValueError(
+            f"ktruss_from_edges needs n_rounds >= 1 (got {n_rounds}): "
+            "zero rounds would compute no support at all"
+        )
     e = edges.localCheckpoint(eager=True)
     sup = None
     for _ in range(n_rounds):
@@ -3520,8 +3525,20 @@ def boruvka_msf(pages: DataFrame,
                 "cast(1000000 as bigint) div (1 + n_links) + 1"
             ).alias("w"),
         )
-        .localCheckpoint(eager=True)
     )
+    return msf_from_weighted_edges(e, n_rounds=n_rounds,
+                                   cc_rounds=cc_rounds)
+
+
+def msf_from_weighted_edges(weighted: DataFrame,
+                            n_rounds: int = MST_ROUNDS,
+                            cc_rounds: int = MST_CC_ROUNDS) -> DataFrame:
+    """Boruvka MSF core over an arbitrary (a, b, w) edge table with
+    a < b and a strict (w, a, b) total order — the graph-independent
+    seam boruvka_msf delegates to (and the unit-test entry point for
+    adversarial selection shapes the planted corpus never produces,
+    e.g. a monotone chain whose round-1 selection is one long path)."""
+    e = weighted.select("a", "b", "w").localCheckpoint(eager=True)
     labels = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
@@ -3587,26 +3604,35 @@ def boruvka_msf(pages: DataFrame,
         # checkpointed sym/labels are one shallow plan, materialized
         # once in the labels checkpoint below — checkpointing every
         # inner iteration measured 3x the wall time in pure per-job
-        # overhead (tiny data, fixed scheduling cost)
+        # overhead (tiny data, fixed scheduling cost).  Each iteration
+        # combines the one-hop neighbor min with a POINTER JUMP
+        # (lbl <- lbl[lbl]): min-label is monotone, so jumping through
+        # the current label chain gives log-diameter convergence —
+        # cc_rounds=8 covers selection-path diameters far beyond 2^8,
+        # where one-hop alone stalls at diameter 8 (chain-shaped
+        # round-1 selections exist: see test_wave32 chain gate).
         for _i in range(cc_rounds):
-            nb = (
-                sym.join(
+            # edge set = this round's selections PLUS each comp's own
+            # label pointer (c -> lbl(c)); one join + min then yields
+            # min(neighbor labels, lbl(lbl(c))) — the pointer JUMP
+            # dominates lbl(c) itself (lbl(x) <= x invariant), and
+            # keeping m referenced only TWICE per iteration preserves
+            # the 2^cc_rounds lazy-plan growth the one-hop loop had
+            # (a third reference measured 3^8 subplan copies: minutes
+            # of driver-side analysis on microscopic data)
+            edges = sym.unionAll(
+                m.select(F.col("comp").alias("x"),
+                         F.col("lbl").alias("y"))
+            )
+            m = (
+                edges.join(
                     m.select(F.col("comp").alias("y"),
                              F.col("lbl").alias("ly")),
                     "y",
                 )
                 .groupBy("x")
-                .agg(F.min("ly").alias("best"))
-            )
-            m = (
-                m.join(nb.select(F.col("x").alias("comp"), "best"),
-                       "comp", "left")
-                .select(
-                    "comp",
-                    F.least(
-                        F.col("lbl"), F.coalesce("best", F.col("lbl"))
-                    ).alias("lbl"),
-                )
+                .agg(F.min("ly").alias("lbl"))
+                .select(F.col("x").alias("comp"), "lbl")
             )
         labels = (
             labels.join(m, "comp")
@@ -3682,16 +3708,18 @@ m{r}_0 as materialized (
   select distinct comp, comp as lbl from l{p}
 )""")
         for i in range(1, cc_rounds + 1):
+            # neighbor min + pointer jump via the self-label edge
+            # (c, lbl(c)) — the exact mirror of the Spark inner loop
             ctes.append(f"""
 m{r}_{i} as materialized (
-  select m.comp,
-         least(m.lbl, coalesce(nb.best, m.lbl)) as lbl
-  from m{r}_{i - 1} m
-  left join (
-    select s.x, min(mm.lbl) as best
-    from sym{r} s join m{r}_{i - 1} mm on mm.comp = s.y
-    group by 1
-  ) nb on nb.x = m.comp
+  select e.x as comp, min(mm.lbl) as lbl
+  from (
+    select x, y from sym{r}
+    union all
+    select comp as x, lbl as y from m{r}_{i - 1}
+  ) e
+  join m{r}_{i - 1} mm on mm.comp = e.y
+  group by 1
 )""")
         ctes.append(f"""
 l{r} as materialized (

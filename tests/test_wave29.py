@@ -37,6 +37,16 @@ def test_ktruss_k4_survives_pendant_peels(spark):
     assert all(s == 2 for s in got.values())
 
 
+def test_ktruss_zero_rounds_raises(spark):
+    # ADVICE r3: n_rounds=0 used to fall through to `sup.where` with
+    # sup=None (AttributeError); now a clear contract error
+    import pytest
+
+    e = _edges_df(spark, [("a", "b")])
+    with pytest.raises(ValueError, match="n_rounds >= 1"):
+        WG.ktruss_from_edges(e, k=3, n_rounds=0)
+
+
 def test_ktruss_fixpoint_within_budget(spark):
     chain = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"),
              ("d", "e"), ("c", "e"), ("e", "f")]

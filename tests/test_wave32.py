@@ -63,6 +63,44 @@ def test_boruvka_equals_kruskal_on_corpus(spark):
     assert len(got) == len(want) <= len(nodes) - 1
 
 
+def test_boruvka_chain_selection_converges_with_pointer_jump(spark):
+    # Adversarial contraction shape (ADVICE r3): a monotone-weight
+    # chain h00-h01-...-h39 where round 1 selects EVERY edge (node i's
+    # cheapest incident edge is its left edge; node 0 picks its right)
+    # -> the selected pseudo-forest is one path of label-prop diameter
+    # 39, far past the cc_rounds=8 one-hop budget. Pointer jumping
+    # (lbl <- lbl[lbl] each iteration) converges in ceil(log2(39)) < 8
+    # rounds; without it labels stall and a later round can select an
+    # intra-component edge, breaking the forest invariant below.
+    n = 40
+    rows = [(f"h{i:02d}", f"h{i + 1:02d}", 100 + i) for i in range(n - 1)]
+    e = spark.createDataFrame(rows, "a string, b string, w bigint")
+    got = {
+        (r["a"], r["b"], r["w"])
+        for r in WG.msf_from_weighted_edges(e).collect()
+    }
+    want = _kruskal(rows)
+    assert got == want
+    assert len(got) == n - 1  # a spanning tree of the chain, no cycle
+
+
+def test_boruvka_star_of_chains_converges(spark):
+    # mixed shape: three chains of 12 glued at a hub by heavy edges —
+    # round 1 selects each chain wholesale (three deep pseudo-trees),
+    # later rounds stitch them through the hub edges
+    rows = []
+    for c in range(3):
+        rows += [(f"c{c}n{i:02d}", f"c{c}n{i + 1:02d}", 10 + i)
+                 for i in range(11)]
+        rows.append((f"c{c}n00", "hub", 9000 + c))
+    e = spark.createDataFrame(rows, "a string, b string, w bigint")
+    got = {
+        (r["a"], r["b"], r["w"])
+        for r in WG.msf_from_weighted_edges(e).collect()
+    }
+    assert got == _kruskal(rows)
+
+
 def test_boruvka_respects_weights_on_crafted_graph(spark):
     # triangle with one heavy edge: MST drops exactly the heavy edge
     rows = [("x", "y", 5), ("y", "z", 5), ("x", "z", 50)]
