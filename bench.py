@@ -284,11 +284,11 @@ def main() -> int:
         "q_tpch_idle",
         # wave-31
         "q_bootstrap_ci",
-        # wave-32: q_sn_blocks is sub-second; q_boruvka_msf is excluded
-        # from the timed list — ~30 tiny-data jobs of pure fixed
-        # overhead (6 Boruvka rounds), the fixed-point cost class
-        # already represented by pagerank/kcore/crawl_depth
+        # wave-32 (q_boruvka_msf is the heaviest iterative op in the
+        # contract — timed per VERDICT r3 #7; pointer-jump contraction
+        # + one mid-loop pin took it 37s -> ~19s warm at sf0.1)
         "q_sn_blocks",
+        "q_boruvka_msf",
         # wave-33
         "q_grouping_sets",
         "q_range_frame",

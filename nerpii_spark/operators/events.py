@@ -646,6 +646,104 @@ def watermark_audit(
     )
 
 
+def derive_watermark_delay(
+    events: DataFrame,
+    tolerated_drop: float = 0.0,
+    jitter_max_s: int = WM_JITTER_S,
+) -> int:
+    """Close the audit -> settings loop (VERDICT r3 #8): the smallest
+    whole-second watermark delay D such that the share of calibration
+    events whose measured lateness exceeds D is <= `tolerated_drop` —
+    the number you hand to `withWatermark(col, f"{D} seconds")` instead
+    of a guessed constant.
+
+    Lateness here is measured against the GLOBAL event-time high-water
+    mark in arrival order — exactly what a Structured Streaming
+    watermark advances on — NOT watermark_audit's per-user runmax: any
+    user's fresh event advances the stream watermark for everyone, so
+    the per-user profile UNDERESTIMATES drops (a user whose own events
+    are in order can still lose rows to other users' clock). The
+    planted arrival model is the audit's (ts + h1(event_id) % jitter).
+
+    Scale shape: this is a CALIBRATION pass — run it on a bounded
+    recent traffic window (the way real pipelines size watermarks from
+    a day's profile), not the corpus; the global running max is one
+    ordered pass, and the lateness histogram has <= jitter_max_s
+    distinct values, so the driver sees a bounded table. The derived D
+    seals the planted distribution by construction; the gate in
+    tests/test_streaming.py proves it end-to-end on a live stream and
+    that a smaller D measurably drops rows."""
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import sql_h1
+
+    e = events.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    ).withColumn(
+        "arr_us",
+        F.col("ts_us")
+        + F.expr(f"({sql_h1('event_id', WM_SALT)}) % {jitter_max_s}")
+        * 1_000_000,
+    )
+    w = (
+        W.orderBy("arr_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    hist = (
+        e.withColumn("runmax_us", F.max("ts_us").over(w))
+        .select(
+            # CEIL to whole seconds: an event 1.5 s late needs delay 2
+            # to survive `ts >= max_ts - delay` (floor would under-seal)
+            F.expr(
+                "greatest(cast(0 as bigint),"
+                " (coalesce(runmax_us, ts_us) - ts_us + 999999)"
+                " div 1000000)"
+            ).alias("late_s")
+        )
+        .groupBy("late_s")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .collect()
+    )
+    if not hist:
+        return 0
+    rows = sorted(hist, key=lambda r: r["late_s"])
+    total = sum(r["n"] for r in rows)
+    budget = tolerated_drop * total
+    # suffix counts: tail_above[L] = events with lateness >= L
+    tail_above = {}
+    suffix = 0
+    for r in reversed(rows):
+        suffix += r["n"]
+        tail_above[r["late_s"]] = suffix
+
+    def tail_gt(d: int) -> int:
+        """Events a delay-d watermark would drop (lateness > d)."""
+        for r in rows:
+            if r["late_s"] > d:
+                return tail_above[r["late_s"]]
+        return 0
+
+    # smallest D in {0} U {observed lateness} with tail(> D) <= budget
+    for d in sorted({0} | {r["late_s"] for r in rows}):
+        if tail_gt(d) <= budget:
+            return int(d)
+    return int(rows[-1]["late_s"])
+
+
+def derive_watermark(
+    events: DataFrame,
+    tolerated_drop: float = 0.0,
+    jitter_max_s: int = WM_JITTER_S,
+) -> str:
+    """`withWatermark`-ready spec string from the measured lateness
+    profile: derive_watermark_delay formatted as '<D> seconds'."""
+    return (
+        f"{derive_watermark_delay(events, tolerated_drop, jitter_max_s)}"
+        " seconds"
+    )
+
+
 def duck_watermark_audit_sql(
     events_rel: str = "events", jitter_max_s: int = WM_JITTER_S
 ) -> str:

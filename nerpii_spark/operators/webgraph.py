@@ -3634,6 +3634,11 @@ def msf_from_weighted_edges(weighted: DataFrame,
                 .agg(F.min("ly").alias("lbl"))
                 .select(F.col("x").alias("comp"), "lbl")
             )
+            # one mid-loop pin caps the doubling at 2^(cc_rounds/2)
+            # leaf scans per side (2 checkpoints/round total vs the
+            # 3x-wall cost of pinning every iteration)
+            if _i == cc_rounds // 2 - 1:
+                m = m.localCheckpoint(eager=True)
         labels = (
             labels.join(m, "comp")
             .select("n", F.col("lbl").alias("comp"))

@@ -231,3 +231,78 @@ def test_merge_upsert_latest_seq_wins(spark, tmp_path):
         for r in spark.read.parquet(cat.path("ms")).collect()
     }
     assert got == {(2, "z")}
+
+
+def _iceberg_available(spark) -> bool:
+    """True when an Iceberg Spark runtime is on the JVM classpath
+    (launch pytest with e.g.
+    PYSPARK_SUBMIT_ARGS='--jars iceberg-spark-runtime-4.0_2.13-<v>.jar
+    pyspark-shell' to enable)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_iceberg_roundtrip_matches_parquet_emulation(spark, tmp_path):
+    """VERDICT r3 #6: run the config-swap claim against a REAL Iceberg
+    catalog when a runtime jar is present — TableCatalog(format=
+    'iceberg') write/read round-trip, plus MERGE semantics parity: the
+    parquet-emulated merge_upsert and Iceberg's native MERGE INTO must
+    land the same table from the same base + CDC batch. Skipped (not
+    silently passed) in jar-less sandboxes; SURVEY.md §7.5 documents
+    the constraint."""
+    if not _iceberg_available(spark):
+        pytest.skip("no Iceberg runtime jar on the JVM classpath")
+    wh = str(tmp_path / "iceberg_wh")
+    spark.conf.set(
+        "spark.sql.catalog.ibtest", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.ibtest.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.ibtest.warehouse", wh)
+    spark.sql("create namespace if not exists ibtest.db")
+    try:
+        base = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            "id long, name string, v long",
+        )
+        # --- TableCatalog round-trip through the non-parquet branch ---
+        cat = TableCatalog(root=wh, format="iceberg", database="ibtest.db")
+        cat.write(base, "t_rt")
+        assert cat.exists(spark, "t_rt")
+        got = {tuple(r) for r in cat.read(spark, "t_rt").collect()}
+        assert got == {(1, "a", 10), (2, "b", 20), (3, "c", 30)}
+        # --- MERGE parity: emulated merge_upsert vs native MERGE INTO ---
+        changes = spark.createDataFrame(
+            [(2, "b2", 21, "upsert"), (3, None, 0, "delete"),
+             (4, "d", 40, "upsert")],
+            "id long, name string, v long, op string",
+        )
+        pq = TableCatalog(root=str(tmp_path / "pq"))
+        pq.write(base, "t_m")
+        pq.merge_upsert(spark, "t_m", changes, key_cols=("id",))
+        emulated = {tuple(r) for r in pq.read(spark, "t_m").collect()}
+        cat.write(base, "t_m")
+        changes.createOrReplaceTempView("ib_changes")
+        spark.sql("""
+            merge into ibtest.db.t_m t using ib_changes c on t.id = c.id
+            when matched and c.op = 'delete' then delete
+            when matched then update set t.name = c.name, t.v = c.v
+            when not matched and c.op = 'upsert'
+              then insert (id, name, v) values (c.id, c.name, c.v)
+        """)
+        native = {tuple(r) for r in spark.table("ibtest.db.t_m").collect()}
+        assert emulated == native == {(1, "a", 10), (2, "b2", 21), (4, "d", 40)}
+        # --- snapshot maintenance procedures exist and run ---
+        spark.sql(
+            "call ibtest.system.rewrite_data_files(table => 'db.t_m')"
+        )
+        assert {tuple(r) for r in spark.table("ibtest.db.t_m").collect()} \
+            == native
+    finally:
+        for t in ("t_rt", "t_m"):
+            spark.sql(f"drop table if exists ibtest.db.{t}")
+        spark.sql("drop namespace if exists ibtest.db")

@@ -1013,3 +1013,91 @@ def test_rate_limit_idle_host_state_evicted(spark, tmp_path):
     by_id = {i: (a, m) for _, _, i, a, m in got}
     assert by_id[4] == (True, 1000) and by_id[5] == (True, 0)
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_derived_watermark_seals_planted_lateness(spark, tmp_path):
+    """VERDICT r3 #8: the watermark-audit -> settings loop. The delay
+    derived from the measured (global-runmax, arrival-order) lateness
+    profile must SEAL the planted delay distribution on a live append-
+    mode stream — bit-equal to batch — while a smaller delay measurably
+    drops rows (so the gate can fail)."""
+    import os
+
+    from nerpii_spark.functions.hashing import sql_h1
+    from nerpii_spark.operators.events import (
+        WM_JITTER_S,
+        WM_SALT,
+        derive_watermark,
+        derive_watermark_delay,
+    )
+
+    n = 600
+    base_s = 1_704_067_200  # 2024-01-01
+    events = spark.createDataFrame(
+        [(i, base_s + 7 * i, 100 + (i % 5), f"t{i % 3}", float(i % 11))
+         for i in range(n)],
+        "event_id bigint, ts_s bigint, user_id bigint,"
+        " event_type string, value double",
+    ).selectExpr(
+        "event_id", "timestamp_seconds(ts_s) as ts", "user_id",
+        "event_type", "value", "cast(null as string) as props",
+    )
+    d = derive_watermark_delay(events)
+    assert 0 < d <= WM_JITTER_S
+    assert derive_watermark(events) == f"{d} seconds"
+    # a tolerated drop rate can only shrink the delay
+    assert derive_watermark_delay(events, tolerated_drop=0.10) <= d
+
+    # arrival order = planted audit model (ts + h1(event_id) % jitter)
+    arrival = events.selectExpr(
+        "*",
+        f"unix_micros(cast(ts as timestamp))"
+        f" + (({sql_h1('event_id', WM_SALT)}) % {WM_JITTER_S}) * 1000000"
+        " as arr_us",
+    ).orderBy("arr_us", "event_id").drop("arr_us").collect()
+    max_ts_s = base_s + 7 * (n - 1)
+    sentinel_ts = max_ts_s + d + 7200  # pushes the watermark past all
+    cols = ["window_start", "event_type", "n", "sum_value_c"]
+    batch = _collect_sorted(windowed_event_counts(events), cols)
+
+    def run_stream(name, watermark, chunks=6):
+        src = str(tmp_path / name)
+        os.makedirs(src)
+        stream = windowed_event_counts(
+            stream_events_from_dir(spark, src), watermark=watermark
+        )
+        q = (
+            stream.writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+        )
+        try:
+            per = (len(arrival) + chunks - 1) // chunks
+            feeds = [
+                arrival[i * per:(i + 1) * per] for i in range(chunks)
+            ] + [
+                [(10_000_000 + k,
+                  __import__("datetime").datetime.utcfromtimestamp(
+                      sentinel_ts + k),
+                  1, "zz_sentinel", 0.0, None)]
+                for k in range(2)
+            ]
+            for rows in feeds:
+                if not rows:
+                    continue
+                spark.createDataFrame(
+                    rows, events.schema
+                ).coalesce(1).write.mode("append").parquet(src)
+                q.processAllAvailable()
+            got = spark.sql(f"select * from {name}").where(
+                F.col("event_type") != "zz_sentinel"
+            )
+            return _collect_sorted(got, cols)
+        finally:
+            q.stop()
+
+    sealed = run_stream("wm_sealed", f"{d} seconds")
+    assert sealed == batch
+    # negative control: an under-sized watermark drops late rows
+    leaky = run_stream("wm_leaky", f"{max(0, d // 8)} seconds")
+    assert leaky != batch
+    assert sum(int(r[2]) for r in leaky) < sum(int(r[2]) for r in batch)
