@@ -142,6 +142,13 @@ def main() -> int:
     # rejection (the two-level scaling evidence runs fresh-process
     # best-of-N per level separately); override via env for deep runs
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the timed suite (plus
+    # e2e_triples/web_graph_corpus if named) — the targeted pinned
+    # re-measure path (VERDICT r3 #2) without a 10-minute full suite
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if s
+    }
     bench_queries = [
         "q_triples_by_pred",
         "q_topk_objs_per_pred",
@@ -303,6 +310,8 @@ def main() -> int:
         for name in bench_queries
         if name in qs
     ]
+    if only:
+        suite = [(n, m) for n, m in suite if n in only or n == "e2e_triples"]
     counts: dict[str, int] = {}
     for _ in range(max(1, runs)):
         for name, make in suite:
