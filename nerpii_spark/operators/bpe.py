@@ -163,7 +163,7 @@ def _select_batch(top, at_cap: bool, made: set, budget: int):
 
 def bpe_merges(
     docs: DataFrame, text_col: str = "text", n_merges: int = N_MERGES,
-    top_k: int = 16,
+    top_k: int = 16, sample_mod: int | None = None,
 ) -> DataFrame:
     """Learn `n_merges` BPE merges -> (it, sym_a, sym_b, n_weighted),
     one row per iteration in merge order. Tie-break: highest weighted
@@ -181,12 +181,27 @@ def bpe_merges(
     between 60k Spark jobs and a few hundred. Worst case (every
     adjacent top pair shares a symbol, common for English char BPE)
     degrades to exactly the old per-merge cost, never worse.
-    `LAST_TRAIN_ROUND_TRIPS` records collect+checkpoint jobs spent."""
+    `LAST_TRAIN_ROUND_TRIPS` records collect+checkpoint jobs spent.
+
+    `sample_mod=k` trains on the deterministic 1/k hash sample of the
+    word VOCABULARY (strhash(word) % k == 0 — the
+    similarity.ivf_sample_pred discipline): at a 10^8-word vocab the per-pass rewrite touches only
+    the sample, and pair statistics concentrate (frequencies are sums
+    over many words, so the sampled argmax tracks the full one for the
+    dominant pairs a tokenizer cares about). Deterministic, so two runs
+    (and any replay oracle built with the same predicate) agree
+    exactly; the contract query trains unsampled."""
     global LAST_TRAIN_ROUND_TRIPS
+    from ..functions.hashing import sql_strhash
+
     spark = docs.sparkSession
     words = _word_counts(docs, text_col).withColumn(
         "seq", F.split("word", "")
     )
+    if sample_mod is not None and sample_mod > 1:
+        words = words.where(
+            F.expr(f"({sql_strhash('word')}) % {sample_mod} = 0")
+        )
     # |vocab| rows; each pass rewrites seqs, so pin the lineage
     words = words.localCheckpoint(eager=True)
     out = []

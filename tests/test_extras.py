@@ -831,6 +831,38 @@ def test_bpe_batched_equals_sequential_and_saves_round_trips(spark):
     assert b2 == s2
 
 
+def test_bpe_hash_sampled_training(spark):
+    """sample_mod trains on the deterministic 1/k word-vocabulary hash
+    sample: two runs agree exactly, the sample genuinely shrinks the
+    working vocabulary, and dominant merges survive sampling on a
+    corpus where one pair dwarfs the rest."""
+    from nerpii_spark.operators import bpe
+    from nerpii_spark.functions.hashing import sql_strhash, strhash
+    from pyspark.sql import functions as F
+
+    # 400 distinct filler words + one dominant repeated word
+    rows = [(" ".join(f"w{j:03d}qq" for j in range(i, i + 20)),)
+            for i in range(0, 380, 20)]
+    rows.append((("zz " * 500).strip(),))
+    df = spark.createDataFrame(rows, "text string")
+    a = [tuple(r) for r in
+         bpe.bpe_merges(df, n_merges=2, sample_mod=3).collect()]
+    b = [tuple(r) for r in
+         bpe.bpe_merges(df, n_merges=2, sample_mod=3).collect()]
+    assert a == b and len(a) == 2
+    # the dominant (z, z) pair survives sampling iff 'zz' is in the
+    # sample; assert consistency with the predicate itself
+    # strhash's Python mirror == its SQL form (asserted in test_hashing)
+    zz_in = strhash("zz") % 3 == 0
+    assert (("z", "z") in {(m[1], m[2]) for m in a}) == zz_in
+    # the sampled vocabulary is a strict subset
+    full_vocab = bpe._word_counts(df, "text").count()
+    samp_vocab = bpe._word_counts(df, "text").where(
+        F.expr(f"({sql_strhash('word')}) % 3 = 0")
+    ).count()
+    assert 0 < samp_vocab < full_vocab
+
+
 def test_bpe_batched_matches_sequential_on_corpus(spark):
     """The planted-corpus contract query path: batched training output
     == strict sequential on real text (the DuckDB oracle replays
