@@ -302,7 +302,7 @@ def q_entity_summary(spark, sf):
                 "lower(regexp_replace(trim(subj), '\\\\s+', ' '))"
             ).alias("norm")
         )
-        .join(F.broadcast(norm_map), "norm")
+        .join(L.gated_broadcast(norm_map, pin=False), "norm")
         .groupBy("canonical")
         .agg(F.count("*").cast("bigint").alias("n_triples"))
     )
@@ -1281,8 +1281,9 @@ def q_triples_canonical(spark, sf):
     (subj_canonical, pred, obj, n_assertions). Scale shape: the
     surface->canonical members map broadcasts into the triple stream
     (the q_entity_summary convention — corpus-sized sides never shuffle
-    to meet each other; past ~10^8 entities this flips to a shuffle
-    hash join, same plan shape otherwise); the final triple-key agg
+    to meet each other; link.gated_broadcast COUNT-GATES the hint, so
+    past its row threshold this flips to a shuffle hash join, same
+    plan shape otherwise); the final triple-key agg
     map-side combines. Oracle recomputes linking ground truth + planted
     triples, so canonicalization P/R = 1.0 rides along."""
     p = _pipeline(spark, sf)
@@ -1296,7 +1297,7 @@ def q_triples_canonical(spark, sf):
         "obj",
     )
     return (
-        t.join(F.broadcast(norm_map), "norm")
+        t.join(L.gated_broadcast(norm_map), "norm")
         .groupBy(
             F.col("canonical").alias("subj_canonical"), "pred", "obj"
         )

