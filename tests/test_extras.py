@@ -831,6 +831,42 @@ def test_bpe_batched_equals_sequential_and_saves_round_trips(spark):
     assert b2 == s2
 
 
+def test_bpe_batched_equals_sequential_adversarial(spark):
+    """Property sweep for the batched-pass safety proof: on corpora
+    built to stress every _select_batch break condition (shared-symbol
+    tops, repeated-char self-pairs, chained merges whose fused symbols
+    re-enter the ranking, plus seeded-random overlap-heavy corpora over
+    a 4-letter alphabet) the batched trainer must stay bit-identical to
+    strict sequential greedy at every merge count."""
+    import random
+
+    from nerpii_spark.operators import bpe
+
+    crafted = [
+        "aaaa bbbb aaaa",            # self-pairs (a,a)/(b,b)
+        "abab baba abba",            # overlapping (a,b)/(b,a)
+        "ab ab abc bc bc bc a a",    # fused symbol re-enters ranking
+        "the then there that he her",
+        "xy xy xyz zyx yz yz yz",
+        "aa ab ba bb aaa bbb",       # dense 2-letter pair lattice
+    ]
+    rng = random.Random(20260821)
+    for _ in range(5):
+        words = [
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(5, 30))
+        ]
+        crafted.append(" ".join(words))
+    for i, text in enumerate(crafted):
+        df = spark.createDataFrame([(text,)], "text string")
+        for nm in (3, 6):
+            b = [tuple(r) for r in
+                 bpe.bpe_merges(df, n_merges=nm, top_k=16).collect()]
+            s = [tuple(r) for r in
+                 bpe.bpe_merges(df, n_merges=nm, top_k=1).collect()]
+            assert b == s, (i, nm, text, b, s)
+
+
 def test_bpe_hash_sampled_training(spark):
     """sample_mod trains on the deterministic 1/k word-vocabulary hash
     sample: two runs agree exactly, the sample genuinely shrinks the
