@@ -324,7 +324,8 @@ def main() -> int:
     extras["triples_per_sec"] = round(
         counts["e2e_triples"] / timings["e2e_triples"], 1
     )
-    extras["host_edges"] = counts["web_graph_corpus"]
+    if "web_graph_corpus" in counts:  # absent under SPARK_GRAFT_BENCH_ONLY
+        extras["host_edges"] = counts["web_graph_corpus"]
 
     total = round(sum(timings.values()), 3)
     out = {
