@@ -306,3 +306,33 @@ def test_iceberg_roundtrip_matches_parquet_emulation(spark, tmp_path):
         for t in ("t_rt", "t_m"):
             spark.sql(f"drop table if exists ibtest.db.{t}")
         spark.sql("drop namespace if exists ibtest.db")
+
+
+def test_merge_upsert_recovers_from_crashed_swap(spark, tmp_path):
+    """merge_upsert shares compact()'s atomic-swap discipline: a crash
+    after the first rename (table dir gone, .__old__ present, stale
+    .__merge__ temp) must be repaired on the next merge, not wedge it."""
+    import os
+
+    from nerpii_spark.sources.catalog import TableCatalog
+
+    cat = TableCatalog(root=str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    )
+    base.write.parquet(cat.path("mr"))
+    path = cat.path("mr")
+    os.rename(path, path + ".__old__")
+    os.makedirs(path + ".__merge__")
+    changes = spark.createDataFrame(
+        [(2, "b2", "upsert"), (3, "c", "upsert")],
+        "id long, name string, op string",
+    )
+    stats = cat.merge_upsert(spark, "mr", changes, key_cols=("id",))
+    assert stats == {
+        "rows_before": 2, "rows_after": 3, "n_upserts": 2, "n_deletes": 0
+    }
+    got = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "b2"), (3, "c")}
+    assert not os.path.exists(path + ".__old__")
+    assert not os.path.exists(path + ".__merge__")

@@ -1101,3 +1101,27 @@ def test_derived_watermark_seals_planted_lateness(spark, tmp_path):
     leaky = run_stream("wm_leaky", f"{max(0, d // 8)} seconds")
     assert leaky != batch
     assert sum(int(r[2]) for r in leaky) < sum(int(r[2]) for r in batch)
+
+
+def test_derive_watermark_delay_edge_cases(spark):
+    """Empty calibration set -> 0; full drop tolerance -> 0; the
+    derived delay is monotone non-increasing in the tolerance."""
+    from nerpii_spark.operators.events import derive_watermark_delay
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    empty = spark.createDataFrame([], schema)
+    assert derive_watermark_delay(empty) == 0
+    ev = spark.createDataFrame(
+        [(i, 1_704_067_200 + 5 * i) for i in range(200)],
+        "event_id bigint, ts_s bigint",
+    ).selectExpr("event_id", "timestamp_seconds(ts_s) as ts")
+    d0 = derive_watermark_delay(ev, tolerated_drop=0.0)
+    prev = d0
+    for tol in (0.01, 0.05, 0.25, 1.0):
+        d = derive_watermark_delay(ev, tolerated_drop=tol)
+        assert d <= prev
+        prev = d
+    assert derive_watermark_delay(ev, tolerated_drop=1.0) == 0
