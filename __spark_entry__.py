@@ -287,7 +287,7 @@ def q_entity_summary(spark, sf):
     t = _pipeline(spark, sf)["triples"]
     persons = m.where(F.col("entity_type") == "PERSON")
     members = entity_members(persons).localCheckpoint(eager=True)
-    resolved = resolve_mentions(persons, members)
+    resolved = resolve_mentions(persons, members, pin=False)
     stats = resolved.groupBy("canonical").agg(
         F.count("*").cast("bigint").alias("n_mentions"),
         F.count_distinct("doc_id").cast("bigint").alias("n_docs"),

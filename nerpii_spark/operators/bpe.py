@@ -75,6 +75,11 @@ def _merge_expr(*pairs: tuple[str, str]) -> str:
     match per element and fusion sites cannot interact, so the single
     fold is exactly equal to chaining one fold per pair — which is
     exactly the sequential greedy scan."""
+    if not pairs:
+        raise ValueError(
+            "_merge_expr needs at least one pair: an empty CASE is not"
+            " valid Spark SQL"
+        )
     whens = "\n    ".join(
         f"when size(acc) > 0 and element_at(acc, -1) = {_sql_quote(a)}"
         f" and x = {_sql_quote(b)}\n      then concat(slice(acc, 1,"
@@ -224,6 +229,8 @@ def bpe_merges(
         for r in batch:
             out.append((len(out) + 1, r["a"], r["b"], r["n_weighted"]))
             made.add(r["a"] + r["b"])
+        if len(out) >= n_merges:
+            break  # done: the final rewrite's output is never read
         words = words.withColumn(
             "seq",
             F.expr(_merge_expr(*[(r["a"], r["b"]) for r in batch])),

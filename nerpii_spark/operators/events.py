@@ -724,11 +724,12 @@ def derive_watermark_delay(
                 return tail_above[r["late_s"]]
         return 0
 
-    # smallest D in {0} U {observed lateness} with tail(> D) <= budget
+    # smallest D in {0} U {observed lateness} with tail(> D) <= budget;
+    # always returns inside the loop: at d = max(late_s), tail_gt is 0
     for d in sorted({0} | {r["late_s"] for r in rows}):
         if tail_gt(d) <= budget:
             return int(d)
-    return int(rows[-1]["late_s"])
+    raise AssertionError("unreachable: tail_gt(max late_s) == 0")
 
 
 def derive_watermark(

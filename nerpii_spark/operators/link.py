@@ -713,11 +713,14 @@ def resolve_mentions(
     mentions: DataFrame,
     entities_members: DataFrame,
     broadcast_max_rows: int = BROADCAST_MEMBERS_MAX,
+    pin: bool = True,
 ) -> DataFrame:
     """Join mentions back to their canonical entity through the
-    count-gated broadcast seam (gated_broadcast above)."""
+    count-gated broadcast seam (gated_broadcast above). Pass pin=False
+    when the members table is already checkpointed — re-pinning would
+    materialize a second full copy for nothing."""
     m = mentions.withColumn("norm", F.expr(_NORM))
-    em = gated_broadcast(entities_members, broadcast_max_rows)
+    em = gated_broadcast(entities_members, broadcast_max_rows, pin=pin)
     return m.join(em, ["entity_type", "norm"], "left")
 
 

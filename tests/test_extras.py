@@ -821,7 +821,9 @@ def test_bpe_batched_equals_sequential_and_saves_round_trips(spark):
     seq_trips = bpe.LAST_TRAIN_ROUND_TRIPS
     assert batched == seq
     assert [(m[1], m[2]) for m in seq] == [tuple(w) for w in words]
-    assert seq_trips == 16 and batched_trips <= 4  # >= 4x fewer
+    # sequential: 8 collects + 7 rewrites (the final rewrite is
+    # skipped once the merge budget is met); batched: ONE collect
+    assert seq_trips == 15 and batched_trips <= 2  # >= 7x fewer
     # overlapping corpus: batching degrades to sequential, same output
     df2 = spark.createDataFrame(
         [("the then there that",), ("he her here",)], "text string"

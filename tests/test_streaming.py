@@ -1072,12 +1072,17 @@ def test_derived_watermark_seals_planted_lateness(spark, tmp_path):
         )
         try:
             per = (len(arrival) + chunks - 1) // chunks
+            from datetime import datetime, timezone
+
             feeds = [
                 arrival[i * per:(i + 1) * per] for i in range(chunks)
             ] + [
+                # tz-AWARE: a naive datetime is read as system-local by
+                # the non-Arrow createDataFrame path, shifting the
+                # sentinel hours on non-UTC hosts and stranding the
+                # tail windows unsealed
                 [(10_000_000 + k,
-                  __import__("datetime").datetime.utcfromtimestamp(
-                      sentinel_ts + k),
+                  datetime.fromtimestamp(sentinel_ts + k, tz=timezone.utc),
                   1, "zz_sentinel", 0.0, None)]
                 for k in range(2)
             ]
