@@ -123,6 +123,45 @@ def test_survey_and_driver_contract_in_sync():
     assert no_oracle == set(), no_oracle
 
 
+def test_certification_rotation_head_is_uncertified():
+    """Driver-certification rotation guard (VERDICT r4 #5): the driver
+    samples roughly the first 50 entries of queries() each round, so the
+    head must be spent on queries that do NOT yet have a green driver
+    CORRECTNESS row.  The certified union is computed live from the
+    CORRECTNESS_r*.json files the driver leaves in the repo (latest row
+    per query wins); when a new round's file lands, this test fails
+    until queries() is re-sorted — the intended forcing function.
+    Queries whose LATEST driver row is a failure are not in the union
+    and deliberately lead the head for re-certification."""
+    import glob
+    import json
+    import re
+
+    import __spark_entry__ as E
+
+    files = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    if not files:  # fresh checkout without driver artifacts
+        return
+    latest = {}
+    for path in files:  # sorted => later rounds overwrite earlier rows
+        for name, row in json.load(open(path)).items():
+            latest[name] = row
+    union = {
+        name
+        for name, row in latest.items()
+        if row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match") in (True, None)
+        and not row.get("err")
+    }
+    head = list(E.queries())[:50]
+    stale = [name for name in head if name in union]
+    assert stale == [], (
+        f"queries() head contains {len(stale)} already-certified entries "
+        f"(re-sort against the new CORRECTNESS union): {stale}"
+    )
+
+
 def _py_spread16(x: int) -> int:
     x &= 0xFFFF
     for n, mask in [(8, 0x00FF00FF), (4, 0x0F0F0F0F),
