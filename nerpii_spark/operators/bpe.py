@@ -100,6 +100,9 @@ aggregate(
 
 #: Driver round-trips (collect + checkpoint jobs) spent by the most
 #: recent bpe_merges call — the scale metric batched training improves.
+#: Convenience alias ONLY (last-writer-wins under concurrent trainings
+#: in one process): pass ``stats={}`` to bpe_merges for a race-free
+#: per-call count (ADVICE r4).
 LAST_TRAIN_ROUND_TRIPS = 0
 
 
@@ -169,6 +172,7 @@ def _select_batch(top, at_cap: bool, made: set, budget: int):
 def bpe_merges(
     docs: DataFrame, text_col: str = "text", n_merges: int = N_MERGES,
     top_k: int = 16, sample_mod: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Learn `n_merges` BPE merges -> (it, sym_a, sym_b, n_weighted),
     one row per iteration in merge order. Tie-break: highest weighted
@@ -236,6 +240,11 @@ def bpe_merges(
             F.expr(_merge_expr(*[(r["a"], r["b"]) for r in batch])),
         ).localCheckpoint(eager=True)
         trips += 1
+    if stats is not None:
+        stats["round_trips"] = trips
+    # module-level alias kept for interactive convenience only: it is
+    # last-writer-wins under concurrent trainings in one process
+    # (ADVICE r4) — callers that need the count pass `stats`
     LAST_TRAIN_ROUND_TRIPS = trips
     return spark.createDataFrame(
         out, "it bigint, sym_a string, sym_b string, n_weighted bigint"

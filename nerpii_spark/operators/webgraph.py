@@ -3537,55 +3537,49 @@ def msf_from_weighted_edges(weighted: DataFrame,
     a < b and a strict (w, a, b) total order — the graph-independent
     seam boruvka_msf delegates to (and the unit-test entry point for
     adversarial selection shapes the planted corpus never produces,
-    e.g. a monotone chain whose round-1 selection is one long path)."""
+    e.g. a monotone chain whose round-1 selection is one long path).
+
+    Round-5 shape (VERDICT r4 #3): the edge table CARRIES its endpoint
+    component labels (ca, cb) instead of re-joining a node-level label
+    table every round — after each contraction the surviving
+    cross-component edges are relabeled through the comp-level map m
+    (two joins against a component-count-sized table) and intra-
+    component edges are PRUNED, so by Boruvka's halving argument every
+    later round decorates a geometrically shrinking edge set.  The
+    node-level label table is gone entirely: only edges and comp-level
+    maps ever shuffle."""
     e = weighted.select("a", "b", "w").localCheckpoint(eager=True)
-    labels = (
-        e.select(F.col("a").alias("n"))
-        .unionAll(e.select(F.col("b").alias("n")))
-        .distinct()
-        .withColumn("comp", F.col("n"))
-        .localCheckpoint(eager=True)
-    )
+    # dec: surviving cross-component edges decorated with their current
+    # endpoint components.  Initially every node is its own component
+    # and a < b guarantees ca != cb.
+    dec = e.select("a", "b", "w", F.col("a").alias("ca"),
+                   F.col("b").alias("cb"))
     forest = None
     for _ in range(n_rounds):
-        dec = (
-            e.join(
-                labels.select(F.col("n").alias("a"), F.col("comp").alias("ca")),
-                "a",
-            )
-            .join(
-                labels.select(F.col("n").alias("b"), F.col("comp").alias("cb")),
-                "b",
-            )
-            .where(F.col("ca") != F.col("cb"))
-        )
+        # ca/cb are functionally determined by (a, b) this round, so
+        # appending them to the struct leaves the (w, a, b) argmin
+        # order intact while letting sel keep its comp decoration
+        # (saves the two node-level joins the contraction used to pay)
         cand = dec.select(
             F.explode(F.array("ca", "cb")).alias("comp"),
-            F.struct("w", "a", "b").alias("e"),
+            F.struct("w", "a", "b", "ca", "cb").alias("e"),
         )
         sel = (
             cand.groupBy("comp")
             .agg(F.min("e").alias("m"))
             .select(F.col("m.a").alias("a"), F.col("m.b").alias("b"),
-                    F.col("m.w").alias("w"))
+                    F.col("m.w").alias("w"), F.col("m.ca").alias("ca"),
+                    F.col("m.cb").alias("cb"))
             .distinct()
             .localCheckpoint(eager=True)
         )
         if sel.isEmpty():
             break  # forest complete (no cross-component edge remains)
-        forest = sel if forest is None else forest.unionByName(sel).distinct()
+        picked = sel.select("a", "b", "w")
+        forest = (picked if forest is None
+                  else forest.unionByName(picked).distinct())
         # contract: min-label propagation over comp-level selected edges
-        ce = (
-            sel.join(
-                labels.select(F.col("n").alias("a"), F.col("comp").alias("ca")),
-                "a",
-            )
-            .join(
-                labels.select(F.col("n").alias("b"), F.col("comp").alias("cb")),
-                "b",
-            )
-            .select(F.col("ca").alias("x"), F.col("cb").alias("y"))
-        )
+        ce = sel.select(F.col("ca").alias("x"), F.col("cb").alias("y"))
         sym = (
             ce.unionAll(
                 ce.select(F.col("y").alias("x"), F.col("x").alias("y"))
@@ -3593,11 +3587,13 @@ def msf_from_weighted_edges(weighted: DataFrame,
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # contraction runs over the COMPONENT graph (nodes = current
-        # labels), not node-level relabeling: m(c) converges to the
-        # min label reachable from c through this round's selections
+        # contraction runs over the COMPONENT graph: m(c) converges to
+        # the min label reachable from c through this round's
+        # selections.  Every comp with a surviving cross edge proposed
+        # an edge, so nodes(sym) covers every comp that needs
+        # relabeling; untouched comps have no dec edges left either.
         m = (
-            labels.select("comp").distinct()
+            sym.select(F.col("x").alias("comp")).distinct()
             .withColumn("lbl", F.col("comp"))
         )
         # the m-loop stays LAZY: cc_rounds chained joins over the
@@ -3639,9 +3635,48 @@ def msf_from_weighted_edges(weighted: DataFrame,
             # 3x-wall cost of pinning every iteration)
             if _i == cc_rounds // 2 - 1:
                 m = m.localCheckpoint(eager=True)
-        labels = (
-            labels.join(m, "comp")
-            .select("n", F.col("lbl").alias("comp"))
+        m = m.localCheckpoint(eager=True)
+        # fixpoint probe (ADVICE r4): cc_rounds is a FIXED budget and
+        # the DuckDB oracle replays the identical budget, so a
+        # selection path needing more jump rounds would diverge
+        # SILENTLY on both sides.  One more iteration over the pinned
+        # comp-level m must be a no-op; a strict decrease means an
+        # uncontracted chain — fail loudly instead of breaking the
+        # forest invariant.  Cost: one tiny comp-level job per OUTER
+        # round (the per-inner-iteration overhead lesson intact).
+        probe_edges = sym.unionAll(
+            m.select(F.col("comp").alias("x"), F.col("lbl").alias("y"))
+        )
+        probe = (
+            probe_edges.join(
+                m.select(F.col("comp").alias("y"), F.col("lbl").alias("ly")),
+                "y",
+            )
+            .groupBy("x")
+            .agg(F.min("ly").alias("nlbl"))
+            .join(m.select(F.col("comp").alias("x"), "lbl"), "x")
+            .where(F.col("nlbl") != F.col("lbl"))
+        )
+        if not probe.isEmpty():
+            raise ValueError(
+                "msf_from_weighted_edges: min-label contraction did not "
+                f"reach a fixpoint within cc_rounds={cc_rounds}; the "
+                "selection-path diameter of this edge table exceeds the "
+                "pointer-jump budget — raise cc_rounds"
+            )
+        # prune + re-decorate: map the surviving edges' comps through
+        # the comp-level contraction and DROP newly intra-component
+        # edges, so the next round's argmin scans only what can still
+        # be selected (geometric shrink; two comp-keyed joins, no
+        # node-level table)
+        dec = (
+            dec.join(m.select(F.col("comp").alias("ca"),
+                              F.col("lbl").alias("la")), "ca")
+            .join(m.select(F.col("comp").alias("cb"),
+                           F.col("lbl").alias("lb")), "cb")
+            .where(F.col("la") != F.col("lb"))
+            .select("a", "b", "w", F.col("la").alias("ca"),
+                    F.col("lb").alias("cb"))
             .localCheckpoint(eager=True)
         )
     return (forest if forest is not None

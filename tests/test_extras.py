@@ -811,14 +811,24 @@ def test_bpe_batched_equals_sequential_and_saves_round_trips(spark):
     rows = [(" ".join([w] * (40 - 4 * i)),) for i, w in enumerate(words)]
     rows.append(("xy",))
     df = spark.createDataFrame(rows, "text string")
+    batched_stats: dict = {}
     batched = [
-        tuple(r) for r in bpe.bpe_merges(df, n_merges=8, top_k=16).collect()
+        tuple(r)
+        for r in bpe.bpe_merges(
+            df, n_merges=8, top_k=16, stats=batched_stats
+        ).collect()
     ]
-    batched_trips = bpe.LAST_TRAIN_ROUND_TRIPS
+    batched_trips = batched_stats["round_trips"]
+    # the module-level alias mirrors the per-call stats (single-threaded)
+    assert bpe.LAST_TRAIN_ROUND_TRIPS == batched_trips
+    seq_stats: dict = {}
     seq = [
-        tuple(r) for r in bpe.bpe_merges(df, n_merges=8, top_k=1).collect()
+        tuple(r)
+        for r in bpe.bpe_merges(
+            df, n_merges=8, top_k=1, stats=seq_stats
+        ).collect()
     ]
-    seq_trips = bpe.LAST_TRAIN_ROUND_TRIPS
+    seq_trips = seq_stats["round_trips"]
     assert batched == seq
     assert [(m[1], m[2]) for m in seq] == [tuple(w) for w in words]
     # sequential: 8 collects + 7 rewrites (the final rewrite is
