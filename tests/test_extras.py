@@ -166,8 +166,76 @@ def test_embed_dup_pairs_lsh_matches_brute(spark):
 
 
 def test_media_decode_stub_raises():
+    # codec kinds (non-BMP/WAV bytes) still hit the honest stub seam
     with pytest.raises(NotImplementedError):
         MM.decode_media(b"not-an-image", "image")
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64, "image")
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"ID3" + b"\x00" * 64, "audio")
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"anything", "video")
+
+
+def _golden_bmp(doc_id: int) -> bytes:
+    """First-principles uncompressed 24-bit BMP for a planted doc —
+    built with struct, independent of the SQL hex construction."""
+    import struct
+
+    w, h = 1 + doc_id % 4, 1 + doc_id % 2
+    stride = ((3 * w + 3) // 4) * 4
+    pixn = stride * h
+    pix = bytes((doc_id * 31 + j) % 256 for j in range(pixn))
+    return (
+        b"BM" + struct.pack("<III", 54 + pixn, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, pixn,
+                      2835, 2835, 0, 0)
+        + pix
+    )
+
+
+def _golden_wav(doc_id: int) -> bytes:
+    import struct
+
+    sr, ns = 8000 + (doc_id % 8) * 1000, 5 + doc_id % 4
+    data = bytes((doc_id * 17 + j) % 256 for j in range(ns))
+    return (
+        b"RIFF" + struct.pack("<I", 36 + ns) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr, 1, 8)
+        + b"data" + struct.pack("<I", ns) + data
+    )
+
+
+def test_media_decode_real_bmp_wav():
+    """The decode seam parses REAL artifacts: byte-exact BMP/WAV built
+    with struct (not the SQL builder) decode to the planted fields."""
+    for doc_id in (0, 21, 42, 63):
+        got = MM.decode_media(_golden_bmp(doc_id), "image")
+        w, h = 1 + doc_id % 4, 1 + doc_id % 2
+        assert got["width"] == w and got["height"] == h
+        # pixel_sum skips stride padding: only 3w bytes per row count
+        exp = sum(
+            (doc_id * 31 + r * (((3 * w + 3) // 4) * 4) + c) % 256
+            for r in range(h) for c in range(3 * w)
+        )
+        assert got["pixel_sum"] == exp
+    for doc_id in (7, 28, 49):
+        got = MM.decode_media(_golden_wav(doc_id), "audio")
+        ns = 5 + doc_id % 4
+        assert got["sample_rate"] == 8000 + (doc_id % 8) * 1000
+        assert got["n_samples"] == ns
+        assert got["sample_sum"] == sum(
+            (doc_id * 17 + j) % 256 for j in range(ns)
+        )
+    # truncated / corrupted artifacts are rejected, not mis-decoded
+    bmp = _golden_bmp(21)
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(bmp[:-1], "image")
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(bmp[:2] + b"\x00" + bmp[3:], "image")
+    wav = _golden_wav(7)
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(wav[:-2], "audio")
 
 
 def test_media_feature_plumbing(spark):
@@ -177,14 +245,37 @@ def test_media_feature_plumbing(spark):
     feats = MM.extract_features(media)
     assert feats.schema.simpleString() == (
         "struct<doc_id:bigint,kind:string,n_bytes:int,"
-        "head_hash:bigint,n_frames:int>"
+        "head_hash:bigint,n_frames:int,decoded_w:int,decoded_h:int,"
+        "decoded_sum:bigint>"
     )
     rows = feats.collect()
     assert len(rows) == docs.count()
     by_kind = {r["kind"] for r in rows}
     assert by_kind == {"image", "audio", "video"}
-    assert all(r["n_bytes"] <= 64 for r in rows)
     assert all((r["n_frames"] > 0) == (r["kind"] == "video") for r in rows)
+    # the SQL-built planted payloads are byte-identical to the
+    # struct-built goldens, and only they decode
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in media.where("doc_id % 7 = 0 and doc_id < 120").collect()
+    }
+    by_id = {r["doc_id"]: r for r in rows}
+    n_img = n_aud = 0
+    for doc_id, payload in payloads.items():
+        if doc_id % 3 == 0:  # image
+            assert payload == _golden_bmp(doc_id)
+            assert by_id[doc_id]["decoded_w"] == 1 + doc_id % 4
+            n_img += 1
+        elif doc_id % 3 == 1:  # audio
+            assert payload == _golden_wav(doc_id)
+            assert by_id[doc_id]["decoded_w"] == 8000 + (doc_id % 8) * 1000
+            n_aud += 1
+    assert n_img > 0 and n_aud > 0
+    # undecoded rows keep text-head features; decoded rows zero them
+    for r in rows:
+        decoded = r["decoded_w"] > 0
+        assert (r["head_hash"] == 0) == decoded
+        assert (r["decoded_sum"] > 0) == decoded
     # deterministic across runs
     again = MM.extract_features(media).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
