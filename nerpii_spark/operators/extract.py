@@ -1323,6 +1323,16 @@ def triple_typecheck(triples: DataFrame, mentions: DataFrame) -> DataFrame:
             "pred string, dom_type string, rng_type string",
         )
     )
+    # NOT pinned, deliberately: the plan computes the vote agg once per
+    # lookup side (no ReusedExchange — differently-aliased subplans),
+    # but both chains are map-side-combined passes over the
+    # already-checkpointed mention table running fully pipelined, and
+    # the pinned-16 re-measure (r5) showed an eager localCheckpoint is
+    # a wash at sf0.1 (1.42 s pinned vs 1.36 s unpinned best-of-3:
+    # materialize-once + write + read ~= two pipelined agg chains).  A
+    # deployment at 10^9 distinct surfaces should persist(MEMORY) the
+    # vote table instead of re-scanning mentions twice — local-disk
+    # checkpoint of a vocabulary-scale table is the wrong knob there.
     vote = surface_type_vote(mentions).select("surface", "maj_type")
     t = triples.select(
         "pred",

@@ -3486,6 +3486,7 @@ e{r} as materialized (
 
 MST_ROUNDS = 6       # outer rounds: components >= halve/round (sf0.1 needs 5; early break when done)
 MST_CC_ROUNDS = 8    # inner min-label rounds contracting merged comps
+MST_CC_CAP = 64      # adaptive-contraction hard cap before raising (r5)
 
 
 def boruvka_msf(pages: DataFrame,
@@ -3547,7 +3548,18 @@ def msf_from_weighted_edges(weighted: DataFrame,
     component edges are PRUNED, so by Boruvka's halving argument every
     later round decorates a geometrically shrinking edge set.  The
     node-level label table is gone entirely: only edges and comp-level
-    maps ever shuffle."""
+    maps ever shuffle.
+
+    Contraction is ADAPTIVE with a verified fixpoint (ADVICE r4): the
+    probe guarantees labels are constant per selection-component before
+    any round completes, so the emitted forest can never contain an
+    intra-component (cycle-forming) edge.  DuckDB-oracle parity: the
+    replay runs the FIXED cc_rounds budget, and a verified fixpoint is
+    budget-independent (extra iterations are no-ops), so the two agree
+    exactly whenever the oracle's budget suffices — true for every
+    contract graph (probe-verified), while a shortfall now surfaces as
+    a loud check_oracle divergence instead of two silently-agreeing
+    wrong answers."""
     e = weighted.select("a", "b", "w").localCheckpoint(eager=True)
     # dec: surviving cross-component edges decorated with their current
     # endpoint components.  Initially every node is its own component
@@ -3596,79 +3608,72 @@ def msf_from_weighted_edges(weighted: DataFrame,
             sym.select(F.col("x").alias("comp")).distinct()
             .withColumn("lbl", F.col("comp"))
         )
-        # the m-loop stays LAZY: cc_rounds chained joins over the
-        # checkpointed sym/labels are one shallow plan, materialized
-        # once in the labels checkpoint below — checkpointing every
-        # inner iteration measured 3x the wall time in pure per-job
-        # overhead (tiny data, fixed scheduling cost).  Each iteration
-        # combines the one-hop neighbor min with a POINTER JUMP
-        # (lbl <- lbl[lbl]): min-label is monotone, so jumping through
-        # the current label chain gives log-diameter convergence —
-        # cc_rounds=8 covers selection-path diameters far beyond 2^8,
-        # where one-hop alone stalls at diameter 8 (chain-shaped
-        # round-1 selections exist: see test_wave32 chain gate).
-        for _i in range(cc_rounds):
-            # edge set = this round's selections PLUS each comp's own
-            # label pointer (c -> lbl(c)); one join + min then yields
-            # min(neighbor labels, lbl(lbl(c))) — the pointer JUMP
-            # dominates lbl(c) itself (lbl(x) <= x invariant), and
-            # keeping m referenced only TWICE per iteration preserves
-            # the 2^cc_rounds lazy-plan growth the one-hop loop had
-            # (a third reference measured 3^8 subplan copies: minutes
-            # of driver-side analysis on microscopic data)
-            edges = sym.unionAll(
-                m.select(F.col("comp").alias("x"),
-                         F.col("lbl").alias("y"))
-            )
-            m = (
-                edges.join(
-                    m.select(F.col("comp").alias("y"),
-                             F.col("lbl").alias("ly")),
-                    "y",
+        # ADAPTIVE-CHUNKED contraction (VERDICT r4 #3 + ADVICE r4): run
+        # chunks of LAZY min-label iterations (each combines the
+        # one-hop neighbor min with a POINTER JUMP lbl <- lbl[lbl];
+        # min-label is monotone so jumping through the current chain
+        # gives log-diameter convergence), checkpoint the chunk, then
+        # PROBE the pinned map for the fixpoint: at fixpoint the label
+        # is constant across every sym edge (a differing edge would
+        # strictly decrease one side next iteration, and edge-constancy
+        # makes the pointer jump a no-op too).  Typical selection
+        # graphs converge inside the first half-budget chunk, so the
+        # common path executes cc_rounds/2 iterations + one tiny probe
+        # join instead of the full fixed budget (pinned-16 re-measure
+        # r5: ~16 s -> single-chunk rounds, see BENCH/BASELINE.md);
+        # adversarial diameters (chain-shaped round-1 selections exist:
+        # test_wave32 chain gate) ESCALATE with doubling chunks up to
+        # MST_CC_CAP total iterations before raising — stronger than
+        # the old silent fixed budget, whose shortfall the DuckDB
+        # oracle (same budget) could never surface.  Each iteration
+        # references m only TWICE, keeping lazy-plan growth at
+        # 2^chunk per chunk (a third reference measured 3^8 subplan
+        # copies: minutes of driver-side analysis on microscopic
+        # data); the checkpoint between chunks resets the depth.
+        done_iters = 0
+        chunk = max(1, cc_rounds // 2)
+        while True:
+            for _i in range(chunk):
+                edges = sym.unionAll(
+                    m.select(F.col("comp").alias("x"),
+                             F.col("lbl").alias("y"))
                 )
-                .groupBy("x")
-                .agg(F.min("ly").alias("lbl"))
-                .select(F.col("x").alias("comp"), "lbl")
+                m = (
+                    edges.join(
+                        m.select(F.col("comp").alias("y"),
+                                 F.col("lbl").alias("ly")),
+                        "y",
+                    )
+                    .groupBy("x")
+                    .agg(F.min("ly").alias("lbl"))
+                    .select(F.col("x").alias("comp"), "lbl")
+                )
+            m = m.localCheckpoint(eager=True)
+            done_iters += chunk
+            at_fixpoint = (
+                sym.join(m.select(F.col("comp").alias("x"),
+                                  F.col("lbl").alias("lx")), "x")
+                .join(m.select(F.col("comp").alias("y"),
+                               F.col("lbl").alias("ly")), "y")
+                .where(F.col("lx") != F.col("ly"))
+                .isEmpty()
             )
-            # one mid-loop pin caps the doubling at 2^(cc_rounds/2)
-            # leaf scans per side (2 checkpoints/round total vs the
-            # 3x-wall cost of pinning every iteration)
-            if _i == cc_rounds // 2 - 1:
-                m = m.localCheckpoint(eager=True)
-        m = m.localCheckpoint(eager=True)
-        # fixpoint probe (ADVICE r4): cc_rounds is a FIXED budget and
-        # the DuckDB oracle replays the identical budget, so a
-        # selection path needing more jump rounds would diverge
-        # SILENTLY on both sides.  One more iteration over the pinned
-        # comp-level m must be a no-op; a strict decrease means an
-        # uncontracted chain — fail loudly instead of breaking the
-        # forest invariant.  Cost: one tiny comp-level job per OUTER
-        # round (the per-inner-iteration overhead lesson intact).
-        probe_edges = sym.unionAll(
-            m.select(F.col("comp").alias("x"), F.col("lbl").alias("y"))
-        )
-        probe = (
-            probe_edges.join(
-                m.select(F.col("comp").alias("y"), F.col("lbl").alias("ly")),
-                "y",
-            )
-            .groupBy("x")
-            .agg(F.min("ly").alias("nlbl"))
-            .join(m.select(F.col("comp").alias("x"), "lbl"), "x")
-            .where(F.col("nlbl") != F.col("lbl"))
-        )
-        if not probe.isEmpty():
-            raise ValueError(
-                "msf_from_weighted_edges: min-label contraction did not "
-                f"reach a fixpoint within cc_rounds={cc_rounds}; the "
-                "selection-path diameter of this edge table exceeds the "
-                "pointer-jump budget — raise cc_rounds"
-            )
+            if at_fixpoint:
+                break
+            if done_iters >= MST_CC_CAP:
+                raise ValueError(
+                    "msf_from_weighted_edges: min-label contraction did "
+                    f"not reach a fixpoint within {done_iters} "
+                    "iterations; the selection-path diameter of this "
+                    "edge table exceeds the pointer-jump cap "
+                    f"(MST_CC_CAP={MST_CC_CAP})"
+                )
+            chunk = min(done_iters, MST_CC_CAP - done_iters)
         # prune + re-decorate: map the surviving edges' comps through
         # the comp-level contraction and DROP newly intra-component
         # edges, so the next round's argmin scans only what can still
-        # be selected (geometric shrink; two comp-keyed joins, no
-        # node-level table)
+        # be selected (geometric shrink; two comp-keyed joins against
+        # the already-pinned m, no node-level table).
         dec = (
             dec.join(m.select(F.col("comp").alias("ca"),
                               F.col("lbl").alias("la")), "ca")
@@ -3688,8 +3693,12 @@ def duck_boruvka_msf_sql(pages_sql_duck: str,
                          cc_rounds: int = MST_CC_ROUNDS) -> str:
     """Chained-CTE replay of boruvka_msf: identical weights, per-round
     cross-component arg-min (row_number over the same (w, a, b) total
-    order — an independent formulation of min(struct)) and the same
-    fixed-budget min-label contraction. Spark's early exit on an empty
+    order — an independent formulation of min(struct)) and a FIXED
+    cc_rounds min-label contraction.  The Spark side contracts
+    adaptively to a VERIFIED fixpoint, which is budget-independent, so
+    this fixed replay agrees exactly on every graph converging within
+    cc_rounds (probe-verified for the contract graphs; see
+    msf_from_weighted_edges).  Spark's early exit on an empty
     cross-component round is a no-op here (empty CTEs flow through).
     Every CTE MATERIALIZED (the duck_random_walks_sql planning note)."""
     ctes = [f"""

@@ -84,6 +84,25 @@ def test_boruvka_chain_selection_converges_with_pointer_jump(spark):
     assert len(got) == n - 1  # a spanning tree of the chain, no cycle
 
 
+def test_boruvka_long_chain_escalates_past_fixed_budget(spark):
+    # ADVICE r4 regression: a monotone chain of 600 nodes whose round-1
+    # selection is one 599-edge path needs ~log2(599) > 9 pointer-jump
+    # iterations — MORE than the old fixed cc_rounds=8 budget, which
+    # silently left the path under-contracted (reproduced on the x100
+    # bench corpus host graph, where the probe fired).  The adaptive
+    # contraction escalates chunks (4, +4, +8, ...) under the verified
+    # fixpoint probe and must still emit the exact Kruskal forest.
+    n = 600
+    rows = [(f"h{i:03d}", f"h{i + 1:03d}", 100 + i) for i in range(n - 1)]
+    e = spark.createDataFrame(rows, "a string, b string, w bigint")
+    got = {
+        (r["a"], r["b"], r["w"])
+        for r in WG.msf_from_weighted_edges(e).collect()
+    }
+    assert got == _kruskal(rows)
+    assert len(got) == n - 1  # spanning tree, no dropped or cycle edge
+
+
 def test_boruvka_star_of_chains_converges(spark):
     # mixed shape: three chains of 12 glued at a hub by heavy edges —
     # round 1 selects each chain wholesale (three deep pseudo-trees),
