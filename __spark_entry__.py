@@ -1973,8 +1973,12 @@ def _media(spark, sf):
 
 def q_media_features(spark, sf):
     """Multimodal plumbing: binary payloads through Arrow-batched
-    mapInPandas; deterministic payload-derived features (decode itself is
-    stubbed — no codec libs in the sandbox)."""
+    mapInPandas.  Since r5 the decode seam is REAL for planted
+    uncompressed-BMP / PCM-WAV payloads (struct-based pure-Python
+    parsers; decoded_w/decoded_h/decoded_sum are genuinely decoded,
+    and the DuckDB oracle re-decodes the payload bytes
+    independently); compressed codec kinds stay behind the honest
+    NotImplementedError seam — no codec libs in the sandbox."""
     return MM.extract_features(_media(spark, sf))
 
 

@@ -194,7 +194,11 @@ def decode_media(payload: bytes, kind: str):
     is identical either way).
 
     Returns a dict: image -> {width, height, pixel_sum};
-    audio -> {sample_rate, n_samples, sample_sum}."""
+    audio -> {sample_rate, n_samples, sample_sum}.  When PIL is
+    importable (deployments), codec images PIL can open decode to the
+    same dict shape with pixel_sum = 0 (a full pixel walk through PIL
+    is the deployment's own trade); PIL failures are normalized to
+    NotImplementedError so callers fall back uniformly."""
     if kind == "image":
         bmp = _decode_bmp(payload)
         if bmp is not None:
@@ -202,7 +206,18 @@ def decode_media(payload: bytes, kind: str):
         if HAVE_PIL:  # pragma: no cover - codec libs absent here
             import io
 
-            return Image.open(io.BytesIO(payload))
+            try:
+                img = Image.open(io.BytesIO(payload))
+                img.load()
+            except Exception as exc:  # noqa: BLE001 - any codec failure
+                # normalize PIL's per-format errors (UnidentifiedImageError
+                # etc.) to the seam's contract: undecodable payloads raise
+                # NotImplementedError, callers fall back uniformly
+                raise NotImplementedError(
+                    f"PIL could not decode this {kind!r} payload"
+                ) from exc
+            return {"width": img.size[0], "height": img.size[1],
+                    "pixel_sum": 0}
     elif kind == "audio":
         wav = _decode_wav(payload)
         if wav is not None:
@@ -247,12 +262,14 @@ def _decode_wav(payload: bytes):
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     (riff_size,) = struct.unpack_from("<I", payload, 4)
+    (fmt_size,) = struct.unpack_from("<I", payload, 16)
     (fmt_tag, channels) = struct.unpack_from("<HH", payload, 20)
     (sample_rate,) = struct.unpack_from("<I", payload, 24)
     (bits,) = struct.unpack_from("<H", payload, 34)
     (data_size,) = struct.unpack_from("<I", payload, 40)
     if (
-        riff_size != len(payload) - 8 or payload[36:40] != b"data"
+        riff_size != len(payload) - 8 or payload[12:16] != b"fmt "
+        or fmt_size != 16 or payload[36:40] != b"data"
         or fmt_tag != 1 or channels != 1 or bits != 8
         or data_size != len(payload) - 44
     ):
@@ -381,14 +398,23 @@ def duck_features_sql(doc_rel: str = "documents") -> str:
     guards zero out the walk ranges on non-decoded rows so the list
     comprehensions stay O(planted payload) everywhere."""
     head = "substring(substring(text, 1, 64), 1, 12)"
-    is_bmp = (
+    # header-level checks (magic, sizes, format fields, positive dims);
+    # the pixel-region FILL check (54 + stride*height == file size, the
+    # last thing the Python decoder validates) needs the computed
+    # stride, so it lands in the `bmp` stage below — `least(.., nb)`
+    # bounds the dims before any product so adversarial header bytes
+    # can't overflow bigint arithmetic (they then fail the fill
+    # equality exactly as the Python side rejects them).
+    is_bmp_hdr = (
         f"nb >= 54 and upper(substring(hx, 1, 4)) = '424D'"
         f" and {_l4(3)} = nb and {_l4(15)} = 40 and {_l2(29)} = 24"
-        f" and {_l4(31)} = 0"
+        f" and {_l4(31)} = 0 and {_l4(19)} > 0 and {_l4(23)} > 0"
     )
     is_wav = (
         f"nb >= 44 and upper(substring(hx, 1, 8)) = '52494646'"
         f" and upper(substring(hx, 17, 8)) = '57415645'"
+        f" and upper(substring(hx, 25, 8)) = '666D7420'"
+        f" and {_l4(17)} = 16"
         f" and {_l4(5)} = nb - 8 and {_l2(21)} = 1 and {_l2(23)} = 1"
         f" and {_l2(35)} = 8 and upper(substring(hx, 73, 8)) = '64617461'"
         f" and {_l4(41)} = nb - 44"
@@ -405,19 +431,24 @@ parsed as (
 ),
 flags as (
   select *,
-         (kind = 'image' and {is_bmp}) as is_bmp,
+         (kind = 'image' and {is_bmp_hdr}) as is_bmp_hdr,
          (kind = 'audio' and {is_wav}) as is_wav
   from parsed
 ),
 dims as (
   select *,
-         case when is_bmp then {_l4(19)} else 0 end as bw,
-         case when is_bmp then {_l4(23)} else 0 end as bh,
+         case when is_bmp_hdr then least({_l4(19)}, nb) else 0 end as bw,
+         case when is_bmp_hdr then least({_l4(23)}, nb) else 0 end as bh,
          case when is_wav then {_l4(41)} else 0 end as ns
   from flags
 ),
 strided as (
   select *, ((3 * bw + 3) // 4) * 4 as stride from dims
+),
+bmp as (
+  select * exclude (is_bmp_hdr),
+         (is_bmp_hdr and 54 + stride * bh = nb) as is_bmp
+  from strided
 )
 select doc_id,
        kind,
@@ -438,5 +469,5 @@ select doc_id,
             when is_wav then
               list_sum([{smp_byte} for j in range(1, ns + 1)])
             else 0 end as bigint) as decoded_sum
-from strided
+from bmp
 """

@@ -3498,16 +3498,16 @@ def boruvka_msf(pages: DataFrame,
     the total order (w, a, b) so the forest is unique and the oracle
     replays it edge-for-edge.
 
-    Round shape: decorate edges with endpoint component labels (two
-    vocabulary-keyed joins), keep cross-component edges, ONE
-    map-side-combined min(struct(w, a, b)) per component (each edge
-    proposed from both endpoints), then contract the merged components
-    with `cc_rounds` min-label iterations over the selected edge set —
-    a FIXED budget (the kcore/crawl-waves discipline): selected edges
-    form pseudo-trees whose label-prop diameter is small, and pytest
-    pins the planted graph's forest == a Python Kruskal ground truth
-    (a budget shortfall would surface as a cycle there). Labels and
-    the surviving edge set localCheckpoint per round.
+    Round shape (see msf_from_weighted_edges for the full mechanics):
+    the edge table carries its endpoint component labels, ONE
+    map-side-combined min(struct(w, a, b)) per component selects each
+    component's cheapest outgoing edge (proposed from both endpoints),
+    merged components contract via ADAPTIVE-CHUNKED min-label pointer
+    jumping under a verified fixpoint probe (escalating to MST_CC_CAP
+    iterations, raising loudly past the cap), and newly
+    intra-component edges are PRUNED so later rounds scan a
+    geometrically shrinking edge set.  pytest pins the planted
+    graph's forest == a Python Kruskal ground truth.
 
     Scale: O(log n) outer rounds by the halving argument; every
     aggregation map-side combines; no driver-side data beyond the
@@ -3556,10 +3556,12 @@ def msf_from_weighted_edges(weighted: DataFrame,
     intra-component (cycle-forming) edge.  DuckDB-oracle parity: the
     replay runs the FIXED cc_rounds budget, and a verified fixpoint is
     budget-independent (extra iterations are no-ops), so the two agree
-    exactly whenever the oracle's budget suffices — true for every
-    contract graph (probe-verified), while a shortfall now surfaces as
-    a loud check_oracle divergence instead of two silently-agreeing
-    wrong answers."""
+    exactly whenever the oracle's budget suffices — verified
+    empirically for the contract graphs at all three sf scales by
+    capping escalation at the oracle budget (pytest
+    test_boruvka_corpus_converges_within_oracle_budget pins it), while
+    a shortfall on other inputs surfaces as a loud check_oracle
+    divergence instead of two silently-agreeing wrong answers."""
     e = weighted.select("a", "b", "w").localCheckpoint(eager=True)
     # dec: surviving cross-component edges decorated with their current
     # endpoint components.  Initially every node is its own component
